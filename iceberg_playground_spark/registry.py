@@ -1,0 +1,46 @@
+"""Query registry: the driver-facing (queries, oracle_sql) catalog.
+
+Every operator in SURVEY.md §2 registers here via the ``@query``
+decorator. ``__spark_entry__.py`` re-exports ``QUERIES`` / ``ORACLES``.
+
+Contract (driver): each query fn is ``(spark, sf_dir) -> DataFrame``;
+the oracle is ANSI SQL DuckDB runs over the same parquet tables
+(views: region nation customer supplier part orders lineitem events
+documents embeddings). Column names must match — alias everything on
+both sides. Queries without an oracle get a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named operator query, optionally with its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module so registration side effects run."""
+    from iceberg_playground_spark.queries import (  # noqa: F401
+        llm,
+        relational,
+        streaming,
+        udfs,
+    )
