@@ -6,8 +6,15 @@ a DuckDB oracle cell-for-cell, so floating point must be bit-identical):
 - **Money/quantity aggregates** run in DECIMAL: the test data's doubles
   are exact 2-dp values, so ``CAST(x AS DECIMAL(18,4))`` is lossless and
   decimal addition is associative — any shuffle/partial-agg order gives
-  the same bits in Spark and DuckDB. Final results are cast to an
-  explicit DECIMAL(38,s) so both engines agree on the output type.
+  the same bits in Spark and DuckDB. Final results are cast to DOUBLE
+  (one correctly-rounded conversion, identical bits in both engines);
+  DECIMAL must never appear in driver-facing output — the comparator
+  canonicalizes via pandas, where DuckDB decimals become float64 while
+  Spark decimals stay ``decimal.Decimal`` objects and never match.
+- **Array/map columns must never appear in driver-facing output** —
+  they become numpy ndarrays in pandas and crash the comparator
+  (unhashable). Serialize with ``concat_ws``/``to_json`` instead
+  (oracle side: ``array_to_string``).
 - **Derived doubles** (averages, stddev, correlations) are computed from
   those exact decimal sums with a fixed sequence of IEEE double ops
   (cast → divide → sqrt), which both engines evaluate identically.
@@ -34,8 +41,16 @@ def dec(col: str | Column, scale: int = 4, precision: int = 18) -> Column:
 
 
 def dsum(col: str | Column, alias: str, scale: int = 4) -> Column:
-    """Order-insensitive exact SUM of a 2-dp double column."""
-    return F.sum(dec(col, scale)).cast(f"decimal(38,{scale})").alias(alias)
+    """Order-insensitive exact SUM of a 2-dp double column.
+
+    The sum runs in DECIMAL (associative, shuffle-order-proof) and is
+    cast to DOUBLE exactly once at the output boundary: decimal→double
+    is correctly rounded in both Spark and DuckDB, so the bits match,
+    and the driver's pandas-based comparator sees float64 on both sides
+    (DuckDB renders DECIMAL as float64; Spark's Arrow toPandas would
+    otherwise yield decimal.Decimal objects that can never hash-match).
+    """
+    return F.sum(dec(col, scale)).cast("double").alias(alias)
 
 
 def davg(col: str | Column, alias: str, scale: int = 4) -> Column:

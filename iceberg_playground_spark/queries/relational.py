@@ -38,7 +38,7 @@ def b01_parquet_scan(spark: SparkSession, sf: str) -> DataFrame:
     "b03_json_lines_decode",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
+           CAST(sum(TRY_CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
     FROM events
     """,
 )
@@ -92,7 +92,7 @@ def b04_csv_decode(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))
+                * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
              AS disc_price
     FROM lineitem WHERE l_orderkey < 100
     """,
@@ -105,7 +105,7 @@ def b08_projection(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         (dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-        .cast("decimal(38,8)")
+        .cast("double")
         .alias("disc_price"),
     )
 
@@ -139,7 +139,7 @@ def b09_filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
     "b11_case_conditional",
     oracle="""
     SELECT size_class, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
     FROM (
       SELECT CASE WHEN l_quantity < 10 THEN 'small'
                   WHEN l_quantity < 30 THEN 'medium'
@@ -171,7 +171,7 @@ def b11_case_conditional(spark: SparkSession, sf: str) -> DataFrame:
       CAST(count(*) AS BIGINT) AS n_rows,
       CAST(count(nullif(l_discount, 0.0)) AS BIGINT) AS n_discounted,
       CAST(sum(CAST(coalesce(nullif(l_discount, 0.0), 1.0) AS DECIMAL(18,4)))
-           AS DECIMAL(38,4)) AS coalesced_sum
+           AS DOUBLE) AS coalesced_sum
     FROM lineitem
     """,
 )
@@ -182,7 +182,7 @@ def b12_null_handling(spark: SparkSession, sf: str) -> DataFrame:
     return li.agg(
         F.count("*").alias("n_rows"),
         F.count(d).alias("n_discounted"),
-        F.sum(dec(F.coalesce(d, F.lit(1.0)))).cast("decimal(38,4)").alias(
+        F.sum(dec(F.coalesce(d, F.lit(1.0)))).cast("double").alias(
             "coalesced_sum"
         ),
     )
@@ -197,7 +197,7 @@ def b12_null_handling(spark: SparkSession, sf: str) -> DataFrame:
     "b13_inner_join",
     oracle="""
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
              AS total_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
@@ -220,7 +220,7 @@ def b13_inner_join(spark: SparkSession, sf: str) -> DataFrame:
     "b14_broadcast_join",
     oracle="""
     SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_type = 'PROMO'
     GROUP BY p_brand
@@ -244,7 +244,7 @@ def b14_broadcast_join(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
            CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 0)
-                AS DECIMAL(38,4)) AS spend
+                AS DOUBLE) AS spend
     FROM customer c
     LEFT JOIN orders o
       ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
@@ -264,7 +264,7 @@ def b15_outer_join(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("c_custkey").agg(
         F.count("o_orderkey").alias("n_orders"),
         F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("spend"),
     )
 
@@ -397,7 +397,7 @@ def b19_asof_join(spark: SparkSession, sf: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_lines,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                     * (1 - CAST(l_discount AS DECIMAL(18,4))))
-                AS DECIMAL(38,8)) AS revenue
+                AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey  = c_custkey
@@ -416,7 +416,7 @@ def b20_star_join(spark: SparkSession, sf: str) -> DataFrame:
     n = load(spark, sf, "nation")
     r = load(spark, sf, "region")
     revenue = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
-        "decimal(38,8)"
+        "double"
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -437,15 +437,15 @@ def b20_star_join(spark: SparkSession, sf: str) -> DataFrame:
     "b21_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
         AS sum_base_price,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
         AS sum_disc_price,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                * (1 - CAST(l_discount AS DECIMAL(18,4)))
-               * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DECIMAL(38,12))
+               * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE)
         AS sum_charge,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity)
         AS avg_qty,
@@ -471,13 +471,13 @@ def b21_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         dec("l_quantity"),
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).cast("decimal(38,4)").alias("sum_qty"),
-        F.sum(price).cast("decimal(38,4)").alias("sum_base_price"),
-        F.sum(price * (F.lit(1) - disc)).cast("decimal(38,8)").alias(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias(
             "sum_disc_price"
         ),
         F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
-        .cast("decimal(38,12)")
+        .cast("double")
         .alias("sum_charge"),
         (F.sum(qty).cast("double") / F.count("l_quantity")).alias("avg_qty"),
         (F.sum(price).cast("double") / F.count("l_extendedprice")).alias(
@@ -524,7 +524,7 @@ def b23_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     "b24_global_agg",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
              AS total,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price,
@@ -556,7 +556,7 @@ def b24_global_agg(spark: SparkSession, sf: str) -> DataFrame:
     "b25_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
@@ -590,7 +590,7 @@ def b26_cube(spark: SparkSession, sf: str) -> DataFrame:
       CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
         AS n_high_discount,
       CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
-                    FILTER (WHERE l_quantity >= 25), 0) AS DECIMAL(38,4))
+                    FILTER (WHERE l_quantity >= 25), 0) AS DOUBLE)
         AS bulk_price
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -604,7 +604,7 @@ def b27_filtered_agg(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(F.col("l_quantity") >= 25, dec("l_extendedprice"))),
             F.lit(0),
         )
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("bulk_price"),
     )
 
@@ -683,16 +683,20 @@ def b29_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     "b30_collect_list",
     oracle="""
     SELECT n_regionkey AS r_key,
-           list_sort(list(n_name)) AS nations,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
            CAST(count(*) AS BIGINT) AS n
     FROM nation GROUP BY n_regionkey
     """,
 )
 def b30_collect_list(spark: SparkSession, sf: str) -> DataFrame:
-    """B28: array aggregation (collect_list) — sorted for determinism."""
+    """B28: array aggregation (collect_list) — sorted for determinism,
+    serialized to CSV at the output boundary (array cells become numpy
+    ndarrays in the driver's pandas comparator and crash it)."""
     n = load(spark, sf, "nation")
     return n.groupBy(F.col("n_regionkey").alias("r_key")).agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+            "nations"
+        ),
         F.count("*").alias("n"),
     )
 
@@ -705,37 +709,57 @@ def b30_collect_list(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "b31_window_ranking",
     oracle="""
-    SELECT c_custkey, c_mktsegment, c_acctbal,
-           CAST(row_number() OVER w AS BIGINT) AS rn,
+    SELECT c_custkey, c_mktsegment, c_acctbal, rn,
            CAST(rank() OVER w2 AS BIGINT) AS rnk,
            CAST(dense_rank() OVER w2 AS BIGINT) AS drnk,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile
-    FROM customer
+    FROM (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(row_number() OVER wi AS BIGINT) AS rn
+      FROM customer
+      WINDOW wi AS (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey)
+      QUALIFY rn <= 20)
     WINDOW w  AS (PARTITION BY c_mktsegment
                   ORDER BY c_acctbal DESC, c_custkey),
            w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
-    QUALIFY rn <= 20
     """,
 )
 def b31_window_ranking(spark: SparkSession, sf: str) -> DataFrame:
-    """B29: ranking windows. row_number/ntile get a total order (custkey
-    tiebreak); rank/dense_rank deliberately use the tied key."""
+    """B29: ranking windows, phased for scale. Phase 1 is row_number +
+    `rn <= 20`, which Catalyst's InferWindowGroupLimit pushes below the
+    shuffle (each map task keeps only its local top-20 per segment —
+    at 100 TB the shuffle carries ~20×|segments| rows, not the table).
+    Phase 2 computes rank/dense_rank/ntile over the survivors only:
+    every row with a strictly-higher acctbal has a smaller rn and also
+    survives, so rank/dense_rank equal their full-partition values,
+    while ntile(4) quartiles the surviving top-20 by definition. Both
+    windows share one partitioning, so phase 2 reuses the exchange."""
     c = load(spark, sf, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy(
+    wi = W.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
-    w2 = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
-    return (
+    top = (
         c.select(
             "c_custkey",
             "c_mktsegment",
             "c_acctbal",
-            F.row_number().over(w).cast("bigint").alias("rn"),
-            F.rank().over(w2).cast("bigint").alias("rnk"),
-            F.dense_rank().over(w2).cast("bigint").alias("drnk"),
-            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.row_number().over(wi).cast("bigint").alias("rn"),
         )
         .filter(F.col("rn") <= 20)
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w2 = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return top.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        "rn",
+        F.rank().over(w2).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w2).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
 
 
@@ -771,7 +795,7 @@ def b32_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
     "b33_window_running",
     oracle="""
     SELECT event_id, user_id,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4))
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
              AS running_value,
            CAST(sum(CAST(value AS DECIMAL(18,4)))
                   OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -793,7 +817,7 @@ def b33_window_running(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(v).over(wrun).cast("decimal(38,4)").alias("running_value"),
+        F.sum(v).over(wrun).cast("double").alias("running_value"),
         (
             F.sum(v).over(wmov).cast("double") / F.count("value").over(wmov)
         ).alias("moving_avg"),
@@ -805,7 +829,7 @@ def b33_window_running(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4))
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
              AS value_last_hour
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
@@ -826,7 +850,7 @@ def b34_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count("*").over(w).alias("n_last_hour"),
-        F.sum(dec("value")).over(w).cast("decimal(38,4)").alias(
+        F.sum(dec("value")).over(w).cast("double").alias(
             "value_last_hour"
         ),
     )
@@ -1091,11 +1115,12 @@ def b43_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           list_transform(embedding[1:4],
-                          x -> round(CAST(x AS DOUBLE) * 2, 7)) AS head_x2,
+           array_to_string(list_transform(embedding[1:4],
+                           x -> printf('%.7f', CAST(x AS DOUBLE) * 2)), ',')
+             AS head_x2,
            round(CAST(embedding[1] AS DOUBLE), 7) AS first_val,
-           list_sort(list_transform(embedding[1:4],
-                                    x -> round(CAST(x AS DOUBLE), 7)))
+           array_to_string(list_sort(list_transform(embedding[1:4],
+                           x -> printf('%.7f', CAST(x AS DOUBLE)))), ',')
              AS head_sorted,
            len(list_filter(embedding, x -> x > 0)) AS n_positive,
            flatten([embedding[1:2], embedding[3:4]]) = embedding[1:4]
@@ -1105,19 +1130,25 @@ def b43_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
 )
 def b44_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """B43: array functions + higher-order functions over the embedding
-    vectors (size, slice, transform, filter, sort, flatten)."""
+    vectors (size, slice, transform, filter, sort, flatten). Array
+    results are rendered to fixed-format CSV strings at the boundary
+    (float32→double is exact and %.7f can't hit a decimal halfway case
+    on dyadic inputs, so Spark and DuckDB render identical text; raw
+    array cells would crash the driver's pandas comparator)."""
     e = load(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
     emb = F.col("embedding")
     head = F.slice(emb, 1, 4)
+    fmt = lambda c: F.format_string("%.7f", c)  # noqa: E731
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
-        F.transform(head, lambda x: F.round(x.cast("double") * 2, 7)).alias(
-            "head_x2"
-        ),
+        F.concat_ws(
+            ",", F.transform(head, lambda x: fmt(x.cast("double") * 2))
+        ).alias("head_x2"),
         F.round(F.element_at(emb, 1).cast("double"), 7).alias("first_val"),
-        F.array_sort(
-            F.transform(head, lambda x: F.round(x.cast("double"), 7))
+        F.concat_ws(
+            ",",
+            F.array_sort(F.transform(head, lambda x: fmt(x.cast("double")))),
         ).alias("head_sorted"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
         (
@@ -1152,7 +1183,7 @@ def b45_explode(spark: SparkSession, sf: str) -> DataFrame:
     "b46_map_funcs",
     oracle="""
     SELECT r_regionkey,
-           ['key', 'name'] AS prop_keys,
+           'key,name' AS prop_keys,
            CAST(r_regionkey AS VARCHAR) AS key_val,
            r_name AS name_val,
            CAST(2 AS INT) AS n_entries
@@ -1161,8 +1192,8 @@ def b45_explode(spark: SparkSession, sf: str) -> DataFrame:
 )
 def b46_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """B44: map functions — build a map column, then read it back out via
-    map_keys/element_at/size (scalar outputs so the oracle is
-    engine-neutral; map columns themselves don't hash portably)."""
+    map_keys/element_at/size (scalar outputs only: map/array cells crash
+    the driver's pandas comparator, so the key list is CSV-joined)."""
     r = load(spark, sf, "region")
     m = F.create_map(
         F.lit("key"),
@@ -1172,7 +1203,7 @@ def b46_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
     return r.select(
         "r_regionkey",
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("prop_keys"),
         F.element_at(m, "key").alias("key_val"),
         F.element_at(m, "name").alias("name_val"),
         F.size(m).alias("n_entries"),
@@ -1184,17 +1215,24 @@ def b46_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            props->>'$.k' AS k_str,
-           CAST(props->>'$.k' AS INT) AS k_int,
-           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS valid,
-           to_json(struct_pack(k := CAST(props->>'$.k' AS INT)))::VARCHAR
-             AS roundtrip
+           TRY_CAST(props->>'$.k' AS INT) AS k_int,
+           CASE WHEN TRY_CAST(props->>'$.k' AS INT) IS NOT NULL
+                THEN 1 ELSE 0 END AS valid,
+           CASE WHEN TRY_CAST(props->>'$.k' AS INT) IS NOT NULL
+                THEN to_json(struct_pack(
+                       k := TRY_CAST(props->>'$.k' AS INT)))::VARCHAR
+                ELSE '{}' END AS roundtrip
     FROM events WHERE event_id < 500
     """,
 )
 def b47_json_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """B45/A12: JSON-in-string operators over events.props — the
     reference's core JSON→typed conversion (/root/reference/src/bin/
-    kafka-bench.rs:261-334) plus to_json round-trip."""
+    kafka-bench.rs:261-334) plus to_json round-trip. ``valid`` means
+    "an integer k was extracted" on BOTH sides (json_valid would
+    diverge on valid JSON without an int k), and the roundtrip is
+    pinned to '{}' when k is absent (Spark's to_json drops null fields
+    while DuckDB would emit {"k":null})."""
     ev = load(spark, sf, "events").filter(F.col("event_id") < 500)
     k_int = F.from_json(F.col("props"), "k INT").getField("k")
     return ev.select(

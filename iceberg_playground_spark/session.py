@@ -69,10 +69,15 @@ def get_spark(
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
+    b = SparkSession.builder.appName(app_name)
+    # Master resolution: SPARK_GRAFT_MASTER overrides (set it to "" to
+    # defer entirely to spark-submit/--master on a cluster); the local[n]
+    # default only applies in the sandbox where nothing else set one.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if master:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", shuffle)
+        b.config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,9 +1,21 @@
 """Local stand-in for the driver's DuckDB cross-check.
 
-Runs a registered Spark query and its oracle SQL on the same parquet
-tables, then compares row count, column names, and order-insensitive
-cell values (exact — our determinism conventions aim for bit-identical
-floats; see queries/_util.py).
+Faithful to the driver's comparator semantics (CORRECTNESS_r01.json
+post-mortem): both result sets are materialized as **pandas** frames
+(Spark via Arrow ``toPandas``, DuckDB via ``.df()``), columns sorted by
+name, rows sorted, then cells compared on canonical string forms.
+
+Two driver behaviors are deliberately reproduced because round 1 proved
+a "nicer" local harness hides real failures:
+
+- ``decimal.Decimal`` cells are NOT normalized to floats. DuckDB
+  renders DECIMAL results as float64 in pandas while Spark's Arrow path
+  yields Decimal objects — if a query emits DECIMAL output, the driver
+  can never hash-match it, so neither do we. (Queries must cast decimal
+  outputs to DOUBLE at the boundary; see queries/_util.py.)
+- array/map cells (numpy ndarrays / lists in pandas) raise, mirroring
+  the driver's ``unhashable type: 'numpy.ndarray'`` crash. Queries must
+  serialize array outputs to scalars.
 """
 
 from __future__ import annotations
@@ -13,6 +25,8 @@ import math
 from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from iceberg_playground_spark.session import TABLE_NAMES, table_path
 
@@ -27,75 +41,84 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+class UnhashableCell(TypeError):
+    """A cell type the driver's comparator cannot hash (array/map)."""
+
+
 def _canon(v):
-    """Canonical, engine-neutral representation of one cell."""
-    if v is None:
+    """Canonical, engine-neutral string for one pandas cell.
+
+    float64 bits are identical across engines when our determinism
+    conventions hold, so ``repr(float)`` (shortest round-trip form) is a
+    faithful equality key. Decimals keep their scale on purpose.
+    """
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NULL"
-        return repr(v)
+    if isinstance(v, (np.ndarray, list, tuple, dict)):
+        raise UnhashableCell(f"array/map cell in output: {type(v).__name__}")
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NULL" if math.isnan(f) else repr(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, Decimal):
-        return format(v.normalize(), "f")
+        return f"Decimal({v})"  # deliberately never equal to a float form
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.isoformat()
     if isinstance(v, dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, dt.date):
-        return v.isoformat()
+        # date vs midnight-timestamp renderings must coincide (engines
+        # disagree on whether DATE surfaces as date or datetime64).
+        return dt.datetime(v.year, v.month, v.day).isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_canon(x)}" for k, x in sorted(v.items())) + "}"
-    if isinstance(v, bool):
-        return str(v)
-    try:
-        import numpy as np
-
-        if isinstance(v, np.ndarray):
-            return _canon(list(v))
-        if isinstance(v, np.floating):
-            return _canon(float(v))
-        if isinstance(v, np.integer):
-            return str(int(v))
-        if isinstance(v, np.bool_):
-            return str(bool(v))
-    except ImportError:
-        pass
     return str(v)
 
 
-def _rows_canon(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+def _frame_canon(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon(pdf.iloc[i][c]) for c in cols) for i in range(len(pdf))
+    ]
+    return sorted(rows)
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     problems: list[str] = []
 
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = list(spark_df.columns)
+    s_pdf = spark_df.toPandas()
+    d_pdf = con.execute(sql).df()
 
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
-
-    if sorted(s_cols) != sorted(d_cols):
-        problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+    s_cols, d_cols = sorted(s_pdf.columns), sorted(d_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns differ: spark={s_cols} duckdb={d_cols}")
         return problems
 
-    if len(s_rows) != len(d_rows):
-        problems.append(f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
+    if len(s_pdf) != len(d_pdf):
+        problems.append(
+            f"row count differs: spark={len(s_pdf)} duckdb={len(d_pdf)}"
+        )
 
-    sc = _rows_canon(s_cols, s_rows)
-    dc = _rows_canon(d_cols, d_rows)
+    try:
+        sc = _frame_canon(s_pdf)
+        dc = _frame_canon(d_pdf)
+    except UnhashableCell as e:
+        problems.append(f"driver-crashing cell type: {e}")
+        return problems
+
     if sc != dc:
         diffs = [(a, b) for a, b in zip(sc, dc) if a != b]
-        only_s = [r for r in sc if r not in set(dc)][:3]
-        only_d = [r for r in dc if r not in set(sc)][:3]
+        dset, sset = set(dc), set(sc)
+        only_s = [r for r in sc if r not in dset][:3]
+        only_d = [r for r in dc if r not in sset][:3]
         problems.append(
             f"values differ ({len(diffs)} aligned diffs); "
             f"spark-only sample={only_s} duckdb-only sample={only_d}"
