@@ -1,0 +1,95 @@
+"""Per-query wall-time benchmark (driver contract + SURVEY §2 A14).
+
+Mirrors the reference's per-stage ingest timers
+(/root/reference/src/bin/bench-kafka.rs:42-173 — Instant::now around
+init / consume / convert / write / commit) as per-query timers over the
+headline operator set, at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1).
+
+Prints EXACTLY ONE JSON line to stdout:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced with the noop sink (distributed full materialization,
+no driver-side collect — the measured time is plan execution, not Arrow
+transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+# Headline set: flagship agg, large-large join, star join, as-of join,
+# ranking window, top-k sort, JSON decode, plus the LLM north-star ops
+# (skipped gracefully while not yet registered).
+HEADLINE = [
+    "b21_pricing_summary",
+    "b13_inner_join",
+    "b20_star_join",
+    "b19_asof_join",
+    "b31_window_ranking",
+    "b35_global_sort_limit",
+    "b03_json_lines_decode",
+    "c01_exact_dedup",
+    "c02_minhash_lsh_dedup",
+    "c03_cosine_topk",
+    "c05_text_analysis",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from iceberg_playground_spark import registry
+    from iceberg_playground_spark.session import get_spark
+
+    registry.load_all()
+
+    t0 = time.perf_counter()
+    spark = get_spark(app_name="ips-bench")
+    init_sec = time.perf_counter() - t0
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+
+    # Warm-up: JVM JIT + parquet footer caches, mirroring a long-running
+    # cluster's steady state (one throwaway run of the flagship).
+    registry.QUERIES["b21_pricing_summary"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    times: dict[str, float] = {"_session_init": round(init_sec, 3)}
+    total = 0.0
+    for name in names:
+        df = registry.QUERIES[name](spark, sf_dir)
+        t = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t
+        times[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
