@@ -1,6 +1,886 @@
-"""Layer C — LLM-data-pipeline operators (SURVEY.md §2, C1-C7).
+"""Layer C — LLM-data-pipeline operators (SURVEY.md §2 C1-C7 + scale ops).
 
-Populated incrementally.
+The reference is an ingestion playground for ML-ish asset data
+(/root/reference/kafka-load-gen/main.go:51-120); the rebuild's mandate
+(BASELINE.json:north_star) extends the engine with the operators a
+large-scale training-data pipeline runs over such tables: dedup (exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup), similarity
+search (brute-force + IVF-pruned ANN), text analysis (language-ID,
+quality scoring, token counting, fingerprinting), and multimodal
+columns (binary payload + typed metadata through Arrow-batched
+mapInPandas).
+
+Everything is declarative DataFrame code over ``documents`` /
+``embeddings``; Python appears only at the mapInPandas multimodal edge
+(Arrow-batched, never row-at-a-time). Scale notes inline — the binding
+design rule is: no all-pairs joins without a blocking/bucketing key,
+no driver-side collect.
+
+Float determinism (oracle hash-matching): dot products fold
+float32→double products left-to-right on both engines (Spark
+``aggregate`` with 0.0 init ≡ DuckDB ``list_reduce``: IEEE addition is
+performed in the same sequence, so the bits agree); results are
+additionally rounded at the output boundary.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from iceberg_playground_spark.queries._util import load
+from iceberg_playground_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# shared expression builders (column-level, no state)
+# ---------------------------------------------------------------------------
+
+
+def _tokens(col: str = "text") -> Column:
+    """Whitespace tokens of a document (documents.text is single-spaced)."""
+    return F.split(F.col(col), " ")
+
+
+def _shingles(toks: Column) -> Column:
+    """Distinct word-3-gram shingles. With a ~31-word vocabulary,
+    unigrams collide constantly (any two docs share most words) —
+    3-grams are the smallest unit that separates near-dups from random
+    pairs in this corpus (verified: 25 pairs > 0.3 Jaccard on 3-grams
+    vs 68k pairs > 0.6 on unigrams at sf0.01)."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + F.lit(1)),
+            F.element_at(toks, i + F.lit(2)),
+        ),
+    )
+    return F.array_distinct(F.when(n >= 3, grams).otherwise(F.array()))
+
+
+_SH_SQL = """list_distinct(list_transform(
+      range(1, len(string_split(text, ' ')) - 1),
+      i -> string_split(text, ' ')[i] || ' ' ||
+           string_split(text, ' ')[i+1] || ' ' ||
+           string_split(text, ' ')[i+2]))"""
+
+
+def _dbl(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (bit-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_dbl(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+# DuckDB mirrors of _dot/_norm (list_reduce folds left like aggregate).
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c01_exact_dedup",
+    oracle="""
+    SELECT doc_id, sha256(text) AS content_hash, lang, source
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY sha256(text)
+                               ORDER BY doc_id) = 1
+    """,
+)
+def c01_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C1: exact dedup by content hash, keep-first by doc_id.
+
+    Scale shape: the shuffle key is the 32-byte sha256, never the
+    document body — at 100 TB the exchange carries hashes + ids, and
+    InferWindowGroupLimit keeps only one row per hash per map task
+    before the shuffle. (Equivalent semantics to the reference's
+    equality-delete of duplicate keys, /root/reference/src/bin/
+    deletes.rs:60-110, expressed as keep-first.)"""
+    d = load(spark, sf, "documents")
+    h = F.sha2(F.col("text"), 256).alias("content_hash")
+    w = W.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        d.select("doc_id", h, "lang", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 — MinHash-LSH near-dedup (approximate → rows-only)
+# ---------------------------------------------------------------------------
+
+_MINHASH_PERMS = 16
+_LSH_BANDS = 4
+_LSH_ROWS = _MINHASH_PERMS // _LSH_BANDS
+
+
+@query("c02_minhash_lsh_dedup")  # approximate/engine-hash-dependent → rows-only
+def c02_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C2: MinHash-LSH near-dedup — shingle → 16 seeded-minhash sig →
+    4 bands × 4 rows → band-bucket grouping → keep the min doc per
+    cluster. NEVER all-pairs: candidates only meet inside a
+    (band, signature) bucket, so the heavy operation is a groupBy on
+    band hashes (tiny keys), which scales to 100 TB the same way any
+    hash aggregation does. Banding math: docs with 3-gram Jaccard j
+    collide in ≥1 band with prob 1-(1-j^4)^4 — ~0.93 at j=0.8, ~0.03
+    at j=0.3, matching this corpus's bimodal pair distribution.
+    Single-pass min-doc representative (one hop); a transitive-closure
+    pass (iterate until fixpoint) would chain clusters at scale.
+    Engine-native xxhash64 seeds ⇒ no DuckDB oracle (rows-only)."""
+    d = load(spark, sf, "documents")
+    sh = d.select("doc_id", "lang", _shingles(_tokens()).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    minhashes = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda x, i=i: F.xxhash64(F.lit(i), x))
+        ).alias(f"mh{i}")
+        for i in range(_MINHASH_PERMS)
+    ]
+    sig = sh.select("doc_id", "lang", *minhashes)
+    bands = sig.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col(f"mh{b * _LSH_ROWS + r}")
+                                for r in range(_LSH_ROWS)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "lang", "bk.band", "bk.sig")
+    canon = bands.groupBy("band", "sig").agg(F.min("doc_id").alias("canon"))
+    rep = (
+        bands.join(canon, ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(F.min("canon").alias("rep"), F.first("lang").alias("lang"))
+    )
+    return rep.filter(F.col("rep") == F.col("doc_id")).select(
+        "doc_id", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 / C4 — similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c03_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round({_dot_sql('embedding', 'qe')}
+                 / ({_norm_sql('embedding')} * {_norm_sql('qe')}), 6)
+             AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def c03_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """C3: brute-force cosine top-k against one query vector — the
+    exact baseline every ANN variant is judged against. The query row
+    is broadcast (1 row); the base table streams map-side with zero
+    shuffle, and orderBy+limit plans TakeOrderedAndProject (per-
+    partition top-k, k-row driver merge) — linear scan, 100 TB-safe.
+    Dot product via zip_with/aggregate built-ins: JVM-codegen, no
+    Python, no UDF."""
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    base = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cosine = F.round(
+        _dot(F.col("embedding"), F.col("qe"))
+        / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
+        6,
+    ).alias("cosine")
+    return (
+        base.select("vec_id", cosine)
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "c04_knn_join",
+    oracle=f"""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
+                    FROM embeddings WHERE vec_id < 5),
+         base AS (SELECT vec_id AS base_id, embedding AS be
+                  FROM embeddings WHERE vec_id >= 5)
+    SELECT probe_id, base_id,
+           round({_dot_sql('be', 'pe')}
+                 / ({_norm_sql('be')} * {_norm_sql('pe')}), 6) AS cosine
+    FROM probes, base
+    QUALIFY row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, base_id) <= 3
+    """,
+)
+def c04_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """C4: batch KNN join — k=3 nearest base vectors per probe.
+
+    The probe side is the SMALL side by construction (broadcast), so
+    the base table is scanned once with no shuffle for the join; the
+    per-probe top-k window then shuffles only on probe_id.
+    Brute-force is exact and right up to ~10^4 probes × any base size
+    (work = |probes|·|base| dot products, embarrassingly parallel);
+    beyond that use the IVF-pruned path (c11_ann_ivf) which prunes
+    the base per probe before the dot products."""
+    e = load(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    base = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("base_id"), F.col("embedding").alias("be")
+    )
+    cosine = F.round(
+        _dot(F.col("be"), F.col("pe"))
+        / (_norm(F.col("be")) * _norm(F.col("pe"))),
+        6,
+    ).alias("cosine")
+    pairs = base.crossJoin(F.broadcast(probes)).select(
+        "probe_id", "base_id", cosine
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "base_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c05_text_analysis",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+      FROM documents),
+    per_lang AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      FROM base GROUP BY lang),
+    tok AS (SELECT lang, unnest(toks) AS token FROM base),
+    dt AS (SELECT lang, CAST(count(DISTINCT token) AS BIGINT)
+                    AS n_distinct_tokens
+           FROM tok GROUP BY lang),
+    top AS (
+      SELECT lang, token AS top_token, CAST(count(*) AS BIGINT)
+               AS top_token_count
+      FROM tok GROUP BY lang, token
+      QUALIFY row_number() OVER (PARTITION BY lang
+                                 ORDER BY count(*) DESC, token) = 1)
+    SELECT per_lang.lang, n_docs, total_tokens, avg_chars,
+           n_distinct_tokens, top_token, top_token_count
+    FROM per_lang JOIN dt USING (lang) JOIN top USING (lang)
+    """,
+)
+def c05_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """C5: per-language corpus statistics — doc counts, token totals,
+    vocabulary size, average length, modal token (term frequency).
+    Three aggregations over one exploded token stream, all shuffling on
+    `lang` / (lang, token) — classic map-side-combinable aggs that
+    scale linearly; the joins at the end are on |langs| rows."""
+    d = load(spark, sf, "documents")
+    base = d.select("doc_id", "lang", "n_chars", _tokens().alias("toks"))
+    per_lang = base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+    tok = base.select("lang", F.explode("toks").alias("token"))
+    dt = tok.groupBy("lang").agg(
+        F.countDistinct("token").alias("n_distinct_tokens")
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    wtop = W.partitionBy("lang").orderBy(F.col("c").desc(), "token")
+    top = (
+        counts.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("token").alias("top_token"),
+            F.col("c").alias("top_token_count"),
+        )
+    )
+    return per_lang.join(dt, "lang").join(top, "lang")
+
+
+# ---------------------------------------------------------------------------
+# C6 — multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c06_multimodal_join",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+           CAST(len(e.embedding) AS INT) AS dim,
+           round({_norm_sql('e.embedding')}, 6) AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def c06_multimodal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """C6: multimodal row assembly — text + typed metadata + embedding
+    vector in one row (doc_id ⋈ vec_id). At 100 TB both sides are
+    fact-sized: equi-join shuffles both on the id (sort-merge), or
+    stays shuffle-free if both tables are bucketed/partitioned on the
+    id at write time — which is how a production pipeline lays these
+    out (see tables.py partitioning)."""
+    d = load(spark, sf, "documents")
+    e = load(spark, sf, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(_norm(F.col("embedding")), 6).alias("emb_norm"),
+    )
+
+
+@query(
+    "c15_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+           CAST(list_reduce(list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))),
+                            (a, b) -> a + b) AS BIGINT) AS byte_sum
+    FROM documents
+    """,
+)
+def c15_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """C6b: opaque-binary decode plumbing — the Spark-side pattern for
+    image/audio columns: a `binary` payload column + typed metadata,
+    pushed through Arrow-batched ``mapInPandas`` (one Python call per
+    columnar batch, never per row; executors stream batches, so 100 TB
+    of payloads never co-reside anywhere).
+
+    The decode kernel here is a deterministic fake (byte stats of the
+    UTF-8 payload) because no image/audio codec ships in this
+    container; a real decoder drops into `_decode_batch` unchanged —
+    the schema, batching, and partitioning are the production shape.
+    `fmt` other than "fake" raises NotImplementedError by design."""
+    import pandas as pd  # local import: only the executors need it
+
+    d = load(spark, sf, "documents")
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    fmt = "fake"
+
+    def _decode_batch(batches):
+        if fmt != "fake":  # pragma: no cover — real codecs not in env
+            raise NotImplementedError(
+                f"payload decoder for format {fmt!r} (image/audio libs "
+                "not available in this container)"
+            )
+        for pdf in batches:
+            raw = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": raw.map(len).astype("int32"),
+                    "first_byte": raw.map(lambda b: b[0]).astype("int32"),
+                    "byte_sum": raw.map(lambda b: int(sum(b))).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return payloads.mapInPandas(
+        _decode_batch,
+        schema="doc_id long, n_bytes int, first_byte int, byte_sum long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7 — quality filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c07_quality_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr,
+             list_aggregate(list_transform(string_split(text, ' '),
+                            x -> length(x)), 'max') AS max_tok_len
+      FROM documents),
+    kept AS (
+      SELECT doc_id, source, n_chars, n_tokens, round(ttr, 6) AS ttr
+      FROM scored
+      WHERE n_chars BETWEEN 100 AND 500
+        AND n_tokens >= 20
+        AND max_tok_len <= 15)
+    SELECT doc_id, source, n_chars, n_tokens, ttr,
+           CAST(row_number() OVER (PARTITION BY source
+                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS source_rank
+    FROM kept
+    QUALIFY source_rank <= 10
+    """,
+)
+def c07_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C7: quality filtering — length bounds, token-count floor,
+    max-token-length cap (garbage detector), type-token ratio, then a
+    per-source quota (top-10 by length) via a group-limit-pushable
+    ranking window. The cheap scalar predicates run first and push into
+    the scan; only survivors reach the (already small) quota window."""
+    d = load(spark, sf, "documents")
+    toks = _tokens()
+    scored = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "ttr"
+        ),
+        F.array_max(F.transform(toks, F.length)).alias("max_tok_len"),
+    )
+    kept = scored.filter(
+        F.col("n_chars").between(100, 500)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("max_tok_len") <= 15)
+    ).select("doc_id", "source", "n_chars", "n_tokens", F.round("ttr", 6).alias("ttr"))
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return kept.withColumn(
+        "source_rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("source_rank") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup (C2 family, oracle-checkable variant)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c08_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    bits AS (
+      SELECT doc_id, md5(token) AS h, unnest(range(0, 32)) AS b
+      FROM tok),
+    pm AS (
+      SELECT doc_id, b,
+             2 * ((CAST(strpos('0123456789abcdef',
+                               substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1
+                        AS INT)
+                   // CAST(pow(2, 3 - (b % 4)) AS INT)) % 2) - 1 AS pm
+      FROM bits),
+    s AS (SELECT doc_id, b, sum(pm) AS s FROM pm GROUP BY doc_id, b),
+    sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM s GROUP BY doc_id)
+    SELECT doc_id, simhash,
+           CASE WHEN row_number() OVER (PARTITION BY simhash
+                                        ORDER BY doc_id) = 1
+                THEN 1 ELSE 0 END AS kept
+    FROM sh
+    """,
+)
+def c08_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """C2b: SimHash content signature (32-bit) + keep-first dedup on
+    identical signatures. Bits are derived from md5 hex nibbles with
+    integer arithmetic only, so DuckDB reproduces the exact signature
+    (hash-match oracle — unlike MinHash, which uses engine-native
+    xxhash64). Token-frequency-weighted: each occurrence votes ±1 per
+    bit; the per-(doc, bit) partial sums combine map-side, so the
+    shuffle carries 32 rows per doc regardless of document size. At
+    100 TB the token×32 expansion is the dominant cost — a pandas-UDF
+    kernel computing the 32 sums per batch halves the shuffle but
+    leaves JVM codegen; this built-ins form is chosen for
+    engine-neutral verifiability."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    bits = tok.select(
+        "doc_id",
+        F.md5("token").alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    )
+    nib = F.conv(
+        F.col("h").substr(
+            (F.col("b") / 4).cast("int") + 1, F.lit(1)
+        ),
+        16,
+        10,
+    ).cast("int")
+    shift = F.pow(F.lit(2), F.lit(3) - (F.col("b") % 4)).cast("int")
+    pm = (2 * ((nib / shift).cast("int") % 2) - 1).alias("pm")
+    s = bits.select("doc_id", "b", pm).groupBy("doc_id", "b").agg(
+        F.sum("pm").alias("s")
+    )
+    sh = s.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("b")).cast("bigint"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    w = W.partitionBy("simhash").orderBy("doc_id")
+    return sh.select(
+        "doc_id",
+        "simhash",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (C2 family, exact, blocked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c09_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars, {_SH_SQL} AS sh
+      FROM documents)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh)
+                    - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 60
+    WHERE len(list_intersect(a.sh, b.sh)) * 2
+           >= (len(a.sh) + len(b.sh)
+               - len(list_intersect(a.sh, b.sh)))
+    """,
+)
+def c09_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """C2c: exact 3-gram Jaccard near-dup pairs (j ≥ 0.5) under a
+    blocking join — candidates must share `lang` and sit within 60
+    chars of each other, so the pair space is |block|² per block, not
+    |corpus|². That IS the scale strategy: at 100 TB the block key
+    becomes (lang, length-bucket) or an LSH band (c02), and this exact
+    Jaccard runs only on the candidates the blocker emits. Spark's
+    array_intersect and DuckDB's list_intersect both dedup, and inputs
+    are pre-distincted, so the counts agree exactly."""
+    d = load(spark, sf, "documents")
+    sh = d.select(
+        "doc_id", "lang", "n_chars", _shingles(_tokens()).alias("sh")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("n_chars").alias("a_nc"),
+        F.col("sh").alias("a_sh"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("n_chars").alias("b_nc"),
+        F.col("sh").alias("b_sh"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_lang") == F.col("b_lang"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (F.abs(F.col("a_nc") - F.col("b_nc")) <= 60),
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return (
+        pairs.withColumn("inter", inter)
+        .withColumn("uni", union)
+        .filter(F.col("inter") * 2 >= F.col("uni"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("inter").cast("double") / F.col("uni"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (C2 family, vector variant)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c10_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({_dot_sql('a.embedding', 'b.embedding')}
+                 / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}),
+                 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+    QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY cosine DESC, b.vec_id) = 1
+    """,
+)
+def c10_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """C2d: embedding near-dup candidate report — each vector's nearest
+    neighbor within its `label` block (a dedup pipeline thresholds this
+    cosine to decide drops; this corpus's max same-label cosine is
+    0.475, i.e. no vector dups, and the report proves it). Blocking by
+    label is the IVF idea applied to dedup: vectors only compare
+    within their coarse partition, turning all-pairs O(n²) into
+    Σ|bucket|². At 100 TB the label comes from a cheap clustering
+    (or LSH hyperplane signs, c02-style) instead of a stored column;
+    the join/window shape is identical."""
+    e = load(spark, sf, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_label") == F.col("b_label"))
+        & (F.col("a_id") != F.col("b_id")),
+    )
+    cosine = F.round(
+        _dot(F.col("a_emb"), F.col("b_emb"))
+        / (_norm(F.col("a_emb")) * _norm(F.col("b_emb"))),
+        6,
+    ).alias("cosine")
+    w = W.partitionBy("a_id").orderBy(F.col("cosine").desc(), "b_id")
+    return (
+        pairs.select("a_id", "b_id", cosine)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-pruned ANN (C3/C4 scale path; engine-native → rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query("c11_ann_ivf")  # float centroid averaging is order-sensitive → rows-only
+def c11_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """C3b: IVF-style ANN — the 100 TB path for similarity search.
+    (1) Build per-label centroids distributedly (posexplode →
+    groupBy(label, pos) avg → re-assemble, never collecting vectors);
+    (2) score the probe against |labels| centroids (broadcast both —
+    they're tiny); (3) scan ONLY the top-2 labels' vectors for the
+    exact top-5. Work drops from |base| to |base|·(nprobe/nlist) dot
+    products; the label column is the inverted-file cell id. Float
+    averaging is accumulation-order-sensitive, so this op is declared
+    rows-only by design (the exact ops c03/c04 carry the oracles)."""
+    e = load(spark, sf, "embeddings")
+    pos = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("c")))
+                ),
+                lambda s: s.getField("c"),
+            ).alias("centroid")
+        )
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pe")
+    )
+    scored_cells = (
+        cent.crossJoin(F.broadcast(probe))
+        .select(
+            "label",
+            (
+                _dot(F.col("centroid"), _dbl(F.col("pe")))
+                / (_norm(F.col("centroid")) * _norm(F.col("pe")))
+            ).alias("cell_score"),
+        )
+        .orderBy(F.col("cell_score").desc())
+        .limit(2)
+    )
+    candidates = e.filter(F.col("vec_id") != 0).join(
+        F.broadcast(scored_cells.select("label")), "label"
+    )
+    cosine = F.round(
+        _dot(F.col("embedding"), F.col("pe"))
+        / (_norm(F.col("embedding")) * _norm(F.col("pe"))),
+        6,
+    ).alias("cosine")
+    return (
+        candidates.crossJoin(F.broadcast(probe))
+        .select("vec_id", "label", cosine)
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic / token counting / fingerprinting (C5 family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c12_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('the', 'a', 'of')))
+                  AS BIGINT) AS n_markers,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, lang, n_markers,
+           round(CAST(n_markers AS DOUBLE) / n_tokens, 6) AS marker_ratio,
+           CASE WHEN CAST(n_markers AS DOUBLE) / n_tokens >= 0.05
+                THEN 'en-like' ELSE 'other' END AS predicted
+    FROM t
+    """,
+)
+def c12_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """C5b: language-ID by marker-token ratio (n-gram-heuristic
+    family): count closed-class English markers per document, predict
+    by threshold. Pure per-row column math — embarrassingly parallel,
+    no shuffle at all; at 100 TB this is a free pass over the scan.
+    (A real ID model swaps the marker list for per-language char
+    n-gram log-odds; the plan shape is identical.)"""
+    d = load(spark, sf, "documents")
+    toks = _tokens()
+    n_markers = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of"))
+    ).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    ratio = n_markers.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        "lang",
+        n_markers.alias("n_markers"),
+        F.round(ratio, 6).alias("marker_ratio"),
+        F.when(ratio >= 0.05, "en-like").otherwise("other").alias(
+            "predicted"
+        ),
+    )
+
+
+@query(
+    "c13_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS BIGINT) AS bpe_ish_tokens,
+           round(CAST(n_chars AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def c13_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """C5c: token counting — whitespace tokens plus a BPE-ish regex
+    tokenizer (letter runs | digit runs | single punctuation), the
+    standard pre-training budget estimator. Per-row JVM regex, no
+    shuffle; regexp_count keeps the match count without materializing
+    the token array."""
+    d = load(spark, sf, "documents")
+    ws = F.size(_tokens()).cast("bigint")
+    bpe = F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast(
+        "bigint"
+    )
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.round(F.col("n_chars").cast("double") / ws, 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@query(
+    "c14_fingerprint",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents)
+    SELECT doc_id,
+           list_aggregate(list_transform(sh, x -> md5(x)), 'min')
+             AS fingerprint,
+           CAST(len(sh) AS INT) AS n_shingles
+    FROM sh
+    """,
+)
+def c14_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """C5d: document fingerprinting — winnowing-style: hash every
+    3-gram shingle, keep the minimum digest as the doc fingerprint
+    (one deterministic representative of the content; equal
+    fingerprints ⇒ near-certain overlap). md5 on both engines ⇒
+    hash-match oracle. Per-row array math, no shuffle."""
+    d = load(spark, sf, "documents")
+    sh = _shingles(_tokens())
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+        F.size(sh).alias("n_shingles"),
+    )
