@@ -39,6 +39,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every query module so registration side effects run."""
     from iceberg_playground_spark.queries import (  # noqa: F401
+        lakehouse,
         llm,
         relational,
         streaming,

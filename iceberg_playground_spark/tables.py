@@ -1,0 +1,275 @@
+"""Pure-PySpark lakehouse table layer (SURVEY.md §2 Layer A, §7 M1).
+
+The reference's write path is Iceberg-on-Rust: catalog + namespace DDL
+(/root/reference/src/main.rs:98-135, src/lib.rs:41-78), Arrow batch →
+Parquet data file → `fast_append` snapshot commit (src/main.rs:44-93),
+equality-delete files applied merge-on-read (src/bin/deletes.rs:60-110),
+and a decoupled many-writers/one-committer fleet with interval-batched
+commits (src/bin/decouple.rs:112-299). No iceberg-spark-runtime jar
+ships in this environment, so this module provides the same *semantics*
+on plain parquet + an atomic JSON snapshot log:
+
+- **namespace/table DDL** — directories + schema file (A2).
+- **append** — executors write parquet files in parallel (they ARE the
+  reference's 200-writer fleet, decouple.rs:158-208); the driver alone
+  writes the snapshot entry (the single committer, decouple.rs:211-299).
+  Each snapshot = parent's file set + new files: fast-append semantics,
+  no rewrite of existing files (main.rs:79-93).
+- **equality delete (merge-on-read)** — a delete writes a small parquet
+  file of key tuples, never touching data files (deletes.rs:65-92);
+  readers apply it as an ANTI JOIN. At 100 TB the delete side is tiny →
+  Spark broadcasts it: the MoR read adds a map-side filter, no shuffle.
+- **snapshot log / time travel** — monotonically versioned JSON entries
+  committed by atomic rename; `read(version=…)` is `VERSION AS OF`.
+- **batched commits** — `BatchedCommitter` coalesces many staged file
+  sets into one snapshot per interval (decouple.rs:13,235-239), which
+  is exactly what the streaming sink (queries/streaming.py) uses per
+  micro-batch epoch.
+
+Concurrency note (scale posture): optimistic commit via atomic rename —
+if the next version already exists the committer re-reads HEAD and
+retries, the same CAS loop Iceberg's catalog performs (and the conflict
+the reference dodges by having ONE committer; comment at
+decouple.rs:22-24).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SNAP_DIR = "snapshots"
+_DATA_DIR = "data"
+_DELETE_DIR = "deletes"
+
+
+class CommitConflict(RuntimeError):
+    """Another committer won the optimistic rename race."""
+
+
+class LakeCatalog:
+    """Filesystem-backed catalog: warehouse/<namespace>/<table>/…"""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- namespace DDL (A2: src/lib.rs:41-52) --------------------------------
+    def create_namespace(self, ns: str) -> None:
+        os.makedirs(os.path.join(self.warehouse, ns), exist_ok=True)
+
+    def namespace_exists(self, ns: str) -> bool:
+        return os.path.isdir(os.path.join(self.warehouse, ns))
+
+    # -- table DDL (A2: src/lib.rs:54-78, src/main.rs:98-135) ----------------
+    def table_path(self, ns: str, name: str) -> str:
+        return os.path.join(self.warehouse, ns, name)
+
+    def table_exists(self, ns: str, name: str) -> bool:
+        return os.path.isfile(
+            os.path.join(self.table_path(ns, name), "schema.json")
+        )
+
+    def create_table(
+        self, ns: str, name: str, ddl: str, drop_if_exists: bool = False
+    ) -> "LakeTable":
+        """Create an empty table with an explicit DDL schema (the
+        reference builds schemas field-by-field and never infers —
+        src/main.rs:115-124; neither do we)."""
+        if self.table_exists(ns, name):
+            if not drop_if_exists:
+                raise ValueError(f"table {ns}.{name} already exists")
+            self.drop_table(ns, name)
+        self.create_namespace(ns)
+        root = self.table_path(ns, name)
+        for d in (_SNAP_DIR, _DATA_DIR, _DELETE_DIR):
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+        with open(os.path.join(root, "schema.json"), "w") as f:
+            json.dump({"ddl": ddl}, f)
+        return LakeTable(self.spark, root)
+
+    def drop_table(self, ns: str, name: str) -> None:
+        import shutil
+
+        root = self.table_path(ns, name)
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+
+    def load_table(self, ns: str, name: str) -> "LakeTable":
+        if not self.table_exists(ns, name):
+            raise ValueError(f"no such table: {ns}.{name}")
+        return LakeTable(self.spark, self.table_path(ns, name))
+
+
+class LakeTable:
+    """One snapshot-versioned parquet table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        with open(os.path.join(root, "schema.json")) as f:
+            self.ddl = json.load(f)["ddl"]
+
+    # -- snapshot log --------------------------------------------------------
+    def _snap_file(self, version: int) -> str:
+        return os.path.join(self.root, _SNAP_DIR, f"v{version:08d}.json")
+
+    def versions(self) -> list[int]:
+        files = os.listdir(os.path.join(self.root, _SNAP_DIR))
+        return sorted(int(f[1:9]) for f in files if f.endswith(".json"))
+
+    def current_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def snapshot(self, version: int) -> dict:
+        if version == 0:
+            return {
+                "version": 0,
+                "data_files": [],
+                "delete_files": [],
+                "summary": {"operation": "empty"},
+            }
+        with open(self._snap_file(version)) as f:
+            return json.load(f)
+
+    def _commit(
+        self,
+        data_files: list[str],
+        delete_files: list[str],
+        summary: dict,
+        retries: int = 5,
+    ) -> int:
+        """Optimistic snapshot commit: write-temp + atomic rename; on a
+        version collision, re-read HEAD and retry (Iceberg-style CAS)."""
+        for _ in range(retries):
+            head = self.current_version()
+            snap = self.snapshot(head)
+            entry = {
+                "version": head + 1,
+                "parent": head,
+                "data_files": snap["data_files"] + data_files,
+                "delete_files": snap["delete_files"] + delete_files,
+                "summary": summary,
+            }
+            tmp = self._snap_file(head + 1) + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            target = self._snap_file(head + 1)
+            if os.path.exists(target):  # lost the race before rename
+                os.unlink(tmp)
+                continue
+            try:
+                # atomic on POSIX; fails/overwrites are the conflict signal
+                os.link(tmp, target)
+                os.unlink(tmp)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue
+            return head + 1
+        raise CommitConflict(f"commit lost {retries} races in {self.root}")
+
+    # -- write path ----------------------------------------------------------
+    def stage_append(self, df: DataFrame) -> str:
+        """Parallel file write WITHOUT a commit (the reference's writer
+        half: parquet files out, DataFile metadata shipped to the
+        committer — decouple.rs:112-156). Returns the staged dir."""
+        d = os.path.join(self.root, _DATA_DIR, uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(d)
+        return d
+
+    def append(self, df: DataFrame) -> int:
+        """A4: append = parallel parquet write + one fast-append commit
+        (src/main.rs:46-93 collapsed into two calls)."""
+        staged = self.stage_append(df)
+        return self._commit(
+            [staged], [], {"operation": "append", "added": 1}
+        )
+
+    def delete_where(self, predicate: str, equality_cols: list[str]) -> int:
+        """A5: equality delete, merge-on-read (deletes.rs:60-110).
+
+        Writes a delete file holding the DISTINCT equality-key tuples of
+        rows matching ``predicate`` — data files are untouched; readers
+        subtract the keys. (The reference writes the key *values* into
+        an equality-delete parquet keyed by field id — deletes.rs:65-75;
+        same contract, minus its name/size column mixup which Spark's
+        column resolution makes impossible.)"""
+        keys = (
+            self.read()
+            .filter(predicate)
+            .select(*equality_cols)
+            .distinct()
+        )
+        d = os.path.join(self.root, _DELETE_DIR, uuid.uuid4().hex)
+        keys.write.mode("overwrite").parquet(d)
+        return self._commit(
+            [],
+            [json.dumps({"path": d, "cols": equality_cols})],
+            {"operation": "delete", "predicate": predicate},
+        )
+
+    # -- read path -----------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot scan (B2): current HEAD or `VERSION AS OF`.
+
+        MoR apply: LEFT ANTI JOIN against the union of delete-key files.
+        The delete side is orders of magnitude smaller than data (keys
+        only), so it's explicitly broadcast — at 100 TB the scan gains a
+        map-side hash filter and zero shuffles."""
+        v = self.current_version() if version is None else version
+        snap = self.snapshot(v)
+        if not snap["data_files"]:
+            return self.spark.createDataFrame([], self.ddl)
+        df = self.spark.read.schema(self.ddl).parquet(*snap["data_files"])
+        by_cols: dict[tuple[str, ...], list[str]] = {}
+        for entry in snap["delete_files"]:
+            meta = json.loads(entry)
+            by_cols.setdefault(tuple(meta["cols"]), []).append(meta["path"])
+        for cols, paths in by_cols.items():
+            dels = self.spark.read.parquet(*paths).distinct()
+            df = df.join(F.broadcast(dels), on=list(cols), how="left_anti")
+        return df
+
+
+class BatchedCommitter:
+    """A8: the single interval-batched committer (decouple.rs:211-299).
+
+    Writers stage parquet dirs (`table.stage_append`) and hand the paths
+    here; every `interval_s` the accumulated set becomes ONE snapshot —
+    commit coalescing, exactly the reference's 5 s cadence
+    (decouple.rs:13). No busy-spin (decouple.rs:242-249 polls Empty in a
+    loop — replaced by flush-on-add time checks + explicit flush())."""
+
+    def __init__(self, table: LakeTable, interval_s: float = 5.0):
+        self.table = table
+        self.interval_s = interval_s
+        self._pending: list[str] = []
+        self._last_flush = time.monotonic()
+        self.commits = 0
+
+    def add(self, staged_dir: str) -> None:
+        self._pending.append(staged_dir)
+        if time.monotonic() - self._last_flush >= self.interval_s:
+            self.flush()
+
+    def flush(self) -> int | None:
+        """Commit everything pending as one snapshot; None if nothing."""
+        if not self._pending:
+            self._last_flush = time.monotonic()
+            return None
+        v = self.table._commit(
+            self._pending,
+            [],
+            {"operation": "append", "added": len(self._pending)},
+        )
+        self._pending = []
+        self._last_flush = time.monotonic()
+        self.commits += 1
+        return v

