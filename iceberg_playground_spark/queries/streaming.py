@@ -1,6 +1,428 @@
-"""Layer B — streaming operator surface (SURVEY.md §2, B47-B54).
+"""Layer B streaming surface (SURVEY.md §2 B47-B54).
 
-Populated incrementally; see tests/test_streaming.py for the harness.
+The reference is, at heart, a streaming-ingest playground: Kafka JSON →
+typed columns → parquet files → interval-batched snapshot commits
+(/root/reference/src/bin/kafka-bench.rs:173-256, src/bin/
+decouple.rs:211-299). No Kafka broker exists in this environment
+(SURVEY §7 risk register), so every query here streams the `events`
+table through Spark's FILE source with an `availableNow` trigger and a
+memory sink — the same Structured Streaming engine, watermarks, state
+store, and sink-commit machinery a Kafka deployment would use; only the
+source format string differs (`kafka` ⇄ `parquet`, A9's config-only
+delta).
+
+Determinism: `availableNow` drains the bounded input and terminates, so
+windowed/sessionized/deduped results equal their batch equivalents —
+those get DuckDB oracles (B47/B48/B49/B51/B53/B54 hash-match; B50/B52
+rows-only: watermark drops depend on batch boundaries, and stateful
+output is engine-native).
+
+Money-exactness: `value` is a 2-dp double; aggregates sum
+`round(value*100)` as BIGINT cents — order-proof integer addition on
+both engines.
 """
 
 from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from iceberg_playground_spark.registry import query
+from iceberg_playground_spark.session import table_path
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _stream_events(spark: SparkSession, sf: str) -> DataFrame:
+    """`events` as an unbounded stream (file source stands in for the
+    reference's Kafka consumer, kafka-bench.rs:43-55). The declared
+    schema comes from the batch reader — explicit, never inferred
+    mid-stream — and the ns→µs timestamp conversion matches load()."""
+    path = table_path(sf, "events")
+    # The file source streams a DIRECTORY (new files appear = new data —
+    # the Kafka-partition analogue); testdata is a single file, so
+    # expose it through a stable per-sf symlink dir.
+    src_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"ips_stream_src_{hashlib.sha1(path.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    df = spark.readStream.schema(schema).parquet(src_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP (not NTZ): streaming event-time columns must be
+        # TIMESTAMP; the session timezone is pinned UTC, so wall values
+        # match the batch/oracle ntz reading exactly.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+        )
+    return df
+
+
+def _run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
+    """Drain a bounded stream through a memory sink (availableNow — the
+    count-bounded test harness the reference uses at
+    bench-kafka.rs:66-108) and return the sink table."""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return df.sparkSession.table(name)
+
+
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+
+@query(
+    "b47_tumbling_window",
+    oracle=f"""
+    SELECT strftime(to_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+                                 // 600 * 600), '{_TS_FMT_DUCK}') AS win_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({_CENTS}) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY win_start
+    """,
+)
+def b47_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """B47: tumbling 10-minute window aggregation on the stream.
+    Stateful hash agg keyed by (window): partial aggregation happens
+    per micro-batch map-side; the state store holds one row per open
+    window, not per event — constant memory at any throughput."""
+    ev = _stream_events(spark, sf)
+    agg = ev.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr(_CENTS)).alias("value_cents"),
+    )
+    out = agg.select(
+        F.date_format("w.start", _TS_FMT).alias("win_start"),
+        "n",
+        "value_cents",
+    )
+    return _run_to_memory(out, mode="complete")
+
+
+@query(
+    "b48_sliding_window",
+    oracle=f"""
+    WITH starts AS (
+      SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 300 * 300 AS s1,
+             {_CENTS} AS cents
+      FROM events),
+    expanded AS (
+      SELECT unnest([s1, s1 - 300]) AS win_s, cents FROM starts)
+    SELECT strftime(to_timestamp(win_s), '{_TS_FMT_DUCK}') AS win_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM expanded GROUP BY win_s
+    """,
+)
+def b48_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """B48: sliding window (10 min length, 5 min slide) — every event
+    lands in exactly 2 windows; Spark expands then aggregates, state =
+    one row per open window. The oracle mirrors the expansion
+    arithmetically (each event's two slide-aligned window starts)."""
+    ev = _stream_events(spark, sf)
+    agg = ev.groupBy(
+        F.window("ts", "10 minutes", "5 minutes").alias("w")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr(_CENTS)).alias("value_cents"),
+    )
+    out = agg.select(
+        F.date_format("w.start", _TS_FMT).alias("win_start"),
+        "n",
+        "value_cents",
+    )
+    return _run_to_memory(out, mode="complete")
+
+
+@query(
+    "b49_session_window",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER w
+                       >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    g AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o)
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL 5 MINUTE, '{_TS_FMT_DUCK}')
+             AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def b49_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """B49: session windows (5-minute inactivity gap) per user. Spark
+    merges events into [first, last+gap) sessions in the state store —
+    state is per OPEN session and closes as the watermark passes, so
+    memory is bounded by concurrent sessions, not history. On bounded
+    input the result equals the classic gaps-and-islands SQL, which is
+    the oracle (an event exactly gap-distant starts a new session —
+    half-open interval semantics on both sides)."""
+    ev = _stream_events(spark, sf)
+    agg = ev.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = agg.select(
+        "user_id",
+        F.date_format("w.start", _TS_FMT).alias("session_start"),
+        F.date_format("w.end", _TS_FMT).alias("session_end"),
+        "n_events",
+    )
+    return _run_to_memory(out, mode="complete")
+
+
+@query("b50_watermark_late_drop")  # batch-boundary-dependent → rows-only
+def b50_watermark_late_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """B50: watermark + late-data handling. The stream declares
+    `withWatermark("ts", "10 minutes")`: windows older than
+    max(event-time)-10min finalize and evict from the state store; rows
+    arriving later than that are dropped. Which rows count as late
+    depends on micro-batch boundaries (here: one availableNow batch ⇒
+    nothing is late yet — the mechanism under test is state eviction +
+    append-mode finalization, which is why this emits only CLOSED
+    windows, unlike b47's complete-mode running totals). Rows-only by
+    nature."""
+    ev = _stream_events(spark, sf).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+        F.count("*").alias("n")
+    )
+    out = agg.select(
+        F.date_format("w.start", _TS_FMT).alias("win_start"), "n"
+    )
+    # append mode emits a window only once its watermark passes — the
+    # late-drop contract, observable as: every emitted window is final.
+    return _run_to_memory(out, mode="append")
+
+
+@query(
+    "b51_streaming_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def b51_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """B51: streaming dedup — dropDuplicates on (user_id, event_type)
+    with a watermark bounding the dedup state (keys older than the
+    watermark evict; without it, state grows forever — the 100 TB
+    failure mode). Emitting only the key columns makes the result
+    order-independent and exactly SELECT DISTINCT on bounded input."""
+    ev = _stream_events(spark, sf).withWatermark("ts", "1 day")
+    deduped = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return _run_to_memory(deduped, mode="append")
+
+
+@query(
+    "b52_stateful_per_key",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({_CENTS}) AS BIGINT) AS value_cents,
+           strftime(min(CAST(ts AS TIMESTAMP)), '{_TS_FMT_DUCK}')
+             AS first_seen,
+           strftime(max(CAST(ts AS TIMESTAMP)), '{_TS_FMT_DUCK}')
+             AS last_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def b52_stateful_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """B52: arbitrary stateful per-key processing via
+    applyInPandasWithState — the custom-operator escape hatch (user
+    code owns the per-key state dict; Spark owns sharding, state
+    storage, and recovery). The kernel keeps per-user running
+    (count, cents, min_ts, max_ts); Arrow-batched, one Python call per
+    key-batch. On one availableNow pass the state equals a per-key
+    aggregate, so a plain GROUP BY oracles it (integer cents: no float
+    accumulation order anywhere)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _stream_events(spark, sf).select(
+        "user_id", "ts", F.expr(_CENTS).alias("cents")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_cents", LongType()),
+            StructField("first_seen", StringType()),
+            StructField("last_seen", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+            StructField("mn", LongType()),  # µs epochs: exact ints
+            StructField("mx", LongType()),
+        ]
+    )
+
+    def track(key, pdfs, state: GroupState):
+        n = cents = 0
+        mn = mx = None
+        if state.exists:
+            n, cents, mn, mx = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+            us = pdf["ts"].astype("int64") // 1000  # ns → µs
+            lo, hi = int(us.min()), int(us.max())
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        state.update((n, cents, mn, mx))
+        fmt = lambda us: pd.Timestamp(us, unit="us").strftime(  # noqa: E731
+            "%Y-%m-%d %H:%M:%S"
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_cents": [cents],
+                "first_seen": [fmt(mn)],
+                "last_seen": [fmt(mx)],
+            }
+        )
+
+    stateful = ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(stateful, mode="update")
+
+
+@query(
+    "b53_stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({_CENTS}) AS BIGINT) AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def b53_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B53: stream ⋈ static dimension — the event stream enriched
+    against the customer table (a batch DataFrame). Spark broadcasts /
+    re-reads the static side per micro-batch; no stream-side state.
+    This is the reference's asset-enrichment shape (events carry ids,
+    dimensions live in the lake)."""
+    from iceberg_playground_spark.queries._util import load
+
+    ev = _stream_events(spark, sf)
+    cust = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr(_CENTS)).alias("value_cents"),
+    )
+    return _run_to_memory(agg, mode="complete")
+
+
+@query(
+    "b54_stream_lakehouse_sink",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE TRY_CAST(props->>'$.k' AS INT)
+                                 IS NOT NULL) AS BIGINT) AS n_with_k,
+           1 AS n_commits
+    FROM events
+    """,
+)
+def b54_stream_lakehouse_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """B54/A8: the reference's whole pipeline — stream → schema-directed
+    JSON decode → parquet files → batched snapshot commit — as
+    foreachBatch into the lakehouse table layer. Executors write each
+    micro-batch's files in parallel (the writer fleet,
+    decouple.rs:158-208); the driver's BatchedCommitter makes ONE
+    snapshot per epoch (the single committer + 5 s coalescing,
+    decouple.rs:211-299 — epoch boundaries replace wall-clock ticks
+    under availableNow). Result: rows landed, rows with a decoded
+    props.k, snapshots committed — the end-count check the reference
+    prints at decouple.rs:274-298."""
+    import shutil
+    import tempfile
+
+    from iceberg_playground_spark.tables import BatchedCommitter, LakeCatalog
+
+    ev = _stream_events(spark, sf).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ips_stream_sink_")
+    try:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "stream", "events_sink",
+            "event_id BIGINT, user_id BIGINT, event_type STRING, k INT",
+            drop_if_exists=True,
+        )
+        committer = BatchedCommitter(t, interval_s=0.0)  # commit per epoch
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            committer.add(t.stage_append(batch_df))
+
+        q = (
+            ev.writeStream.foreachBatch(sink_batch)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ips_stream_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        committer.flush()
+
+        final = t.read()
+        n_rows = final.count()
+        n_with_k = final.filter(F.col("k").isNotNull()).count()
+        return spark.createDataFrame(
+            [(n_rows, n_with_k, t.current_version())],
+            "n_rows BIGINT, n_with_k BIGINT, n_commits INT",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
