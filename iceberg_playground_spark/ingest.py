@@ -57,6 +57,38 @@ def strict_json_decode(
     )
 
 
+def kafka_stream(
+    spark,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    sasl: dict | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """A9/A11/A16: Kafka streaming source — config-only parity with the
+    reference's consumer (subscribe + earliest offsets,
+    /root/reference/src/bin/kafka-bench.rs:43-55; micro-batch bound ≈
+    `ready_chunks`, `:191-195`; SASL/TLS options mirror
+    kafka-load-gen/main.go:339-352 — pass credentials via `sasl`, NEVER
+    hardcode them as the reference does at main.go:351-352).
+
+    Partition-parallel by construction: one Spark task per topic
+    partition (A10 is built in). No broker exists in this sandbox, so
+    this is exercised only by config; the file-source queries in
+    queries/streaming.py cover the engine behind it."""
+    r = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    for k, v in (sasl or {}).items():
+        r = r.option(f"kafka.{k}", v)
+    return r.load()
+
+
 def validate(decoded: DataFrame) -> DataFrame:
     """Raise if any row violated strictness (distributed count — the
     reference errors on first bad message, kafka-bench.rs:277-284; a
