@@ -53,9 +53,3 @@ def dsum(col: str | Column, alias: str, scale: int = 4) -> Column:
     return F.sum(dec(col, scale)).cast("double").alias(alias)
 
 
-def davg(col: str | Column, alias: str, scale: int = 4) -> Column:
-    """Deterministic average: exact decimal sum → double → / count."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(dec(c, scale)).cast("double") / F.count(c)
-    ).alias(alias)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from iceberg_playground_spark.queries._util import davg, dec, dsum, load
+from iceberg_playground_spark.queries._util import dec, dsum, load
 from iceberg_playground_spark.registry import query
 
 # ---------------------------------------------------------------------------
