@@ -41,6 +41,7 @@ HEADLINE = [
     "c02_minhash_lsh_dedup",
     "c03_cosine_topk",
     "c05_text_analysis",
+    "c16_training_pipeline",
 ]
 
 

@@ -865,6 +865,67 @@ def c13_token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "c16_training_pipeline",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             list_aggregate(list_transform({_SH_SQL}, x -> md5(x)), 'min')
+               AS fingerprint
+      FROM documents),
+    deduped AS (
+      SELECT * FROM fp
+      QUALIFY row_number() OVER (PARTITION BY fingerprint
+                                 ORDER BY doc_id) = 1),
+    kept AS (
+      SELECT * FROM deduped
+      WHERE n_chars BETWEEN 100 AND 500 AND n_tokens >= 20)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS token_budget,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM kept GROUP BY lang
+    """,
+)
+def c16_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data pipeline — the Layer C operators
+    COMPOSED the way a real corpus build runs them: fingerprint
+    near-dedup (min-digest collision keep-first; on this corpus it
+    removes the same 25 near-dups MinHash finds, exactly — near-dup
+    shingle sets share their minimum md5) → quality filter (length +
+    token floors) → per-language token-budget report. One window over
+    the fingerprint, one final agg; every stage is the registered
+    operator's plan, so the composition inherits their scale shapes
+    (group-limit-pushable dedup window, pushdown-friendly filters,
+    map-side-combinable budget agg)."""
+    d = load(spark, sf, "documents")
+    toks = _tokens()
+    fp = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.array_min(F.transform(_shingles(toks), F.md5)).alias(
+            "fingerprint"
+        ),
+    )
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept = deduped.filter(
+        F.col("n_chars").between(100, 500) & (F.col("n_tokens") >= 20)
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("token_budget"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
     "c14_fingerprint",
     oracle=f"""
     WITH sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents)
