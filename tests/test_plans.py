@@ -1,0 +1,81 @@
+"""Plan-shape regression tests — the 100 TB scale contract.
+
+Correctness tests prove the rows are right; these prove the PLAN is
+the one that survives a 1000-executor cluster: filters reach the scan,
+small dims broadcast, top-k never globally sorts, ranking windows push
+group limits below the shuffle. A regression here is a performance bug
+even while every oracle still matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_playground_spark import registry
+
+registry.load_all()
+
+from tests.conftest import SF_CHECK  # noqa: E402
+
+
+def _plan(spark, name: str) -> str:
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    df = registry.QUERIES[name](spark, SF_CHECK)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "b09_filter_predicates")
+    assert "PushedFilters: [" in plan
+    # at least the IN and range predicates must push
+    pushed = plan.split("PushedFilters: [", 1)[1].splitlines()[0]
+    assert "In(o_orderstatus" in pushed
+    assert "GreaterThanOrEqual(o_totalprice" in pushed
+
+
+def test_projection_prunes_scan_columns(spark):
+    plan = _plan(spark, "b08_projection")
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_discount" in read
+    # untouched wide columns must NOT be read
+    assert "l_shipdate" not in read and "l_returnflag" not in read
+
+
+def test_broadcast_join_broadcasts_dim(spark):
+    assert "BroadcastExchange" in _plan(spark, "b14_broadcast_join")
+
+
+def test_star_join_broadcasts_small_dims(spark):
+    assert _plan(spark, "b20_star_join").count("BroadcastExchange") >= 2
+
+
+def test_global_sort_limit_is_topk(spark):
+    plan = _plan(spark, "b35_global_sort_limit")
+    assert "TakeOrderedAndProject" in plan  # never a full global sort
+
+
+def test_ranking_window_pushes_group_limit(spark):
+    assert "WindowGroupLimit" in _plan(spark, "b31_window_ranking")
+
+
+def test_exact_dedup_pushes_group_limit(spark):
+    assert "WindowGroupLimit" in _plan(spark, "c01_exact_dedup")
+
+
+def test_cosine_topk_broadcasts_query_and_topks(spark):
+    plan = _plan(spark, "c03_cosine_topk")
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_count_distinct_has_no_expand(spark):
+    # dedup-first formulation: no 3x Expand of the fact table
+    assert "Expand" not in _plan(spark, "b22_count_distinct")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["b21_pricing_summary", "b13_inner_join", "b20_star_join"],
+)
+def test_no_cartesian_on_facts(spark, name):
+    assert "CartesianProduct" not in _plan(spark, name)
