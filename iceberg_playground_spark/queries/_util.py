@@ -11,6 +11,16 @@ a DuckDB oracle cell-for-cell, so floating point must be bit-identical):
   DECIMAL must never appear in driver-facing output — the comparator
   canonicalizes via pandas, where DuckDB decimals become float64 while
   Spark decimals stay ``decimal.Decimal`` objects and never match.
+- **Rescale before the double cast.** DuckDB converts DECIMAL→DOUBLE as
+  int128→double then ÷10^scale — TWO roundings when the unscaled value
+  exceeds 2^53, which can land 1 ulp away from Spark's single-step
+  conversion (observed on a scale-12 sum at sf0.001). Cast the final
+  decimal down to the smallest semantically-exact scale (products of
+  2-dp inputs: 4 or 6) so the unscaled integer stays below 2^53, then
+  cast to double — both engines then round identically. Keep factor
+  types tight (DECIMAL(5,4)/(6,4)) so products never hit precision 38,
+  where Spark truncates scale (allowPrecisionLoss) and DuckDB falls
+  back to float.
 - **Array/map columns must never appear in driver-facing output** —
   they become numpy ndarrays in pandas and crash the comparator
   (unhashable). Serialize with ``concat_ws``/``to_json`` instead

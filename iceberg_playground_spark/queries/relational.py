@@ -395,9 +395,10 @@ def b19_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4))))
-                AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(5,4))
+                           AS DECIMAL(6,4)))
+                AS DECIMAL(30,4)) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey  = c_custkey
@@ -415,8 +416,14 @@ def b20_star_join(spark: SparkSession, sf: str) -> DataFrame:
     c = load(spark, sf, "customer")
     n = load(spark, sf, "nation")
     r = load(spark, sf, "region")
-    revenue = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
-        "double"
+    # tight factor type + rescale-before-cast: see b21's decimal notes
+    disc_factor = (F.lit(1) - dec("l_discount", precision=5)).cast(
+        "decimal(6,4)"
+    )
+    revenue = (
+        F.sum(dec("l_extendedprice") * disc_factor)
+        .cast("decimal(30,4)")
+        .cast("double")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -440,13 +447,13 @@ def b20_star_join(spark: SparkSession, sf: str) -> DataFrame:
       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
         AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-        AS sum_disc_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (1 - CAST(l_discount AS DECIMAL(18,4)))
-               * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE)
-        AS sum_charge,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(6,4)))
+           AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(6,4))
+               * CAST(1 + CAST(l_tax AS DECIMAL(5,4)) AS DECIMAL(6,4)))
+           AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity)
         AS avg_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
@@ -460,23 +467,38 @@ def b20_star_join(spark: SparkSession, sf: str) -> DataFrame:
 def b21_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """B21 (flagship): TPC-H Q1-shaped pricing summary — filter → hash
     aggregate (map-side partial + final) → 6 aggregates over 2 group keys.
-    One shuffle of ~|groups| rows; scales linearly in input."""
+    One shuffle of ~|groups| rows; scales linearly in input.
+
+    Decimal typing is deliberate: discount/tax are 4-dp fractions, so
+    DECIMAL(5,4) factors keep the 3-factor charge product at
+    precision 32 scale 12 — EXACT in both engines. Wider factor types
+    push the product past precision 38, where Spark silently truncates
+    the scale (allowPrecisionLoss) while DuckDB switches to float —
+    divergent bits (caught at sf0.001)."""
     li = load(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
     )
     price, disc, tax, qty = (
         dec("l_extendedprice"),
-        dec("l_discount"),
-        dec("l_tax"),
+        dec("l_discount", precision=5),
+        dec("l_tax", precision=5),
         dec("l_quantity"),
     )
+    disc_factor = (F.lit(1) - disc).cast("decimal(6,4)")
+    tax_factor = (F.lit(1) + tax).cast("decimal(6,4)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(qty).cast("double").alias("sum_qty"),
         F.sum(price).cast("double").alias("sum_base_price"),
-        F.sum(price * (F.lit(1) - disc)).cast("double").alias(
-            "sum_disc_price"
-        ),
-        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+        # rescale to the true data scale (2dp×2dp ⇒ 4; ×2dp ⇒ 6) before
+        # the double cast: keeps the unscaled integer < 2^53 so DuckDB's
+        # int128-then-divide conversion can't double-round (1-ulp
+        # divergence caught at sf0.001 with the raw scale-12 sum)
+        F.sum(price * disc_factor)
+        .cast("decimal(30,4)")
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.sum(price * disc_factor * tax_factor)
+        .cast("decimal(30,6)")
         .cast("double")
         .alias("sum_charge"),
         (F.sum(qty).cast("double") / F.count("l_quantity")).alias("avg_qty"),
@@ -631,14 +653,19 @@ def b27_filtered_agg(spark: SparkSession, sf: str) -> DataFrame:
     WITH s AS (
       SELECT c_mktsegment,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))
-                      * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(c_nationkey AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(c_nationkey AS DECIMAL(18,4))
-                      * CAST(c_nationkey AS DECIMAL(18,4))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))
-                      * CAST(c_nationkey AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+             CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+                  AS DECIMAL(30,4)) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))
+                      * CAST(c_acctbal AS DECIMAL(18,4)))
+                  AS DECIMAL(30,4)) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST(c_nationkey AS DECIMAL(18,4)))
+                  AS DECIMAL(30,4)) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(c_nationkey AS DECIMAL(18,4))
+                      * CAST(c_nationkey AS DECIMAL(18,4)))
+                  AS DECIMAL(30,4)) AS DOUBLE) AS syy,
+             CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))
+                      * CAST(c_nationkey AS DECIMAL(18,4)))
+                  AS DECIMAL(30,4)) AS DOUBLE) AS sxy
       FROM customer GROUP BY c_mktsegment)
     SELECT c_mktsegment, n,
            sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_bal,
@@ -652,17 +679,25 @@ def b27_filtered_agg(spark: SparkSession, sf: str) -> DataFrame:
 def b28_stats_agg(spark: SparkSession, sf: str) -> DataFrame:
     """B27: statistical aggregates. Built from exact decimal moment sums
     so Spark and the oracle produce bit-identical doubles (native
-    stddev/corr stream in float and are order-sensitive)."""
+    stddev/corr stream in float and are order-sensitive). Moment sums
+    rescale to scale 4 (exact for 2-dp × 2-dp products) before the
+    double cast — see _util.py's rescale-before-cast rule (the raw
+    scale-8 sxx sum exceeds 2^53 unscaled at sf0.1 and DuckDB's
+    conversion double-rounds)."""
     c = load(spark, sf, "customer")
     x = dec("c_acctbal")
     y = dec(F.col("c_nationkey").cast("double"))
+
+    def m(expr, alias):
+        return F.sum(expr).cast("decimal(30,4)").cast("double").alias(alias)
+
     s = c.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        m(x, "sx"),
+        m(x * x, "sxx"),
+        m(y, "sy"),
+        m(y * y, "syy"),
+        m(x * y, "sxy"),
     )
     n, sx, sxx, sy, syy, sxy = (
         F.col("n"),

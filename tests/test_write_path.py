@@ -107,6 +107,26 @@ def test_commit_is_crash_atomic(catalog, spark):
     assert t.current_version() == 1
 
 
+def test_optimistic_commit_retries_on_conflict(catalog, spark):
+    # the conflict case the reference's missing concurrent_writes.rs bin
+    # would have explored (Cargo.toml:53-55): a racing committer claims
+    # the next version; ours must CAS-retry onto the one after.
+    t = _table(catalog, spark)
+    racing = t._snap_file(2)
+    import json as _json
+
+    with open(racing, "w") as f:
+        _json.dump(
+            {"version": 2, "parent": 1,
+             "data_files": t.snapshot(1)["data_files"],
+             "delete_files": [], "summary": {"operation": "race"}},
+            f,
+        )
+    v = t.append(spark.createDataFrame([("R", "small", 1)], DDL))
+    assert v == 3  # retried past the stolen version
+    assert t.read().count() == 6
+
+
 def test_strict_json_missing_required_raises(spark):
     df = spark.createDataFrame(
         [('{"name": "A", "count": 2}',), ('{"count": 3}',)], "raw STRING"
