@@ -7,12 +7,14 @@ bundled spark-iceberg service), re-expressed Spark-first:
 - ``session``   — SparkSession factory tuned for local[32] tests and
                   cluster-scale defaults (AQE, shuffle partitions, UTC).
 - ``tables``    — snapshot-versioned lakehouse table layer: namespaces,
-                  atomic appends, merge-on-read equality deletes, time
-                  travel, compaction (Iceberg semantics over parquet;
-                  swaps to real Iceberg when the runtime jar is present).
-- ``ingest``    — strict schema-directed JSON ingestion (the reference's
-                  Kafka → JSON → columnar path) and the decoupled
-                  writers/single-committer streaming sink.
+                  atomic CAS appends, merge-on-read equality deletes,
+                  time travel, rewrite compaction, interval-batched
+                  commits (Iceberg semantics over parquet; session.py
+                  additionally configures a real Iceberg catalog when a
+                  runtime jar is on the classpath).
+- ``ingest``    — strict schema-directed JSON decode (the reference's
+                  Kafka → JSON → columnar path) + Kafka source config.
+- ``loadgen``   — deterministic synthetic asset-stream generator.
 - ``queries``   — the full relational / streaming / UDF / LLM-pipeline
                   operator surface, one registered query per operator.
 - ``registry``  — the (name → query fn, name → oracle SQL) registry that

@@ -145,17 +145,26 @@ class LakeTable:
         delete_files: list[str],
         summary: dict,
         retries: int = 5,
+        replace: bool = False,
     ) -> int:
         """Optimistic snapshot commit: write-temp + atomic rename; on a
-        version collision, re-read HEAD and retry (Iceberg-style CAS)."""
+        version collision, re-read HEAD and retry (Iceberg-style CAS).
+        ``replace=True`` commits the given file set INSTEAD of extending
+        the parent's (rewrite/compaction semantics)."""
         for _ in range(retries):
             head = self.current_version()
             snap = self.snapshot(head)
             entry = {
                 "version": head + 1,
                 "parent": head,
-                "data_files": snap["data_files"] + data_files,
-                "delete_files": snap["delete_files"] + delete_files,
+                "data_files": (
+                    data_files if replace else snap["data_files"] + data_files
+                ),
+                "delete_files": (
+                    delete_files
+                    if replace
+                    else snap["delete_files"] + delete_files
+                ),
                 "summary": summary,
             }
             tmp = self._snap_file(head + 1) + f".tmp.{uuid.uuid4().hex}"
@@ -213,6 +222,23 @@ class LakeTable:
             [],
             [json.dumps({"path": d, "cols": equality_cols})],
             {"operation": "delete", "predicate": predicate},
+        )
+
+    def compact(self, target_files: int | None = None) -> int:
+        """Rewrite-data-files compaction: materialize the current MoR
+        view (deletes applied) into a fresh file set and commit a
+        REPLACING snapshot. Read amplification drops to zero (no more
+        anti-joins on scan) and small files merge; prior versions stay
+        readable (time travel keeps the old file lists). Spark analogue
+        of Iceberg's rewrite_data_files procedure — the maintenance the
+        reference's fast-append-only pipeline defers forever."""
+        df = self.read()
+        if target_files:
+            df = df.repartition(target_files)
+        d = os.path.join(self.root, _DATA_DIR, uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(d)
+        return self._commit(
+            [d], [], {"operation": "compact"}, replace=True
         )
 
     # -- read path -----------------------------------------------------------

@@ -107,6 +107,20 @@ def test_commit_is_crash_atomic(catalog, spark):
     assert t.current_version() == 1
 
 
+def test_compaction_applies_deletes_and_replaces_files(catalog, spark):
+    t = _table(catalog, spark, rows=ROWS + [("A", "large", 99)])
+    t.append(spark.createDataFrame([("F", "large", 7)], DDL))
+    t.delete_where("name = 'A'", ["name"])
+    before = sorted(tuple(r) for r in t.read().collect())
+    v = t.compact(target_files=1)
+    snap = t.snapshot(v)
+    assert len(snap["data_files"]) == 1  # replaced, not extended
+    assert snap["delete_files"] == []  # deletes folded in
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # pre-compaction history intact (time travel)
+    assert t.read(version=1).count() == 6
+
+
 def test_optimistic_commit_retries_on_conflict(catalog, spark):
     # the conflict case the reference's missing concurrent_writes.rs bin
     # would have explored (Cargo.toml:53-55): a racing committer claims
