@@ -209,13 +209,13 @@ def b49_session_window(spark: SparkSession, sf: str) -> DataFrame:
 def b50_watermark_late_drop(spark: SparkSession, sf: str) -> DataFrame:
     """B50: watermark + late-data handling. The stream declares
     `withWatermark("ts", "10 minutes")`: windows older than
-    max(event-time)-10min finalize and evict from the state store; rows
-    arriving later than that are dropped. Which rows count as late
-    depends on micro-batch boundaries (here: one availableNow batch ⇒
-    nothing is late yet — the mechanism under test is state eviction +
-    append-mode finalization, which is why this emits only CLOSED
-    windows, unlike b47's complete-mode running totals). Rows-only by
-    nature."""
+    max(event-time)-10min finalize, emit once (append mode), and evict
+    from the state store; late rows for an ALREADY-EMITTED window are
+    dropped to preserve the append invariant. The guarantee is
+    one-directional — within-delay rows are never dropped, beyond-delay
+    drops are best-effort (tests/test_streaming_semantics.py pins the
+    exact contract with a 3-batch reproduction). Which rows count as
+    late depends on micro-batch boundaries ⇒ rows-only by nature."""
     ev = _stream_events(spark, sf).withWatermark("ts", "10 minutes")
     agg = ev.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
         F.count("*").alias("n")
