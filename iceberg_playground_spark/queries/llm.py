@@ -949,3 +949,158 @@ def c14_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
         F.size(sh).alias("n_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C17-C19 — corpus assembly: split / sample / pack (training-data ops the
+# reference's asset pipeline feeds into; no analogue in /root/reference —
+# added per the north-star mandate alongside C1-C16)
+# ---------------------------------------------------------------------------
+
+# Deterministic engine-neutral hash bucket in [0, 100): first 8 hex chars
+# of md5(doc_id) as an integer. Spark's conv(hex,16,10) and DuckDB's
+# CAST('0x…' AS BIGINT) agree bit-for-bit, so split/sample membership is
+# reproducible across engines AND across runs — the property a training
+# pipeline needs (re-running the corpus build must not reshuffle splits).
+def _hash_bucket(col: Column) -> Column:
+    return (
+        F.conv(F.md5(col.cast("string")).substr(1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+
+
+def _bucket_sql(col: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % 100"
+    )
+
+
+@query(
+    "c17_train_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST({_bucket_sql('doc_id')} AS INT) AS bucket,
+           CASE WHEN {_bucket_sql('doc_id')} < 90 THEN 'train'
+                WHEN {_bucket_sql('doc_id')} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def c17_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """C17: deterministic 90/5/5 train/val/test assignment by content-id
+    hash. Pure narrow map — zero shuffle, zero state; at 100 TB every
+    task stamps its partition independently and the assignment is stable
+    under re-runs, retries, and cluster resizing (no rand(), which would
+    re-split on every retry)."""
+    d = load(spark, sf, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        "lang",
+        b.cast("int").alias("bucket"),
+        F.when(b < 90, "train")
+        .when(b < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# Per-language keep rates: downsample the dominant language, keep the
+# long tail — the mixture-rebalancing move every multilingual corpus
+# build makes.
+_SAMPLE_RATES = {"en": 30, "de": 80, "fr": 80, "es": 80, "zh": 80}
+
+
+@query(
+    "c18_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST({_bucket_sql('doc_id')} AS INT) AS bucket
+    FROM documents
+    WHERE {_bucket_sql('doc_id')} <
+          CASE lang WHEN 'en' THEN 30 ELSE 80 END
+    """,
+)
+def c18_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """C18: stratified deterministic sampling — per-language keep rates
+    applied via the same hash bucket as C17. Map-side filter only: no
+    shuffle, no per-stratum count pass, no driver coordination; the
+    selected subset is reproducible and is a SUPERSET relation across
+    rate changes (rate 30→50 only adds docs — lets a pipeline grow a
+    mixture without invalidating downstream caches)."""
+    d = load(spark, sf, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, v) for k, v in _SAMPLE_RATES.items()],
+        F.lit(80),
+    )
+    return (
+        d.select("doc_id", "lang", "source", b.cast("int").alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+_CTX_TOKENS = 512
+_PACK_SHARDS = 8
+
+
+@query(
+    "c19_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             CAST({_bucket_sql('doc_id')} % {_PACK_SHARDS} AS INT) AS shard,
+             doc_id,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT lang, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t)
+    SELECT lang, shard,
+           CAST(floor(prev / {_CTX_TOKENS}.0) AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY lang, shard, pack_id
+    """,
+)
+def c19_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """C19: sequence packing — concatenate documents in deterministic
+    (lang, shard, doc_id) order and cut {ctx}-token context windows;
+    report docs/tokens per pack. The running token count is a window
+    over (lang, shard): sharding by the C17 hash bucket bounds every
+    window partition to corpus/(langs×shards) regardless of skew — at
+    100 TB you raise _PACK_SHARDS, not partition-by-lang (5 partitions
+    = 5 straggler tasks, the b31 lesson). One shuffle on the window
+    key; packing itself is a per-row floor()."""
+    d = load(spark, sf, "documents")
+    t = d.select(
+        "lang",
+        (_hash_bucket(F.col("doc_id")) % _PACK_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn(
+            "pack_id",
+            F.floor(F.col("prev") / F.lit(float(_CTX_TOKENS))).cast("bigint"),
+        )
+        .groupBy("lang", "shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        )
+    )

@@ -417,9 +417,10 @@ def b54_stream_lakehouse_sink(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
         committer.flush()
 
-        final = t.read()
-        n_rows = final.count()
-        n_with_k = final.filter(F.col("k").isNotNull()).count()
+        # one read-back job: both counts in a single aggregation pass
+        n_rows, n_with_k = t.read().agg(
+            F.count("*"), F.count("k")
+        ).first()
         return spark.createDataFrame(
             [(n_rows, n_with_k, t.current_version())],
             "n_rows BIGINT, n_with_k BIGINT, n_commits INT",
