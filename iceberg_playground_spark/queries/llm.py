@@ -198,9 +198,13 @@ def c02_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "lang", "bk.band", "bk.sig")
-    canon = bands.groupBy("band", "sig").agg(F.min("doc_id").alias("canon"))
+    # Canonical member per bucket as a partition-wide window min — NOT
+    # groupBy + join-back, which would evaluate the shingle+minhash
+    # lineage twice (verified: two parquet scans in that plan). One
+    # scan, one exchange on (band, sig), one on doc_id.
+    canon = F.min("doc_id").over(W.partitionBy("band", "sig"))
     rep = (
-        bands.join(canon, ["band", "sig"])
+        bands.withColumn("canon", canon)
         .groupBy("doc_id")
         .agg(F.min("canon").alias("rep"), F.first("lang").alias("lang"))
     )

@@ -79,3 +79,19 @@ def test_count_distinct_has_no_expand(spark):
 )
 def test_no_cartesian_on_facts(spark, name):
     assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_minhash_reads_corpus_once(spark):
+    # canon-per-bucket must be a window, not groupBy + join-back: the
+    # latter re-evaluates the shingle+minhash lineage from a second
+    # scan (2x the dominant cost at 100 TB)
+    assert _plan(spark, "c02_minhash_lsh_dedup").count("Scan parquet") == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["c17_train_split", "c18_stratified_sample"]
+)
+def test_split_and_sample_are_shuffle_free(spark, name):
+    # pure narrow maps: membership is per-row hash arithmetic; any
+    # Exchange here means a 100 TB corpus gets reshuffled to be stamped
+    assert "Exchange" not in _plan(spark, name)
