@@ -337,21 +337,33 @@ def c04_knn_join(spark: SparkSession, sf: str) -> DataFrame:
 def c05_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
     """C5: per-language corpus statistics — doc counts, token totals,
     vocabulary size, average length, modal token (term frequency).
-    Three aggregations over one exploded token stream, all shuffling on
-    `lang` / (lang, token) — classic map-side-combinable aggs that
-    scale linearly; the joins at the end are on |langs| rows."""
+
+    Single-pass over the text: the corpus is tokenized exactly once
+    into the (lang, token) count relation, which is vocab-sized (tiny
+    relative to the corpus) and materialized via a lazy local
+    checkpoint so its three consumers — vocabulary size, total token
+    count, modal token — don't each re-scan and re-explode 100 TB of
+    text (lineage duplication puts a scan under every consumer; AQE
+    exchange reuse does not fire here because the window branch plans
+    a different partitioning). Doc-level stats read only (lang,
+    n_chars) — column pruning keeps text out of that scan entirely.
+    On a cluster, swap localCheckpoint for a reliable checkpoint/table
+    write; the materialization point is the same."""
     d = load(spark, sf, "documents")
-    base = d.select("doc_id", "lang", "n_chars", _tokens().alias("toks"))
-    per_lang = base.groupBy("lang").agg(
+    per_doc = d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size("toks")).alias("total_tokens"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
     )
-    tok = base.select("lang", F.explode("toks").alias("token"))
-    dt = tok.groupBy("lang").agg(
-        F.countDistinct("token").alias("n_distinct_tokens")
+    tok = d.select("lang", F.explode(_tokens()).alias("token"))
+    counts = (
+        tok.groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    per_lang_tok = counts.groupBy("lang").agg(
+        F.sum("c").alias("total_tokens"),
+        F.count("*").alias("n_distinct_tokens"),
+    )
     wtop = W.partitionBy("lang").orderBy(F.col("c").desc(), "token")
     top = (
         counts.withColumn("rn", F.row_number().over(wtop))
@@ -362,7 +374,14 @@ def c05_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
             F.col("c").alias("top_token_count"),
         )
     )
-    return per_lang.join(dt, "lang").join(top, "lang")
+    return (
+        per_doc.join(per_lang_tok, "lang")
+        .join(top, "lang")
+        .select(
+            "lang", "n_docs", "total_tokens", "avg_chars",
+            "n_distinct_tokens", "top_token", "top_token_count",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
