@@ -639,48 +639,66 @@ def c08_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def c09_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """C2c: exact 3-gram Jaccard near-dup pairs (j ≥ 0.5) under a
-    blocking join — candidates must share `lang` and sit within 60
-    chars of each other, so the pair space is |block|² per block, not
-    |corpus|². That IS the scale strategy: at 100 TB the block key
-    becomes (lang, length-bucket) or an LSH band (c02), and this exact
-    Jaccard runs only on the candidates the blocker emits. Spark's
-    array_intersect and DuckDB's list_intersect both dedup, and inputs
-    are pre-distincted, so the counts agree exactly."""
+    """C2c: exact 3-gram Jaccard near-dup pairs (j ≥ 0.5, same lang,
+    within 60 chars) via an INVERTED-INDEX join: explode distinct
+    shingles into postings, equi-join postings on (lang, shingle), and
+    the per-pair match count IS the intersection size — no array
+    intersect per pair, and pairs sharing zero shingles (jaccard 0)
+    never materialize at all.
+
+    Scale shape: the old blocked self-join's only equi-key was lang
+    (5 values) — a per-language near-cartesian with an array_intersect
+    per pair, 110 s at sf0.1 and quadratic per block at 100 TB. Here
+    candidate volume is Σ_shingle df² (df = shingle doc-frequency,
+    measured max 25 / p99 18 on this corpus), a hash join + count
+    aggregation that scales like any agg; at web scale you cap df
+    (drop ultra-common shingles) exactly as MinHash banding (c02)
+    bounds its buckets. Postings are lazily checkpointed so the
+    shingle computation runs once, not once per join side."""
     d = load(spark, sf, "documents")
-    sh = d.select(
-        "doc_id", "lang", "n_chars", _shingles(_tokens()).alias("sh")
-    )
-    a = sh.select(
-        F.col("doc_id").alias("a_id"),
+    post = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _shingles(_tokens()).alias("sh"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("s"),
+    ).localCheckpoint(eager=False)
+    a = post.select(
         F.col("lang").alias("a_lang"),
+        "s",
+        F.col("doc_id").alias("a_id"),
         F.col("n_chars").alias("a_nc"),
-        F.col("sh").alias("a_sh"),
+        F.col("n_sh").alias("a_n"),
     )
-    b = sh.select(
-        F.col("doc_id").alias("b_id"),
+    b = post.select(
         F.col("lang").alias("b_lang"),
+        "s",
+        F.col("doc_id").alias("b_id"),
         F.col("n_chars").alias("b_nc"),
-        F.col("sh").alias("b_sh"),
+        F.col("n_sh").alias("b_n"),
     )
-    pairs = a.join(
+    cand = a.join(
         b,
         (F.col("a_lang") == F.col("b_lang"))
+        & (a["s"] == b["s"])
         & (F.col("a_id") < F.col("b_id"))
         & (F.abs(F.col("a_nc") - F.col("b_nc")) <= 60),
     )
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size("a_sh") + F.size("b_sh") - inter
+    pairs = cand.groupBy("a_id", "b_id", "a_n", "b_n").agg(
+        F.count("*").alias("inter")
+    )
+    uni = F.col("a_n") + F.col("b_n") - F.col("inter")
     return (
-        pairs.withColumn("inter", inter)
-        .withColumn("uni", union)
-        .filter(F.col("inter") * 2 >= F.col("uni"))
+        pairs.filter(F.col("inter") * 2 >= uni)
         .select(
             "a_id",
             "b_id",
-            F.round(F.col("inter").cast("double") / F.col("uni"), 6).alias(
-                "jaccard"
-            ),
+            F.round(F.col("inter").cast("double") / uni, 6).alias("jaccard"),
         )
     )
 
