@@ -17,8 +17,11 @@ on plain parquet + an atomic JSON snapshot log:
   no rewrite of existing files (main.rs:79-93).
 - **equality delete (merge-on-read)** — a delete writes a small parquet
   file of key tuples, never touching data files (deletes.rs:65-92);
-  readers apply it as an ANTI JOIN. At 100 TB the delete side is tiny →
-  Spark broadcasts it: the MoR read adds a map-side filter, no shuffle.
+  readers apply it as an ANTI JOIN, sequence-scoped the way Iceberg
+  scopes it: a delete masks only data files with a strictly lower
+  sequence number, so re-appending a deleted key makes it visible
+  again. At 100 TB the delete side is tiny → Spark broadcasts it: the
+  MoR read adds a map-side filter, no shuffle.
 - **snapshot log / time travel** — monotonically versioned JSON entries
   committed by atomic rename; `read(version=…)` is `VERSION AS OF`.
 - **batched commits** — `BatchedCommitter` coalesces many staged file
@@ -154,16 +157,25 @@ class LakeTable:
         for _ in range(retries):
             head = self.current_version()
             snap = self.snapshot(head)
+            # Every file entry carries the sequence (= version) that
+            # committed it: the read path scopes equality deletes to
+            # strictly-older data files, Iceberg's sequence-number rule
+            # (a delete masks what existed when it was written, never a
+            # later re-append — nor its own transaction's append,
+            # deletes.rs:94-110).
+            seq = head + 1
+            new_data = [{"path": p, "seq": seq} for p in data_files]
+            new_dels = [{"entry": d, "seq": seq} for d in delete_files]
             entry = {
-                "version": head + 1,
+                "version": seq,
                 "parent": head,
                 "data_files": (
-                    data_files if replace else snap["data_files"] + data_files
+                    new_data if replace else snap["data_files"] + new_data
                 ),
                 "delete_files": (
-                    delete_files
+                    new_dels
                     if replace
-                    else snap["delete_files"] + delete_files
+                    else snap["delete_files"] + new_dels
                 ),
                 "summary": summary,
             }
@@ -253,15 +265,37 @@ class LakeTable:
         snap = self.snapshot(v)
         if not snap["data_files"]:
             return self.spark.createDataFrame([], self.ddl)
-        df = self.spark.read.schema(self.ddl).parquet(*snap["data_files"])
-        by_cols: dict[tuple[str, ...], list[str]] = {}
-        for entry in snap["delete_files"]:
-            meta = json.loads(entry)
-            by_cols.setdefault(tuple(meta["cols"]), []).append(meta["path"])
-        for cols, paths in by_cols.items():
-            dels = self.spark.read.parquet(*paths).distinct()
-            df = df.join(F.broadcast(dels), on=list(cols), how="left_anti")
-        return df
+        deletes = [
+            (d["seq"], json.loads(d["entry"])) for d in snap["delete_files"]
+        ]
+        # Sequence scoping: a delete applies only to data files with a
+        # strictly lower sequence. Group data files by the set of
+        # deletes that apply to them (equivalently, by which delete
+        # seqs they precede) — each group is one scan + broadcast
+        # anti-joins, unioned. Compaction collapses everything back to
+        # a single group with zero deletes.
+        by_seq: dict[int, list[str]] = {}
+        for f in snap["data_files"]:
+            by_seq.setdefault(f["seq"], []).append(f["path"])
+        parts: list[DataFrame] = []
+        for seq, paths in sorted(by_seq.items()):
+            df = self.spark.read.schema(self.ddl).parquet(*paths)
+            by_cols: dict[tuple[str, ...], list[str]] = {}
+            for dseq, meta in deletes:
+                if dseq > seq:
+                    by_cols.setdefault(tuple(meta["cols"]), []).append(
+                        meta["path"]
+                    )
+            for cols, dpaths in by_cols.items():
+                dels = self.spark.read.parquet(*dpaths).distinct()
+                df = df.join(
+                    F.broadcast(dels), on=list(cols), how="left_anti"
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
 
 class BatchedCommitter:

@@ -76,13 +76,15 @@ def test_equality_delete_mor(catalog, spark):
 
 
 def test_delete_then_append_same_key(catalog, spark):
-    # a delete only masks files committed before it; a later append of
-    # the same key is visible (delete files apply to the whole read,
-    # so re-appended keys need the delete scoped — document the
-    # sequence-number simplification: our deletes are global).
+    # Iceberg sequence-number rule: a delete masks only data files with
+    # a strictly lower sequence, so re-appending a deleted key makes it
+    # visible again — the old rows stay masked, the new row is not.
     t = _table(catalog, spark)
     t.delete_where("name = 'B'", ["name"])
     assert t.read().filter("name = 'B'").count() == 0
+    t.append(t.spark.createDataFrame([("B", "tiny", 1)], DDL))
+    rows = t.read().filter("name = 'B'").collect()
+    assert [(r["size"], r["count"]) for r in rows] == [("tiny", 1)]
 
 
 def test_batched_committer_coalesces(catalog, spark):

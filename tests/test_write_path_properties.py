@@ -1,0 +1,84 @@
+"""Property-based write-path check (hypothesis): random sequences of
+append / equality-delete / compact must always read back exactly what a
+plain-Python model of sequence-scoped merge-on-read predicts — and time
+travel must replay every intermediate state.
+
+The model: each data row remembers the sequence that appended it; an
+equality delete captures the keys visible at delete time and masks only
+rows with a strictly lower sequence (Iceberg's sequence-number rule,
+mirroring /root/reference/src/bin/deletes.rs:94-110 where a same-txn
+append is not masked by its own delete). Compaction freezes the current
+view as new rows at the compact sequence.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_playground_spark.tables import LakeCatalog
+
+DDL = "name STRING, count INT"
+
+_NAMES = ["A", "B", "C", "D"]
+
+_append = st.lists(
+    st.tuples(st.sampled_from(_NAMES), st.integers(0, 3)),
+    min_size=1,
+    max_size=3,
+).map(lambda rows: ("append", rows))
+_delete = st.sampled_from(_NAMES).map(lambda n: ("delete", n))
+_compact = st.just(("compact", None))
+
+_ops = st.lists(
+    st.one_of(_append, _append, _delete, _compact), min_size=1, max_size=6
+)
+
+
+def _model_apply(state: list, seq: int, op: str, arg) -> list:
+    """state: [(name, count, seq_added)]; returns the new state."""
+    if op == "append":
+        return state + [(n, c, seq) for n, c in arg]
+    if op == "delete":
+        # keys captured from the CURRENT view; masks strictly-older rows
+        if any(n == arg for n, _, _ in state):
+            return [r for r in state if r[0] != arg]
+        return state
+    if op == "compact":
+        return [(n, c, seq) for n, c, _ in state]
+    raise AssertionError(op)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
+    wh = str(tmp_path_factory.mktemp("prop_wh"))
+    cat = LakeCatalog(spark, wh)
+    t = cat.create_table("p", "t", DDL, drop_if_exists=True)
+
+    state: list = []
+    history: dict[int, list] = {0: []}
+    for op, arg in ops:
+        if op == "append":
+            v = t.append(spark.createDataFrame(arg, DDL))
+        elif op == "delete":
+            v = t.delete_where(f"name = '{arg}'", ["name"])
+        else:
+            v = t.compact()
+        state = _model_apply(state, v, op, arg)
+        history[v] = state
+
+    def snap_rows(df):
+        return sorted((r["name"], r["count"]) for r in df.collect())
+
+    # HEAD matches the model
+    assert snap_rows(t.read()) == sorted((n, c) for n, c, _ in state)
+    # and every intermediate version replays its own state (VERSION AS OF)
+    for v, st_v in history.items():
+        assert snap_rows(t.read(version=v)) == sorted(
+            (n, c) for n, c, _ in st_v
+        ), f"version {v} diverged"
