@@ -13,6 +13,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from iceberg_playground_spark.queries import relational
 from iceberg_playground_spark.queries._util import load
@@ -75,3 +76,62 @@ def b06_parquet_sink(spark: SparkSession, sf: str) -> DataFrame:
 
 # The sink round-trip must reproduce the flagship bit-for-bit.
 ORACLES["b06_parquet_sink"] = ORACLES["b21_pricing_summary"]
+
+
+@query(
+    "b60_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def b60_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B60: co-located join via bucketing — the shuffle-elimination
+    layout move for a join that repeats at 100 TB. Both sides are
+    written `bucketBy(8, custkey)` + `sortBy`, so the join needs NO
+    exchange on either side: each task sort-merges bucket i ⋈ bucket i
+    straight off the files (the plan's only Exchange is the final
+    |segments|-row aggregation; test_plans pins it). This is what
+    "pre-shuffle once, join forever" looks like when the same fact
+    tables meet daily — the shuffle is paid at write time, amortized
+    over every subsequent join. Results hash-match the plain join
+    oracle: bucketing changes layout, never rows."""
+    import uuid
+
+    from iceberg_playground_spark.queries._util import dec
+
+    tag = uuid.uuid4().hex[:10]
+    tmp = tempfile.mkdtemp(prefix="ips_bucketed_")
+    o_tbl, c_tbl = f"b60_orders_{tag}", f"b60_cust_{tag}"
+    (
+        load(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{tmp}/orders")
+        .saveAsTable(o_tbl)
+    )
+    (
+        load(spark, sf, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{tmp}/customer")
+        .saveAsTable(c_tbl)
+    )
+    o = spark.table(o_tbl)
+    # merge hint: at test sf the dim side fits a broadcast and AQE would
+    # take it, hiding the layout; at 100 TB neither side broadcasts and
+    # sort-merge-over-buckets is exactly the plan — pin it.
+    c = spark.table(c_tbl).hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )

@@ -95,3 +95,13 @@ def test_split_and_sample_are_shuffle_free(spark, name):
     # pure narrow maps: membership is per-row hash arithmetic; any
     # Exchange here means a 100 TB corpus gets reshuffled to be stamped
     assert "Exchange" not in _plan(spark, name)
+
+
+def test_bucketed_join_needs_no_join_exchange(spark):
+    # both sides bucketed on the key: the only Exchange allowed is the
+    # final |segments|-row aggregation — the join itself reads bucket i
+    # against bucket i straight off the files
+    plan = _plan(spark, "b60_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan
+    assert plan.count("Exchange") == 1
