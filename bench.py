@@ -42,6 +42,7 @@ HEADLINE = [
     "c03_cosine_topk",
     "c05_text_analysis",
     "c16_training_pipeline",
+    "c20_corpus_build",
     # streaming ingest path — the reference's own benchmark subject
     # (bench-kafka.rs stage timers): stream → decode → files → commit
     "b47_tumbling_window",

@@ -1165,3 +1165,93 @@ def c19_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
         )
     )
+
+
+@query(
+    "c20_corpus_build",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             list_aggregate(list_transform({_SH_SQL}, x -> md5(x)), 'min')
+               AS fingerprint
+      FROM documents),
+    deduped AS (
+      SELECT * FROM fp
+      QUALIFY row_number() OVER (PARTITION BY fingerprint
+                                 ORDER BY doc_id) = 1),
+    kept AS (
+      SELECT * FROM deduped
+      WHERE n_chars BETWEEN 100 AND 500 AND n_tokens >= 20),
+    split AS (
+      SELECT *,
+             CASE WHEN {_bucket_sql('doc_id')} < 90 THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST({_bucket_sql('doc_id')} % {_PACK_SHARDS} AS INT) AS shard
+      FROM kept),
+    packed AS (
+      SELECT *,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY split, lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_CTX_TOKENS}.0) AS BIGINT) AS pack_id
+      FROM split)
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT (shard, pack_id)) AS BIGINT) AS n_packs,
+           CAST(sum(n_tokens) AS BIGINT) AS token_budget
+    FROM packed GROUP BY split, lang
+    """,
+)
+def c20_corpus_build(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus build — every stage is a registered operator's
+    plan, composed in pipeline order: fingerprint near-dedup (c14) →
+    quality filter (c07) → deterministic train/val/test split (c17) →
+    token-budget sequence packing per (split, lang, shard) (c19) →
+    per-(split, lang) report of docs, packs, and token budget. Three
+    shuffles end to end (fingerprint window, packing window, final
+    agg) — each stage inherits its operator's scale shape, and the
+    split/shard stamps are zero-shuffle map arithmetic in the middle."""
+    d = load(spark, sf, "documents")
+    toks = _tokens()
+    fp = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.array_min(F.transform(_shingles(toks), F.md5)).alias(
+            "fingerprint"
+        ),
+    )
+    wd = W.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        fp.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept = deduped.filter(
+        F.col("n_chars").between(100, 500) & (F.col("n_tokens") >= 20)
+    )
+    b = _hash_bucket(F.col("doc_id"))
+    split = kept.withColumn(
+        "split",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test"),
+    ).withColumn("shard", (b % _PACK_SHARDS).cast("int"))
+    wp = (
+        W.partitionBy("split", "lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = split.withColumn(
+        "pack_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(wp), F.lit(0))
+            / F.lit(float(_CTX_TOKENS))
+        ).cast("bigint"),
+    )
+    return packed.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("shard", "pack_id").alias("n_packs"),
+        F.sum("n_tokens").cast("bigint").alias("token_budget"),
+    )
