@@ -1255,3 +1255,50 @@ def c20_corpus_build(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("shard", "pack_id").alias("n_packs"),
         F.sum("n_tokens").cast("bigint").alias("token_budget"),
     )
+
+
+@query(
+    "c21_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, label, e,
+             list_max(list_transform(e, x -> abs(x))) / 127 AS scale
+      FROM v)
+    SELECT vec_id, label, round(scale, 9) AS scale,
+           array_to_string(list_transform(e,
+             x -> CAST(CAST(round(x / scale) AS INT) AS VARCHAR)), ',')
+             AS qvec
+    FROM s
+    """,
+)
+def c21_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """C21: symmetric int8 quantization of the embedding column — the
+    4× storage move for 100 TB of vectors (float32 → int8 + one scale
+    per vector). Per-row array arithmetic only: zero shuffle, zero
+    state, quantize-on-write at any scale. Reports the quantized
+    vector (serialized — arrays never cross the driver boundary) and
+    one scale per vector; both engines evaluate the identical double
+    sequence (abs-max / 127 scale; rounding agrees — the quantized
+    ints hash-match bit-for-bit)."""
+    e = load(spark, sf, "embeddings")
+    ed = _dbl(F.col("embedding"))
+    scale = (
+        F.array_max(F.transform(ed, lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    withs = e.select("vec_id", "label", ed.alias("e"), scale.alias("scale"))
+    q = F.transform(
+        F.col("e"),
+        lambda x: F.round(x / F.col("scale")).cast("int"),
+    )
+    return withs.select(
+        "vec_id",
+        "label",
+        F.round(F.col("scale"), 9).alias("scale"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias(
+            "qvec"
+        ),
+    )
