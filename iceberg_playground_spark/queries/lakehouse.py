@@ -49,8 +49,17 @@ def b02_snapshot_scan(spark: SparkSession, sf: str) -> DataFrame:
         t.append(region)
         t.append(region)
         t.delete_where("r_regionkey >= 3", ["r_regionkey"])
+        # one Spark job for all versions: union the per-version reads
+        # with a version tag and count grouped (vs. one job per version)
+        tagged = None
+        for v in t.versions():
+            part = t.read(version=v).select(F.lit(v).alias("version"))
+            tagged = part if tagged is None else tagged.unionByName(part)
         rows = [
-            (v, t.read(version=v).count()) for v in t.versions()
+            (r["version"], r["n_rows"])
+            for r in tagged.groupBy("version")
+            .agg(F.count("*").alias("n_rows"))
+            .collect()
         ]
         return spark.createDataFrame(rows, "version INT, n_rows BIGINT")
     finally:

@@ -1302,3 +1302,60 @@ def c21_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
             "qvec"
         ),
     )
+
+
+@query(
+    "c22_decontaminate",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             list_aggregate(list_transform({_SH_SQL}, x -> md5(x)), 'min')
+               AS fingerprint,
+             CASE WHEN {_bucket_sql('doc_id')} < 90 THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    train AS (
+      SELECT fingerprint, min(doc_id) AS train_doc
+      FROM fp WHERE split = 'train' GROUP BY fingerprint)
+    SELECT e.doc_id AS eval_doc, e.split, e.lang,
+           t.train_doc, e.fingerprint
+    FROM fp e JOIN train t USING (fingerprint)
+    WHERE e.split <> 'train'
+    """,
+)
+def c22_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """C22: train/eval contamination check — every val/test document
+    whose content fingerprint (c14) also appears in the train split
+    (c17), with the offending train doc. The decontamination join every
+    eval-hygiene pipeline runs before training. Scale shape: both sides
+    reduce to (fingerprint, id) before the join — the shuffle carries
+    32-byte digests, never text; the train side pre-aggregates to one
+    row per fingerprint, so the join output is bounded by eval-side
+    collisions."""
+    d = load(spark, sf, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    fp = d.select(
+        "doc_id",
+        "lang",
+        F.array_min(F.transform(_shingles(_tokens()), F.md5)).alias(
+            "fingerprint"
+        ),
+        F.when(b < 90, "train")
+        .when(b < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    train = (
+        fp.filter(F.col("split") == "train")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("train_doc"))
+    )
+    ev = fp.filter(F.col("split") != "train")
+    return ev.join(train, "fingerprint").select(
+        F.col("doc_id").alias("eval_doc"),
+        "split",
+        "lang",
+        "train_doc",
+        "fingerprint",
+    )
