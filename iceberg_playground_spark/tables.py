@@ -164,7 +164,10 @@ class LakeTable:
             # later re-append — nor its own transaction's append,
             # deletes.rs:94-110).
             seq = head + 1
-            new_data = [{"path": p, "seq": seq} for p in data_files]
+            new_data = [
+                {"path": p, "seq": seq, "bounds": self._collect_bounds(p)}
+                for p in data_files
+            ]
             new_dels = [{"entry": d, "seq": seq} for d in delete_files]
             entry = {
                 "version": seq,
@@ -204,6 +207,44 @@ class LakeTable:
         d = os.path.join(self.root, _DATA_DIR, uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(d)
         return d
+
+    @staticmethod
+    def _collect_bounds(staged_dir: str) -> dict:
+        """Column min/max bounds of a staged file set, from the parquet
+        footers — the manifest-writing half of Iceberg's DataFile
+        metadata (iceberg-rust's DataFileWriter records the same
+        lower/upper bounds the reference commits at
+        /root/reference/src/main.rs:52-77). Footer-only reads: no data
+        pages touched; at scale each writer reports bounds for its own
+        files and the committer merges, exactly as here."""
+        import pyarrow.parquet as pq
+
+        bounds: dict[str, list] = {}
+        for fn in os.listdir(staged_dir):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(staged_dir, fn)).metadata
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo, hi = st.min, st.max
+                    # only JSON-storable, order-comparable bounds
+                    if not (
+                        isinstance(lo, (int, float, str))
+                        and isinstance(hi, (int, float, str))
+                    ):
+                        continue
+                    name = col.path_in_schema
+                    if name in bounds:
+                        b = bounds[name]
+                        b[0], b[1] = min(b[0], lo), max(b[1], hi)
+                    else:
+                        bounds[name] = [lo, hi]
+        return bounds
 
     def append(self, df: DataFrame) -> int:
         """A4: append = parallel parquet write + one fast-append commit
@@ -253,6 +294,37 @@ class LakeTable:
             [d], [], {"operation": "compact"}, replace=True
         )
 
+    # -- scan planning -------------------------------------------------------
+    def plan_files(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[dict], int]:
+        """Iceberg-style scan planning: keep only file sets whose
+        committed [min, max] bounds overlap [lo, hi]; a file set with
+        no recorded bound for `col` is conservatively kept. Returns
+        (kept_entries, pruned_count) — the pruning decision is pure
+        metadata, no file I/O."""
+        v = self.current_version() if version is None else version
+        files = self.snapshot(v)["data_files"]
+        kept = []
+        for f in files:
+            b = f.get("bounds", {}).get(col)
+            if b is not None and (hi < b[0] or lo > b[1]):
+                continue
+            kept.append(f)
+        return kept, len(files) - len(kept)
+
+    def scan_where(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Predicate-pruned snapshot scan: file sets outside the bounds
+        never reach the reader (manifest-level skipping — the scan
+        planning Iceberg performs from DataFile bounds before Spark's
+        own row-group pruning sees anything); survivors still get the
+        residual filter and sequence-scoped MoR deletes."""
+        kept, _ = self.plan_files(col, lo, hi, version)
+        df = self._assemble(kept, version)
+        return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+
     # -- read path -----------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot scan (B2): current HEAD or `VERSION AS OF`.
@@ -262,8 +334,15 @@ class LakeTable:
         only), so it's explicitly broadcast — at 100 TB the scan gains a
         map-side hash filter and zero shuffles."""
         v = self.current_version() if version is None else version
+        return self._assemble(self.snapshot(v)["data_files"], version)
+
+    def _assemble(
+        self, files: list[dict], version: int | None = None
+    ) -> DataFrame:
+        """MoR view of a (possibly pruned) file-entry subset."""
+        v = self.current_version() if version is None else version
         snap = self.snapshot(v)
-        if not snap["data_files"]:
+        if not files:
             return self.spark.createDataFrame([], self.ddl)
         deletes = [
             (d["seq"], json.loads(d["entry"])) for d in snap["delete_files"]
@@ -275,7 +354,7 @@ class LakeTable:
         # anti-joins, unioned. Compaction collapses everything back to
         # a single group with zero deletes.
         by_seq: dict[int, list[str]] = {}
-        for f in snap["data_files"]:
+        for f in files:
             by_seq.setdefault(f["seq"], []).append(f["path"])
         parts: list[DataFrame] = []
         for seq, paths in sorted(by_seq.items()):

@@ -170,3 +170,39 @@ def test_strict_json_malformed_raises(spark):
     decoded = strict_json_decode(df, "raw", "name STRING, count INT", ["name"])
     with pytest.raises(ValueError):
         validate(decoded)
+
+
+def test_scan_planning_prunes_by_bounds(catalog, spark):
+    # three appends with disjoint count ranges -> a bounded scan keeps
+    # only the overlapping file set, decided from metadata alone
+    t = catalog.create_table("test_ns", "skip", DDL, drop_if_exists=True)
+    t.append(spark.createDataFrame([("A", "s", 1), ("B", "s", 9)], DDL))
+    t.append(spark.createDataFrame([("C", "m", 10), ("D", "m", 19)], DDL))
+    t.append(spark.createDataFrame([("E", "l", 20), ("F", "l", 29)], DDL))
+    kept, pruned = t.plan_files("count", 12, 15)
+    assert pruned == 2 and len(kept) == 1
+    rows = t.scan_where("count", 10, 19).collect()
+    assert sorted(r["name"] for r in rows) == ["C", "D"]
+    # unbounded column name -> conservatively scans everything
+    kept_all, pruned_none = t.plan_files("nonexistent", 0, 1)
+    assert pruned_none == 0 and len(kept_all) == 3
+
+
+def test_pruned_scan_still_applies_deletes(catalog, spark):
+    t = catalog.create_table("test_ns", "skipdel", DDL, drop_if_exists=True)
+    t.append(spark.createDataFrame([("A", "s", 1), ("B", "s", 5)], DDL))
+    t.append(spark.createDataFrame([("C", "m", 50), ("D", "m", 55)], DDL))
+    t.delete_where("name = 'B'", ["name"])
+    rows = t.scan_where("count", 0, 10).collect()
+    assert sorted(r["name"] for r in rows) == ["A"]  # pruned AND deleted
+
+
+def test_compaction_rewrites_bounds(catalog, spark):
+    t = catalog.create_table("test_ns", "skipc", DDL, drop_if_exists=True)
+    t.append(spark.createDataFrame([("A", "s", 1)], DDL))
+    t.append(spark.createDataFrame([("B", "l", 100)], DDL))
+    t.compact()
+    files = t.snapshot(t.current_version())["data_files"]
+    assert len(files) == 1
+    b = files[0]["bounds"]["count"]
+    assert b[0] == 1 and b[1] == 100
