@@ -144,3 +144,52 @@ def b60_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
         )
     )
+
+
+@query(
+    "b61_data_skipping",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty,
+           1 AS files_kept, 2 AS files_pruned
+    FROM lineitem WHERE l_quantity BETWEEN 40 AND 50
+    """,
+)
+def b61_data_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """B61: manifest-level data skipping — lineitem lands in three
+    appends partitioned by quantity range (the natural layout of
+    time/range-ordered ingest); a bounded scan then proves the planner
+    kept exactly the one file set whose committed bounds overlap
+    [40, 50] and never opened the other two. At 100 TB this is the
+    difference between reading one day's files and reading the lake;
+    the pruning decision is pure snapshot metadata (footer bounds
+    recorded at commit — Iceberg's DataFile lower/upper bounds,
+    src/main.rs:52-77). Oracle = the plain filtered aggregate plus the
+    predicted plan counts."""
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from iceberg_playground_spark.queries._util import dec
+
+    tmp = tempfile.mkdtemp(prefix="ips_lake_b61_")
+    cat = LakeCatalog(spark, tmp)
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    t = cat.create_table(
+        "demo", "li_ranges", "l_orderkey BIGINT, l_quantity DOUBLE",
+        drop_if_exists=True,
+    )
+    for lo, hi in [(0, 17), (18, 34), (35, 50)]:
+        t.append(li.filter(_F.col("l_quantity").between(lo, hi)))
+    kept, pruned = t.plan_files("l_quantity", 40, 50)
+    agg = t.scan_where("l_quantity", 40, 50).agg(
+        _F.count("*").alias("n_rows"),
+        _F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+    return agg.select(
+        "n_rows",
+        "sum_qty",
+        _F.lit(len(kept)).cast("int").alias("files_kept"),
+        _F.lit(pruned).cast("int").alias("files_pruned"),
+    )
