@@ -193,3 +193,42 @@ def b61_data_skipping(spark: SparkSession, sf: str) -> DataFrame:
         _F.lit(len(kept)).cast("int").alias("files_kept"),
         _F.lit(pruned).cast("int").alias("files_pruned"),
     )
+
+
+@query(
+    "b62_upsert",
+    oracle="""
+    SELECT r_regionkey,
+           CASE WHEN r_regionkey = 0 THEN 'REGION ZERO'
+                WHEN r_regionkey = 1 THEN 'REGION ONE'
+                ELSE r_name END AS r_name
+    FROM region
+    UNION ALL SELECT 99, 'REGION NEW'
+    """,
+)
+def b62_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """B62/A5: MERGE-shaped upsert — one transaction replaces keys 0
+    and 1 and inserts key 99 (deletes.rs:94-110's same-txn
+    delete+append). The read proves the sequence rule: pre-existing
+    rows with upserted keys are masked, the transaction's own appended
+    rows are visible, untouched keys pass through."""
+    tmp = tempfile.mkdtemp(prefix="ips_lake_b62_")
+    try:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "region_up", "r_regionkey INT, r_name STRING",
+            drop_if_exists=True,
+        )
+        t.append(load(spark, sf, "region").select("r_regionkey", "r_name"))
+        t.upsert(
+            spark.createDataFrame(
+                [(0, "REGION ZERO"), (1, "REGION ONE"), (99, "REGION NEW")],
+                "r_regionkey INT, r_name STRING",
+            ),
+            ["r_regionkey"],
+        )
+        # materialize driver-side before the temp warehouse is removed
+        rows = [tuple(r) for r in t.read().collect()]
+        return spark.createDataFrame(rows, "r_regionkey INT, r_name STRING")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -277,6 +277,24 @@ class LakeTable:
             {"operation": "delete", "predicate": predicate},
         )
 
+    def upsert(self, df: DataFrame, equality_cols: list[str]) -> int:
+        """MERGE-shaped single transaction: equality-delete the incoming
+        keys AND append the incoming rows in ONE snapshot — exactly the
+        reference's same-transaction delete+append
+        (/root/reference/src/bin/deletes.rs:94-110). The sequence rule
+        makes it correct by construction: the delete (seq N) masks only
+        data files with seq < N, so existing rows with matching keys
+        vanish while the rows appended at seq N are untouched."""
+        staged = self.stage_append(df)
+        keys = df.select(*equality_cols).distinct()
+        d = os.path.join(self.root, _DELETE_DIR, uuid.uuid4().hex)
+        keys.write.mode("overwrite").parquet(d)
+        return self._commit(
+            [staged],
+            [json.dumps({"path": d, "cols": equality_cols})],
+            {"operation": "upsert"},
+        )
+
     def compact(self, target_files: int | None = None) -> int:
         """Rewrite-data-files compaction: materialize the current MoR
         view (deletes applied) into a fresh file set and commit a

@@ -206,3 +206,20 @@ def test_compaction_rewrites_bounds(catalog, spark):
     assert len(files) == 1
     b = files[0]["bounds"]["count"]
     assert b[0] == 1 and b[1] == 100
+
+
+def test_upsert_single_transaction(catalog, spark):
+    # deletes.rs:94-110: delete + append commit as ONE snapshot; the
+    # txn's own appended rows are not masked by its own delete
+    t = _table(catalog, spark)
+    v = t.upsert(
+        spark.createDataFrame([("A", "upserted", 42), ("Z", "new", 1)], DDL),
+        ["name"],
+    )
+    assert v == 2  # one snapshot for delete+append
+    rows = {r["name"]: (r["size"], r["count"]) for r in t.read().collect()}
+    assert rows["A"] == ("upserted", 42)  # replaced, not duplicated
+    assert rows["Z"] == ("new", 1)  # inserted
+    assert len(rows) == 6  # B..E untouched + A + Z
+    # time travel: pre-upsert state intact
+    assert t.read(version=1).filter("name = 'A'").first()["size"] == "small"
