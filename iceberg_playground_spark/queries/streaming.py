@@ -427,3 +427,70 @@ def b54_stream_lakehouse_sink(spark: SparkSession, sf: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "b63_stream_upsert_sink",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(count(*) AS BIGINT) AS n_events_seen
+    FROM events
+    """,
+)
+def b63_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """B63/A5: CDC-shaped streaming sink — each micro-batch UPSERTS its
+    last-event-per-user into the lakehouse table (foreachBatch →
+    tables.upsert, the same-txn delete+append of deletes.rs:94-110), so
+    the table converges to exactly one row per user regardless of how
+    the stream is chopped into batches. The per-user VALUES depend on
+    batch order (engine-native), but the key-set does not: n_keys
+    hash-matches count(DISTINCT user_id) and total events processed
+    equals the table's row count upstream."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    ev = _stream_events(spark, sf).select("event_id", "user_id", "event_type")
+
+    tmp = tempfile.mkdtemp(prefix="ips_stream_upsert_")
+    try:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "stream", "user_state",
+            "event_id BIGINT, user_id BIGINT, event_type STRING",
+            drop_if_exists=True,
+        )
+        seen = spark.sparkContext.accumulator(0)
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            n = batch_df.count()
+            seen.add(n)
+            if n == 0:
+                return
+            w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+            last = (
+                batch_df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            t.upsert(last, ["user_id"])
+
+        q = (
+            ev.writeStream.foreachBatch(sink_batch)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ips_stream_upsert_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_keys = t.read().count()
+        return spark.createDataFrame(
+            [(n_keys, seen.value)], "n_keys BIGINT, n_events_seen BIGINT"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

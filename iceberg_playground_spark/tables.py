@@ -343,6 +343,21 @@ class LakeTable:
         df = self._assemble(kept, version)
         return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
+    def read_incremental(self, from_version: int, to_version: int) -> DataFrame:
+        """Incremental scan: rows APPENDED after `from_version` up to
+        and including `to_version` (Iceberg's incremental append scan —
+        the consumption pattern of a downstream pipeline tailing the
+        table). Only file sets committed in that window are read;
+        deletes in the window still apply to them under the sequence
+        rule, so a row upserted then re-deleted inside the window does
+        not appear."""
+        snap = self.snapshot(to_version)
+        files = [
+            f for f in snap["data_files"]
+            if from_version < f["seq"] <= to_version
+        ]
+        return self._assemble(files, to_version)
+
     # -- read path -----------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot scan (B2): current HEAD or `VERSION AS OF`.

@@ -223,3 +223,17 @@ def test_upsert_single_transaction(catalog, spark):
     assert len(rows) == 6  # B..E untouched + A + Z
     # time travel: pre-upsert state intact
     assert t.read(version=1).filter("name = 'A'").first()["size"] == "small"
+
+
+def test_incremental_read_tails_appends(catalog, spark):
+    t = _table(catalog, spark)  # v1: 5 rows
+    t.append(spark.createDataFrame([("F", "l", 7)], DDL))  # v2
+    t.append(spark.createDataFrame([("G", "l", 8)], DDL))  # v3
+    inc = sorted(r["name"] for r in t.read_incremental(1, 3).collect())
+    assert inc == ["F", "G"]  # only the window's appends
+    assert t.read_incremental(0, 1).count() == 5  # bootstrap window
+    # a delete inside the window masks the window's earlier appends
+    t.delete_where("name = 'F'", ["name"])  # v4
+    assert sorted(
+        r["name"] for r in t.read_incremental(1, 4).collect()
+    ) == ["G"]
