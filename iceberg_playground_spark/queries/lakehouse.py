@@ -181,7 +181,10 @@ def b61_data_skipping(spark: SparkSession, sf: str) -> DataFrame:
         drop_if_exists=True,
     )
     for lo, hi in [(0, 17), (18, 34), (35, 50)]:
-        t.append(li.filter(_F.col("l_quantity").between(lo, hi)))
+        # one physical file per range-append: keeps the kept/pruned file
+        # counts below independent of the session's parallelism (per-file
+        # bounds would otherwise count one entry per shuffle partition)
+        t.append(li.filter(_F.col("l_quantity").between(lo, hi)).coalesce(1))
     kept, pruned = t.plan_files("l_quantity", 40, 50)
     agg = t.scan_where("l_quantity", 40, 50).agg(
         _F.count("*").alias("n_rows"),

@@ -210,20 +210,24 @@ class LakeTable:
 
     @staticmethod
     def _collect_bounds(staged_dir: str) -> dict:
-        """Column min/max bounds of a staged file set, from the parquet
-        footers — the manifest-writing half of Iceberg's DataFile
-        metadata (iceberg-rust's DataFileWriter records the same
-        lower/upper bounds the reference commits at
+        """PER-FILE column min/max bounds of a staged file set, from the
+        parquet footers — Iceberg's DataFile lower/upper bounds, one
+        entry per physical file (iceberg-rust's DataFileWriter records
+        the same metadata the reference commits at
         /root/reference/src/main.rs:52-77). Footer-only reads: no data
         pages touched; at scale each writer reports bounds for its own
-        files and the committer merges, exactly as here."""
+        files and the committer merges, exactly as here. Per-file
+        granularity is what makes sorted compaction pay: each rewritten
+        file covers a narrow range, so a bounded scan opens only the
+        overlapping files WITHIN a committed set."""
         import pyarrow.parquet as pq
 
-        bounds: dict[str, list] = {}
+        per_file: dict[str, dict[str, list]] = {}
         for fn in os.listdir(staged_dir):
             if not fn.endswith(".parquet"):
                 continue
             md = pq.ParquetFile(os.path.join(staged_dir, fn)).metadata
+            bounds: dict[str, list] = {}
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
                 for ci in range(row_group.num_columns):
@@ -244,7 +248,8 @@ class LakeTable:
                         b[0], b[1] = min(b[0], lo), max(b[1], hi)
                     else:
                         bounds[name] = [lo, hi]
-        return bounds
+            per_file[fn] = bounds
+        return per_file
 
     def append(self, df: DataFrame) -> int:
         """A4: append = parallel parquet write + one fast-append commit
@@ -295,16 +300,29 @@ class LakeTable:
             {"operation": "upsert"},
         )
 
-    def compact(self, target_files: int | None = None) -> int:
+    def compact(
+        self,
+        target_files: int | None = None,
+        sort_by: list[str] | None = None,
+    ) -> int:
         """Rewrite-data-files compaction: materialize the current MoR
         view (deletes applied) into a fresh file set and commit a
         REPLACING snapshot. Read amplification drops to zero (no more
         anti-joins on scan) and small files merge; prior versions stay
         readable (time travel keeps the old file lists). Spark analogue
         of Iceberg's rewrite_data_files procedure — the maintenance the
-        reference's fast-append-only pipeline defers forever."""
+        reference's fast-append-only pipeline defers forever.
+
+        ``sort_by`` = rewrite with a sort order (range-partition then
+        sort within files): each output file covers a narrow range of
+        the sort keys, so the per-file bounds turn bounded scans into
+        opening a handful of files — Iceberg's sort-order rewrite."""
         df = self.read()
-        if target_files:
+        if sort_by:
+            df = df.repartitionByRange(
+                target_files or 8, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        elif target_files:
             df = df.repartition(target_files)
         d = os.path.join(self.root, _DATA_DIR, uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(d)
@@ -322,14 +340,22 @@ class LakeTable:
         (kept_entries, pruned_count) — the pruning decision is pure
         metadata, no file I/O."""
         v = self.current_version() if version is None else version
-        files = self.snapshot(v)["data_files"]
-        kept = []
-        for f in files:
-            b = f.get("bounds", {}).get(col)
-            if b is not None and (hi < b[0] or lo > b[1]):
+        kept, pruned = [], 0
+        for f in self.snapshot(v)["data_files"]:
+            per_file = f.get("bounds", {})
+            if not per_file:  # no recorded stats: read the whole set
+                kept.append(dict(f))
                 continue
-            kept.append(f)
-        return kept, len(files) - len(kept)
+            paths = []
+            for fn, b in per_file.items():
+                cb = b.get(col)
+                if cb is not None and (hi < cb[0] or lo > cb[1]):
+                    pruned += 1
+                    continue
+                paths.append(os.path.join(f["path"], fn))
+            if paths:
+                kept.append({**f, "paths": paths})
+        return kept, pruned
 
     def scan_where(
         self, col: str, lo, hi, version: int | None = None
@@ -388,7 +414,11 @@ class LakeTable:
         # a single group with zero deletes.
         by_seq: dict[int, list[str]] = {}
         for f in files:
-            by_seq.setdefault(f["seq"], []).append(f["path"])
+            # a pruned entry carries explicit file paths; an unpruned
+            # one is read as its whole directory
+            by_seq.setdefault(f["seq"], []).extend(
+                f.get("paths", [f["path"]])
+            )
         parts: list[DataFrame] = []
         for seq, paths in sorted(by_seq.items()):
             df = self.spark.read.schema(self.ddl).parquet(*paths)

@@ -176,9 +176,10 @@ def test_scan_planning_prunes_by_bounds(catalog, spark):
     # three appends with disjoint count ranges -> a bounded scan keeps
     # only the overlapping file set, decided from metadata alone
     t = catalog.create_table("test_ns", "skip", DDL, drop_if_exists=True)
-    t.append(spark.createDataFrame([("A", "s", 1), ("B", "s", 9)], DDL))
-    t.append(spark.createDataFrame([("C", "m", 10), ("D", "m", 19)], DDL))
-    t.append(spark.createDataFrame([("E", "l", 20), ("F", "l", 29)], DDL))
+    mk = lambda rows: spark.createDataFrame(rows, DDL).coalesce(1)  # noqa: E731
+    t.append(mk([("A", "s", 1), ("B", "s", 9)]))
+    t.append(mk([("C", "m", 10), ("D", "m", 19)]))
+    t.append(mk([("E", "l", 20), ("F", "l", 29)]))
     kept, pruned = t.plan_files("count", 12, 15)
     assert pruned == 2 and len(kept) == 1
     rows = t.scan_where("count", 10, 19).collect()
@@ -201,11 +202,30 @@ def test_compaction_rewrites_bounds(catalog, spark):
     t = catalog.create_table("test_ns", "skipc", DDL, drop_if_exists=True)
     t.append(spark.createDataFrame([("A", "s", 1)], DDL))
     t.append(spark.createDataFrame([("B", "l", 100)], DDL))
-    t.compact()
+    t.compact(target_files=1)
     files = t.snapshot(t.current_version())["data_files"]
     assert len(files) == 1
-    b = files[0]["bounds"]["count"]
-    assert b[0] == 1 and b[1] == 100
+    merged = [
+        b["count"] for b in files[0]["bounds"].values() if "count" in b
+    ]
+    assert min(lo for lo, _ in merged) == 1
+    assert max(hi for _, hi in merged) == 100
+
+
+def test_sorted_compaction_tightens_per_file_bounds(catalog, spark):
+    # sort-order rewrite: each output file covers a narrow key range,
+    # so a bounded scan opens a handful of files within the ONE
+    # compacted file set (Iceberg's rewrite_data_files with sort order)
+    t = catalog.create_table("test_ns", "zsort", DDL, drop_if_exists=True)
+    rows = [(f"R{i}", "s", i) for i in range(400)]
+    t.append(spark.createDataFrame(rows, DDL))
+    t.compact(target_files=4, sort_by=["count"])
+    kept, pruned = t.plan_files("count", 10, 20)
+    n_kept = sum(len(e.get("paths", [])) or 1 for e in kept)
+    assert pruned >= 2  # most files skipped on metadata alone
+    assert n_kept <= 2
+    got = sorted(r["count"] for r in t.scan_where("count", 10, 20).collect())
+    assert got == list(range(10, 21))
 
 
 def test_upsert_single_transaction(catalog, spark):
