@@ -1329,3 +1329,43 @@ def b49_idgen(spark: SparkSession, sf: str) -> DataFrame:
         F.crc32(F.col("r_name").cast("binary")).alias("name_crc32"),
         F.xxhash64(F.col("r_name")).alias("name_xxhash64"),
     )
+
+
+@query(
+    "b64_exact_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_transform(
+             quantile_cont(l_extendedprice, [0.25, 0.5, 0.9, 0.99]),
+             x -> CAST(x AS VARCHAR)), ',') AS pcts,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b64_exact_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """B27b: EXACT interpolated percentiles — Spark's `percentile`
+    (full-sort-per-group exact quantiles) against DuckDB's
+    `quantile_cont`; both interpolate linearly with the same double
+    arithmetic, so the bits hash-match (verified) — unlike
+    `percentile_approx` (b29, rows-only by design). Scale note: exact
+    percentiles buffer each group's values — use where groups are
+    bounded (here: 3 return flags); at unbounded cardinality the
+    approx sketch (b29) is the 100 TB path. Array output serialized
+    per the driver boundary rule."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.9, 0.99))"
+            ).alias("p"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.concat_ws(
+                ",", F.transform("p", lambda x: x.cast("string"))
+            ).alias("pcts"),
+            "n",
+        )
+    )
