@@ -172,6 +172,7 @@ class LakeTable:
             entry = {
                 "version": seq,
                 "parent": head,
+                "ddl": self.ddl,  # the schema this snapshot serves
                 "data_files": (
                     new_data if replace else snap["data_files"] + new_data
                 ),
@@ -282,6 +283,21 @@ class LakeTable:
             {"operation": "delete", "predicate": predicate},
         )
 
+    def add_column(self, name: str, dtype: str) -> int:
+        """Schema evolution: append a nullable column (Iceberg
+        add-column). Metadata-only — no data file is touched; rows
+        written before the evolution read back as NULL for the new
+        column because every scan projects the snapshot's declared
+        schema onto the files (parquet schema projection fills missing
+        fields). Each snapshot records the schema it was committed
+        under, so `VERSION AS OF` reads replay the old shape."""
+        self.ddl = f"{self.ddl}, {name} {dtype}"
+        with open(os.path.join(self.root, "schema.json"), "w") as f:
+            json.dump({"ddl": self.ddl}, f)
+        return self._commit(
+            [], [], {"operation": "add-column", "column": f"{name} {dtype}"}
+        )
+
     def upsert(self, df: DataFrame, equality_cols: list[str]) -> int:
         """MERGE-shaped single transaction: equality-delete the incoming
         keys AND append the incoming rows in ONE snapshot — exactly the
@@ -369,6 +385,37 @@ class LakeTable:
         df = self._assemble(kept, version)
         return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Retention maintenance (Iceberg expire_snapshots + orphan file
+        cleanup): drop snapshot entries older than the newest
+        ``keep_last`` versions and delete data/delete directories no
+        surviving snapshot references. Time travel to expired versions
+        then fails by design; live reads are untouched. Returns a
+        summary {expired_versions, removed_dirs}."""
+        vs = self.versions()
+        keep = set(vs[-keep_last:]) if keep_last else set(vs)
+        expired = [v for v in vs if v not in keep]
+        live: set[str] = set()
+        for v in keep:
+            snap = self.snapshot(v)
+            live.update(f["path"] for f in snap["data_files"])
+            live.update(
+                json.loads(d["entry"])["path"] for d in snap["delete_files"]
+            )
+        removed = 0
+        for sub in (_DATA_DIR, _DELETE_DIR):
+            base = os.path.join(self.root, sub)
+            for d in os.listdir(base):
+                p = os.path.join(base, d)
+                if p not in live:
+                    import shutil
+
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+        for v in expired:
+            os.unlink(self._snap_file(v))
+        return {"expired_versions": expired, "removed_dirs": removed}
+
     def read_incremental(self, from_version: int, to_version: int) -> DataFrame:
         """Incremental scan: rows APPENDED after `from_version` up to
         and including `to_version` (Iceberg's incremental append scan —
@@ -401,8 +448,9 @@ class LakeTable:
         """MoR view of a (possibly pruned) file-entry subset."""
         v = self.current_version() if version is None else version
         snap = self.snapshot(v)
+        ddl = snap.get("ddl", self.ddl)  # time travel replays old schemas
         if not files:
-            return self.spark.createDataFrame([], self.ddl)
+            return self.spark.createDataFrame([], ddl)
         deletes = [
             (d["seq"], json.loads(d["entry"])) for d in snap["delete_files"]
         ]
@@ -421,7 +469,7 @@ class LakeTable:
             )
         parts: list[DataFrame] = []
         for seq, paths in sorted(by_seq.items()):
-            df = self.spark.read.schema(self.ddl).parquet(*paths)
+            df = self.spark.read.schema(ddl).parquet(*paths)
             by_cols: dict[tuple[str, ...], list[str]] = {}
             for dseq, meta in deletes:
                 if dseq > seq:

@@ -257,3 +257,32 @@ def test_incremental_read_tails_appends(catalog, spark):
     assert sorted(
         r["name"] for r in t.read_incremental(1, 4).collect()
     ) == ["G"]
+
+
+def test_schema_evolution_add_column(catalog, spark):
+    t = _table(catalog, spark)  # v1, 3-col schema
+    t.add_column("origin", "STRING")  # v2: metadata-only
+    t.append(
+        spark.createDataFrame(
+            [("F", "l", 7, "evolved")], DDL + ", origin STRING"
+        )
+    )  # v3
+    rows = {r["name"]: r["origin"] for r in t.read().collect()}
+    assert rows["F"] == "evolved"
+    assert all(v is None for k, v in rows.items() if k != "F")  # backfill NULL
+    # time travel replays the pre-evolution schema
+    assert "origin" not in t.read(version=1).columns
+    assert "origin" in t.read(version=3).columns
+
+
+def test_expire_snapshots_removes_orphans(catalog, spark):
+    t = _table(catalog, spark)  # v1
+    t.append(spark.createDataFrame([("F", "l", 7)], DDL))  # v2
+    t.compact(target_files=1)  # v3: v1/v2 files now unreferenced by HEAD
+    before = t.read().count()
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired_versions"] == [1, 2]
+    assert out["removed_dirs"] == 2  # the two pre-compaction appends
+    assert t.read().count() == before  # live read untouched
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)  # expired history is gone by design
