@@ -34,3 +34,37 @@ def test_gen_assets_json_decodes_strictly(spark):
         )
     )
     assert decoded.count() == 50
+
+
+def test_full_pipeline_loadgen_to_lakehouse(spark, tmp_path):
+    # the reference's whole arc in one test: synthetic assets
+    # (kafka-load-gen) -> strict schema-directed decode (kafka-bench's
+    # json_to_arrow) -> parallel file write + snapshot commit
+    # (main.rs/decouple.rs) -> read-back
+    from pyspark.sql import functions as F
+
+    from iceberg_playground_spark.ingest import strict_json_decode, validate
+    from iceberg_playground_spark.loadgen import gen_assets
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    assets = gen_assets(spark, 100)
+    decoded = validate(
+        strict_json_decode(
+            assets,
+            "network_interface",
+            "ipAddress STRING, macAddress STRING, networkName STRING",
+            required=["ipAddress"],
+        )
+    ).select(
+        "asset_id",
+        F.col("_decoded.ipAddress").alias("ip"),
+        F.col("_decoded.networkName").alias("network"),
+    )
+    cat = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table(
+        "ingest", "assets", "asset_id STRING, ip STRING, network STRING"
+    )
+    t.append(decoded)
+    back = t.read()
+    assert back.count() == 100
+    assert back.filter("ip IS NULL").count() == 0  # strictness held

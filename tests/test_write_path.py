@@ -286,3 +286,35 @@ def test_expire_snapshots_removes_orphans(catalog, spark):
     assert t.read().count() == before  # live read untouched
     with pytest.raises(FileNotFoundError):
         t.read(version=1)  # expired history is gone by design
+
+
+def test_concurrent_committers_both_land(catalog, spark):
+    # two real committers racing on the SAME table: optimistic CAS means
+    # both snapshots land (one retries onto the next version) and no
+    # rows are lost — the multi-writer case the reference sidesteps
+    # with its single-committer design (decouple.rs:22-24)
+    import threading
+
+    t = _table(catalog, spark)
+    errs = []
+
+    def commit(tag):
+        try:
+            staged = t.stage_append(
+                spark.createDataFrame([(tag, "x", 1)], DDL)
+            )
+            t._commit([staged], [], {"operation": "race", "tag": tag})
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [
+        threading.Thread(target=commit, args=(f"T{i}",)) for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t.current_version() == 5  # 1 base + 4 serialized commits
+    names = {r["name"] for r in t.read().collect()}
+    assert {"T0", "T1", "T2", "T3"} <= names  # nothing lost
