@@ -22,3 +22,31 @@ bundled spark-iceberg service), re-expressed Spark-first:
 """
 
 __version__ = "0.1.0"
+
+# Lazy re-exports (PEP 562): the common entry points without forcing a
+# pyspark import on bare package import.
+_EXPORTS = {
+    "get_spark": ("iceberg_playground_spark.session", "get_spark"),
+    "load": ("iceberg_playground_spark.session", "load"),
+    "LakeCatalog": ("iceberg_playground_spark.tables", "LakeCatalog"),
+    "LakeTable": ("iceberg_playground_spark.tables", "LakeTable"),
+    "BatchedCommitter": (
+        "iceberg_playground_spark.tables",
+        "BatchedCommitter",
+    ),
+    "CommitConflict": ("iceberg_playground_spark.tables", "CommitConflict"),
+    "strict_json_decode": (
+        "iceberg_playground_spark.ingest",
+        "strict_json_decode",
+    ),
+    "gen_assets": ("iceberg_playground_spark.loadgen", "gen_assets"),
+}
+
+
+def __getattr__(name: str):
+    if name in _EXPORTS:
+        import importlib
+
+        mod, attr = _EXPORTS[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
