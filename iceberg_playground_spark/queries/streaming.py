@@ -20,6 +20,13 @@ output is engine-native).
 Money-exactness: `value` is a 2-dp double; aggregates sum
 `round(value*100)` as BIGINT cents — order-proof integer addition on
 both engines.
+
+Stateful API choice: B52 uses ``applyInPandasWithState``.
+``transformWithStateInPandas`` (Spark 4's successor) was evaluated and
+is environmentally blocked here — its driver worker needs a working
+``google.protobuf`` (ImportError in this container, and installs are
+out of scope). The operator shape is identical; swapping the API is a
+mechanical port once the dependency exists.
 """
 
 from __future__ import annotations
