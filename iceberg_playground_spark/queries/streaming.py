@@ -501,3 +501,58 @@ def b63_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "b65_stream_stream_join",
+    oracle=f"""
+    WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, {_CENTS} AS cents
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(p.cents) AS BIGINT) AS purchase_cents
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    GROUP BY p.user_id
+    """,
+)
+def b65_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B65: stream-STREAM inner join — purchases joined to the same
+    user's clicks in the preceding 30 minutes, both sides unbounded
+    streams with watermarks. Spark buffers each side in the state
+    store and emits a match the moment both rows exist; the time-bound
+    condition + watermarks let it EVICT state older than the band (the
+    unbounded-state hazard every stream-stream join must solve — state
+    is the 30-minute band per user, not history). On a drained
+    availableNow run every match is emitted, so the batch time-band
+    join is the exact oracle; the per-user rollup runs batch-side on
+    the sink table."""
+    p = (
+        _stream_events(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    c = (
+        _stream_events(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    sink = _run_to_memory(joined.select("user_id", "cents", "p_ts", "c_ts"))
+    return sink.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("cents").alias("purchase_cents"),
+    )
