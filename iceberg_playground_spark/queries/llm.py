@@ -1359,3 +1359,64 @@ def c22_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         "train_doc",
         "fingerprint",
     )
+
+
+@query(
+    "c23_lm_quality_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    freq AS (
+      SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),
+    tot AS (SELECT lang, sum(cnt) AS tot FROM freq GROUP BY lang),
+    scored AS (
+      SELECT t.doc_id, t.lang,
+             CAST(round(ln(CAST(f.cnt AS DOUBLE) / tt.tot) * 1000000)
+                  AS BIGINT) AS microlog
+      FROM tok t
+      JOIN freq f ON t.lang = f.lang AND t.token = f.token
+      JOIN tot tt ON t.lang = tt.lang)
+    SELECT doc_id, lang,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           round(CAST(sum(microlog) AS DOUBLE)
+                 / (count(*) * 1000000.0), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id, lang
+    """,
+)
+def c23_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """C23: unigram-LM quality scoring — the classic two-pass corpus
+    move: PASS 1 trains per-language token probabilities (an
+    aggregation), PASS 2 scores every document by its mean token
+    log-probability (gibberish and boilerplate land in the tails;
+    quality pipelines threshold this score). The trained model is
+    vocab-sized → broadcast, so scoring is a map-side join + one
+    groupBy(doc). Cross-engine determinism: JVM log() and libm ln()
+    differ by 1 ulp on ~9% of inputs, so each token contributes
+    round(ln(p)·1e6) as an INTEGER — the per-doc sum is associative
+    (shuffle-order-proof) and absorbs ulp noise; the average divides
+    once at the boundary."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+    freq = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    tot = freq.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    model = freq.join(tot, "lang").select(
+        "lang",
+        "token",
+        (
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("tot")) * 1e6
+            )
+        )
+        .cast("bigint")
+        .alias("microlog"),
+    )
+    scored = tok.join(F.broadcast(model), ["lang", "token"])
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tok"),
+        F.round(
+            F.sum("microlog").cast("double")
+            / (F.count("*") * F.lit(1000000.0)),
+            4,
+        ).alias("avg_logprob"),
+    )
