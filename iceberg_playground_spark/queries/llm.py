@@ -1420,3 +1420,75 @@ def c23_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("avg_logprob"),
     )
+
+
+@query("c24_dedup_clusters")  # xxhash64 bands → engine-native → rows-only
+def c24_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """C24: dedup cluster provenance — the ITERATIVE half of
+    MinHash-LSH dedup. c02 keeps the right survivors (every bucket
+    min is a component min), but its one-hop rep pointer is not
+    transitively closed: in a chain A<B<C where only (A,B) and (B,C)
+    share buckets, C points at B, which itself was dropped. This op
+    closes the mapping by pointer jumping — rep(d) := rep(rep(d))
+    until fixpoint — so every duplicate maps to its cluster's true
+    canonical (the provenance a dedup pipeline records). Distributed
+    Pregel-style supersteps: each round is one self-join on the
+    vocab-small (doc, rep) relation; rounds double the hop distance,
+    so chains of length 2^k close in k rounds. The driver-side loop
+    decides CONTROL FLOW only (a count per round, never data) — the
+    iterative-algorithm class the oracle contract exempts from SQL
+    expression (rows-only by xxhash64 anyway)."""
+    d = load(spark, sf, "documents")
+    sh = d.select("doc_id", _shingles(_tokens()).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    minhashes = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda x, i=i: F.xxhash64(F.lit(i), x))
+        ).alias(f"mh{i}")
+        for i in range(_MINHASH_PERMS)
+    ]
+    sig = sh.select("doc_id", *minhashes)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col(f"mh{b * _LSH_ROWS + r}")
+                            for r in range(_LSH_ROWS)
+                        ],
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("sig"),
+    )
+    bucket_min = F.min("doc_id").over(W.partitionBy("sig"))
+    rep = (
+        bands.withColumn("bmin", bucket_min)
+        .groupBy("doc_id")
+        .agg(F.min("bmin").alias("rep"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(8):  # closes chains up to length 2^8
+        hop = rep.select(
+            F.col("doc_id").alias("rep"), F.col("rep").alias("rep2")
+        )
+        jumped = (
+            rep.join(hop, "rep")
+            .select("doc_id", F.least("rep", "rep2").alias("rep"))
+            .localCheckpoint(eager=False)
+        )
+        if jumped.filter(F.col("rep") != F.col("doc_id")).join(
+            rep.select(F.col("doc_id"), F.col("rep").alias("old")),
+            "doc_id",
+        ).filter(F.col("rep") != F.col("old")).isEmpty():
+            rep = jumped
+            break
+        rep = jumped
+    return rep.select(
+        "doc_id", "rep", (F.col("doc_id") == F.col("rep")).alias("canonical")
+    )

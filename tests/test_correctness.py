@@ -37,3 +37,19 @@ def test_rows_only_runs(spark, name):
     # The driver's smoke contract for oracle-less queries is rows > 0.
     df = registry.QUERIES[name](spark, SF_CHECK)
     assert df.count() > 0
+
+
+def test_dedup_cluster_mapping_is_closed(spark):
+    # c24's contract: rep mapping transitively closed, and its
+    # canonical set is exactly c02's survivor set
+    rows = registry.QUERIES["c24_dedup_clusters"](spark, SF_CHECK).collect()
+    rep = {r["doc_id"]: r["rep"] for r in rows}
+    assert all(rep[v] == rep[rep[v]] for v in rep if rep[v] in rep)
+    canonical = {r["doc_id"] for r in rows if r["canonical"]}
+    kept = {
+        r["doc_id"]
+        for r in registry.QUERIES["c02_minhash_lsh_dedup"](
+            spark, SF_CHECK
+        ).collect()
+    }
+    assert canonical == kept
