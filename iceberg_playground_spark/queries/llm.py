@@ -1,4 +1,7 @@
-"""Layer C — LLM-data-pipeline operators (SURVEY.md §2 C1-C7 + scale ops).
+"""Layer C — LLM-data-pipeline operators (SURVEY.md §2 C1-C24: dedup
+family, similarity search, text analysis, multimodal, corpus assembly
+— split/sample/pack — quantization, decontamination, LM quality
+scoring, iterative cluster provenance).
 
 The reference is an ingestion playground for ML-ish asset data
 (/root/reference/kafka-load-gen/main.go:51-120); the rebuild's mandate

@@ -1,4 +1,4 @@
-"""Layer B — the relational query surface (SURVEY.md §2, B1-B46).
+"""Layer B — the relational query surface (SURVEY.md §2, B1-B46 + B64).
 
 The reference delegates all querying to its bundled spark-iceberg SQL
 service (`/root/reference/docker-compose.yml:58-81`); this module makes

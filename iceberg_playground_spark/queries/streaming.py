@@ -1,4 +1,5 @@
-"""Layer B streaming surface (SURVEY.md §2 B47-B54).
+"""Layer B streaming surface (SURVEY.md §2 B47-B54, + B63 CDC upsert
+sink and B65 stream-stream join).
 
 The reference is, at heart, a streaming-ingest playground: Kafka JSON →
 typed columns → parquet files → interval-batched snapshot commits
