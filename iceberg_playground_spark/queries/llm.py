@@ -1495,3 +1495,63 @@ def c24_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return rep.select(
         "doc_id", "rep", (F.col("doc_id") == F.col("rep")).alias("canonical")
     )
+
+
+@query(
+    "c25_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+           GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+           GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             tf.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                                * 1000000) AS BIGINT) AS score_micro
+      FROM tf JOIN df USING (token) CROSS JOIN n)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score_micro,
+           CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score_micro DESC, token) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def c25_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """C5e: TF-IDF top-3 terms per document — the classic keyword /
+    topical-signature extractor. IDF is trained once over the corpus
+    (vocab-sized, broadcast); scoring is tf × round(ln(N/df)·1e6) in
+    INTEGER space (same ulp-absorbing trick as c23 — ln() differs by
+    1 ulp between JVM and libm on ~9% of inputs), so the ranking and
+    the scores are bit-stable across engines and shuffle orders. The
+    per-doc top-3 window is group-limit-pushable."""
+    d = load(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    n_docs = tok.select("doc_id").distinct().count()
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = df_.select(
+        "token",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6)
+        .cast("bigint")
+        .alias("microidf"),
+    )
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "doc_id",
+        "token",
+        F.col("tf").cast("bigint").alias("tf"),
+        (F.col("tf") * F.col("microidf")).alias("score_micro"),
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), "token"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+    )
