@@ -105,3 +105,12 @@ def test_bucketed_join_needs_no_join_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "SelectedBucketsCount" in plan
     assert plan.count("Exchange") == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["c23_lm_quality_score", "c25_tfidf_top_terms"]
+)
+def test_trained_models_broadcast(spark, name):
+    # the vocab-sized model side must broadcast: a sort-merge join here
+    # would shuffle the full token stream against a tiny relation
+    assert "BroadcastExchange" in _plan(spark, name)
