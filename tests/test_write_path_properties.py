@@ -82,3 +82,62 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
         assert snap_rows(t.read(version=v)) == sorted(
             (n, c) for n, c, _ in st_v
         ), f"version {v} diverged"
+
+
+# ---------------------------------------------------------------------------
+# strict JSON decode vs a plain-Python model of the reference's rules
+# (kafka-bench.rs:261-334: missing required => violation; present but
+# wrong-typed => null, no violation; unparseable => violation)
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+from iceberg_playground_spark.ingest import strict_json_decode
+
+_scalar = st.one_of(
+    st.integers(-10**6, 10**6),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=8,
+    ),
+    st.none(),
+    st.booleans(),
+)
+
+_doc = st.one_of(
+    # well-formed object with a random subset of keys / value types
+    st.fixed_dictionaries(
+        {},
+        optional={"name": _scalar, "count": _scalar, "extra": _scalar},
+    ).map(_json.dumps),
+    st.just("{not json"),
+    st.just(""),
+)
+
+
+def _model_violation(raw: str) -> bool:
+    try:
+        obj = _json.loads(raw) if raw else None
+    except ValueError:
+        return True  # unparseable
+    if not isinstance(obj, dict):
+        return True
+    return "name" not in obj or obj["name"] is None  # required missing
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_doc, min_size=1, max_size=8))
+def test_strict_decode_matches_python_model(spark, docs):
+    df = spark.createDataFrame([(d,) for d in docs], "raw STRING")
+    decoded = strict_json_decode(
+        df, "raw", "name STRING, count INT", required=["name"]
+    ).select("raw", "_strict_violation")
+    got = {
+        r["raw"]: bool(r["_strict_violation"]) for r in decoded.collect()
+    }
+    for d in docs:
+        assert got[d] == _model_violation(d), f"doc={d!r}"
