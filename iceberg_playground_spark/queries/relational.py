@@ -1369,3 +1369,39 @@ def b64_exact_percentile(spark: SparkSession, sf: str) -> DataFrame:
             "n",
         )
     )
+
+
+# One ANSI string both engines execute verbatim — the point of B66.
+_Q3_SQL = """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE)
+             AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@query("b66_raw_sql", oracle=_Q3_SQL)
+def b66_raw_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """B66: the raw-SQL interface — the reference delegates all querying
+    to its bundled Spark SQL service (docker-compose.yml's
+    spark-iceberg), so a switching user's FIRST expectation is to run
+    their SQL strings unchanged. The test tables register as temp views
+    and the EXACT oracle string executes on Spark — same text, two
+    engines, hash-matched answers (TPC-H Q3 shape: segment-filtered
+    3-way join, revenue agg, top-10). Catalyst applies the same
+    pushdown/broadcast/top-k treatment SQL or DataFrame, since both
+    lower to the same logical plan."""
+    from iceberg_playground_spark.session import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_Q3_SQL)
