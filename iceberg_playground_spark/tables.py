@@ -80,11 +80,19 @@ class LakeCatalog:
         )
 
     def create_table(
-        self, ns: str, name: str, ddl: str, drop_if_exists: bool = False
+        self,
+        ns: str,
+        name: str,
+        ddl: str,
+        drop_if_exists: bool = False,
+        partition_by: list[str] | None = None,
     ) -> "LakeTable":
         """Create an empty table with an explicit DDL schema (the
         reference builds schemas field-by-field and never infers —
-        src/main.rs:115-124; neither do we)."""
+        src/main.rs:115-124; neither do we). ``partition_by`` declares
+        an identity partition spec: appends lay files out hive-style
+        (col=value directories) and scan planning prunes whole
+        partitions from the path alone — Iceberg's identity transform."""
         if self.table_exists(ns, name):
             if not drop_if_exists:
                 raise ValueError(f"table {ns}.{name} already exists")
@@ -94,7 +102,7 @@ class LakeCatalog:
         for d in (_SNAP_DIR, _DATA_DIR, _DELETE_DIR):
             os.makedirs(os.path.join(root, d), exist_ok=True)
         with open(os.path.join(root, "schema.json"), "w") as f:
-            json.dump({"ddl": ddl}, f)
+            json.dump({"ddl": ddl, "partition_by": partition_by or []}, f)
         return LakeTable(self.spark, root)
 
     def drop_table(self, ns: str, name: str) -> None:
@@ -117,7 +125,9 @@ class LakeTable:
         self.spark = spark
         self.root = root
         with open(os.path.join(root, "schema.json")) as f:
-            self.ddl = json.load(f)["ddl"]
+            meta = json.load(f)
+        self.ddl = meta["ddl"]
+        self.partition_by: list[str] = meta.get("partition_by", [])
 
     # -- snapshot log --------------------------------------------------------
     def _snap_file(self, version: int) -> str:
@@ -206,7 +216,10 @@ class LakeTable:
         half: parquet files out, DataFile metadata shipped to the
         committer — decouple.rs:112-156). Returns the staged dir."""
         d = os.path.join(self.root, _DATA_DIR, uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(d)
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(d)
         return d
 
     @staticmethod
@@ -223,12 +236,32 @@ class LakeTable:
         overlapping files WITHIN a committed set."""
         import pyarrow.parquet as pq
 
+        def _pval(raw: str):
+            for cast in (int, float):
+                try:
+                    return cast(raw)
+                except ValueError:
+                    pass
+            return raw
+
         per_file: dict[str, dict[str, list]] = {}
-        for fn in os.listdir(staged_dir):
+        walked = (
+            (os.path.relpath(os.path.join(r, fn), staged_dir))
+            for r, _, fns in os.walk(staged_dir)
+            for fn in fns
+        )
+        for fn in walked:
             if not fn.endswith(".parquet"):
                 continue
             md = pq.ParquetFile(os.path.join(staged_dir, fn)).metadata
             bounds: dict[str, list] = {}
+            # hive path components carry the identity-partition values —
+            # a [v, v] bound per partition column, no footer needed
+            for comp in fn.split(os.sep)[:-1]:
+                if "=" in comp:
+                    c, raw = comp.split("=", 1)
+                    v = _pval(raw)
+                    bounds[c] = [v, v]
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
                 for ci in range(row_group.num_columns):
@@ -455,24 +488,22 @@ class LakeTable:
             (d["seq"], json.loads(d["entry"])) for d in snap["delete_files"]
         ]
         # Sequence scoping: a delete applies only to data files with a
-        # strictly lower sequence. Group data files by the set of
-        # deletes that apply to them (equivalently, by which delete
-        # seqs they precede) — each group is one scan + broadcast
-        # anti-joins, unioned. Compaction collapses everything back to
-        # a single group with zero deletes.
-        by_seq: dict[int, list[str]] = {}
-        for f in files:
-            # a pruned entry carries explicit file paths; an unpruned
-            # one is read as its whole directory
-            by_seq.setdefault(f["seq"], []).extend(
-                f.get("paths", [f["path"]])
-            )
+        # strictly lower sequence. Each entry reads with its own
+        # basePath (so hive-partitioned layouts recover the partition
+        # columns) and anti-joins only the deletes that postdate it;
+        # everything unions. Compaction collapses back to one entry
+        # with zero deletes.
+        # declared column order: hive-partitioned reads append partition
+        # columns last, so project back to the schema's order
+        ddl_cols = self.spark.createDataFrame([], ddl).columns
         parts: list[DataFrame] = []
-        for seq, paths in sorted(by_seq.items()):
-            df = self.spark.read.schema(ddl).parquet(*paths)
+        for f in sorted(files, key=lambda x: x["seq"]):
+            r = self.spark.read.schema(ddl).option("basePath", f["path"])
+            paths = f.get("paths") or [f["path"]]
+            df = r.parquet(*paths).select(*ddl_cols)
             by_cols: dict[tuple[str, ...], list[str]] = {}
             for dseq, meta in deletes:
-                if dseq > seq:
+                if dseq > f["seq"]:
                     by_cols.setdefault(tuple(meta["cols"]), []).append(
                         meta["path"]
                     )

@@ -318,3 +318,24 @@ def test_concurrent_committers_both_land(catalog, spark):
     assert t.current_version() == 5  # 1 base + 4 serialized commits
     names = {r["name"] for r in t.read().collect()}
     assert {"T0", "T1", "T2", "T3"} <= names  # nothing lost
+
+
+def test_partitioned_table_layout_and_pruning(catalog, spark):
+    # identity partition spec: hive-style col=value dirs, partition
+    # columns recovered on read, whole partitions pruned from the path
+    t = catalog.create_table(
+        "test_ns", "parted", DDL, drop_if_exists=True,
+        partition_by=["size"],
+    )
+    t.append(spark.createDataFrame(ROWS, DDL))
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == sorted(ROWS)  # partition col round-trips
+    kept, pruned = t.plan_files("size", "small", "small")
+    assert pruned >= 1  # medium/large partitions never opened
+    rows = t.scan_where("size", "small", "small").collect()
+    assert sorted(r["name"] for r in rows) == ["A", "D"]
+    # MoR delete still applies on the partitioned layout
+    t.delete_where("name = 'A'", ["name"])
+    assert sorted(
+        r["name"] for r in t.scan_where("size", "small", "small").collect()
+    ) == ["D"]
