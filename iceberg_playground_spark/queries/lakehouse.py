@@ -235,3 +235,51 @@ def b62_upsert(spark: SparkSession, sf: str) -> DataFrame:
         return spark.createDataFrame(rows, "r_regionkey INT, r_name STRING")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "b67_partition_pruning",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty,
+           1 AS files_kept, 2 AS files_pruned
+    FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def b67_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """B67: identity-partition pruning — lineitem written
+    partition_by=l_returnflag (hive col=value layout); a scan for one
+    flag proves the planner kept exactly that partition's file and
+    never consulted a parquet footer: the [v,v] bound comes from the
+    directory name alone. Iceberg's identity transform; at 100 TB this
+    is the partition-pruning layer under the per-file stats skipping
+    of b61 (they compose: partition prune first, then stats within)."""
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from iceberg_playground_spark.queries._util import dec
+
+    tmp = tempfile.mkdtemp(prefix="ips_lake_b67_")
+    cat = LakeCatalog(spark, tmp)
+    li = load(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+    t = cat.create_table(
+        "demo", "li_parted", "l_returnflag STRING, l_quantity DOUBLE",
+        drop_if_exists=True, partition_by=["l_returnflag"],
+    )
+    # one file per partition value: deterministic plan counts at any
+    # session parallelism (same rationale as b61)
+    t.append(li.coalesce(1))
+    kept, pruned = t.plan_files("l_returnflag", "A", "A")
+    n_kept = sum(len(e.get("paths", [])) or 1 for e in kept)
+    agg = t.scan_where("l_returnflag", "A", "A").agg(
+        _F.count("*").alias("n_rows"),
+        _F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+    return agg.select(
+        "n_rows",
+        "sum_qty",
+        _F.lit(n_kept).cast("int").alias("files_kept"),
+        _F.lit(pruned).cast("int").alias("files_pruned"),
+    )
