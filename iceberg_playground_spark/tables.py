@@ -326,9 +326,30 @@ class LakeTable:
         under, so `VERSION AS OF` reads replay the old shape."""
         self.ddl = f"{self.ddl}, {name} {dtype}"
         with open(os.path.join(self.root, "schema.json"), "w") as f:
-            json.dump({"ddl": self.ddl}, f)
+            json.dump(
+                {"ddl": self.ddl, "partition_by": self.partition_by}, f
+            )
         return self._commit(
             [], [], {"operation": "add-column", "column": f"{name} {dtype}"}
+        )
+
+    def set_partition_spec(self, partition_by: list[str]) -> int:
+        """Partition evolution (Iceberg's marquee advantage over hive
+        tables): change the spec for FUTURE appends only — existing
+        file sets keep their layout and stay fully readable, because
+        every snapshot entry reads with its own basePath and projects
+        the declared schema (an old unpartitioned file carries the
+        column as data; a new hive-layout file recovers it from the
+        path). Metadata-only commit; no data file is touched or
+        rewritten."""
+        self.partition_by = list(partition_by)
+        with open(os.path.join(self.root, "schema.json"), "w") as f:
+            json.dump(
+                {"ddl": self.ddl, "partition_by": self.partition_by}, f
+            )
+        return self._commit(
+            [], [],
+            {"operation": "set-partition-spec", "spec": self.partition_by},
         )
 
     def upsert(self, df: DataFrame, equality_cols: list[str]) -> int:

@@ -339,3 +339,22 @@ def test_partitioned_table_layout_and_pruning(catalog, spark):
     assert sorted(
         r["name"] for r in t.scan_where("size", "small", "small").collect()
     ) == ["D"]
+
+
+def test_partition_evolution_mixed_layouts(catalog, spark):
+    # Iceberg partition evolution: spec changes apply to FUTURE appends;
+    # old unpartitioned files stay readable untouched, and both layouts
+    # serve one coherent table
+    t = _table(catalog, spark)  # v1: unpartitioned
+    t.set_partition_spec(["size"])  # v2: metadata-only
+    t.append(spark.createDataFrame([("F", "large", 7), ("G", "small", 3)], DDL))
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == sorted(ROWS + [("F", "large", 7), ("G", "small", 3)])
+    # pruning: the old entry has footer bounds, the new one path bounds
+    kept, pruned = t.plan_files("size", "large", "large")
+    assert pruned >= 1  # at least the new entry's small partition
+    rows = t.scan_where("size", "large", "large").collect()
+    assert sorted(r["name"] for r in rows) == ["E", "F"]
+    # deletes still span both layouts
+    t.delete_where("size = 'large'", ["name"])
+    assert t.read().filter("size = 'large'").count() == 0
