@@ -370,10 +370,42 @@ class LakeTable:
             {"operation": "upsert"},
         )
 
+    def _zvalue(self, df: DataFrame, cols: list[str], bits: int = 16):
+        """Z-order key: min-max normalize each column to a ``bits``-wide
+        integer rank, then interleave the bits. Files cut along z-order
+        cover small HYPER-RECTANGLES of the key space, so per-file
+        bounds tighten on EVERY z-column at once — a single-key sort
+        clusters only its own column. The min/max pre-pass is one tiny
+        aggregate (2×|cols| scalars to the driver — metadata, not
+        data)."""
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).first()
+        top = (1 << bits) - 1
+        ranks = []
+        for c in cols:
+            mn, mx = float(row[f"mn_{c}"]), float(row[f"mx_{c}"])
+            span = (mx - mn) or 1.0
+            ranks.append(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span)
+                    * F.lit(float(top))
+                ).cast("bigint")
+            )
+        z = F.lit(0).cast("bigint")
+        for k in range(bits):
+            for i, r in enumerate(ranks):
+                bit = F.shiftright(r, k).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(bit, k * len(ranks) + i)
+        return z
+
     def compact(
         self,
         target_files: int | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Rewrite-data-files compaction: materialize the current MoR
         view (deletes applied) into a fresh file set and commit a
@@ -386,9 +418,20 @@ class LakeTable:
         ``sort_by`` = rewrite with a sort order (range-partition then
         sort within files): each output file covers a narrow range of
         the sort keys, so the per-file bounds turn bounded scans into
-        opening a handful of files — Iceberg's sort-order rewrite."""
+        opening a handful of files — Iceberg's sort-order rewrite.
+        ``zorder_by`` = multi-dimensional clustering on the interleaved
+        key (see _zvalue): bounds tighten on all listed columns at
+        once — Iceberg/Delta's OPTIMIZE ZORDER."""
         df = self.read()
-        if sort_by:
+        if zorder_by:
+            z = self._zvalue(df, zorder_by)
+            df = (
+                df.withColumn("_z", z)
+                .repartitionByRange(target_files or 8, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif sort_by:
             df = df.repartitionByRange(
                 target_files or 8, *sort_by
             ).sortWithinPartitions(*sort_by)

@@ -358,3 +358,25 @@ def test_partition_evolution_mixed_layouts(catalog, spark):
     # deletes still span both layouts
     t.delete_where("size = 'large'", ["name"])
     assert t.read().filter("size = 'large'").count() == 0
+
+
+def test_zorder_compaction_clusters_both_columns(catalog, spark):
+    # z-order: files cover hyper-rectangles, so BOTH columns prune; a
+    # single-key sort clusters only its own column
+    ddl2 = "x INT, y INT"
+    grid = [(x, y) for x in range(32) for y in range(32)]
+    tz = catalog.create_table("test_ns", "zt", ddl2, drop_if_exists=True)
+    tz.append(spark.createDataFrame(grid, ddl2))
+    tz.compact(target_files=16, zorder_by=["x", "y"])
+    _, px = tz.plan_files("x", 0, 3)
+    _, py = tz.plan_files("y", 0, 3)
+    assert px >= 8 and py >= 8  # both dimensions skip most files
+    assert sorted(
+        (r["x"], r["y"]) for r in tz.scan_where("x", 0, 3).collect()
+    ) == sorted((x, y) for x, y in grid if x <= 3)
+    # control: sort by x only -> y bounds stay full-range in every file
+    ts = catalog.create_table("test_ns", "st", ddl2, drop_if_exists=True)
+    ts.append(spark.createDataFrame(grid, ddl2))
+    ts.compact(target_files=16, sort_by=["x"])
+    _, py_sorted = ts.plan_files("y", 0, 3)
+    assert py_sorted == 0
