@@ -70,6 +70,20 @@ class LakeCatalog:
     def namespace_exists(self, ns: str) -> bool:
         return os.path.isdir(os.path.join(self.warehouse, ns))
 
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def list_tables(self, ns: str) -> list[str]:
+        base = os.path.join(self.warehouse, ns)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            t for t in os.listdir(base) if self.table_exists(ns, t)
+        )
+
     # -- table DDL (A2: src/lib.rs:54-78, src/main.rs:98-135) ----------------
     def table_path(self, ns: str, name: str) -> str:
         return os.path.join(self.warehouse, ns, name)

@@ -380,3 +380,11 @@ def test_zorder_compaction_clusters_both_columns(catalog, spark):
     ts.compact(target_files=16, sort_by=["x"])
     _, py_sorted = ts.plan_files("y", 0, 3)
     assert py_sorted == 0
+
+
+def test_catalog_listing(catalog, spark):
+    _table(catalog, spark, name="la")
+    _table(catalog, spark, name="lb")
+    assert "test_ns" in catalog.list_namespaces()
+    assert {"la", "lb"} <= set(catalog.list_tables("test_ns"))
+    assert catalog.list_tables("nope") == []
