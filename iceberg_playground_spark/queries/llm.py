@@ -1348,7 +1348,7 @@ def c22_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         .when(b < 95, "val")
         .otherwise("test")
         .alias("split"),
-    )
+    ).localCheckpoint(eager=False)  # one shingle pass feeds both splits
     train = (
         fp.filter(F.col("split") == "train")
         .groupBy("fingerprint")
@@ -1401,7 +1401,13 @@ def c23_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     once at the boundary."""
     d = load(spark, sf, "documents")
     tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
-    freq = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    # vocab-sized; checkpointed so tot + model share ONE tokenize pass
+    # (train pass) and the scoring join is the only other corpus scan
+    freq = (
+        tok.groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     tot = freq.groupBy("lang").agg(F.sum("cnt").alias("tot"))
     model = freq.join(tot, "lang").select(
         "lang",
@@ -1531,11 +1537,16 @@ def c25_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     per-doc top-3 window is group-limit-pushable."""
     d = load(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    n_docs = tok.select("doc_id").distinct().count()
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
+    # tf is (doc, distinct-token) sized and checkpointed: df derives
+    # from it (one row per doc-token => count = doc frequency), so the
+    # corpus is tokenized exactly once
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    n_docs = tf.select("doc_id").distinct().count()
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     idf = df_.select(
         "token",
         F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6)
