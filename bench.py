@@ -43,9 +43,17 @@ HEADLINE = [
     "c05_text_analysis",
     "c16_training_pipeline",
     "c20_corpus_build",
+    # heavy dedup/ANN ops — the operators most likely to regress (each
+    # moved >2x during round-2 plan work), per the round-2 audit
+    "c08_simhash",
+    "c09_ngram_jaccard",
+    "c10_embedding_near_dup",
+    # lakehouse layout paths: bucketed co-located join + stats skipping
+    "b60_bucketed_join",
+    "b61_data_skipping",
     # streaming ingest path — the reference's own benchmark subject
     # (bench-kafka.rs stage timers): stream → decode → files → commit
-    "b47_tumbling_window",
+    "b68_tumbling_window",
     "b54_stream_lakehouse_sink",
 ]
 

@@ -44,6 +44,33 @@ from pyspark.sql import functions as F
 from iceberg_playground_spark.session import load  # noqa: F401  (re-export)
 
 
+# Flagship (b21) oracle SQL — shared by relational.b21_pricing_summary and
+# lakehouse.b06_parquet_sink (the sink round-trip must reproduce the
+# flagship bit-for-bit), kept here so neither module imports the other:
+# registration order is a driver-facing contract (registry.load_all).
+B21_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        AS sum_base_price,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(6,4)))
+           AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(6,4))
+               * CAST(1 + CAST(l_tax AS DECIMAL(5,4)) AS DECIMAL(6,4)))
+           AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity)
+        AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        / count(l_extendedprice) AS avg_price,
+      CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
 def dec(col: str | Column, scale: int = 4, precision: int = 18) -> Column:
     """Lossless decimal view of an exact-2dp double column."""
     c = F.col(col) if isinstance(col, str) else col

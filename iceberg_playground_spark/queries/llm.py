@@ -1545,11 +1545,16 @@ def c25_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=False)
     )
-    n_docs = tf.select("doc_id").distinct().count()
+    # N as a LAZY 1-row aggregate folded in via crossJoin(broadcast) —
+    # exactly the oracle's CROSS JOIN n. Computing it with an eager
+    # .count() here would run a full corpus pass at query-CONSTRUCTION
+    # time (a cluster job before the returned plan ever executes) and a
+    # second at execution — the round-2 audit's flagged anti-pattern.
+    n = tf.select(F.countDistinct("doc_id").cast("double").alias("n_docs"))
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
-    idf = df_.select(
+    idf = df_.crossJoin(F.broadcast(n)).select(
         "token",
-        F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6)
+        F.round(F.log(F.col("n_docs") / F.col("df")) * 1e6)
         .cast("bigint")
         .alias("microidf"),
     )

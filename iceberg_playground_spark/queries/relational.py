@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from iceberg_playground_spark.queries._util import dec, dsum, load
+from iceberg_playground_spark.queries._util import B21_ORACLE, dec, dsum, load
 from iceberg_playground_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -440,30 +440,7 @@ def b20_star_join(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "b21_pricing_summary",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-        AS sum_base_price,
-      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-               * CAST(1 - CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(6,4)))
-           AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price,
-      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-               * CAST(1 - CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(6,4))
-               * CAST(1 + CAST(l_tax AS DECIMAL(5,4)) AS DECIMAL(6,4)))
-           AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity)
-        AS avg_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-        / count(l_extendedprice) AS avg_price,
-      CAST(count(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
+@query("b21_pricing_summary", oracle=B21_ORACLE)
 def b21_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """B21 (flagship): TPC-H Q1-shaped pricing summary — filter → hash
     aggregate (map-side partial + final) → 6 aggregates over 2 group keys.

@@ -104,7 +104,7 @@ _CENTS = "CAST(round(value * 100) AS BIGINT)"
 
 
 @query(
-    "b47_tumbling_window",
+    "b68_tumbling_window",  # SURVEY B47; renamed: b47 = json_funcs pack
     oracle=f"""
     SELECT strftime(to_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
                                  // 600 * 600), '{_TS_FMT_DUCK}') AS win_start,
@@ -114,7 +114,7 @@ _CENTS = "CAST(round(value * 100) AS BIGINT)"
     GROUP BY win_start
     """,
 )
-def b47_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+def b68_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     """B47: tumbling 10-minute window aggregation on the stream.
     Stateful hash agg keyed by (window): partial aggregation happens
     per micro-batch map-side; the state store holds one row per open
@@ -133,7 +133,7 @@ def b47_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "b48_sliding_window",
+    "b69_sliding_window",  # SURVEY B48; renamed: b48 = hash_funcs pack
     oracle=f"""
     WITH starts AS (
       SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 300 * 300 AS s1,
@@ -147,7 +147,7 @@ def b47_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     FROM expanded GROUP BY win_s
     """,
 )
-def b48_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+def b69_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     """B48: sliding window (10 min length, 5 min slide) — every event
     lands in exactly 2 windows; Spark expands then aggregates, state =
     one row per open window. The oracle mirrors the expansion
@@ -168,7 +168,7 @@ def b48_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "b49_session_window",
+    "b70_session_window",  # SURVEY B49; renamed: b49 = idgen
     oracle=f"""
     WITH o AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -192,7 +192,7 @@ def b48_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     FROM g GROUP BY user_id, grp
     """,
 )
-def b49_session_window(spark: SparkSession, sf: str) -> DataFrame:
+def b70_session_window(spark: SparkSession, sf: str) -> DataFrame:
     """B49: session windows (5-minute inactivity gap) per user. Spark
     merges events into [first, last+gap) sessions in the state store —
     state is per OPEN session and closes as the watermark passes, so
@@ -243,15 +243,19 @@ def b50_watermark_late_drop(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b51_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """B51: streaming dedup — dropDuplicates on (user_id, event_type)
-    with a watermark bounding the dedup state (keys older than the
-    watermark evict; without it, state grows forever — the 100 TB
-    failure mode). Emitting only the key columns makes the result
-    order-independent and exactly SELECT DISTINCT on bounded input."""
-    ev = _stream_events(spark, sf).withWatermark("ts", "1 day")
-    deduped = ev.dropDuplicates(["user_id", "event_type"]).select(
-        "user_id", "event_type"
-    )
+    """B51: streaming dedup via ``dropDuplicatesWithinWatermark`` —
+    plain ``dropDuplicates`` only evicts state when the event-time
+    column is part of the dedup key, so on keys (user_id, event_type)
+    its state grows forever on an unbounded stream (the 100 TB failure
+    mode). The WithinWatermark variant evicts each key once the
+    watermark passes its first-seen time + delay, bounding state while
+    guaranteeing dedup for duplicates arriving within the delay. The
+    31-day delay covers the fixture's full 30-day span, so no key ever
+    re-emits and the drained result is exactly SELECT DISTINCT."""
+    ev = _stream_events(spark, sf).withWatermark("ts", "31 days")
+    deduped = ev.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
     return _run_to_memory(deduped, mode="append")
 
 
@@ -474,17 +478,25 @@ def b63_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
         seen = spark.sparkContext.accumulator(0)
 
         def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            n = batch_df.count()
-            seen.add(n)
-            if n == 0:
-                return
-            w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
-            last = (
-                batch_df.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-            )
-            t.upsert(last, ["user_id"])
+            # cache: the count and the window+upsert below share ONE
+            # evaluation of the micro-batch source (uncached, the upsert
+            # would recompute the batch from scratch — an extra full
+            # pass per epoch, the round-2 audit's flagged anti-pattern)
+            batch_df.persist()
+            try:
+                n = batch_df.count()
+                seen.add(n)
+                if n == 0:
+                    return
+                w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+                last = (
+                    batch_df.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .drop("rn")
+                )
+                t.upsert(last, ["user_id"])
+            finally:
+                batch_df.unpersist()
 
         q = (
             ev.writeStream.foreachBatch(sink_batch)

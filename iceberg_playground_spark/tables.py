@@ -173,13 +173,35 @@ class LakeTable:
         summary: dict,
         retries: int = 5,
         replace: bool = False,
+        base: int | None = None,
+        ddl: str | None = None,
     ) -> int:
         """Optimistic snapshot commit: write-temp + atomic rename; on a
         version collision, re-read HEAD and retry (Iceberg-style CAS).
         ``replace=True`` commits the given file set INSTEAD of extending
-        the parent's (rewrite/compaction semantics)."""
+        the parent's (rewrite/compaction semantics). A replace MUST pass
+        ``base`` = the version its rewritten file set was read from: an
+        append/delete retry is safe to replay on a newer HEAD (its files
+        just extend whatever is there), but replaying a REPLACE on a HEAD
+        it never read would silently erase the concurrently committed
+        data — a lost update. Iceberg's rewrite_data_files validates the
+        same way and fails the rewrite; here that surfaces as
+        CommitConflict so the caller re-reads and re-compacts.
+        ``ddl`` stamps the snapshot with a schema other than the current
+        one (schema-evolution commits pass the NEW ddl; table metadata on
+        disk is only updated after the commit lands)."""
+        entry_ddl = self.ddl if ddl is None else ddl
         for _ in range(retries):
             head = self.current_version()
+            if replace:
+                if base is None:
+                    raise ValueError("replace commit requires base version")
+                if head != base:
+                    raise CommitConflict(
+                        f"replace commit read v{base} but HEAD is now "
+                        f"v{head} in {self.root}: concurrent commit would "
+                        "be erased; re-read and retry the rewrite"
+                    )
             snap = self.snapshot(head)
             # Every file entry carries the sequence (= version) that
             # committed it: the read path scopes equality deletes to
@@ -196,7 +218,7 @@ class LakeTable:
             entry = {
                 "version": seq,
                 "parent": head,
-                "ddl": self.ddl,  # the schema this snapshot serves
+                "ddl": entry_ddl,  # the schema this snapshot serves
                 "data_files": (
                     new_data if replace else snap["data_files"] + new_data
                 ),
@@ -337,15 +359,30 @@ class LakeTable:
         column because every scan projects the snapshot's declared
         schema onto the files (parquet schema projection fills missing
         fields). Each snapshot records the schema it was committed
-        under, so `VERSION AS OF` reads replay the old shape."""
-        self.ddl = f"{self.ddl}, {name} {dtype}"
+        under, so `VERSION AS OF` reads replay the old shape.
+
+        Commit-then-publish ordering: the snapshot carrying the new ddl
+        must land BEFORE table metadata changes — mutating schema.json
+        (or self.ddl) first would leave the table's declared schema
+        changed with no snapshot recording it if the commit ultimately
+        loses its CAS races, and concurrent readers would see the new
+        schema attributed to old snapshots."""
+        new_ddl = f"{self.ddl}, {name} {dtype}"
+        v = self._commit(
+            [], [],
+            {"operation": "add-column", "column": f"{name} {dtype}"},
+            ddl=new_ddl,
+        )
+        self.ddl = new_ddl
+        self._write_meta()
+        return v
+
+    def _write_meta(self) -> None:
+        """Publish current table metadata (after a successful commit)."""
         with open(os.path.join(self.root, "schema.json"), "w") as f:
             json.dump(
                 {"ddl": self.ddl, "partition_by": self.partition_by}, f
             )
-        return self._commit(
-            [], [], {"operation": "add-column", "column": f"{name} {dtype}"}
-        )
 
     def set_partition_spec(self, partition_by: list[str]) -> int:
         """Partition evolution (Iceberg's marquee advantage over hive
@@ -355,16 +392,16 @@ class LakeTable:
         the declared schema (an old unpartitioned file carries the
         column as data; a new hive-layout file recovers it from the
         path). Metadata-only commit; no data file is touched or
-        rewritten."""
-        self.partition_by = list(partition_by)
-        with open(os.path.join(self.root, "schema.json"), "w") as f:
-            json.dump(
-                {"ddl": self.ddl, "partition_by": self.partition_by}, f
-            )
-        return self._commit(
+        rewritten. Same commit-then-publish ordering as add_column: the
+        spec flips for future appends only after the commit lands."""
+        new_spec = list(partition_by)
+        v = self._commit(
             [], [],
-            {"operation": "set-partition-spec", "spec": self.partition_by},
+            {"operation": "set-partition-spec", "spec": new_spec},
         )
+        self.partition_by = new_spec
+        self._write_meta()
+        return v
 
     def upsert(self, df: DataFrame, equality_cols: list[str]) -> int:
         """MERGE-shaped single transaction: equality-delete the incoming
@@ -435,8 +472,16 @@ class LakeTable:
         opening a handful of files — Iceberg's sort-order rewrite.
         ``zorder_by`` = multi-dimensional clustering on the interleaved
         key (see _zvalue): bounds tighten on all listed columns at
-        once — Iceberg/Delta's OPTIMIZE ZORDER."""
-        df = self.read()
+        once — Iceberg/Delta's OPTIMIZE ZORDER.
+
+        Conflict safety: the rewrite is pinned to the version it READ.
+        If a concurrent append/delete lands between the read and the
+        commit, the replace raises CommitConflict rather than replaying
+        onto the new HEAD (which would erase the concurrent commit —
+        see _commit). Callers re-read and re-compact; compaction is
+        maintenance, losing the race must never lose data."""
+        base = self.current_version()
+        df = self.read(version=base)
         if zorder_by:
             z = self._zvalue(df, zorder_by)
             df = (
@@ -454,7 +499,7 @@ class LakeTable:
         d = os.path.join(self.root, _DATA_DIR, uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(d)
         return self._commit(
-            [d], [], {"operation": "compact"}, replace=True
+            [d], [], {"operation": "compact"}, replace=True, base=base
         )
 
     # -- scan planning -------------------------------------------------------
@@ -496,33 +541,51 @@ class LakeTable:
         df = self._assemble(kept, version)
         return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
-    def expire_snapshots(self, keep_last: int) -> dict:
+    def expire_snapshots(
+        self, keep_last: int, orphan_older_than_s: float = 3 * 24 * 3600
+    ) -> dict:
         """Retention maintenance (Iceberg expire_snapshots + orphan file
         cleanup): drop snapshot entries older than the newest
         ``keep_last`` versions and delete data/delete directories no
         surviving snapshot references. Time travel to expired versions
         then fails by design; live reads are untouched. Returns a
-        summary {expired_versions, removed_dirs}."""
+        summary {expired_versions, removed_dirs}.
+
+        Staged-but-uncommitted protection: a directory referenced by NO
+        snapshot is not necessarily dead — it may be stage_append output
+        a BatchedCommitter still holds pending; deleting it here would
+        destroy that data before its commit. Dirs known dead (referenced
+        only by expired snapshots) are removed unconditionally; wholly
+        untracked dirs are removed only when older than
+        ``orphan_older_than_s`` — Iceberg's remove_orphan_files
+        ``olderThan`` grace (default 3 days, as upstream)."""
         vs = self.versions()
         keep = set(vs[-keep_last:]) if keep_last else set(vs)
         expired = [v for v in vs if v not in keep]
         live: set[str] = set()
-        for v in keep:
+        dead: set[str] = set()
+        for v in vs:
             snap = self.snapshot(v)
-            live.update(f["path"] for f in snap["data_files"])
-            live.update(
+            tgt = live if v in keep else dead
+            tgt.update(f["path"] for f in snap["data_files"])
+            tgt.update(
                 json.loads(d["entry"])["path"] for d in snap["delete_files"]
             )
+        dead -= live
+        cutoff = time.time() - orphan_older_than_s
         removed = 0
         for sub in (_DATA_DIR, _DELETE_DIR):
             base = os.path.join(self.root, sub)
             for d in os.listdir(base):
                 p = os.path.join(base, d)
-                if p not in live:
-                    import shutil
+                if p in live:
+                    continue
+                if p not in dead and os.path.getmtime(p) > cutoff:
+                    continue  # untracked + recent: possibly staged
+                import shutil
 
-                    shutil.rmtree(p, ignore_errors=True)
-                    removed += 1
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
         for v in expired:
             os.unlink(self._snap_file(v))
         return {"expired_versions": expired, "removed_dirs": removed}

@@ -165,6 +165,18 @@ def test_strict_json_wrong_type_nulls(spark):
     assert row[0] is None
 
 
+def test_strict_json_present_null_is_not_missing(spark):
+    # a present explicit null is the wrong-typed case (silent NULL via
+    # the as_i64 path), NOT the missing-field error — get_json_object
+    # can't tell the two apart; json_object_keys can
+    df = spark.createDataFrame(
+        [('{"name": null, "count": 2}',), ('{"count": 3}',)], "raw STRING"
+    )
+    decoded = strict_json_decode(df, "raw", "name STRING, count INT", ["name"])
+    with pytest.raises(ValueError, match="1 row"):  # only the absent one
+        validate(decoded)
+
+
 def test_strict_json_malformed_raises(spark):
     df = spark.createDataFrame([("{nope",)], "raw STRING")
     decoded = strict_json_decode(df, "raw", "name STRING, count INT", ["name"])
@@ -286,6 +298,73 @@ def test_expire_snapshots_removes_orphans(catalog, spark):
     assert t.read().count() == before  # live read untouched
     with pytest.raises(FileNotFoundError):
         t.read(version=1)  # expired history is gone by design
+
+
+def test_compact_conflicts_instead_of_erasing_concurrent_commit(
+    catalog, spark
+):
+    # a replace commit whose read predates a concurrent append must NOT
+    # land (it would erase the append's rows — lost update); Iceberg's
+    # rewrite_data_files validates the same way
+    from iceberg_playground_spark.tables import CommitConflict
+
+    t = _table(catalog, spark)  # v1
+    base = t.current_version()
+    rewritten = t.read(version=base).coalesce(1)
+    staged = t.stage_append(rewritten)
+    # concurrent append lands between compaction's read and its commit
+    t.append(spark.createDataFrame([("F", "l", 7)], DDL))  # v2
+    with pytest.raises(CommitConflict, match="replace"):
+        t._commit(
+            [staged], [], {"operation": "compact"}, replace=True, base=base
+        )
+    assert t.read().count() == 6  # the concurrent append survived
+    # re-read and re-compact succeeds and keeps everything
+    t.compact(target_files=1)
+    assert t.read().count() == 6
+
+
+def test_schema_metadata_published_only_after_commit(
+    catalog, spark, monkeypatch
+):
+    # a failed add_column commit must leave schema.json (and a concurrent
+    # reader's view) untouched — commit-then-publish ordering
+    import json as _json
+    import os
+
+    from iceberg_playground_spark import tables as tables_mod
+    from iceberg_playground_spark.tables import CommitConflict
+
+    t = _table(catalog, spark)  # v1
+
+    def always_lose(src, dst):
+        raise FileExistsError(dst)  # every CAS attempt loses its race
+
+    monkeypatch.setattr(tables_mod.os, "link", always_lose)
+    with pytest.raises(CommitConflict):
+        t.add_column("origin", "STRING")
+    monkeypatch.undo()
+    with open(os.path.join(t.root, "schema.json")) as f:
+        on_disk = _json.load(f)
+    assert "origin" not in on_disk["ddl"]  # metadata not pre-published
+    assert "origin" not in t.ddl
+
+
+def test_expire_spares_staged_uncommitted_dirs(catalog, spark):
+    # stage_append output pending in a BatchedCommitter must survive
+    # retention: it's referenced by no snapshot yet, but deleting it
+    # would destroy the data before its commit (remove_orphan_files
+    # olderThan grace)
+    t = _table(catalog, spark)  # v1
+    t.append(spark.createDataFrame([("F", "l", 7)], DDL))  # v2
+    c = BatchedCommitter(t, interval_s=3600)
+    c.add(t.stage_append(spark.createDataFrame([("G", "l", 8)], DDL)))
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired_versions"] == [1]
+    assert out["removed_dirs"] == 0  # staged dir is untracked + recent
+    v = c.flush()  # the pending stage still commits intact
+    assert v == 3
+    assert t.read().count() == 7
 
 
 def test_concurrent_committers_both_land(catalog, spark):

@@ -122,7 +122,10 @@ def _model_violation(raw: str) -> bool:
         return True  # unparseable
     if not isinstance(obj, dict):
         return True
-    return "name" not in obj or obj["name"] is None  # required missing
+    # reference asymmetry (kafka-bench.rs:277-299): only an ABSENT
+    # required key errors; a present explicit null (or wrong-typed
+    # value) decodes to silent NULL
+    return "name" not in obj
 
 
 @settings(
