@@ -1,5 +1,12 @@
 """Round-3 training-data-pipeline extensions (Layer C continuation).
 
+Five operators a large-scale corpus build needs beyond the c01-c25
+set: intra-document repetition scoring, PII-style scrubbing,
+cross-document chunk-level dedup, length-curriculum binning, and
+domain-mix rebalancing. Each is a registered driver query with a
+DuckDB oracle; every formula is written as the SAME expression tree in
+both engines so double arithmetic is bit-identical.
+
 Registered after the never-graded legacy block (llm, lakehouse,
 streaming, udfs) and before the relational surface already proven in
 rounds 1-2 — see registry.load_all for why order matters.
@@ -7,8 +14,303 @@ rounds 1-2 — see registry.load_all for why order matters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from iceberg_playground_spark.queries._util import load
 from iceberg_playground_spark.registry import query
+
+
+def _words(col: str = "text") -> Column:
+    """Whitespace tokens (documents.text is single-spaced)."""
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "p01_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             len(ws) AS n_words,
+             len(list_distinct(ws)) AS n_distinct,
+             list_max(list_transform(list_distinct(ws),
+                      w -> len(list_filter(ws, x -> x = w)))) AS top_cnt
+      FROM w
+    )
+    SELECT doc_id, source,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(top_cnt AS DOUBLE) / n_words AS top_word_share
+    FROM m
+    WHERE CAST(top_cnt AS DOUBLE) / n_words <= 0.2
+    """,
+)
+def p01_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition filter: drop documents dominated by a
+    single repeated token (the classic n-gram-repetition quality gate a
+    corpus build runs before anything cross-document). The signal —
+    top-word share = max term frequency / length — is computed entirely
+    with JVM array higher-order functions per row: transform over the
+    distinct tokens counts each one with a nested filter, array_max
+    takes the mode. Zero shuffle, zero state, no UDF; at 100 TB this is
+    a narrow map over the scan with the residual filter pushed into the
+    same stage. (Per-row cost is O(distinct x len) — bounded, since a
+    repetition-heavy doc is exactly one with FEW distinct tokens.)
+
+    Reference has no quality layer; pipeline ops extend SURVEY §2
+    Layer C (brief's dedup/text-analysis mandate)."""
+    d = load(spark, sf, "documents")
+    ws = _words()
+    distinct = F.array_distinct(ws)
+    top_cnt = F.array_max(
+        F.transform(
+            distinct,
+            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        )
+    )
+    m = d.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.size(distinct).cast("bigint").alias("n_distinct"),
+        top_cnt.alias("top_cnt"),
+    )
+    share = F.col("top_cnt").cast("double") / F.col("n_words")
+    return (
+        m.withColumn("top_word_share", share)
+        .filter(F.col("top_word_share") <= 0.2)
+        .drop("top_cnt")
+    )
+
+
+@query(
+    "p02_pii_scrub",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_hits
+    FROM events
+    WHERE len(regexp_extract_all(props, '[0-9]+')) > 0
+    """,
+)
+def p02_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII-style scrubbing: redact numeric literals from the events
+    payload (stand-in for the id/phone/account patterns a real corpus
+    scrub removes — same plumbing, container-safe pattern) and count
+    redactions per record. regexp_replace + regexp_count are JVM
+    whole-stage-codegen expressions: a pure narrow map, zero shuffle,
+    no UDF; at 100 TB the scrub runs inside the scan stage and the
+    WHERE prunes clean records before any downstream exchange. The
+    regex stays in the POSIX-class subset Java and RE2 interpret
+    identically, so the oracle is exact."""
+    e = load(spark, sf, "events")
+    hits = F.regexp_count(F.col("props"), F.lit("[0-9]+"))
+    return (
+        e.select(
+            "event_id",
+            F.regexp_replace("props", "[0-9]+", "<NUM>").alias("scrubbed"),
+            hits.cast("int").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+_CHUNK = 10  # words per chunk (sentence-sized at this vocabulary)
+
+
+@query(
+    "p03_chunk_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(ws, i * {_CHUNK} + 1, i * {_CHUNK} + {_CHUNK}),
+               ' ') AS chunk
+      FROM w, UNNEST(range(CAST(ceil(len(ws) / {_CHUNK}.0) AS BIGINT)))
+             AS t(i)
+    ),
+    n AS (
+      SELECT doc_id,
+             count(*) OVER (PARTITION BY chunk) AS occ
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_ratio
+    FROM n GROUP BY doc_id
+    """,
+)
+def p03_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document chunk-level dedup scoring (the line-dedup pass of
+    CCNet/fineweb-style pipelines, at sentence granularity): split each
+    document into fixed 10-word chunks, count global occurrences of
+    each chunk, and report per-document duplicated-chunk ratio —
+    downstream filters drop docs whose content is mostly boilerplate
+    seen elsewhere.
+
+    Plan: chunking is a per-row JVM transform (sequence + slice +
+    array_join — no UDF), then ONE shuffle keyed by the chunk for the
+    occurrence window and one partial-agg shuffle back on doc_id. No
+    join back to the corpus: the window formulation keeps the
+    exploded chunk relation single-pass. At 100 TB the chunk exchange
+    hashes sentence-sized strings; the scale lever (documented, not
+    needed at test SF) is shuffling xxhash64(chunk) instead of the
+    text, shrinking exchange rows to 8 bytes + ids."""
+    d = load(spark, sf, "documents")
+    ws = _words()
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size(ws) / F.lit(float(_CHUNK))).cast("int") - 1,
+        ),
+        lambda i: F.array_join(
+            F.slice(ws, i * _CHUNK + 1, _CHUNK), " "
+        ),
+    )
+    c = d.select("doc_id", F.explode(chunks).alias("chunk"))
+    occ = F.count("*").over(W.partitionBy("chunk"))
+    n = c.select("doc_id", occ.alias("occ"))
+    dup = F.when(F.col("occ") > 1, 1).otherwise(0)
+    return n.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+        (F.sum(dup).cast("double") / F.count("*")).alias("dup_ratio"),
+    )
+
+
+@query(
+    "p04_curriculum_bins",
+    oracle="""
+    WITH q AS (
+      SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
+      FROM documents GROUP BY lang
+    ),
+    j AS (
+      SELECT d.lang, d.n_chars,
+             1 + CAST(d.n_chars > qs[1] AS INT)
+               + CAST(d.n_chars > qs[2] AS INT)
+               + CAST(d.n_chars > qs[3] AS INT) AS bin
+      FROM documents d JOIN q USING (lang)
+    )
+    SELECT lang, bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM j GROUP BY lang, bin
+    """,
+)
+def p04_curriculum_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-curriculum binning: assign every document to a per-language
+    length quartile (short -> long training schedule) and summarize the
+    bins. Deliberately NOT ntile: a window partitioned by language puts
+    an entire language's corpus into one task — the exact thing that
+    dies at 100 TB. Instead the exact quartile boundaries are computed
+    as a tiny per-language aggregate (|langs| rows), broadcast back,
+    and binning becomes a map-side comparison against three doubles —
+    the same two-phase shape percentile_approx + binning takes on a
+    real cluster, here with exact quantiles so the oracle can match
+    bit-for-bit (interpolated quarter-fractions of integers are exact
+    in binary doubles)."""
+    d = load(spark, sf, "documents")
+    q = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))").alias("qs")
+    )
+    j = d.join(F.broadcast(q), "lang")
+    b = (
+        F.lit(1)
+        + (F.col("n_chars") > F.col("qs")[0]).cast("int")
+        + (F.col("n_chars") > F.col("qs")[1]).cast("int")
+        + (F.col("n_chars") > F.col("qs")[2]).cast("int")
+    )
+    return (
+        j.withColumn("bin", b)
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
+@query(
+    "p05_domain_rebalance",
+    oracle="""
+    WITH c AS (
+      SELECT source, count(*) AS cnt FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(cnt) AS total, count(*) AS n_src FROM c),
+    r AS (
+      SELECT source, cnt,
+             least(100, CAST(floor(
+               100.0 * total / n_src / cnt) AS INT)) AS keep_pct
+      FROM c, t
+    ),
+    k AS (
+      SELECT d.source, r.cnt, r.keep_pct
+      FROM documents d JOIN r USING (source)
+      WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 100 < r.keep_pct
+    )
+    SELECT source,
+           CAST(max(cnt) AS BIGINT) AS n_docs,
+           max(keep_pct) AS keep_pct,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM k GROUP BY source
+    """,
+)
+def p05_domain_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mix rebalancing: downsample over-represented sources
+    toward a uniform target mix (the web-dump vs books vs code
+    reweighting every pretraining corpus build performs). Per-source
+    keep rates come from one tiny aggregate (|sources| rows + a 1-row
+    total, both broadcast); the sample decision is a deterministic
+    md5-bucket threshold per doc — stable under retries and resharding,
+    never rand(). Plan at 100 TB: one partial-agg shuffle for the
+    counts, then a broadcast join + map-side filter over the corpus —
+    the big side is never shuffled. Same md5 stamp as c17/c18, so
+    split and rebalance decisions compose consistently. The |sources|-
+    row count aggregate feeds two consumers (the total and the rates),
+    so it's lazily checkpointed — one corpus scan for counts, not two
+    (the c05 multi-consumer pattern)."""
+    d = load(spark, sf, "documents")
+    c = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    t = c.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_src")
+    )
+    keep = F.least(
+        F.lit(100),
+        F.floor(
+            F.lit(100.0) * F.col("total") / F.col("n_src") / F.col("cnt")
+        ).cast("int"),
+    )
+    r = c.crossJoin(F.broadcast(t)).select(
+        "source", "cnt", keep.alias("keep_pct")
+    )
+    bucket = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    k = d.join(F.broadcast(r), "source").filter(bucket < F.col("keep_pct"))
+    return k.groupBy("source").agg(
+        F.max("cnt").cast("bigint").alias("n_docs"),
+        F.max("keep_pct").alias("keep_pct"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )

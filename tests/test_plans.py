@@ -114,3 +114,37 @@ def test_trained_models_broadcast(spark, name):
     # the vocab-sized model side must broadcast: a sort-merge join here
     # would shuffle the full token stream against a tiny relation
     assert "BroadcastExchange" in _plan(spark, name)
+
+
+def test_repetition_filter_is_shuffle_free(spark):
+    # per-row HOF arithmetic over one scan: an Exchange here means the
+    # corpus is being reshuffled just to score each row against itself
+    plan = _plan(spark, "p01_repetition_filter")
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_chunk_dedup_reads_corpus_once_no_join(spark):
+    # window formulation: occurrence counts must come from ONE pass over
+    # the exploded chunks, never a groupBy + join-back (second scan)
+    plan = _plan(spark, "p03_chunk_dedup")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_curriculum_bins_broadcast_boundaries_no_window(spark):
+    # quartile boundaries broadcast back as a tiny relation; an ntile
+    # Window partitioned by lang would put a whole language in one task
+    plan = _plan(spark, "p04_curriculum_bins")
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_domain_rebalance_never_shuffles_corpus(spark):
+    # rates join must broadcast (corpus side stays map-side) and the
+    # counts aggregate must be evaluated once (lazy checkpoint), so at
+    # most 2 corpus scans: one for counts, one for the rebalance pass
+    plan = _plan(spark, "p05_domain_rebalance")
+    assert plan.count("BroadcastExchange") >= 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 2
