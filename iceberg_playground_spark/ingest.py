@@ -104,17 +104,40 @@ def kafka_stream(
     partition (A10 is built in). No broker exists in this sandbox, so
     this is exercised only by config; the file-source queries in
     queries/streaming.py cover the engine behind it."""
-    r = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger is not None:
-        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    for k, v in (sasl or {}).items():
-        r = r.option(f"kafka.{k}", v)
+    r = spark.readStream.format("kafka")
+    for k, v in kafka_options(
+        bootstrap_servers,
+        topic,
+        starting_offsets=starting_offsets,
+        sasl=sasl,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+    ).items():
+        r = r.option(k, v)
     return r.load()
+
+
+def kafka_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    sasl: dict | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The Kafka source option map (factored out so the consumer config
+    is assertable without a broker: the reference pins
+    bootstrap.servers / subscribe / auto.offset.reset=earliest at
+    kafka-bench.rs:43-52; SASL/TLS client props ride under Spark's
+    ``kafka.`` prefix, kafka-load-gen/main.go:339-350)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    for k, v in (sasl or {}).items():
+        opts[f"kafka.{k}"] = v
+    return opts
 
 
 def validated(decoded: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
