@@ -313,3 +313,45 @@ def b61_data_skipping(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(len(kept)).cast("int").alias("files_kept"),
         F.lit(pruned).cast("int").alias("files_pruned"),
     )
+
+
+@query(
+    "b71_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def b71_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-format widening: ORC sink + scan (Spark's second native
+    columnar format; orc-core ships in every Spark distro). Orders is
+    written to ORC once per (session, sf) — snappy, dictionary-encoded,
+    same predicate-pushdown/column-pruning surface as parquet — and the
+    aggregate runs off the ORC scan, proving the round-trip preserves
+    values exactly (integer cents; the oracle reads the original
+    parquet). At 100 TB this is the migration path a mixed-format lake
+    needs: either format feeds the same declarative plan, and Catalyst
+    pushes the same filters into either scan."""
+
+    def build(tmp: str) -> str:
+        out = f"{tmp}/orders_orc"
+        (
+            load(spark, sf, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .write.mode("overwrite")
+            .orc(out)
+        )
+        return out
+
+    path = _built(spark, sf, "b71", build)
+    orc = spark.read.orc(path)
+    return orc.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )

@@ -148,3 +148,38 @@ def test_domain_rebalance_never_shuffles_corpus(spark):
     assert plan.count("BroadcastExchange") >= 1
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") <= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "c25_tfidf_top_terms",  # r2 audit: eager distinct().count() fixed
+        "c05_text_analysis",
+        "c09_ngram_jaccard",
+        "c23_lm_quality_score",
+        "p05_domain_rebalance",
+        "b21_pricing_summary",
+    ],
+)
+def test_query_construction_runs_no_data_job(spark, name):
+    # Building the DataFrame must be pure plan construction: an eager
+    # action here (a .count(), an eager checkpoint) runs a full cluster
+    # job before the query ever executes — and a second at execution.
+    # Parquet schema inference DOES run a footer-only single-stage job
+    # per spark.read.parquet — that's metadata, tolerated; any job with
+    # a shuffle (>= 2 stages: a distinct/count/agg over data) is the
+    # r2-audit anti-pattern this pins against.
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    group = f"construction-{name}"
+    sc.setJobGroup(group, "construction must be lazy")
+    try:
+        registry.QUERIES[name](spark, SF_CHECK)
+    finally:
+        sc.setJobGroup(None, None)
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        assert info is None or len(info.stageIds) < 2, (
+            f"{name}: construction ran a {len(info.stageIds)}-stage job "
+            "(eager action over data in the query path)"
+        )
