@@ -37,13 +37,18 @@ def _configure(spark: SparkSession) -> SparkSession:
     # of 200 the windowed/stateful queries spend ~6x their wall time on
     # store setup (measured 13.8s -> 2.4s at sf0.01). Right-size only
     # when the session still carries the default; an explicit setting
-    # is respected.
+    # is respected. 16 is the sweet spot for the correctness-sweep
+    # scale this path serves (sf0.001-0.01): measured per-query,
+    # 64 partitions nearly DOUBLES the stateful queries vs 16
+    # (b52 17.0->11.1 s, b65 13.4->6.0 s, b50 5.1->2.8 s) while batch
+    # queries at that scale are indifferent. bench.py and production
+    # sessions set shuffle partitions explicitly and never hit this.
     import os as _os
 
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(min(64, 2 * (_os.cpu_count() or 8))),
+            str(min(16, 2 * (_os.cpu_count() or 8))),
         )
     return spark
 

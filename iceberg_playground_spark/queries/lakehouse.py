@@ -355,3 +355,42 @@ def b71_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+@query(
+    "b72_incremental_scan",
+    oracle="""
+    SELECT n_nationkey, n_name
+    FROM nation
+    WHERE n_regionkey = 1
+    """,
+)
+def b72_incremental_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (CDC-style) append scan — the consumption pattern of
+    a downstream pipeline tailing the table (Iceberg's incremental
+    scan): v1 appends region-0 nations, v2 appends region-1 nations;
+    `read_incremental(1, 2)` returns exactly the rows that arrived in
+    the (v1, v2] window, reading ONLY the file sets committed in the
+    window (file-set selection is pure snapshot metadata — at 100 TB a
+    tail consumer never rescans history, it reads the delta files).
+    Returns the lazy windowed read; oracle = the second batch."""
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "nation_inc", "n_nationkey INT, n_name STRING",
+            drop_if_exists=True,
+        )
+        n = load(spark, sf, "nation")
+        t.append(
+            n.filter(F.col("n_regionkey") == 0)
+            .select("n_nationkey", "n_name")
+        )
+        t.append(
+            n.filter(F.col("n_regionkey") == 1)
+            .select("n_nationkey", "n_name")
+        )
+        return t
+
+    t = _built(spark, sf, "b72", build)
+    return t.read_incremental(1, 2)

@@ -775,12 +775,25 @@ def c10_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         / (F.col("a_nrm") * F.col("b_nrm")),
         6,
     ).alias("cosine")
-    w = W.partitionBy("a_id").orderBy(F.col("cosine").desc(), "b_id")
+    # Top-1 as an arg-max aggregate, NOT a row_number window: a groupBy
+    # gets map-side partial aggregation, so each join partition reduces
+    # its Σ|bucket|² candidate pairs to one best-so-far per a_id BEFORE
+    # the exchange — the shuffle carries |vectors| rows, not |pairs|
+    # (the window formulation shuffles every pair to sort it). Struct
+    # max compares cosine first, then -b_id, which reproduces the
+    # oracle's deterministic (cosine DESC, b_id ASC) tie-break exactly.
+    best = F.max(
+        F.struct(F.col("cosine"), (-F.col("b_id")).alias("nb"))
+    ).alias("best")
     return (
         pairs.select("a_id", "b_id", cosine)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("a_id")
+        .agg(best)
+        .select(
+            "a_id",
+            (-F.col("best.nb")).cast("bigint").alias("b_id"),
+            F.col("best.cosine").alias("cosine"),
+        )
     )
 
 
