@@ -1,9 +1,10 @@
 """Round-3 training-data-pipeline extensions (Layer C continuation).
 
-Five operators a large-scale corpus build needs beyond the c01-c25
+Seven operators a large-scale corpus build needs beyond the c01-c25
 set: intra-document repetition scoring, PII-style scrubbing,
-cross-document chunk-level dedup, length-curriculum binning, and
-domain-mix rebalancing. Each is a registered driver query with a
+cross-document chunk-level dedup scoring, length-curriculum binning,
+domain-mix rebalancing, corpus length reporting, and order-preserving
+boilerplate stripping. Each is a registered driver query with a
 DuckDB oracle; every formula is written as the SAME expression tree in
 both engines so double arithmetic is bit-identical.
 
@@ -313,4 +314,120 @@ def p05_domain_rebalance(spark: SparkSession, sf: str) -> DataFrame:
         F.max("cnt").cast("bigint").alias("n_docs"),
         F.max("keep_pct").alias("keep_pct"),
         F.count("*").cast("bigint").alias("n_kept"),
+    )
+
+
+@query(
+    "p06_token_histogram",
+    oracle="""
+    SELECT lang,
+           CAST(length(CAST(len(string_split(text, ' ')) AS VARCHAR))
+                AS INT) AS magnitude,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY lang, magnitude
+    """,
+)
+def p06_token_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus length report: document counts and token budgets per
+    (language, token-count order of magnitude) — the first table any
+    corpus build prints (mix by language x length decade drives
+    curriculum and packing decisions downstream). The magnitude bucket
+    is the DIGIT COUNT of the token count — string length, exactly
+    equal in any engine, where floor(log2(n)) risks an ulp flip at
+    exact powers between libm and the JVM. Pure map-side arithmetic
+    into a tiny (langs x ~6 buckets) aggregate: one partial-agg
+    shuffle, output rows bounded regardless of corpus size."""
+    d = load(spark, sf, "documents")
+    n = F.size(_words())
+    return (
+        d.select(
+            "lang",
+            n.alias("nt"),
+            F.length(n.cast("string")).cast("int").alias("magnitude"),
+        )
+        .groupBy("lang", "magnitude")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.min("nt").cast("bigint").alias("min_tokens"),
+            F.max("nt").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+@query(
+    "p07_boilerplate_strip",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    c AS (
+      SELECT doc_id, i,
+             array_to_string(
+               list_slice(ws, i * {_CHUNK} + 1, i * {_CHUNK} + {_CHUNK}),
+               ' ') AS chunk
+      FROM w, UNNEST(range(CAST(ceil(len(ws) / {_CHUNK}.0) AS BIGINT)))
+             AS t(i)
+    ),
+    n AS (
+      SELECT doc_id, i, chunk,
+             count(*) OVER (PARTITION BY chunk) AS occ,
+             count(*) OVER (PARTITION BY doc_id) AS tot
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(max(tot) - count(*) AS BIGINT) AS n_dropped,
+           string_agg(chunk, ' ' ORDER BY i) AS cleaned
+    FROM n WHERE occ < 2
+    GROUP BY doc_id
+    """,
+)
+def p07_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate removal, the surgical sequel to p03's scoring: drop
+    every 10-word chunk that occurs more than once in the corpus
+    (headers, footers, licence blocks — content whose value is already
+    in the corpus) and REBUILD each document's text from its surviving
+    chunks in original order. Docs that were pure boilerplate vanish.
+
+    Plan: one scan; chunk occurrence via window on the chunk (as p03);
+    a second window keyed by doc_id counts each doc's total chunks;
+    the final groupBy(doc_id) reuses the doc_id partitioning, so the
+    rebuild costs no third exchange. Order preservation is positional:
+    posexplode carries the chunk index, and the rebuild sorts the
+    collected (index, chunk) structs — deterministic under any task
+    ordering, which collect_list alone is not. Same 100 TB lever as
+    p03: shuffle xxhash64(chunk) instead of the text when widths bite."""
+    d = load(spark, sf, "documents")
+    ws = _words()
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size(ws) / F.lit(float(_CHUNK))).cast("int") - 1,
+        ),
+        lambda i: F.array_join(
+            F.slice(ws, i * _CHUNK + 1, _CHUNK), " "
+        ),
+    )
+    c = d.select("doc_id", F.posexplode(chunks).alias("i", "chunk"))
+    n = c.select(
+        "doc_id",
+        "i",
+        "chunk",
+        F.count("*").over(W.partitionBy("chunk")).alias("occ"),
+        F.count("*").over(W.partitionBy("doc_id")).alias("tot"),
+    )
+    kept = n.filter(F.col("occ") < 2)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "chunk"))),
+        lambda s: s["chunk"],
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        (F.max("tot") - F.count("*")).cast("bigint").alias("n_dropped"),
+        F.array_join(ordered, " ").alias("cleaned"),
     )

@@ -183,3 +183,12 @@ def test_query_construction_runs_no_data_job(spark, name):
             f"{name}: construction ran a {len(info.stageIds)}-stage job "
             "(eager action over data in the query path)"
         )
+
+
+def test_boilerplate_strip_single_scan_two_exchanges(spark):
+    # chunk window + doc window; the rebuild groupBy must reuse the doc
+    # partitioning (no third exchange), and no join-back scan
+    plan = _plan(spark, "p07_boilerplate_strip")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
