@@ -48,6 +48,9 @@ HEADLINE = [
     "c08_simhash",
     "c09_ngram_jaccard",
     "c10_embedding_near_dup",
+    # round-3 pipeline ops with real shuffle work
+    "p03_chunk_dedup",
+    "p07_boilerplate_strip",
     # lakehouse layout paths: bucketed co-located join + stats skipping
     "b60_bucketed_join",
     "b61_data_skipping",
