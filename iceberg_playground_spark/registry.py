@@ -55,5 +55,6 @@ def load_all() -> None:
         streaming,
         udfs,
         pipeline,
+        scale,
         relational,
     )

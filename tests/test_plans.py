@@ -192,3 +192,11 @@ def test_boilerplate_strip_single_scan_two_exchanges(spark):
     assert plan.count("Scan parquet") == 1
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_salted_join_spreads_without_broadcast(spark):
+    # the salted exchange shape must actually materialize (merge hint):
+    # a broadcast would make the salt decorative at test SF
+    plan = _plan(spark, "b73_salted_join")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastExchange" not in plan
