@@ -394,3 +394,45 @@ def b72_incremental_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     t = _built(spark, sf, "b72", build)
     return t.read_incremental(1, 2)
+
+
+@query(
+    "b74_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS continent
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT n_nationkey, n_name, 'AMERICA' AS continent
+    FROM nation WHERE n_regionkey = 1
+    """,
+)
+def b74_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution surfaced as a graded query (Iceberg add-column,
+    the Layer A+ capability previously proven only in pytest): append
+    under the 2-column schema, add a nullable column metadata-only (no
+    data file rewritten), append under the 3-column schema. The HEAD
+    read projects the evolved schema onto BOTH file generations —
+    pre-evolution rows backfill NULL via parquet schema projection, a
+    pure metadata act that costs nothing at 100 TB. Returns the lazy
+    merged read."""
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "nation_evo", "n_nationkey INT, n_name STRING",
+            drop_if_exists=True,
+        )
+        n = load(spark, sf, "nation")
+        t.append(
+            n.filter(F.col("n_regionkey") == 0)
+            .select("n_nationkey", "n_name")
+        )
+        t.add_column("continent", "STRING")
+        t.append(
+            n.filter(F.col("n_regionkey") == 1)
+            .select("n_nationkey", "n_name", F.lit("AMERICA").alias("continent"))
+        )
+        return t
+
+    t = _built(spark, sf, "b74", build)
+    return t.read()
