@@ -431,3 +431,69 @@ def p07_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
         (F.max("tot") - F.count("*")).cast("bigint").alias("n_dropped"),
         F.array_join(ordered, " ").alias("cleaned"),
     )
+
+
+_FRAME_PERIOD = 64  # payload bytes between sampled frames
+_FRAME_SIZE = 16    # bytes read per sampled frame
+
+
+@query(
+    "p08_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             substring(text, CAST(i * {_FRAME_PERIOD} + 1 AS BIGINT),
+                       {_FRAME_SIZE}) AS frame
+      FROM documents,
+           UNNEST(range(CAST(ceil(length(text) / {_FRAME_PERIOD}.0)
+                             AS BIGINT))) AS t(i)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(length(frame) AS INT) AS frame_len,
+           CAST(ascii(substring(frame, 1, 1)) AS INT) AS first_byte
+    FROM f WHERE length(frame) > 0
+    """,
+)
+def p08_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal frame sampling (the video half of c15's decode
+    plumbing): seek to fixed byte offsets in an opaque payload and
+    extract a small frame at each — the access pattern of sampling
+    every k-th frame from a container WITHOUT decoding the stream.
+    Arrow-batched ``mapInPandas``: one Python call per columnar batch,
+    each emitting multiple frame rows per document (the genuinely
+    variable-fanout case built-in expressions handle poorly once a
+    real container parser is involved — here the "parser" is byte
+    slicing, deterministic in any engine, so the oracle hash-matches;
+    a real demuxer drops into the kernel unchanged). At 100 TB frames
+    stream through executors batch-by-batch; nothing materializes
+    per-document state."""
+    import pandas as pd  # executors only
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def _sample(batches):
+        for pdf in batches:
+            ids, idxs, lens, firsts = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                for i in range((n + _FRAME_PERIOD - 1) // _FRAME_PERIOD):
+                    frame = text[i * _FRAME_PERIOD:
+                                 i * _FRAME_PERIOD + _FRAME_SIZE]
+                    if frame:
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        lens.append(len(frame))
+                        firsts.append(ord(frame[0]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "first_byte": pd.Series(firsts, dtype="int32"),
+                }
+            )
+
+    return d.mapInPandas(
+        _sample,
+        schema="doc_id long, frame_idx int, frame_len int, first_byte int",
+    )
