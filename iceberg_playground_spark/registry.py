@@ -60,6 +60,7 @@ def load_all() -> None:
         lakehouse,
         pipeline,
         scale,
+        extra,
         udfs,
         streaming,
         relational,
