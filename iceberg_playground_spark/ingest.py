@@ -167,15 +167,31 @@ def validated(decoded: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
 
 
 def validate(decoded: DataFrame) -> DataFrame:
-    """Eager strictness check (tests / small batches): forces ONE
-    distributed pass and raises like the reference's bail-out
-    (kafka-bench.rs:277-284; a batch engine reports the total).
-    In pipelines prefer ``validated()``, which piggybacks the same
-    check on the caller's own sink pass."""
+    """Eager strictness check (tests / small batches): raises like the
+    reference's bail-out (kafka-bench.rs:277-284) after exactly ONE
+    scan of the input, total — including the caller's subsequent use.
+
+    The input is persisted, the validating action populates the cache,
+    and the *returned* DataFrame reads from that cache — so unlike the
+    old shape (count() pass + caller's pass = two input scans), the
+    source is never re-read. The round-3 audit flagged the double scan;
+    the reference errors *during* its single conversion pass
+    (kafka-bench.rs:277-284), and so does this now.
+
+    This eager form is for bounded batches, where caching the batch is
+    free; unbounded pipelines use ``validated()``, which piggybacks the
+    same Observation on the caller's own sink pass with no cache at
+    all."""
     observed, check = validated(decoded)
-    # count() drives the CollectMetrics node over every row while
-    # letting Catalyst prune all columns the metric doesn't need —
-    # the cheapest JVM-side full-input action.
-    observed.count()
-    check()
-    return decoded
+    # Persist BEFORE the validating action: the one pass that drives
+    # the CollectMetrics node also fills the cache, and every caller
+    # action on the returned DF is an InMemoryTableScan, not a re-read
+    # of the source (tests/test_loadgen_ingest.py pins this plan).
+    observed.persist()
+    try:
+        observed.count()
+        check()
+    except Exception:
+        observed.unpersist()
+        raise
+    return observed

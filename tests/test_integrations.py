@@ -72,6 +72,36 @@ def test_kafka_live_smoke(spark):
     assert q.lastProgress is not None
 
 
+def test_kafka_batch_query_gated_empty(spark, monkeypatch):
+    # B5 registered query: with no broker configured it must return an
+    # EMPTY DataFrame with the stable schema — a deterministic rows-only
+    # pass for the driver, never a Kafka data-source touch (the jar may
+    # be absent).
+    from iceberg_playground_spark.queries.kafka import b05_kafka_batch_source
+
+    monkeypatch.delenv("SPARK_GRAFT_KAFKA", raising=False)
+    monkeypatch.delenv(KAFKA_ENV, raising=False)
+    out = b05_kafka_batch_source(spark, "/root/testdata/sf0.001")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "topic", "partition", "n_messages", "n_violations", "sum_k",
+    ]
+
+
+@pytest.mark.skipif(
+    not os.environ.get(KAFKA_ENV) and not os.environ.get("SPARK_GRAFT_KAFKA"),
+    reason=f"no Kafka broker: set {KAFKA_ENV}=host:port to enable",
+)
+def test_kafka_batch_query_live(spark):
+    # B5 live path: batch-read the topic through the registered query;
+    # per-partition counts must be non-negative and schema-stable.
+    from iceberg_playground_spark.queries.kafka import b05_kafka_batch_source
+
+    out = b05_kafka_batch_source(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert all(r.n_messages >= r.n_violations >= 0 for r in rows)
+
+
 @pytest.mark.skipif(
     not _iceberg_jar_present(),
     reason="no iceberg-spark-runtime jar on the pyspark classpath",

@@ -36,6 +36,43 @@ def test_gen_assets_json_decodes_strictly(spark):
     assert decoded.count() == 50
 
 
+def test_validate_is_single_scan(spark):
+    # VERDICT r3 item 4: eager validate must cost ONE scan of the input
+    # total. The validating action fills a cache; the returned DF's plan
+    # must read that cache (InMemoryRelation), never re-scan the source.
+    df = gen_assets(spark, 20)
+    out = validate(
+        strict_json_decode(
+            df,
+            "network_interface",
+            "ipAddress STRING",
+            required=["ipAddress"],
+        )
+    )
+    try:
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+        assert out.count() == 20
+    finally:
+        out.unpersist()
+
+
+def test_validate_raises_and_unpersists(spark):
+    # the bail-out path (kafka-bench.rs:277-284): a missing required key
+    # raises, and the failed batch must not stay pinned in the cache
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.lit('{"present": 1}').alias("doc")
+    )
+    bad = strict_json_decode(
+        df, "doc", "present INT, absent INT", required=["absent"]
+    )
+    with pytest.raises(ValueError, match="3 row"):
+        validate(bad)
+
+
 def test_full_pipeline_loadgen_to_lakehouse(spark, tmp_path):
     # the reference's whole arc in one test: synthetic assets
     # (kafka-load-gen) -> strict schema-directed decode (kafka-bench's
