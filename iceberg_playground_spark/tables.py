@@ -51,6 +51,64 @@ _DATA_DIR = "data"
 _DELETE_DIR = "deletes"
 
 
+def _make_bounds_task():
+    """Build the executor-side footer-bounds task as a NESTED function:
+    cloudpickle serializes closures BY VALUE, while a module-level
+    function ships as an import-by-reference — and the driver contract
+    loads this package via a sys.path insert that executor Python
+    workers don't inherit, so a by-reference task dies with
+    ModuleNotFoundError on the worker. The closure is self-contained
+    (all imports inside, no module-global references) for the same
+    reason."""
+
+    def bounds_task(task: tuple[str, str]) -> tuple[str, str, dict]:
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        staged_dir, rel_fn = task
+
+        def pval(raw: str):
+            for cast in (int, float):
+                try:
+                    return cast(raw)
+                except ValueError:
+                    pass
+            return raw
+
+        # hive path components carry identity-partition values — a
+        # [v, v] bound per partition column, no footer needed
+        bounds: dict[str, list] = {}
+        for comp in rel_fn.split(_os.sep)[:-1]:
+            if "=" in comp:
+                c, raw = comp.split("=", 1)
+                bounds[c] = [pval(raw), pval(raw)]
+        md = pq.ParquetFile(_os.path.join(staged_dir, rel_fn)).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                # only JSON-storable, order-comparable bounds
+                if not (
+                    isinstance(lo, (int, float, str))
+                    and isinstance(hi, (int, float, str))
+                ):
+                    continue
+                name = col.path_in_schema
+                if name in bounds:
+                    b = bounds[name]
+                    b[0], b[1] = min(b[0], lo), max(b[1], hi)
+                else:
+                    bounds[name] = [lo, hi]
+        return staged_dir, rel_fn, bounds
+
+    return bounds_task
+
+
 class CommitConflict(RuntimeError):
     """Another committer won the optimistic rename race."""
 
@@ -191,6 +249,10 @@ class LakeTable:
         one (schema-evolution commits pass the NEW ddl; table metadata on
         disk is only updated after the commit lands)."""
         entry_ddl = self.ddl if ddl is None else ddl
+        # Bounds are a property of the staged files, not of the snapshot
+        # version — compute ONCE, outside the CAS retry loop, in one
+        # distributed job over every staged dir of this commit.
+        bounds_by_dir = self._collect_bounds_many(data_files)
         for _ in range(retries):
             head = self.current_version()
             if replace:
@@ -211,7 +273,7 @@ class LakeTable:
             # deletes.rs:94-110).
             seq = head + 1
             new_data = [
-                {"path": p, "seq": seq, "bounds": self._collect_bounds(p)}
+                {"path": p, "seq": seq, "bounds": bounds_by_dir[p]}
                 for p in data_files
             ]
             new_dels = [{"entry": d, "seq": seq} for d in delete_files]
@@ -258,68 +320,51 @@ class LakeTable:
         w.parquet(d)
         return d
 
-    @staticmethod
-    def _collect_bounds(staged_dir: str) -> dict:
-        """PER-FILE column min/max bounds of a staged file set, from the
-        parquet footers — Iceberg's DataFile lower/upper bounds, one
-        entry per physical file (iceberg-rust's DataFileWriter records
-        the same metadata the reference commits at
-        /root/reference/src/main.rs:52-77). Footer-only reads: no data
-        pages touched; at scale each writer reports bounds for its own
-        files and the committer merges, exactly as here. Per-file
-        granularity is what makes sorted compaction pay: each rewritten
-        file covers a narrow range, so a bounded scan opens only the
-        overlapping files WITHIN a committed set."""
-        import pyarrow.parquet as pq
+    def _collect_bounds_many(
+        self, staged_dirs: list[str]
+    ) -> dict[str, dict]:
+        """PER-FILE column min/max bounds for EVERY staged dir of a
+        commit, computed DISTRIBUTIVELY — Iceberg's DataFile lower/upper
+        bounds (iceberg-rust's DataFileWriter records the same metadata
+        the reference commits at /root/reference/src/main.rs:52-77).
 
-        def _pval(raw: str):
-            for cast in (int, float):
-                try:
-                    return cast(raw)
-                except ValueError:
-                    pass
-            return raw
+        Division of labor (the round-3 audit's fix: the old shape read
+        every footer serially on the driver — a bottleneck at the
+        reference's own 20,000-files/run envelope, decouple.rs:25-28):
 
-        per_file: dict[str, dict[str, list]] = {}
-        walked = (
-            (os.path.relpath(os.path.join(r, fn), staged_dir))
-            for r, _, fns in os.walk(staged_dir)
-            for fn in fns
-        )
-        for fn in walked:
-            if not fn.endswith(".parquet"):
-                continue
-            md = pq.ParquetFile(os.path.join(staged_dir, fn)).metadata
-            bounds: dict[str, list] = {}
-            # hive path components carry the identity-partition values —
-            # a [v, v] bound per partition column, no footer needed
-            for comp in fn.split(os.sep)[:-1]:
-                if "=" in comp:
-                    c, raw = comp.split("=", 1)
-                    v = _pval(raw)
-                    bounds[c] = [v, v]
-            for rg in range(md.num_row_groups):
-                row_group = md.row_group(rg)
-                for ci in range(row_group.num_columns):
-                    col = row_group.column(ci)
-                    st = col.statistics
-                    if st is None or not st.has_min_max:
-                        continue
-                    lo, hi = st.min, st.max
-                    # only JSON-storable, order-comparable bounds
-                    if not (
-                        isinstance(lo, (int, float, str))
-                        and isinstance(hi, (int, float, str))
-                    ):
-                        continue
-                    name = col.path_in_schema
-                    if name in bounds:
-                        b = bounds[name]
-                        b[0], b[1] = min(b[0], lo), max(b[1], hi)
-                    else:
-                        bounds[name] = [lo, hi]
-            per_file[fn] = bounds
-        return per_file
+        - driver: ENUMERATE files (directory listing — the same metadata
+          walk Iceberg's committer does over manifests) and MERGE the
+          returned bounds dicts (KB-sized metadata, not data);
+        - executors: open footers and extract min/max (`_file_bounds`),
+          one Spark task per slice of files — the writers effectively
+          report bounds for their own files, as decouple.rs:112-156's
+          DataFile shipping does.
+
+        Footer-only reads: no data pages touched. Per-file granularity
+        is what makes sorted compaction pay: each rewritten file covers
+        a narrow range, so a bounded scan opens only the overlapping
+        files WITHIN a committed set. One job covers ALL dirs in the
+        commit (a BatchedCommitter epoch ships many staged dirs at
+        once)."""
+        tasks: list[tuple[str, str]] = []
+        out: dict[str, dict] = {d: {} for d in staged_dirs}
+        for d in staged_dirs:
+            for r, _, fns in os.walk(d):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        tasks.append(
+                            (d, os.path.relpath(os.path.join(r, fn), d))
+                        )
+        if not tasks:
+            return out
+        sc = self.spark.sparkContext
+        slices = max(1, min(len(tasks), sc.defaultParallelism))
+        task = _make_bounds_task()
+        for d, fn, bounds in (
+            sc.parallelize(tasks, slices).map(task).collect()
+        ):
+            out[d][fn] = bounds
+        return out
 
     def append(self, df: DataFrame) -> int:
         """A4: append = parallel parquet write + one fast-append commit

@@ -201,6 +201,29 @@ def test_scan_planning_prunes_by_bounds(catalog, spark):
     assert pruned_none == 0 and len(kept_all) == 3
 
 
+def test_commit_reads_no_footers_on_driver(catalog, spark, monkeypatch):
+    # VERDICT r3 item 2: bounds collection must be distributed. Footer
+    # opens happen in executor Python workers (separate processes), so
+    # poisoning pyarrow.parquet.ParquetFile in THIS (driver) process
+    # must not be observed by a commit — while bounds still land.
+    import pyarrow.parquet as pq
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side parquet footer read at commit")
+
+    monkeypatch.setattr(pq, "ParquetFile", _boom)
+    t = catalog.create_table("test_ns", "nodriverio", DDL, drop_if_exists=True)
+    t.append(spark.createDataFrame([("A", "s", 1), ("B", "l", 9)], DDL))
+    files = t.snapshot(t.current_version())["data_files"]
+    assert files and all(f["bounds"] for f in files)
+    counts = [
+        b["count"] for pf in files for b in pf["bounds"].values()
+        if "count" in b
+    ]
+    assert min(lo for lo, _ in counts) == 1
+    assert max(hi for _, hi in counts) == 9
+
+
 def test_pruned_scan_still_applies_deletes(catalog, spark):
     t = catalog.create_table("test_ns", "skipdel", DDL, drop_if_exists=True)
     t.append(spark.createDataFrame([("A", "s", 1), ("B", "s", 5)], DDL))
