@@ -73,13 +73,17 @@ def _stream_events(spark: SparkSession, sf: str) -> DataFrame:
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(src_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP (not NTZ): streaming event-time columns must be
-        # TIMESTAMP; the session timezone is pinned UTC, so wall values
-        # match the batch/oracle ntz reading exactly.
+    # Event-time columns must be TIMESTAMP (withWatermark rejects NTZ:
+    # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session timezone is
+    # pinned UTC, so either conversion below preserves wall values and
+    # matches the batch/oracle ntz reading exactly.
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # epoch-ns encoding
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
         )
+    elif ts_type == "timestamp_ntz":  # parquet timestamp[us] w/o tz
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

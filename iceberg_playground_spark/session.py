@@ -123,10 +123,11 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str):
     """Scan one test table (columnar parquet scan; Catalyst prunes/pushes).
 
-    ``events.ts`` is stored as parquet timestamp[ns]; with
-    ``nanosAsLong`` it scans as LONG nanoseconds, which we convert to a
-    µs TIMESTAMP column-side (distributed, no driver materialization) —
-    identical truncation to DuckDB's ns→µs read of the same file.
+    ``events.ts`` has shipped as parquet timestamp[ns] (scans as LONG
+    nanoseconds under ``nanosAsLong``; converted to a µs timestamp_ntz
+    column-side — identical truncation to DuckDB's ns→µs read) or as
+    timestamp[us] (scans as timestamp_ntz directly); branch on the
+    observed dtype so both encodings read identically.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
