@@ -201,18 +201,31 @@ def c02_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "lang", "bk.band", "bk.sig")
-    # Canonical member per bucket as a partition-wide window min — NOT
-    # groupBy + join-back, which would evaluate the shingle+minhash
-    # lineage twice (verified: two parquet scans in that plan). One
-    # scan, one exchange on (band, sig), one on doc_id.
-    canon = F.min("doc_id").over(W.partitionBy("band", "sig"))
-    rep = (
-        bands.withColumn("canon", canon)
-        .groupBy("doc_id")
-        .agg(F.min("canon").alias("rep"), F.first("lang").alias("lang"))
+    # Bucket canon as a two-level MIN aggregation — NOT a window and
+    # NOT groupBy + join-back. The join-back re-evaluates the
+    # shingle+minhash lineage (two parquet scans, verified); the
+    # window shuffles EVERY row of a bucket to one task, so one hot
+    # bucket (a doc duplicated millions of times — exactly what a
+    # dedup corpus contains) serializes at 100 TB. A groupBy gets
+    # map-side partial aggregation: each map task reduces its slice of
+    # a hot bucket to one candidate row BEFORE the exchange, which is
+    # the skew remedy salting approximates for joins (b73/c10), free
+    # here because MIN is algebraic. Equivalence to the one-hop
+    # rep==doc_id rule: a doc's rep (min over its buckets of each
+    # bucket's min) equals its own id iff it WINS every one of its
+    # _LSH_BANDS buckets, since a bucket min can never exceed a
+    # member's id. Still one scan: one aggregation chain consumes the
+    # lineage exactly once.
+    winners = bands.groupBy("band", "sig").agg(
+        F.min(F.struct("doc_id", "lang")).alias("w")
     )
-    return rep.filter(F.col("rep") == F.col("doc_id")).select(
-        "doc_id", "lang"
+    return (
+        winners.groupBy(
+            F.col("w.doc_id").alias("doc_id"), F.col("w.lang").alias("lang")
+        )
+        .agg(F.count("*").alias("won"))
+        .filter(F.col("won") == _LSH_BANDS)
+        .select("doc_id", "lang")
     )
 
 
@@ -721,6 +734,8 @@ def c09_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 # Embedding-cosine near-dup (C2 family, vector variant)
 # ---------------------------------------------------------------------------
 
+_NEARDUP_SALT = 8  # b73's salt width; see c10's salted-join rationale
+
 
 @query(
     "c10_embedding_near_dup",
@@ -753,21 +768,39 @@ def c10_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     en = e.select(
         "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
+    # Salted self-join (b73 pattern): one hot label is one Σ|bucket|²
+    # task in a shuffled plan, so the probe side gets a deterministic
+    # per-row salt (hash of its unique key — never rand(), which
+    # breaks retry idempotence) and the build side is exploded ×SALT
+    # so every (label, salt) cell still sees the label's full vector
+    # set. Each pair meets exactly once (in the probe row's salt), so
+    # the join output — and the oracle hash — is bit-identical to the
+    # unsalted join; a hot label's pair work now spreads across SALT
+    # reducers. At this sf the build side broadcasts and the salt is
+    # latent in the keys; at 100 TB neither side broadcasts and the
+    # salted exchange is what keeps the hot label parallel.
     a = en.select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
         F.col("embedding").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_NEARDUP_SALT))
+        .cast("int")
+        .alias("a_salt"),
     )
     b = en.select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("b_label"),
         F.col("embedding").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
+    ).withColumn(
+        "b_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(_NEARDUP_SALT)])),
     )
     pairs = a.join(
         b,
         (F.col("a_label") == F.col("b_label"))
+        & (F.col("a_salt") == F.col("b_salt"))
         & (F.col("a_id") != F.col("b_id")),
     )
     cosine = F.round(

@@ -82,10 +82,28 @@ def test_no_cartesian_on_facts(spark, name):
 
 
 def test_minhash_reads_corpus_once(spark):
-    # canon-per-bucket must be a window, not groupBy + join-back: the
-    # latter re-evaluates the shingle+minhash lineage from a second
-    # scan (2x the dominant cost at 100 TB)
+    # canon-per-bucket must be one aggregation chain, not groupBy +
+    # join-back: the latter re-evaluates the shingle+minhash lineage
+    # from a second scan (2x the dominant cost at 100 TB)
     assert _plan(spark, "c02_minhash_lsh_dedup").count("Scan parquet") == 1
+
+
+def test_minhash_bucket_canon_partially_aggregates(spark):
+    # the (band, sig) canon must be a groupBy (map-side partial_min
+    # collapses a hot bucket before the exchange), never a window
+    # (which ships every row of the hot bucket to one task)
+    plan = _plan(spark, "c02_minhash_lsh_dedup")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_embedding_near_dup_join_is_salted(spark):
+    # the label self-join must carry the b73 salt in its equi-keys so
+    # a hot label's pair work spreads across reducers at scale; the
+    # build side must be the exploded (replicated) one
+    plan = _plan(spark, "c10_embedding_near_dup")
+    assert "a_salt" in plan and "b_salt" in plan
+    assert plan.lower().count("explode") >= 1
 
 
 @pytest.mark.parametrize(
