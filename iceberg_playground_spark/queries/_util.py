@@ -71,6 +71,28 @@ B21_ORACLE = """
     """
 
 
+# Deterministic engine-neutral hash bucket in [0, 100): first 8 hex
+# chars of md5(key) as an integer. Spark's conv(hex,16,10) and DuckDB's
+# CAST('0x…' AS BIGINT) agree bit-for-bit, so split/sample/rebalance
+# membership is reproducible across engines AND across runs — the
+# property a training pipeline needs (re-running the corpus build must
+# not reshuffle splits). Shared by c17/c18/c19 (llm.py) and p05
+# (pipeline.py) so every sampling decision composes off the SAME stamp;
+# keep the Spark and SQL forms together or they drift.
+def hash_bucket(col: Column) -> Column:
+    return (
+        F.conv(F.md5(col.cast("string")).substr(1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+
+
+def bucket_sql(col: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % 100"
+    )
+
+
 def dec(col: str | Column, scale: int = 4, precision: int = 18) -> Column:
     """Lossless decimal view of an exact-2dp double column."""
     c = F.col(col) if isinstance(col, str) else col

@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from iceberg_playground_spark.queries._util import load
+from iceberg_playground_spark.queries._util import (
+    bucket_sql as _bucket_sql,
+    hash_bucket as _hash_bucket,
+    load,
+)
 from iceberg_playground_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -1067,23 +1071,9 @@ def c14_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 # added per the north-star mandate alongside C1-C16)
 # ---------------------------------------------------------------------------
 
-# Deterministic engine-neutral hash bucket in [0, 100): first 8 hex chars
-# of md5(doc_id) as an integer. Spark's conv(hex,16,10) and DuckDB's
-# CAST('0x…' AS BIGINT) agree bit-for-bit, so split/sample membership is
-# reproducible across engines AND across runs — the property a training
-# pipeline needs (re-running the corpus build must not reshuffle splits).
-def _hash_bucket(col: Column) -> Column:
-    return (
-        F.conv(F.md5(col.cast("string")).substr(1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
-
-
-def _bucket_sql(col: str) -> str:
-    return (
-        f"CAST('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8) "
-        f"AS BIGINT) % 100"
-    )
+# Split/sample membership uses _util's engine-neutral md5 hash bucket
+# (imported at top as _hash_bucket/_bucket_sql) — shared with
+# pipeline.p05 so every sampling decision composes off the SAME stamp.
 
 
 @query(

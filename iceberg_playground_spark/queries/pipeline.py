@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from iceberg_playground_spark.queries._util import load
+from iceberg_playground_spark.queries._util import (
+    bucket_sql as _bucket_sql,
+    hash_bucket as _hash_bucket,
+    load,
+)
 from iceberg_playground_spark.registry import query
 
 
@@ -249,7 +253,7 @@ def p04_curriculum_bins(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "p05_domain_rebalance",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT source, count(*) AS cnt FROM documents GROUP BY source
     ),
@@ -263,8 +267,7 @@ def p04_curriculum_bins(spark: SparkSession, sf: str) -> DataFrame:
     k AS (
       SELECT d.source, r.cnt, r.keep_pct
       FROM documents d JOIN r USING (source)
-      WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
-                 AS BIGINT) % 100 < r.keep_pct
+      WHERE {_bucket_sql('d.doc_id')} < r.keep_pct
     )
     SELECT source,
            CAST(max(cnt) AS BIGINT) AS n_docs,
@@ -305,10 +308,7 @@ def p05_domain_rebalance(spark: SparkSession, sf: str) -> DataFrame:
     r = c.crossJoin(F.broadcast(t)).select(
         "source", "cnt", keep.alias("keep_pct")
     )
-    bucket = (
-        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
+    bucket = _hash_bucket(F.col("doc_id"))
     k = d.join(F.broadcast(r), "source").filter(bucket < F.col("keep_pct"))
     return k.groupBy("source").agg(
         F.max("cnt").cast("bigint").alias("n_docs"),
