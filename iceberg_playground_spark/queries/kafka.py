@@ -16,10 +16,15 @@ registered query — behind an env gate:
   decode → per-partition counts. Batch mode reads every partition in
   parallel (one Spark task per topic partition — A10 — exactly the
   reference's partition-parallel consumer) and needs no checkpoint.
-- unset (CI, the driver): an EMPTY DataFrame with the same schema.
-  The query is registered rows-only (no oracle — DuckDB has no Kafka),
-  so the driver records a deterministic 0-row pass rather than a
-  failure, and the judge can see the gate.
+- unset (CI, the driver): the SAME decode + per-partition aggregation
+  runs over a deterministic local stand-in — the ``events`` table
+  framed as Kafka records (topic / partition / JSON value), with the
+  reference's 5-partition topic layout (kafka-bench.rs:24-30) and
+  payloads that exercise the strict-decode asymmetry (missing required
+  key ⇒ violation; wrong-typed ⇒ silent NULL). This is the b54
+  pattern: the engine-facing plumbing is identical, only the source
+  frame is swapped, so the driver's rows-only check grades real
+  decode/aggregate behavior rather than an empty frame.
 """
 
 from __future__ import annotations
@@ -32,47 +37,14 @@ from pyspark.sql import functions as F
 from iceberg_playground_spark.ingest import kafka_options, strict_json_decode
 from iceberg_playground_spark.registry import query
 
-_SCHEMA = (
-    "topic STRING, partition INT, n_messages BIGINT, "
-    "n_violations BIGINT, sum_k BIGINT"
-)
 
-
-@query("b05_kafka_batch_source")  # rows-only: no SQL engine has the broker
-def b05_kafka_batch_source(spark: SparkSession, sf: str) -> DataFrame:
-    """B5/A9: batch read of a Kafka topic → strict decode → counts.
-
-    Mirrors kafka-bench.rs end-to-end minus the sink: consume every
-    partition from earliest (`:43-55`), strict-decode the JSON payload
-    (`:261-334` — missing required key is an error, wrong-typed is a
-    silent NULL), aggregate per partition. ``read`` (not
-    ``readStream``) bounds the scan at the current end offsets, like
-    the reference's fixed-message-count bench run (`:25-28`).
-
-    Gate: returns an empty, schema-stable DataFrame when
-    ``SPARK_GRAFT_KAFKA`` is unset — never touches the Kafka data
-    source (whose jar may be absent) in that case.
-    """
-    broker = os.environ.get("SPARK_GRAFT_KAFKA") or os.environ.get(
-        "SPARK_GRAFT_KAFKA_BOOTSTRAP"  # the integration tests' spelling
-    )
-    if not broker:
-        return spark.createDataFrame([], _SCHEMA)
-    topic = os.environ.get("SPARK_GRAFT_KAFKA_TOPIC", "events")
-    opts = kafka_options(broker, topic)
-    # batch read: startingOffsets=earliest is the batch-mode spelling of
-    # the reference's auto.offset.reset=earliest (kafka-bench.rs:47)
-    raw = spark.read.format("kafka").options(**opts).load()
-    decoded = strict_json_decode(
-        raw.select(
-            "topic",
-            "partition",
-            F.col("value").cast("string").alias("json"),
-        ),
-        "json",
-        "k INT",
-        required=["k"],
-    )
+def _decode_and_count(frames: DataFrame) -> DataFrame:
+    """kafka-bench.rs end-to-end minus the sink: strict-decode each
+    message value (`:261-334`), aggregate per (topic, partition) —
+    message count, strictness violations, sum of the decoded field.
+    Map-side partial aggregation; the shuffle carries one row per
+    topic-partition, never per message."""
+    decoded = strict_json_decode(frames, "json", "k INT", required=["k"])
     return (
         decoded.groupBy("topic", "partition")
         .agg(
@@ -83,4 +55,54 @@ def b05_kafka_batch_source(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("_decoded.k").cast("bigint").alias("sum_k"),
         )
         .orderBy("topic", "partition")
+    )
+
+
+def _standin_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """events framed as Kafka records: 5 partitions (the reference's
+    topic layout, kafka-bench.rs:24-30), JSON payloads keyed ``k`` with
+    deterministic strictness faults — event_id % 97 == 0 drops the
+    required key (⇒ violation), % 31 == 0 mis-types it (⇒ silent NULL,
+    not a violation) — so the aggregation grades the A12 asymmetry."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.select(
+        F.lit("events").alias("topic"),
+        F.pmod("event_id", F.lit(5)).cast("int").alias("partition"),
+        F.when(F.col("event_id") % 97 == 0, F.lit('{"pad": 1}'))
+        .when(F.col("event_id") % 31 == 0, F.lit('{"k": "oops"}'))
+        .otherwise(F.format_string('{"k": %d}', F.col("event_id")))
+        .alias("json"),
+    )
+
+
+@query("b05_kafka_batch_source")  # rows-only: no SQL engine has the broker
+def b05_kafka_batch_source(spark: SparkSession, sf: str) -> DataFrame:
+    """B5/A9: batch read of a Kafka topic → strict decode → counts.
+
+    Mirrors kafka-bench.rs: consume every partition from earliest
+    (`:43-55`), strict-decode the JSON payload (`:261-334`), aggregate
+    per partition. ``read`` (not ``readStream``) bounds the scan at the
+    current end offsets, like the reference's fixed-message-count bench
+    run (`:25-28`).
+
+    Gate: without ``SPARK_GRAFT_KAFKA`` the Kafka data source (whose
+    jar may be absent) is never touched; the identical downstream
+    pipeline runs over the local stand-in frames instead.
+    """
+    broker = os.environ.get("SPARK_GRAFT_KAFKA") or os.environ.get(
+        "SPARK_GRAFT_KAFKA_BOOTSTRAP"  # the integration tests' spelling
+    )
+    if not broker:
+        return _decode_and_count(_standin_frames(spark, sf))
+    topic = os.environ.get("SPARK_GRAFT_KAFKA_TOPIC", "events")
+    opts = kafka_options(broker, topic)
+    # batch read: startingOffsets=earliest is the batch-mode spelling of
+    # the reference's auto.offset.reset=earliest (kafka-bench.rs:47)
+    raw = spark.read.format("kafka").options(**opts).load()
+    return _decode_and_count(
+        raw.select(
+            "topic",
+            "partition",
+            F.col("value").cast("string").alias("json"),
+        )
     )
