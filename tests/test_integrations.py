@@ -72,20 +72,30 @@ def test_kafka_live_smoke(spark):
     assert q.lastProgress is not None
 
 
-def test_kafka_batch_query_gated_empty(spark, monkeypatch):
-    # B5 registered query: with no broker configured it must return an
-    # EMPTY DataFrame with the stable schema — a deterministic rows-only
-    # pass for the driver, never a Kafka data-source touch (the jar may
-    # be absent).
+def test_kafka_batch_query_gated_standin(spark, monkeypatch):
+    # B5 registered query: with no broker configured it runs the SAME
+    # decode + per-partition aggregation over the deterministic local
+    # stand-in (events framed as Kafka records, 5 partitions per the
+    # reference topic layout) — never a Kafka data-source touch (the
+    # jar may be absent). Strictness faults are seeded, so each
+    # partition must show violations (missing key) while wrong-typed
+    # payloads stay silent NULLs (they count as messages, not
+    # violations — sum_k just skips them).
     from iceberg_playground_spark.queries.kafka import b05_kafka_batch_source
 
     monkeypatch.delenv("SPARK_GRAFT_KAFKA", raising=False)
     monkeypatch.delenv(KAFKA_ENV, raising=False)
     out = b05_kafka_batch_source(spark, "/root/testdata/sf0.001")
-    assert out.count() == 0
+    rows = out.collect()
     assert [f.name for f in out.schema.fields] == [
         "topic", "partition", "n_messages", "n_violations", "sum_k",
     ]
+    assert [r["partition"] for r in rows] == [0, 1, 2, 3, 4]
+    n_events = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).count()
+    assert sum(r["n_messages"] for r in rows) == n_events
+    assert all(0 < r["n_violations"] < r["n_messages"] for r in rows)
 
 
 @pytest.mark.skipif(
