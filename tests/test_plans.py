@@ -218,3 +218,47 @@ def test_salted_join_spreads_without_broadcast(spark):
     plan = _plan(spark, "b73_salted_join")
     assert "SortMergeJoin" in plan
     assert "BroadcastExchange" not in plan
+
+
+def test_chunk_windows_shuffle_free_single_scan(spark):
+    # p09: chunking is a narrow map (sequence + explode + slice over one
+    # tokenization); any Exchange means 100 TB gets reshuffled to be cut
+    # into chunks, and a second scan means the text tokenized twice
+    plan = _plan(spark, "p09_chunk_windows")
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_corpus_shuffle_one_sharded_exchange(spark):
+    # p10: the ONLY shuffle is the rank window partitioned by shard —
+    # a SinglePartition window (global row_number) is the anti-pattern
+    # this query exists to replace
+    plan = _plan(spark, "p10_corpus_shuffle")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_fuzzy_decontaminate_no_cartesian(spark):
+    # c26: candidates come from the (lang, shingle) equi-join postings
+    # index — an all-pairs nested-loop between splits must never appear
+    plan = _plan(spark, "c26_fuzzy_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unpivot_expands_one_scan(spark):
+    # b77: unpivot lowers to Expand over ONE scan of part — the naive
+    # UNION ALL (the oracle's text) would read the table once per metric
+    plan = _plan(spark, "b77_unpivot")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_correlated_subqueries_decorrelate(spark):
+    # b78: both scalar subqueries and the EXISTS must lower to joins
+    # (Catalyst decorrelation); per-row subquery execution at 100 TB
+    # would be a nested loop over the whole customer table
+    plan = _plan(spark, "b78_correlated_subquery")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
