@@ -51,6 +51,10 @@ HEADLINE = [
     # round-3 pipeline ops with real shuffle work
     "p03_chunk_dedup",
     "p07_boilerplate_strip",
+    # round-4 corpus ops: decontamination join, chunking map, shuffle window
+    "c26_fuzzy_decontaminate",
+    "p09_chunk_windows",
+    "p10_corpus_shuffle",
     # lakehouse layout paths: bucketed co-located join + stats skipping
     "b60_bucketed_join",
     "b61_data_skipping",

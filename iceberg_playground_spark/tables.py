@@ -104,7 +104,7 @@ def _make_bounds_task():
                     b[0], b[1] = min(b[0], lo), max(b[1], hi)
                 else:
                     bounds[name] = [lo, hi]
-        return staged_dir, rel_fn, bounds
+        return staged_dir, rel_fn, bounds, md.num_rows
 
     return bounds_task
 
@@ -360,10 +360,37 @@ class LakeTable:
         sc = self.spark.sparkContext
         slices = max(1, min(len(tasks), sc.defaultParallelism))
         task = _make_bounds_task()
-        for d, fn, bounds in (
-            sc.parallelize(tasks, slices).map(task).collect()
-        ):
-            out[d][fn] = bounds
+        results = sc.parallelize(tasks, slices).map(task).collect()
+        # Iceberg writers never commit empty data files: a zero-row
+        # part (an empty upstream task — Spark's writer still emits a
+        # file for partition 0) carries no column stats, and a
+        # stats-less file poisons bounds planning into conservatively
+        # keeping its whole set (observed: b61's set-level pruning
+        # broke whenever a parallel append landed an empty part).
+        # Drop empties at commit time; if a staged dir holds ONLY
+        # empty files, one survives so the set still reads (schema).
+        rows_by_dir: dict[str, dict[str, int]] = {d: {} for d in out}
+        bounds_all: dict[tuple[str, str], dict] = {}
+        for d, fn, bounds, nrows in results:
+            rows_by_dir[d][fn] = nrows
+            bounds_all[(d, fn)] = bounds
+        for d, rows in rows_by_dir.items():
+            nonempty = {fn for fn, n in rows.items() if n > 0}
+            keep = nonempty or ({min(rows)} if rows else set())
+            for fn in rows:
+                if fn in keep:
+                    out[d][fn] = bounds_all[(d, fn)]
+                    continue
+                full = os.path.join(d, fn)
+                crc = os.path.join(
+                    os.path.dirname(full),
+                    "." + os.path.basename(full) + ".crc",
+                )
+                for p in (full, crc):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
         return out
 
     def append(self, df: DataFrame) -> int:

@@ -490,3 +490,44 @@ def test_catalog_listing(catalog, spark):
     assert "test_ns" in catalog.list_namespaces()
     assert {"la", "lb"} <= set(catalog.list_tables("test_ns"))
     assert catalog.list_tables("nope") == []
+
+
+def test_append_commits_no_empty_part_files(catalog, spark):
+    # A zero-row part file (empty upstream task) has no column stats,
+    # which would poison bounds planning into conservatively keeping
+    # its whole set — Iceberg writers never commit empty data files,
+    # and neither does the commit path (observed: b61's set-level
+    # pruning broke whenever a parallel append landed an empty part).
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = catalog.create_table("test_ns", "noempty", DDL, drop_if_exists=True)
+    # 1 row spread over 8 shuffle partitions => 7 empty write tasks
+    t.append(spark.createDataFrame([("A", "s", 1)], DDL).repartition(8))
+    [entry] = t.snapshot(t.current_version())["data_files"]
+    on_disk = glob.glob(os.path.join(entry["path"], "**", "*.parquet"),
+                        recursive=True)
+    assert on_disk, "append must leave at least one file"
+    for f in on_disk:
+        assert pq.ParquetFile(f).metadata.num_rows > 0
+    assert set(entry["bounds"]) == {
+        os.path.relpath(f, entry["path"]) for f in on_disk
+    }
+    assert all(b.get("count") for b in entry["bounds"].values())
+    # bounded scans now prune the OTHER sets entirely (the b61 shape)
+    t.append(spark.createDataFrame([("B", "l", 100)], DDL).repartition(8))
+    kept, _ = t.plan_files("count", 90, 110)
+    assert len(kept) == 1
+    assert t.scan_where("count", 90, 110).count() == 1
+
+
+def test_all_empty_append_stays_readable(catalog, spark):
+    # An append of zero rows keeps ONE (empty) file so the set still
+    # reads with a schema; the table remains queryable end-to-end.
+    t = catalog.create_table("test_ns", "allempty", DDL, drop_if_exists=True)
+    t.append(spark.createDataFrame([], DDL))
+    assert t.read().count() == 0
+    t.append(spark.createDataFrame([("A", "s", 1)], DDL))
+    assert t.read().count() == 1
