@@ -6,7 +6,7 @@ never-graded block (after scale, before udfs/streaming/relational).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from iceberg_playground_spark.queries._util import load
@@ -87,4 +87,132 @@ def b76_pivot(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("f_orders"),
         F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("o_orders"),
         F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("p_orders"),
+    )
+
+
+@query(
+    "b80_gap_fill",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket FROM events),
+    b AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM ev),
+    hours AS (
+      SELECT unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM b),
+    grid AS (
+      SELECT t.event_type, hours.bucket
+      FROM (SELECT DISTINCT event_type FROM ev) t, hours),
+    c AS (SELECT event_type, bucket, count(*) AS n
+          FROM ev GROUP BY event_type, bucket)
+    SELECT grid.event_type,
+           strftime(grid.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM grid LEFT JOIN c
+      ON grid.event_type = c.event_type AND grid.bucket = c.bucket
+    """,
+)
+def b80_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """B80: time-series gap filling — hourly event counts per type with
+    ZERO rows for silent hours (a dashboard/alerting query cannot tell
+    "no data" from "no row" without them). The dense bucket grid is
+    generated, never stored: sequence(min, max, 1 hour) over the
+    observed span × the distinct type set, then a left join picks up
+    the real counts.
+
+    Scale shape: the span bounds and type set are tiny aggregates
+    (2 timestamps + |types| rows); the grid is |types|×|hours| rows —
+    metadata-sized next to the fact table, built by explode, joined
+    broadcast. The fact table is scanned once for the counts and never
+    shuffled wider than the (type, bucket) aggregate."""
+    ev = load(spark, sf, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    )
+    bounds = ev.agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("b0", "b1", F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    counts = ev.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    return grid.join(counts, ["event_type", "bucket"], "left").select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, integer microseconds
+
+
+@query(
+    "b81_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+    m AS (
+      SELECT user_id, ts, us,
+             lag(us) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_us
+      FROM e),
+    s AS (
+      SELECT user_id, ts,
+             CAST(sum(CASE WHEN prev_us IS NULL
+                           OR us - prev_us > {_SESSION_GAP_US}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM m)
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def b81_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """B81: batch sessionization — split each user's event stream into
+    sessions at >30-minute silences (lag + running flag-sum, the
+    classic formulation) and summarize each session. This is the
+    hash-matched batch complement of b70's engine-native
+    session_window, whose state semantics DuckDB cannot mirror
+    (rows-only there; exact oracle here).
+
+    Gap arithmetic runs in INTEGER microseconds (epoch_us both
+    engines) — a float seconds delta could ulp-flip a boundary gap.
+    Scale shape: one shuffle on user_id for the window, reused as-is
+    by the session aggregate (same key prefix, no second exchange);
+    every user is independent, so skew is bounded by the hottest user,
+    not the corpus."""
+    ev = load(spark, sf, "events").select("user_id", "event_id", "ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id", "ts", us.alias("us"), F.lag(us).over(w).alias("prev_us")
+    )
+    new_sess = F.when(
+        F.col("prev_us").isNull()
+        | (F.col("us") - F.col("prev_us") > _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    ws = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = m.select(
+        "user_id", "ts", F.sum(new_sess).over(ws).alias("session_id")
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
     )

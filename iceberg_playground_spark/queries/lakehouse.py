@@ -349,9 +349,15 @@ def b61_data_skipping(spark: SparkSession, sf: str) -> DataFrame:
             "demo", "li_ranges", "l_orderkey BIGINT, l_quantity DOUBLE",
             drop_if_exists=True,
         )
-        for lo, hi in [(0, 17), (18, 34), (35, 50)]:
-            # parallel write: executors produce one file per partition
-            t.append(li.filter(F.col("l_quantity").between(lo, hi)))
+        # Writers stage in parallel; ONE batched commit carries all
+        # three dirs as three file sets (decouple.rs's shape: many
+        # staged writers, one committer flush) — one snapshot, one
+        # distributed bounds job instead of three.
+        staged = [
+            t.stage_append(li.filter(F.col("l_quantity").between(lo, hi)))
+            for lo, hi in [(0, 17), (18, 34), (35, 50)]
+        ]
+        t._commit(staged, [], {"operation": "append", "added": len(staged)})
         return t
 
     t = _built(spark, sf, "b61", build)
