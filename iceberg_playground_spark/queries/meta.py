@@ -17,6 +17,7 @@ round-5 grading window.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from iceberg_playground_spark.queries._util import load
 from iceberg_playground_spark.queries.lakehouse import _built
@@ -82,3 +83,63 @@ def b79_snapshot_metadata(spark: SparkSession, sf: str) -> DataFrame:
         "version INT, operation STRING, n_data_sets INT, "
         "n_delete_files INT, parent INT",
     )
+
+
+@query(
+    "b82_compaction_rollup",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('pre-compact',  8, 1, CAST(0 AS BIGINT)),
+      ('post-compact', 1, 0, CAST(0 AS BIGINT))
+    ) AS t(phase, n_data_sets, n_delete_files, row_drift)
+    """,
+)
+def b82_compaction_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """B82: small-file compaction, graded end-to-end — the maintenance
+    the reference's fast-append-only pipeline defers forever (20,000
+    data files per decouple run, decouple.rs:25-28, and nothing ever
+    merges them). Eight writer flushes land through the 5 s-cadence
+    BatchedCommitter as snapshots of small sets, one delete masks a
+    slice, then rewrite_data_files-style compaction collapses the MoR
+    view to ONE set with ZERO live delete files. ``row_drift`` proves
+    rows are conserved: count(view before) - count(view after) == 0 —
+    compaction must never lose or invent a row.
+
+    Metadata assertions (set counts) are parallelism-invariant; row
+    parity is computed by Spark aggregates over the live table (lazy;
+    the subtraction happens in the returned plan, not the driver)."""
+    from iceberg_playground_spark.tables import BatchedCommitter
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "orders_sf", "o_orderkey BIGINT, o_totalprice DOUBLE",
+            drop_if_exists=True,
+        )
+        o = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        committer = BatchedCommitter(t, interval_s=0.0)  # flush every add
+        for b in range(8):  # 8 writer flushes -> 8 small sets
+            committer.add(t.stage_append(o.filter(F.pmod("o_orderkey", F.lit(8)) == b)))
+        committer.flush()
+        t.delete_where("o_orderkey % 100 = 0", ["o_orderkey"])
+        pre_version = t.current_version()
+        pre_sets = len(t.snapshot(pre_version)["data_files"])
+        pre_dels = len(t.snapshot(pre_version)["delete_files"])
+        t.compact(target_files=4)
+        return t, pre_version, pre_sets, pre_dels
+
+    t, pre_v, pre_sets, pre_dels = _built(spark, sf, "b82", build)
+    cur = t.snapshot(t.current_version())
+    post = spark.createDataFrame(
+        [
+            ("pre-compact", pre_sets, pre_dels),
+            ("post-compact", len(cur["data_files"]), len(cur["delete_files"])),
+        ],
+        "phase STRING, n_data_sets INT, n_delete_files INT",
+    )
+    drift = (
+        t.read(version=pre_v).agg(F.count("*").alias("n"))
+        .crossJoin(t.read().agg(F.count("*").alias("m")))
+        .select((F.col("n") - F.col("m")).alias("row_drift"))
+    )
+    return post.crossJoin(F.broadcast(drift))

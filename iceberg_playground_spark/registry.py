@@ -57,9 +57,10 @@ def load_all() -> None:
     docstring). from-import order == registration order.
 
     Slots: streaming(10) lakehouse(9) llm(25) kafka(1) widen(5) = 50.
-    ``meta`` (b79, new in round 4) registers at slot 51 — the prefix is
-    exactly full, so it waits one round; it carries a hash-match oracle
-    and local-suite coverage meanwhile and enters the window first in
+    ``meta`` (b79/b82) and the round-4 rows of ``extra`` (b80/b81)
+    register just past slot 50 — the prefix is exactly full, so they
+    wait one round; each carries a hash-match oracle and local-suite
+    coverage meanwhile and they enter the grading window first in
     round 5.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
