@@ -57,11 +57,11 @@ def load_all() -> None:
     docstring). from-import order == registration order.
 
     Slots: streaming(10) lakehouse(9) llm(25) kafka(1) widen(5) = 50.
-    ``meta`` (b79/b82) and the round-4 rows of ``extra`` (b80/b81)
-    register just past slot 50 — the prefix is exactly full, so they
-    wait one round; each carries a hash-match oracle and local-suite
-    coverage meanwhile and they enter the grading window first in
-    round 5.
+    ``meta`` (b79/b82, slots 51-52) and the round-4 rows of ``extra``
+    (b80/b81, after the pipeline/scale re-grades) register past the
+    budget — the prefix is exactly full, so they wait one round; each
+    carries a hash-match oracle and local-suite coverage meanwhile and
+    they lead the round-5 grading window.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
