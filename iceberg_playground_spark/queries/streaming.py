@@ -54,6 +54,20 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
+def _scratch(prefix: str) -> str:
+    """Throwaway checkpoint/sink dir for the demo streams, on tmpfs
+    when the host has one (/dev/shm): these fixtures are drained and
+    discarded inside one query call, and the shared sandbox disk is
+    the known source of b54's 2.5x run-to-run swing. A PRODUCTION
+    stream's checkpoint must live on durable shared storage (S3/HDFS —
+    it is the exactly-once contract across driver restarts); only the
+    within-call demo artifacts belong in memory."""
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return tempfile.mkdtemp(prefix=prefix, dir=shm)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def _stream_events(spark: SparkSession, sf: str) -> DataFrame:
     """`events` as an unbounded stream (file source stands in for the
     reference's Kafka consumer, kafka-bench.rs:43-55). The declared
@@ -408,7 +422,7 @@ def b54_stream_lakehouse_sink(spark: SparkSession, sf: str) -> DataFrame:
         F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
     )
 
-    tmp = tempfile.mkdtemp(prefix="ips_stream_sink_")
+    tmp = _scratch("ips_stream_sink_")
     try:
         cat = LakeCatalog(spark, tmp)
         t = cat.create_table(
@@ -425,7 +439,7 @@ def b54_stream_lakehouse_sink(spark: SparkSession, sf: str) -> DataFrame:
             ev.writeStream.foreachBatch(sink_batch)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="ips_stream_ckpt_"),
+                _scratch("ips_stream_ckpt_"),
             )
             .trigger(availableNow=True)
             .start()
@@ -471,7 +485,7 @@ def b63_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = _stream_events(spark, sf).select("event_id", "user_id", "event_type")
 
-    tmp = tempfile.mkdtemp(prefix="ips_stream_upsert_")
+    tmp = _scratch("ips_stream_upsert_")
     try:
         cat = LakeCatalog(spark, tmp)
         t = cat.create_table(
@@ -506,7 +520,7 @@ def b63_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
             ev.writeStream.foreachBatch(sink_batch)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="ips_stream_upsert_ckpt_"),
+                _scratch("ips_stream_upsert_ckpt_"),
             )
             .trigger(availableNow=True)
             .start()
