@@ -143,3 +143,55 @@ def b82_compaction_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .select((F.col("n") - F.col("m")).alias("row_drift"))
     )
     return post.crossJoin(F.broadcast(drift))
+
+
+_GEN_ROWS = 10_000
+
+
+@query(
+    "b83_python_datasource",
+    oracle=f"""
+    WITH g AS (
+      SELECT i,
+             CAST('0x' || substring(md5('u' || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 1000 AS user_id,
+             CAST('0x' || substring(md5('c' || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 5 AS cat_i,
+             CAST('0x' || substring(md5('a' || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100000 AS amount_cents
+      FROM range(0, {_GEN_ROWS}) t(i))
+    SELECT ['compute','storage','network','identity','edge'][cat_i + 1]
+             AS category,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(amount_cents) AS BIGINT) AS total_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM g GROUP BY category
+    """,
+)
+def b83_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """B83/A15: synthetic load as a first-class SOURCE — Spark 4's
+    Python Data Source API replaces the reference's external Go
+    generator binary (kafka-load-gen/main.go:317-399). The ``assetgen``
+    format generates one InputPartition per topic-partition analogue,
+    ON the executors (the A15 worker fleet is Spark's own task
+    parallelism), with every field a pure function of the row id —
+    reproducible across runs, retries, and engines, which is what lets
+    DuckDB mirror the generator arithmetically and hash-match the
+    aggregate. sf-independent by design (the generator IS the data)."""
+    from iceberg_playground_spark.pysource import build_assetgen_source
+
+    try:
+        spark.dataSource.register(build_assetgen_source())
+    except Exception:
+        pass  # already registered in this session
+    g = (
+        spark.read.format("assetgen")
+        .option("rows", _GEN_ROWS)
+        .option("partitions", 10)
+        .load()
+    )
+    return g.groupBy("category").agg(
+        F.count("*").alias("n"),
+        F.sum("amount_cents").cast("bigint").alias("total_cents"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
