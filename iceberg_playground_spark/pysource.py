@@ -53,6 +53,24 @@ def build_assetgen_source():
         def __init__(self, pid: int, lo: int, hi: int):
             self.pid, self.lo, self.hi = pid, lo, hi
 
+    def _gen(lo: int, hi: int):
+        """Rows [lo, hi) — pure function of the row id (executor-side)."""
+        import hashlib
+
+        for i in range(lo, hi):
+            def h(tag: str) -> int:
+                return int(
+                    hashlib.md5(f"{tag}{i}".encode()).hexdigest()[:8], 16
+                )
+
+            yield (
+                i,
+                i % 10,  # round-robin topic assignment (main.go:378-386)
+                h("u") % 1000,
+                categories[h("c") % 5],
+                h("a") % 100_000,
+            )
+
     class AssetGenReader(DataSourceReader):
         def __init__(self, options):
             self.rows = int(options.get("rows", 10_000))
@@ -70,22 +88,44 @@ def build_assetgen_source():
             ]
 
         def read(self, partition):
-            import hashlib
+            return _gen(partition.lo, partition.hi)
 
-            for i in range(partition.lo, partition.hi):
-                def h(tag: str) -> int:
-                    return int(
-                        hashlib.md5(f"{tag}{i}".encode()).hexdigest()[:8],
-                        16,
-                    )
+    from pyspark.sql.datasource import DataSourceStreamReader
 
-                yield (
-                    i,
-                    i % 10,  # round-robin topic assignment (main.go:378-386)
-                    h("u") % 1000,
-                    categories[h("c") % 5],
-                    h("a") % 100_000,
-                )
+    class AssetGenStreamReader(DataSourceStreamReader):
+        """Streaming face of the generator (A9/A11 as a custom source):
+        offsets are row counts — JSON dicts, checkpointed by the engine,
+        so a restarted query resumes exactly where it committed
+        (exactly-once, the property the reference's Kafka consumer gets
+        from committed offsets). ``latestOffset`` exposes the full
+        bounded run up front, so ``availableNow`` drains it in one
+        epoch; partitions() still splits the range for executor-parallel
+        generation."""
+
+        def __init__(self, options):
+            self.rows = int(options.get("rows", 10_000))
+            self.parts = int(options.get("partitions", 10))
+
+        def initialOffset(self) -> dict:
+            return {"i": 0}
+
+        def latestOffset(self) -> dict:
+            return {"i": self.rows}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = start["i"], end["i"]
+            per = max(1, -(-(hi - lo) // self.parts))
+            return [
+                _Partition(p, lo + p * per, min(lo + (p + 1) * per, hi))
+                for p in range(self.parts)
+                if lo + p * per < hi
+            ]
+
+        def read(self, partition):
+            return _gen(partition.lo, partition.hi)
+
+        def commit(self, end: dict) -> None:
+            pass  # nothing external to acknowledge
 
     class AssetGenSource(DataSource):
         @classmethod
@@ -97,5 +137,8 @@ def build_assetgen_source():
 
         def reader(self, schema) -> AssetGenReader:
             return AssetGenReader(self.options)
+
+        def streamReader(self, schema) -> AssetGenStreamReader:
+            return AssetGenStreamReader(self.options)
 
     return AssetGenSource

@@ -7,10 +7,13 @@ confirm decouple.rs's 5 s cadence actually coalesced 20,000 files into
 dozens of snapshots). ``tables.py`` records the same facts in its
 snapshot JSON; this module surfaces them as a registered query.
 
-Registered at slot 51 — one past the driver's 50-entry grading budget,
-because the round-4 prefix is exactly full with never-graded/changed
-queries (registry.load_all). It carries a full hash-match oracle and is
-covered by the local correctness suite now; it is first in line for the
+Also here: the compaction rollup (b82) and the Python Data Source
+queries (b83 batch, b84 streaming — `pysource.py`).
+
+This module registers at slots 51+ — just past the driver's 50-entry
+grading budget, because the round-4 prefix is exactly full with
+never-graded/changed queries (registry.load_all). Every query carries a
+full hash-match oracle and local-suite coverage now; they lead the
 round-5 grading window.
 """
 
@@ -195,3 +198,50 @@ def b83_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("amount_cents").cast("bigint").alias("total_cents"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "b84_streaming_datasource",
+    oracle=f"""
+    WITH g AS (
+      SELECT i,
+             CAST('0x' || substring(md5('c' || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 5 AS cat_i,
+             CAST('0x' || substring(md5('a' || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100000 AS amount_cents
+      FROM range(0, {_GEN_ROWS}) t(i))
+    SELECT ['compute','storage','network','identity','edge'][cat_i + 1]
+             AS category,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(amount_cents) AS BIGINT) AS total_cents
+    FROM g GROUP BY category
+    """,
+)
+def b84_streaming_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """B84/A9': the generator as a custom STREAMING source — Spark 4's
+    DataSourceStreamReader. Offsets are checkpointed row counts (the
+    exactly-once contract the reference's consumer gets from committed
+    Kafka offsets); ``availableNow`` drains the bounded run in one
+    epoch; generation still executes partition-parallel on executors.
+    With the file-stream stand-ins (b68-b54) this completes the source
+    triangle: built-in file stream, env-gated Kafka, and a custom
+    Python source, all feeding the same engine. Aggregate hash-matches
+    the arithmetic mirror (b83's oracle minus the user dimension)."""
+    from iceberg_playground_spark.queries.streaming import _run_to_memory
+    from iceberg_playground_spark.pysource import build_assetgen_source
+
+    try:
+        spark.dataSource.register(build_assetgen_source())
+    except Exception:
+        pass  # already registered in this session
+    g = (
+        spark.readStream.format("assetgen")
+        .option("rows", _GEN_ROWS)
+        .option("partitions", 10)
+        .load()
+    )
+    agg = g.groupBy("category").agg(
+        F.count("*").alias("n"),
+        F.sum("amount_cents").cast("bigint").alias("total_cents"),
+    )
+    return _run_to_memory(agg, mode="complete")
