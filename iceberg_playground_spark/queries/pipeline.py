@@ -497,3 +497,80 @@ def p08_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         _sample,
         schema="doc_id long, frame_idx int, frame_len int, first_byte int",
     )
+
+
+@query(
+    "p11_quality_matrix",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws
+      FROM documents),
+    m AS (
+      SELECT len(ws) AS n_words,
+             CAST(list_max(list_transform(list_distinct(ws),
+                    x -> len(list_filter(ws, y -> y = x)))) AS DOUBLE)
+               / len(ws) AS share,
+             n_chars, lang
+      FROM w),
+    f AS (
+      SELECT CASE WHEN n_chars BETWEEN 150 AND 400 THEN 1 ELSE 0 END
+               AS len_ok,
+             CASE WHEN share <= 0.095 THEN 1 ELSE 0 END AS rep_ok,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+             n_words
+      FROM m)
+    SELECT len_ok, rep_ok, is_en,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens,
+           CAST(grouping(len_ok) AS INT) AS g_len,
+           CAST(grouping(rep_ok) AS INT) AS g_rep,
+           CAST(grouping(is_en) AS INT) AS g_en
+    FROM f
+    GROUP BY GROUPING SETS ((), (len_ok), (rep_ok), (is_en),
+                            (len_ok, rep_ok, is_en))
+    """,
+)
+def p11_quality_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """P11: quality-filter ABLATION MATRIX — before committing to a
+    filter stack, a corpus build wants to know what each gate and each
+    gate combination would keep: docs and token budget per (length
+    gate × repetition gate × language) cell, plus the per-gate
+    marginals and the grand total in one pass (GROUPING SETS over the
+    flag columns — b75's machinery applied to pipeline debugging).
+    This is the report that catches a filter silently deleting a
+    language before the corpus ships.
+
+    Scale shape: the flags are per-row JVM array arithmetic (p01's
+    top-share expression; zero shuffle to compute), and the grouping
+    runs as ONE Expand + hash aggregate over ≤8-value keys — a bounded
+    aggregate regardless of corpus size, exactly one scan."""
+    d = load(spark, sf, "documents")
+    ws = _words()
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        )
+    )
+    share = top_cnt.cast("double") / F.size(ws)
+    f = d.select(
+        F.when(F.col("n_chars").between(150, 400), 1).otherwise(0)
+        .alias("len_ok"),
+        F.when(share <= 0.095, 1).otherwise(0).alias("rep_ok"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        F.size(ws).alias("n_words"),
+    )
+    f.createOrReplaceTempView("p11_flags")
+    return spark.sql(
+        """
+        SELECT len_ok, rep_ok, is_en,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_tokens,
+               CAST(grouping(len_ok) AS INT) AS g_len,
+               CAST(grouping(rep_ok) AS INT) AS g_rep,
+               CAST(grouping(is_en) AS INT) AS g_en
+        FROM p11_flags
+        GROUP BY GROUPING SETS ((), (len_ok), (rep_ok), (is_en),
+                                (len_ok, rep_ok, is_en))
+        """
+    )
