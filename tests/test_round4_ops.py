@@ -116,3 +116,27 @@ def test_fuzzy_decontaminate_split_discipline(spark):
             assert r["max_jaccard"] >= _DECON_J
         else:
             assert r["max_jaccard"] < _DECON_J
+
+
+def test_grading_prefix_composition():
+    # The driver grades EXACTLY the first 50 registered queries
+    # (registration order == module import order, registry.load_all).
+    # Round 4 packs the prefix with never-graded/changed queries;
+    # an accidental import reorder would silently strand them again
+    # (the round-3 defect). Pin the composition, not just the count.
+    names = list(registry.QUERIES)
+    prefix = names[:50]
+    # the 10 streaming queries must ALL be inside the window
+    for q in ["b68_tumbling_window", "b69_sliding_window",
+              "b70_session_window", "b50_watermark_late_drop",
+              "b51_streaming_dedup", "b52_stateful_per_key",
+              "b53_stream_static_join", "b54_stream_lakehouse_sink",
+              "b63_stream_upsert_sink", "b65_stream_stream_join"]:
+        assert q in prefix, q
+    # ...as must the round-4 new/changed entries
+    for q in ["b05_kafka_batch_source", "c26_fuzzy_decontaminate",
+              "p09_chunk_windows", "p10_corpus_shuffle", "b77_unpivot",
+              "b78_correlated_subquery", "c02_minhash_lsh_dedup",
+              "c10_embedding_near_dup", "b61_data_skipping"]:
+        assert q in prefix, q
+    assert len(names) >= 119
