@@ -245,3 +245,92 @@ def b84_streaming_datasource(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("amount_cents").cast("bigint").alias("total_cents"),
     )
     return _run_to_memory(agg, mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# c27 — random-projection embedding compression (Layer C continuation)
+# ---------------------------------------------------------------------------
+
+# Deterministic ±1 sign matrix (16 output dims × 64 input dims), derived
+# from md5 in PYTHON once and embedded as a literal in BOTH engines'
+# expressions — the engines never have to agree on a hash, only on
+# float multiply-add over identical literals (sequential fold, the c03
+# dot-product rule).
+import hashlib as _hashlib
+
+_RP_OUT, _RP_IN = 16, 64
+_RP_SIGNS = [
+    [
+        1.0
+        if int(_hashlib.md5(f"rp{j}:{i}".encode()).hexdigest(), 16) % 2 == 0
+        else -1.0
+        for i in range(_RP_IN)
+    ]
+    for j in range(_RP_OUT)
+]
+
+
+def _rp_y_sql(j: int) -> str:
+    lit = "[" + ",".join(str(s) for s in _RP_SIGNS[j]) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {_RP_IN} + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]), "
+        f"(x, y) -> x + y)"
+    )
+
+
+_RP_ORACLE = f"""
+    WITH y AS (
+      SELECT vec_id,
+             {', '.join(f'round({_rp_y_sql(j)}, 6) AS y{j}'
+                        for j in range(_RP_OUT))},
+             round(sqrt(list_reduce(list_transform(
+                     range(1, {_RP_IN} + 1),
+                     i -> CAST(embedding[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)), 6) AS norm64
+      FROM embeddings)
+    SELECT vec_id, y0, y1, y2, y3,
+           round(sqrt({' + '.join(f'y{j}*y{j}' for j in range(_RP_OUT))})
+                 / {float(_RP_OUT ** 0.5)} / norm64, 4) AS jl_ratio
+    FROM y
+"""
+
+
+@query("c27_random_projection", oracle=_RP_ORACLE)
+def c27_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """C27: random-projection compression 64→16 dims — with c21's int8
+    quantization this completes the embedding-compression pair (dims ×
+    precision), the 4× storage move before any vector index is built at
+    100 TB. Signs are a fixed ±1 matrix (sign random projection), so
+    each output dim is one sequential-fold dot product per row — pure
+    JVM arithmetic, zero shuffle, single scan. ``jl_ratio`` reports the
+    Johnson-Lindenstrauss norm-preservation ratio (‖y‖/√k/‖v‖ ≈ 1),
+    the check that tells you the projection is safe to search over."""
+    from iceberg_playground_spark.queries.llm import _dot, _norm
+
+    e = load(spark, sf, "embeddings")
+    emb = F.col("embedding")
+    ys = [
+        F.round(
+            _dot(emb, F.array(*[F.lit(s) for s in _RP_SIGNS[j]])), 6
+        ).alias(f"y{j}")
+        for j in range(_RP_OUT)
+    ]
+    y = e.select(
+        "vec_id", *ys, F.round(_norm(emb), 6).alias("norm64")
+    )
+    sq = None
+    for j in range(_RP_OUT):
+        term = F.col(f"y{j}") * F.col(f"y{j}")
+        sq = term if sq is None else sq + term
+    return y.select(
+        "vec_id",
+        "y0",
+        "y1",
+        "y2",
+        "y3",
+        F.round(
+            F.sqrt(sq) / float(_RP_OUT ** 0.5) / F.col("norm64"), 4
+        ).alias("jl_ratio"),
+    )
