@@ -262,3 +262,43 @@ def test_correlated_subqueries_decorrelate(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # The 100 TB skew story this repo documents (b73 static salting for
+    # deterministic layouts, AQE skew-join for everything else) must
+    # actually fire: a hot key 60x the median partition gets split at
+    # runtime — the final adaptive plan carries the skew=true marker.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(0, 9_900).select(
+                (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+        small = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(small, "k")
+        assert len(j.collect()) == 209_900
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
