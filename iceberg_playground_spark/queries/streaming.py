@@ -61,11 +61,28 @@ def _scratch(prefix: str) -> str:
     the known source of b54's 2.5x run-to-run swing. A PRODUCTION
     stream's checkpoint must live on durable shared storage (S3/HDFS —
     it is the exactly-once contract across driver restarts); only the
-    within-call demo artifacts belong in memory."""
+    within-call demo artifacts belong in memory.
+
+    Unlike /tmp, tmpfs has no OS reaper — stale dirs would pin RAM
+    across a long session — so each call sweeps siblings of this
+    module's prefixes older than an hour (best-effort; in-flight runs
+    are minutes old at most)."""
     shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return tempfile.mkdtemp(prefix=prefix, dir=shm)
-    return tempfile.mkdtemp(prefix=prefix)
+    if not (os.path.isdir(shm) and os.access(shm, os.W_OK)):
+        return tempfile.mkdtemp(prefix=prefix)
+    import shutil
+    import time
+
+    cutoff = time.time() - 3600
+    try:
+        for d in os.listdir(shm):
+            if d.startswith("ips_stream"):
+                p = os.path.join(shm, d)
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    return tempfile.mkdtemp(prefix=prefix, dir=shm)
 
 
 def _stream_events(spark: SparkSession, sf: str) -> DataFrame:
