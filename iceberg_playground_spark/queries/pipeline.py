@@ -574,3 +574,74 @@ def p11_quality_matrix(spark: SparkSession, sf: str) -> DataFrame:
                                 (len_ok, rep_ok, is_en))
         """
     )
+
+
+_LEV_PREFIX = 40  # chars compared
+_LEV_MAX = 8  # edit-distance bar
+_LEV_BUCKET = 40  # n_chars blocking bucket width
+
+
+@query(
+    "c28_edit_distance_dups",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // {_LEV_BUCKET} AS b,
+             substring(text, 1, {_LEV_PREFIX}) AS p
+      FROM documents),
+    a AS (
+      SELECT doc_id AS a_id, lang AS a_lang, p AS pa,
+             unnest([b - 1, b, b + 1]) AS jb
+      FROM d),
+    pairs AS (
+      SELECT a.a_id, d.doc_id AS b_id,
+             levenshtein(a.pa, d.p) AS edit_dist
+      FROM a JOIN d ON a.a_lang = d.lang AND a.jb = d.b
+                   AND a.a_id < d.doc_id)
+    SELECT a_id, b_id, CAST(edit_dist AS INT) AS edit_dist
+    FROM pairs WHERE edit_dist <= {_LEV_MAX}
+    """,
+)
+def c28_edit_distance_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """C28: edit-distance near-dup pairs — the fuzzy-STRING member of
+    the dedup family (c01 exact hash, c02/c08 sketch, c09 set-overlap,
+    c10 vector): document pairs whose leading {pfx} chars are within
+    {k} edits, the match a curation pipeline uses for short fields and
+    templated boilerplate where token sets are useless.
+
+    Blocking keeps it off the quadratic cliff: candidates must share
+    (lang, length bucket), with the probe side exploded to its bucket
+    ±1 so near-dups straddling a boundary still meet — every join key
+    is an equi key, so candidate volume is Σ|block|² over ~{w}-char
+    length bands, never |corpus|² (c09's inverted-index lesson applied
+    to edit distance). levenshtein is the same integer DP in both
+    engines — exact oracle, no float anywhere."""
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / _LEV_BUCKET).cast("bigint").alias("b"),
+        F.substring("text", 1, _LEV_PREFIX).alias("p"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("p").alias("pa"),
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("jb"),
+    )
+    pairs = a.join(
+        d,
+        (F.col("a_lang") == F.col("lang"))
+        & (F.col("jb") == F.col("b"))
+        & (F.col("a_id") < F.col("doc_id")),
+    ).select(
+        "a_id",
+        F.col("doc_id").alias("b_id"),
+        F.levenshtein("pa", "p").cast("int").alias("edit_dist"),
+    )
+    return pairs.filter(F.col("edit_dist") <= _LEV_MAX)
+
+
+c28_edit_distance_dups.__doc__ = c28_edit_distance_dups.__doc__.format(
+    pfx=_LEV_PREFIX, k=_LEV_MAX, w=_LEV_BUCKET
+)
