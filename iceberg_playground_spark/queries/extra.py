@@ -119,17 +119,24 @@ def b80_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     observed span × the distinct type set, then a left join picks up
     the real counts.
 
-    Scale shape: the span bounds and type set are tiny aggregates
-    (2 timestamps + |types| rows); the grid is |types|×|hours| rows —
-    metadata-sized next to the fact table, built by explode, joined
-    broadcast. The fact table is scanned once for the counts and never
-    shuffled wider than the (type, bucket) aggregate."""
+    Scale shape: span bounds AND the type set come from ONE tiny
+    aggregate pass (min/max timestamps + a collect_set of the ≤handful
+    of types — not a separate distinct scan); the grid is
+    |types|×|hours| rows — metadata-sized next to the fact table,
+    built by explode, joined broadcast. The fact table is scanned
+    exactly twice total (grid metadata + counts; plan-pinned) and
+    never shuffled wider than the (type, bucket) aggregate."""
     ev = load(spark, sf, "events").select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
     )
-    bounds = ev.agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
-    types = ev.select("event_type").distinct()
-    grid = types.crossJoin(F.broadcast(bounds)).select(
+    meta0 = ev.agg(
+        F.min("bucket").alias("b0"),
+        F.max("bucket").alias("b1"),
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+    )
+    grid = meta0.select(
+        F.explode("types").alias("event_type"), "b0", "b1"
+    ).select(
         "event_type",
         F.explode(
             F.sequence("b0", "b1", F.expr("interval 1 hour"))

@@ -302,3 +302,26 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gap_fill_scans_facts_twice_only(spark):
+    # b80: grid metadata (bounds + type set in ONE aggregate) + counts —
+    # a third scan means the distinct-types pass came back
+    plan = _plan(spark, "b80_gap_fill")
+    assert plan.count("Scan parquet") == 2
+
+
+def test_sessionize_reuses_user_partitioning(spark):
+    # b81: the session aggregate keys (user_id, session_id) are
+    # satisfied by the window's hashpartitioning(user_id) — a second
+    # exchange means the stream is reshuffled between window and agg
+    plan = _plan(spark, "b81_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_edit_distance_dups_no_cartesian(spark):
+    # c28: candidates come from the (lang, length-bucket) equi join —
+    # an all-pairs nested loop must never appear
+    plan = _plan(spark, "c28_edit_distance_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
