@@ -334,3 +334,54 @@ def c27_random_projection(spark: SparkSession, sf: str) -> DataFrame:
             F.sqrt(sq) / float(_RP_OUT ** 0.5) / F.col("norm64"), 4
         ).alias("jl_ratio"),
     )
+
+
+@query("b85_asset_pipeline")  # rows-only: loadgen is xxhash64-seeded
+def b85_asset_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """B85/A15: the reference's WIDE asset message, processed end to
+    end as a registered query — loadgen synthesizes the AssetMessage
+    shape classes (kafka-load-gen/main.go:51-120: JSON-in-string
+    networkInterface, array<string> contributingSources, array<struct>
+    customField1), then the query does what a consumer of that topic
+    does: parse the embedded JSON, explode the custom-field structs,
+    and aggregate per (region, custom-field source). rows-only by
+    design: the generator seeds from xxhash64 (JVM-fast, the 100 TB
+    choice) which no SQL oracle can mirror; the *shape* plumbing is
+    what this grades, and pytest pins the generator's determinism.
+
+    Scale shape: generation is partition-parallel column arithmetic
+    (spark.range across 10 tasks); the only shuffle is the final
+    bounded aggregate. JSON parse + explode are per-row JVM ops."""
+    from iceberg_playground_spark.loadgen import gen_assets
+
+    a = gen_assets(spark, 10_000, partitions=10)
+    ni = F.from_json(
+        F.col("network_interface"),
+        "ipAddress STRING, macAddress STRING, networkName STRING",
+    )
+    parsed = a.select(
+        "cloud_region",
+        ni.getField("networkName").alias("network_name"),
+        F.explode("custom_field1").alias("cf"),
+        "cpu_usage",
+        "is_active",
+    )
+    return (
+        parsed.select(
+            "cloud_region",
+            "network_name",
+            F.col("cf.source").alias("cf_source"),
+            F.size("cf.values").alias("n_values"),
+            "cpu_usage",
+            "is_active",
+        )
+        .groupBy("cloud_region", "cf_source")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.col("is_active").cast("long")).alias("n_active"),
+            F.round(F.avg("cpu_usage"), 2).alias("avg_cpu"),
+            F.sum("n_values").alias("n_custom_values"),
+            F.count_distinct("network_name").alias("n_networks"),
+        )
+        .orderBy("cloud_region", "cf_source")
+    )
