@@ -7,8 +7,10 @@ confirm decouple.rs's 5 s cadence actually coalesced 20,000 files into
 dozens of snapshots). ``tables.py`` records the same facts in its
 snapshot JSON; this module surfaces them as a registered query.
 
-Also here: the compaction rollup (b82) and the Python Data Source
-queries (b83 batch, b84 streaming — `pysource.py`).
+Also here, as the round-4 past-budget block: the compaction rollup
+(b82), the Python Data Source queries (b83 batch, b84 streaming —
+`pysource.py`), random-projection embedding compression (c27), and the
+wide-asset-message pipeline over the load generator (b85).
 
 This module registers at slots 51+ — just past the driver's 50-entry
 grading budget, because the round-4 prefix is exactly full with
