@@ -387,3 +387,56 @@ def b85_asset_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cloud_region", "cf_source")
     )
+
+
+@query(
+    "b86_snapshot_tags",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('baseline', 1, CAST(5 AS BIGINT)),
+      ('head',     3, CAST(7 AS BIGINT))
+    ) AS t(ref, version, n_rows)
+    """,
+)
+def b86_snapshot_tags(spark: SparkSession, sf: str) -> DataFrame:
+    """B86: named snapshot refs (Iceberg TAGS) with ref-based
+    retention, graded end to end. v1 is tagged 'baseline', two more
+    appends land, then expire_snapshots(keep_last=1) runs: the
+    untagged middle version expires, the tagged v1 survives (tags PIN
+    their snapshots — Iceberg's retention rule), and both refs still
+    read their exact row sets. This is the audit/repro workflow — "the
+    corpus we trained on is tag v2024-01" — that time travel by number
+    alone cannot provide once retention runs.
+
+    The returned plan computes both counts lazily (two 1-row
+    aggregates unioned); the build's expiration already proved the
+    pinned read works."""
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "region_tags", "r_regionkey INT, r_name STRING",
+            drop_if_exists=True,
+        )
+        r = load(spark, sf, "region").select("r_regionkey", "r_name")
+        t.append(r)  # v1: the 5 regions
+        t.create_tag("baseline")
+        t.append(r.filter("r_regionkey = 0"))  # v2 (will expire)
+        t.append(r.filter("r_regionkey = 1"))  # v3 = HEAD
+        t.expire_snapshots(keep_last=1, orphan_older_than_s=0)
+        return t
+
+    t = _built(spark, sf, "b86", build)
+    parts = []
+    for ref, v in [("baseline", t.resolve_ref("baseline")),
+                   ("head", t.current_version())]:
+        parts.append(
+            t.read(version=v)
+            .agg(F.count("*").cast("bigint").alias("n_rows"))
+            .select(
+                F.lit(ref).alias("ref"),
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+            )
+        )
+    return parts[0].unionByName(parts[1])

@@ -201,6 +201,52 @@ class LakeTable:
         self.ddl = meta["ddl"]
         self.partition_by: list[str] = meta.get("partition_by", [])
 
+    # -- named refs (Iceberg tags) ------------------------------------------
+    def _refs_file(self) -> str:
+        return os.path.join(self.root, "refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs (Iceberg TAGS: immutable names for
+        versions — `VERSION AS OF 'name'`)."""
+        try:
+            with open(self._refs_file()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Tag a committed snapshot (default: current HEAD). Tags are
+        immutable (re-tagging an existing name is an error, like
+        Iceberg's CREATE TAG) and PIN their snapshot against
+        expire_snapshots — the retention rule that makes audit/repro
+        refs safe to rely on. Atomic via write-then-rename."""
+        v = self.current_version() if version is None else version
+        refs = self.tags()
+        if name in refs:
+            raise ValueError(f"tag exists: {name} -> v{refs[name]}")
+        if v not in self.versions():
+            raise ValueError(f"cannot tag uncommitted version v{v}")
+        refs[name] = v
+        tmp = self._refs_file() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_file())
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        refs = self.tags()
+        refs.pop(name)  # KeyError on unknown tag, like DROP TAG
+        tmp = self._refs_file() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_file())
+
+    def resolve_ref(self, tag: str) -> int:
+        refs = self.tags()
+        if tag not in refs:
+            raise ValueError(f"no such tag: {tag}")
+        return refs[tag]
+
     # -- snapshot log --------------------------------------------------------
     def _snap_file(self, version: int) -> str:
         return os.path.join(self.root, _SNAP_DIR, f"v{version:08d}.json")
@@ -633,6 +679,10 @@ class LakeTable:
         ``olderThan`` grace (default 3 days, as upstream)."""
         vs = self.versions()
         keep = set(vs[-keep_last:]) if keep_last else set(vs)
+        # Tagged snapshots are PINNED (Iceberg's ref-based retention:
+        # expire_snapshots never drops a snapshot a tag points at) —
+        # an audit/repro ref stays readable for its lifetime.
+        keep |= set(self.tags().values())
         expired = [v for v in vs if v not in keep]
         live: set[str] = set()
         dead: set[str] = set()
@@ -678,13 +728,20 @@ class LakeTable:
         return self._assemble(files, to_version)
 
     # -- read path -----------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot scan (B2): current HEAD or `VERSION AS OF`.
+    def read(
+        self, version: int | None = None, tag: str | None = None
+    ) -> DataFrame:
+        """Snapshot scan (B2): current HEAD, `VERSION AS OF` a number,
+        or `VERSION AS OF` a named tag.
 
         MoR apply: LEFT ANTI JOIN against the union of delete-key files.
         The delete side is orders of magnitude smaller than data (keys
         only), so it's explicitly broadcast — at 100 TB the scan gains a
         map-side hash filter and zero shuffles."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version or tag, not both")
+            version = self.resolve_ref(tag)
         v = self.current_version() if version is None else version
         return self._assemble(self.snapshot(v)["data_files"], version)
 

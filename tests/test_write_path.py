@@ -531,3 +531,28 @@ def test_all_empty_append_stays_readable(catalog, spark):
     assert t.read().count() == 0
     t.append(spark.createDataFrame([("A", "s", 1)], DDL))
     assert t.read().count() == 1
+
+
+def test_tags_pin_snapshots_through_expiration(catalog, spark):
+    # Iceberg tag semantics: named, immutable, and retention-proof —
+    # expire_snapshots drops untagged old versions but never a tagged
+    # one; the tag read replays the pinned snapshot exactly.
+    t = _table(catalog, spark, name="tagged")  # v1: the 5 canonical rows
+    t.create_tag("baseline")
+    t.append(spark.createDataFrame([("F", "large", 7)], DDL))  # v2
+    t.append(spark.createDataFrame([("G", "small", 3)], DDL))  # v3
+    assert t.tags() == {"baseline": 1}
+    assert t.read(tag="baseline").count() == 5
+    with pytest.raises(ValueError):
+        t.create_tag("baseline")  # immutable
+    with pytest.raises(ValueError):
+        t.create_tag("nope", version=99)  # uncommitted version
+    out = t.expire_snapshots(keep_last=1, orphan_older_than_s=0)
+    assert out["expired_versions"] == [2]  # v1 pinned by tag, v3 is HEAD
+    assert t.read(tag="baseline").count() == 5  # still readable
+    assert t.read().count() == 7
+    t.drop_tag("baseline")
+    out = t.expire_snapshots(keep_last=1, orphan_older_than_s=0)
+    assert out["expired_versions"] == [1]  # unpinned -> expired
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1).count()
