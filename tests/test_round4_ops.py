@@ -140,3 +140,41 @@ def test_grading_prefix_composition():
               "c10_embedding_near_dup", "b61_data_skipping"]:
         assert q in prefix, q
     assert len(names) >= 119
+
+
+def test_streaming_datasource_resumes_from_checkpoint(spark, tmp_path):
+    # b84's exactly-once claim, pinned: offsets are committed to the
+    # checkpoint, so a SECOND run of the same bounded stream from the
+    # same checkpoint finds latestOffset already consumed and emits
+    # zero new rows — the committed-Kafka-offset contract. (Sink must
+    # be fault-tolerant: the memory sink refuses checkpoint recovery.)
+    from iceberg_playground_spark.pysource import build_assetgen_source
+
+    try:
+        spark.dataSource.register(build_assetgen_source())
+    except Exception:
+        pass
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("assetgen")
+            .option("rows", 1000)
+            .option("partitions", 4)
+            .load()
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return spark.read.parquet(out).count()
+
+    assert drain() == 1000
+    # same checkpoint: offsets already committed, the resumed stream
+    # delivers NOTHING new — total stays exactly 1000, no re-delivery
+    assert drain() == 1000
