@@ -161,7 +161,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, integer microseconds
     WITH e AS (
       SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
     m AS (
-      SELECT user_id, ts, us,
+      SELECT user_id, event_id, ts, us,
              lag(us) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id) AS prev_us
       FROM e),
@@ -170,7 +170,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, integer microseconds
              CAST(sum(CASE WHEN prev_us IS NULL
                            OR us - prev_us > {_SESSION_GAP_US}
                            THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY user_id ORDER BY ts
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS session_id
       FROM m)
@@ -191,6 +191,12 @@ def b81_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
     Gap arithmetic runs in INTEGER microseconds (epoch_us both
     engines) — a float seconds delta could ulp-flip a boundary gap.
+    Both windows order by (ts, event_id): a bare ts ordering would
+    leave the ROWS-frame running sum ambiguous if two events of one
+    user ever share a timestamp at a session boundary, letting the two
+    engines assign different session_ids (latent at the shipped SFs —
+    no (user_id, ts) duplicates exist — but the tie-break makes the
+    query correct on any input, not just this one).
     Scale shape: one shuffle on user_id for the window, reused as-is
     by the session aggregate (same key prefix, no second exchange);
     every user is independent, so skew is bounded by the hottest user,
@@ -199,7 +205,8 @@ def b81_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     m = ev.select(
-        "user_id", "ts", us.alias("us"), F.lag(us).over(w).alias("prev_us")
+        "user_id", "event_id", "ts", us.alias("us"),
+        F.lag(us).over(w).alias("prev_us"),
     )
     new_sess = F.when(
         F.col("prev_us").isNull()
@@ -208,7 +215,7 @@ def b81_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     ).otherwise(0)
     ws = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     s = m.select(

@@ -12,11 +12,12 @@ Also here, as the round-4 past-budget block: the compaction rollup
 `pysource.py`), random-projection embedding compression (c27), and the
 wide-asset-message pipeline over the load generator (b85).
 
-This module registers at slots 51+ — just past the driver's 50-entry
-grading budget, because the round-4 prefix is exactly full with
-never-graded/changed queries (registry.load_all). Every query carries a
-full hash-match oracle and local-suite coverage now; they lead the
-round-5 grading window.
+Round-4 history: this block registered past the driver's 50-entry
+grading budget (the round-4 prefix was exactly full) and so was never
+driver-graded that round. Round 5 pins grading order explicitly in
+``registry._R5_UNGRADED`` — this module's seven queries lead the
+window there, each with full hash-match oracles (b85 rows-only by
+design) and local-suite coverage.
 """
 
 from __future__ import annotations
@@ -153,6 +154,27 @@ def b82_compaction_rollup(spark: SparkSession, sf: str) -> DataFrame:
 _GEN_ROWS = 10_000
 
 
+def _register_assetgen(spark: SparkSession) -> None:
+    """Register the ``assetgen`` Python data source once per session.
+
+    Registration failures PROPAGATE: a blanket ``except: pass`` here
+    would also swallow genuine failures (missing Data Source API, a
+    bad source class), deferring them to a confusing
+    DATA_SOURCE_NOT_FOUND at read time. Only the benign
+    already-registered duplicate is tolerated, and a session-scoped
+    flag makes the common re-invocation path not even re-register."""
+    if getattr(spark, "_assetgen_registered", False):
+        return
+    from iceberg_playground_spark.pysource import build_assetgen_source
+
+    try:
+        spark.dataSource.register(build_assetgen_source())
+    except Exception as e:
+        if "already" not in str(e).lower():
+            raise
+    spark._assetgen_registered = True
+
+
 @query(
     "b83_python_datasource",
     oracle=f"""
@@ -183,12 +205,7 @@ def b83_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
     reproducible across runs, retries, and engines, which is what lets
     DuckDB mirror the generator arithmetically and hash-match the
     aggregate. sf-independent by design (the generator IS the data)."""
-    from iceberg_playground_spark.pysource import build_assetgen_source
-
-    try:
-        spark.dataSource.register(build_assetgen_source())
-    except Exception:
-        pass  # already registered in this session
+    _register_assetgen(spark)
     g = (
         spark.read.format("assetgen")
         .option("rows", _GEN_ROWS)
@@ -230,12 +247,8 @@ def b84_streaming_datasource(spark: SparkSession, sf: str) -> DataFrame:
     Python source, all feeding the same engine. Aggregate hash-matches
     the arithmetic mirror (b83's oracle minus the user dimension)."""
     from iceberg_playground_spark.queries.streaming import _run_to_memory
-    from iceberg_playground_spark.pysource import build_assetgen_source
 
-    try:
-        spark.dataSource.register(build_assetgen_source())
-    except Exception:
-        pass  # already registered in this session
+    _register_assetgen(spark)
     g = (
         spark.readStream.format("assetgen")
         .option("rows", _GEN_ROWS)

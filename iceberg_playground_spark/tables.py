@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -202,44 +203,77 @@ class LakeTable:
         self.partition_by: list[str] = meta.get("partition_by", [])
 
     # -- named refs (Iceberg tags) ------------------------------------------
-    def _refs_file(self) -> str:
-        return os.path.join(self.root, "refs.json")
+    # One FILE PER TAG under refs/, created with the same os.link CAS
+    # the snapshot log uses (_commit): creation is atomic, and tag
+    # immutability is enforced by the filesystem itself (a second
+    # create of the same name hits FileExistsError), so two racing
+    # create_tag calls can never silently lose one — the failure mode
+    # of the old single-refs.json read-modify-write.
+    _TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+    def _refs_dir(self) -> str:
+        d = os.path.join(self.root, "refs")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _ref_file(self, name: str) -> str:
+        if not self._TAG_NAME_RE.match(name):
+            raise ValueError(
+                f"invalid tag name {name!r}: use [A-Za-z0-9._-], "
+                "starting alphanumeric (Iceberg ref-name shape)"
+            )
+        return os.path.join(self._refs_dir(), name + ".ref")
 
     def tags(self) -> dict[str, int]:
         """Named snapshot refs (Iceberg TAGS: immutable names for
         versions — `VERSION AS OF 'name'`)."""
-        try:
-            with open(self._refs_file()) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            return {}
+        out: dict[str, int] = {}
+        for f in os.listdir(self._refs_dir()):
+            if not f.endswith(".ref"):
+                continue
+            try:
+                with open(os.path.join(self._refs_dir(), f)) as fh:
+                    out[f[:-4]] = json.load(fh)["version"]
+            except FileNotFoundError:
+                continue  # concurrently dropped
+        return out
 
     def create_tag(self, name: str, version: int | None = None) -> int:
         """Tag a committed snapshot (default: current HEAD). Tags are
         immutable (re-tagging an existing name is an error, like
         Iceberg's CREATE TAG) and PIN their snapshot against
         expire_snapshots — the retention rule that makes audit/repro
-        refs safe to rely on. Atomic via write-then-rename."""
+        refs safe to rely on. Atomic via os.link CAS (one file per tag,
+        the _commit pattern); after linking, the snapshot's continued
+        existence is re-verified so a create racing expire_snapshots
+        rolls back with an error instead of leaving a dangling ref
+        (expire re-reads tags just before unlinking snapshots, so the
+        two checks close on each other; see expire_snapshots)."""
         v = self.current_version() if version is None else version
-        refs = self.tags()
-        if name in refs:
-            raise ValueError(f"tag exists: {name} -> v{refs[name]}")
+        target = self._ref_file(name)
         if v not in self.versions():
             raise ValueError(f"cannot tag uncommitted version v{v}")
-        refs[name] = v
-        tmp = self._refs_file() + f".tmp.{uuid.uuid4().hex}"
+        tmp = target + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump(refs, f)
-        os.replace(tmp, self._refs_file())
+            json.dump({"version": v}, f)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ValueError(
+                f"tag exists: {name} -> v{self.tags().get(name)}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        if v not in self.versions():  # expire won the race: roll back
+            os.unlink(target)
+            raise ValueError(f"version v{v} expired while tagging")
         return v
 
     def drop_tag(self, name: str) -> None:
-        refs = self.tags()
-        refs.pop(name)  # KeyError on unknown tag, like DROP TAG
-        tmp = self._refs_file() + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(refs, f)
-        os.replace(tmp, self._refs_file())
+        try:
+            os.unlink(self._ref_file(name))
+        except FileNotFoundError:
+            raise KeyError(name) from None  # unknown tag, like DROP TAG
 
     def resolve_ref(self, tag: str) -> int:
         refs = self.tags()
@@ -683,17 +717,32 @@ class LakeTable:
         # expire_snapshots never drops a snapshot a tag points at) —
         # an audit/repro ref stays readable for its lifetime.
         keep |= set(self.tags().values())
+        snaps = {v: self.snapshot(v) for v in vs}
+        # Re-read tags immediately before acting: a tag created while
+        # we were reading snapshot metadata pins its version late.
+        # Together with create_tag's post-link existence re-check this
+        # narrows the create-tag/expire race to the instant between the
+        # two verifications (documented best-effort; single-writer
+        # maintenance remains the recommended deployment, as with
+        # Iceberg's own expire_snapshots).
+        keep |= set(self.tags().values())
         expired = [v for v in vs if v not in keep]
         live: set[str] = set()
         dead: set[str] = set()
         for v in vs:
-            snap = self.snapshot(v)
+            snap = snaps[v]
             tgt = live if v in keep else dead
             tgt.update(f["path"] for f in snap["data_files"])
             tgt.update(
                 json.loads(d["entry"])["path"] for d in snap["delete_files"]
             )
         dead -= live
+        # Unlink expired snapshot JSONs BEFORE removing their data dirs:
+        # a concurrent create_tag's post-link verify then fails cleanly
+        # (version already gone from the log) rather than succeeding on
+        # a snapshot whose files are about to vanish.
+        for v in expired:
+            os.unlink(self._snap_file(v))
         cutoff = time.time() - orphan_older_than_s
         removed = 0
         for sub in (_DATA_DIR, _DELETE_DIR):
@@ -708,8 +757,6 @@ class LakeTable:
 
                 shutil.rmtree(p, ignore_errors=True)
                 removed += 1
-        for v in expired:
-            os.unlink(self._snap_file(v))
         return {"expired_versions": expired, "removed_dirs": removed}
 
     def read_incremental(self, from_version: int, to_version: int) -> DataFrame:
