@@ -55,6 +55,10 @@ HEADLINE = [
     "c26_fuzzy_decontaminate",
     "p09_chunk_windows",
     "p10_corpus_shuffle",
+    # round-5 ops with real work: 32-permutation minhash + postings
+    # join (the accuracy report), 16 fold-projections + band agg
+    "c31_minhash_estimate",
+    "c29_hyperplane_lsh",
     # lakehouse layout paths: bucketed co-located join + stats skipping
     "b60_bucketed_join",
     "b61_data_skipping",

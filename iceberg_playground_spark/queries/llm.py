@@ -91,6 +91,21 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _seeded_minhash(arr: Column, seed: int) -> Column:
+    """Min over ``arr`` of xxhash64(seed, element) — one MinHash
+    permutation. The seed must bind as a CLOSURE constant: a
+    two-parameter transform lambda (the old ``lambda x, i=i`` idiom)
+    receives (element, ARRAY-INDEX) from Spark, so the default was
+    shadowed by the index column and every 'permutation' degenerated
+    to the same index-seeded hash (caught by c31's oracle mismatch —
+    invisible in the rows-only c02/c24)."""
+
+    def h(x: Column) -> Column:
+        return F.xxhash64(F.lit(seed), x)
+
+    return F.array_min(F.transform(arr, h))
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -178,9 +193,7 @@ def c02_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.size("sh") > 0
     )
     minhashes = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda x, i=i: F.xxhash64(F.lit(i), x))
-        ).alias(f"mh{i}")
+        _seeded_minhash(F.col("sh"), i).alias(f"mh{i}")
         for i in range(_MINHASH_PERMS)
     ]
     sig = sh.select("doc_id", "lang", *minhashes)
@@ -1488,9 +1501,7 @@ def c24_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         F.size("sh") > 0
     )
     minhashes = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda x, i=i: F.xxhash64(F.lit(i), x))
-        ).alias(f"mh{i}")
+        _seeded_minhash(F.col("sh"), i).alias(f"mh{i}")
         for i in range(_MINHASH_PERMS)
     ]
     sig = sh.select("doc_id", *minhashes)

@@ -60,7 +60,22 @@ _R5_UNGRADED = [
 ]
 # Brand-new round-5 queries (filled as they are implemented; each must
 # exist in QUERIES after load — typos fail loudly below).
-_R5_NEW: list[str] = []
+_R5_NEW: list[str] = [
+    "b87_changelog_scan",
+    "b88_zorder_skipping",
+    "b89_partition_evolution",
+    "c29_hyperplane_lsh",
+    "c30_group_sample",
+    "c31_minhash_estimate",
+    "p12_split_drift",
+]
+# Behavior-changed this round (the transform-lambda arity fix made
+# c02/c24's 16 MinHash permutations real instead of index-degenerate),
+# so they re-enter the graded window per the new/changed-first rule.
+_R5_CHANGED = [
+    "c02_minhash_lsh_dedup",
+    "c24_dedup_clusters",
+]
 # r2-era relational pack in its original registration order; as many as
 # fit after the blocks above rotate through the 50-slot window.
 _R2_ROTATION = [
@@ -90,7 +105,8 @@ def load_all() -> None:
     after all modules register, QUERIES/ORACLES are rebuilt so the
     prefix is _R5_UNGRADED (the 11 never-driver-graded round-4
     queries: meta's b79/b82/b83/b84/c27/b85/b86, pipeline's p11/c28,
-    extra's b80/b81) + _R5_NEW (round-5 additions) + _R2_ROTATION
+    extra's b80/b81) + _R5_NEW (round-5 additions) + _R5_CHANGED
+    (behavior-changed this round) + _R2_ROTATION
     (oldest-graded pack, re-grade insurance), with every remaining
     r3/r4-green query after that in module order. Unlike rounds 2-4,
     import order no longer doubles as grading order — the explicit
@@ -109,9 +125,10 @@ def load_all() -> None:
         scale,
         extra,
         relational,
+        round5,
     )
 
-    prefix = _R5_UNGRADED + _R5_NEW + _R2_ROTATION
+    prefix = _R5_UNGRADED + _R5_NEW + _R5_CHANGED + _R2_ROTATION
     missing = [n for n in prefix if n not in QUERIES]
     if missing:
         raise RuntimeError(f"grading-order names not registered: {missing}")

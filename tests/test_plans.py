@@ -325,3 +325,51 @@ def test_edit_distance_dups_no_cartesian(spark):
     plan = _plan(spark, "c28_edit_distance_dups")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_group_sample_pushes_group_limit(spark):
+    # c30: k-per-group must push below the exchange (map tasks forward
+    # at most k rows per group, never the whole corpus to window tasks)
+    assert "WindowGroupLimit" in _plan(spark, "c30_group_sample")
+
+
+def test_hyperplane_lsh_single_scan_no_pairs(spark):
+    # c29: one embeddings scan; candidate counts come from bucket
+    # sizes — no join materializes a pair
+    plan = _plan(spark, "c29_hyperplane_lsh")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_drift_no_second_corpus_scan(spark):
+    # p12: the global token totals re-aggregate the per-lang frame
+    # (lazily checkpointed) — a parquet scan in the plan means the
+    # corpus is being re-read for the totals
+    plan = _plan(spark, "p12_split_drift")
+    assert plan.count("Scan parquet") == 0  # lineage behind checkpoint
+    assert "BroadcastExchange" in plan  # totals broadcast back
+
+
+def test_asset_pipeline_explode_stays_partition_parallel(spark):
+    # b85: generation + JSON parse + explode are narrow per-row ops —
+    # the ONLY exchange is the final bounded aggregate (+ its sort for
+    # the orderBy); an exchange before Generate would mean the fanout
+    # serialized through a shuffle
+    plan = _plan(spark, "b85_asset_pipeline")
+    gen_pos = plan.find("Generate explode")
+    assert gen_pos != -1
+    below = plan[gen_pos:]  # plan text is top-down; below = children
+    assert "Exchange" not in below
+
+
+def test_streaming_datasource_state_stays_bounded(spark):
+    # b84: the streaming aggregate must group on the tiny category key
+    # only — its state is |categories| rows regardless of input volume.
+    # (availableNow drains in one epoch; the memory-sink table is the
+    # finished aggregate, so its size IS the state bound.)
+    from iceberg_playground_spark import registry as _r
+
+    df = _r.QUERIES["b84_streaming_datasource"](spark, SF_CHECK)
+    rows = df.collect()
+    assert 0 < len(rows) <= 5  # one row per generated category

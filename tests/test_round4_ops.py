@@ -119,27 +119,24 @@ def test_fuzzy_decontaminate_split_discipline(spark):
 
 
 def test_grading_prefix_composition():
-    # The driver grades EXACTLY the first 50 registered queries
-    # (registration order == module import order, registry.load_all).
-    # Round 4 packs the prefix with never-graded/changed queries;
-    # an accidental import reorder would silently strand them again
-    # (the round-3 defect). Pin the composition, not just the count.
+    # The driver grades EXACTLY the first ~50 registered queries, so
+    # registration order decides what gets graded. Since round 5 the
+    # order is imposed by explicit lists (registry._R5_UNGRADED /
+    # _R5_NEW / _R5_CHANGED / _R2_ROTATION) rather than import order;
+    # pin that the reorder actually happened and the window leads with
+    # the never-graded + new + behavior-changed blocks.
     names = list(registry.QUERIES)
-    prefix = names[:50]
-    # the 10 streaming queries must ALL be inside the window
-    for q in ["b68_tumbling_window", "b69_sliding_window",
-              "b70_session_window", "b50_watermark_late_drop",
-              "b51_streaming_dedup", "b52_stateful_per_key",
-              "b53_stream_static_join", "b54_stream_lakehouse_sink",
-              "b63_stream_upsert_sink", "b65_stream_stream_join"]:
-        assert q in prefix, q
-    # ...as must the round-4 new/changed entries
-    for q in ["b05_kafka_batch_source", "c26_fuzzy_decontaminate",
-              "p09_chunk_windows", "p10_corpus_shuffle", "b77_unpivot",
-              "b78_correlated_subquery", "c02_minhash_lsh_dedup",
-              "c10_embedding_near_dup", "b61_data_skipping"]:
-        assert q in prefix, q
-    assert len(names) >= 119
+    lead = (
+        registry._R5_UNGRADED + registry._R5_NEW + registry._R5_CHANGED
+    )
+    assert names[: len(lead)] == lead
+    # the remainder of the 50-slot window rotates the r2-era pack
+    window = set(names[:50])
+    n_rotated = 50 - len(lead)
+    assert registry._R2_ROTATION[:n_rotated] == names[
+        len(lead) : 50
+    ] and all(q in window for q in registry._R2_ROTATION[:n_rotated])
+    assert len(names) >= 128
 
 
 def test_streaming_datasource_resumes_from_checkpoint(spark, tmp_path):
