@@ -337,7 +337,7 @@ def test_compact_conflicts_instead_of_erasing_concurrent_commit(
     staged = t.stage_append(rewritten)
     # concurrent append lands between compaction's read and its commit
     t.append(spark.createDataFrame([("F", "l", 7)], DDL))  # v2
-    with pytest.raises(CommitConflict, match="replace"):
+    with pytest.raises(CommitConflict, match="concurrent commit"):
         t._commit(
             [staged], [], {"operation": "compact"}, replace=True, base=base
         )
@@ -556,3 +556,88 @@ def test_tags_pin_snapshots_through_expiration(catalog, spark):
     assert out["expired_versions"] == [1]  # unpinned -> expired
     with pytest.raises(FileNotFoundError):
         t.read(version=1).count()
+
+
+def test_branch_wap_publish(catalog, spark):
+    # Write-audit-publish: appends on the audit branch never move main;
+    # the branch view = base + staged; fast_forward publishes all of it
+    # as ONE snapshot and drops the branch.
+    t = _table(catalog, spark, name="wap")  # v1: 5 rows
+    base = t.create_branch("audit")
+    assert base == 1
+    t.append_to_branch("audit", spark.createDataFrame([("F", "large", 7)], DDL))
+    t.append_to_branch("audit", spark.createDataFrame([("G", "small", 3)], DDL))
+    assert t.read().count() == 5            # main untouched
+    assert t.current_version() == 1
+    assert t.read_branch("audit").count() == 7  # audit view
+    assert t.branches() == {"audit": {"base": 1, "n_appends": 2}}
+    v = t.fast_forward("audit")
+    assert v == 2 and t.current_version() == 2
+    assert t.read().count() == 7            # one publish commit
+    assert t.branches() == {}
+    # the publish is a single snapshot: both files share seq 2
+    assert {f["seq"] for f in t.snapshot(2)["data_files"]} == {1, 2}
+
+
+def test_branch_publish_conflicts_if_main_moved(catalog, spark):
+    from iceberg_playground_spark.tables import CommitConflict
+
+    t = _table(catalog, spark, name="wapc")
+    t.create_branch("audit")
+    t.append_to_branch("audit", spark.createDataFrame([("F", "large", 7)], DDL))
+    t.append(spark.createDataFrame([("Z", "small", 1)], DDL))  # main moves
+    with pytest.raises(CommitConflict):
+        t.fast_forward("audit")
+    assert t.read().count() == 6  # main intact, nothing merged
+    t.drop_branch("audit")
+    with pytest.raises(ValueError):
+        t.read_branch("audit")
+
+
+def test_branch_name_rules_and_duplicates(catalog, spark):
+    t = _table(catalog, spark, name="wapn")
+    t.create_branch("audit")
+    with pytest.raises(ValueError):
+        t.create_branch("audit")  # exists
+    with pytest.raises(ValueError):
+        t.create_branch("../escape")  # ref-name shape
+    t.drop_branch("audit")
+    with pytest.raises(KeyError):
+        t.drop_branch("audit")
+
+
+def test_branch_deletes_do_not_mask_branch_appends(catalog, spark):
+    # Base-scoped MoR deletes apply to base files only: a branch append
+    # re-adding a deleted key stays visible in the branch view.
+    t = _table(catalog, spark, name="wapd")
+    t.delete_where("name = 'A'", ["name"])  # v2 masks base A
+    t.create_branch("fix")
+    t.append_to_branch("fix", spark.createDataFrame([("A", "tiny", 1)], DDL))
+    rows = {r["name"]: r["size"] for r in t.read_branch("fix").collect()}
+    assert rows["A"] == "tiny"  # branch row visible, base A masked
+    assert t.read().filter("name = 'A'").count() == 0
+
+
+def test_files_metadata_table(catalog, spark):
+    t = catalog.create_table("test_ns", "ft", DDL, drop_if_exists=True)
+    t.append(spark.createDataFrame(ROWS, DDL).repartition(2, "name"))
+    t.append(spark.createDataFrame([("F", "large", 7)], DDL))
+    got = t.files().collect()
+    assert sum(r["n_rows"] for r in got) == 6
+    assert {r["seq"] for r in got} == {1, 2}
+    assert all(r["n_bounded_cols"] == 3 for r in got if r["n_rows"] > 0)
+    # time travel: v1's files only
+    assert sum(r["n_rows"] for r in t.files(version=1).collect()) == 5
+
+
+def test_metadata_count_and_fallback(catalog, spark):
+    t = _table(catalog, spark, name="mc")
+    assert t.metadata_count() == 5          # append-only: pure metadata
+    t.append(spark.createDataFrame([("F", "large", 7)], DDL))
+    assert t.metadata_count() == 6
+    t.delete_where("size = 'medium'", ["name"])
+    assert t.metadata_count() is None       # MoR delete: must scan
+    assert t.read().count() == 4
+    t.compact(target_files=1)               # rewrite folds deletes in
+    assert t.metadata_count() == 4          # metadata answer restored
+    assert t.metadata_count(version=1) == 5  # per-version stats
