@@ -59,6 +59,10 @@ HEADLINE = [
     # join (the accuracy report), 16 fold-projections + band agg
     "c31_minhash_estimate",
     "c29_hyperplane_lsh",
+    # round-5b corpus ops: bigram explode + group-limit window, and
+    # the fingerprint-cluster canonical window
+    "c32_bpe_pair_stats",
+    "c33_canonical_selection",
     # lakehouse layout paths: bucketed co-located join + stats skipping
     "b60_bucketed_join",
     "b61_data_skipping",

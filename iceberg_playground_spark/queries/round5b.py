@@ -1,0 +1,569 @@
+"""Round-5 operator widening, part 2.
+
+Lakehouse: write-audit-publish branches (b90 — Iceberg branch refs +
+fast_forward, the staging workflow the reference's always-on ingest
+would need for validated publishes), snapshot expiration graded (b91 —
+previously pytest-only Layer A+ retention), the files metadata table
+(b92 — Iceberg's ``t.files``: maintenance planning from manifests, not
+scans) and metadata-only count(*) (b93 — the manifest-stats shortcut,
+with its MoR-delete fallback). LLM-pipeline: adjacent-pair (BPE merge
+step) statistics (c32), quality-aware canonical selection for dup
+clusters (c33), duplicate-cluster size histogram (p13). Streaming:
+stream-stream LEFT OUTER join (b95 — watermark-driven null emission,
+the state-eviction semantics b65's inner join never exercises).
+
+Grading order is pinned in ``registry._R5_NEW``; every query here
+carries a hash-match oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from iceberg_playground_spark.queries._util import load
+from iceberg_playground_spark.queries.lakehouse import _built
+from iceberg_playground_spark.queries.llm import _SH_SQL, _shingles, _tokens
+from iceberg_playground_spark.queries.streaming import (
+    _CENTS,
+    _run_to_memory,
+    _stream_events,
+)
+from iceberg_playground_spark.registry import query
+from iceberg_playground_spark.tables import LakeCatalog, LakeTable
+
+
+# ---------------------------------------------------------------------------
+# b90 — write-audit-publish branch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b90_wap_branch",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM region) AS BIGINT) AS n_main_before,
+           CAST((SELECT count(*) FROM region) + 2 AS BIGINT) AS n_branch,
+           CAST((SELECT count(*) FROM region) + 2 AS BIGINT) AS n_after,
+           CAST(2 AS BIGINT) AS n_audit_rows
+    """,
+)
+def b90_wap_branch(spark: SparkSession, sf: str) -> DataFrame:
+    """B90: write-audit-publish via branch refs (Iceberg branches +
+    fast_forward; Delta/Nessie call the same workflow WAP). Two
+    appends land on an ``audit`` branch: main's HEAD and row count are
+    UNTOUCHED while the branch is live (n_main_before), the branch
+    view serves base+staged for validation (n_branch), and
+    fast_forward publishes both appends as ONE atomic snapshot
+    (n_after, n_audit_rows) — the reference's continuous-ingest
+    pipeline gains a validated-publish gate with zero file rewrites.
+
+    Scale shape: branch appends are ordinary parallel staged writes;
+    publish is one metadata CAS commit (KB of JSON) that refuses —
+    CommitConflict — if main moved past the fork base, so divergent
+    histories can never merge silently (tests/test_write_path.py)."""
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "region_wap", "r_regionkey INT, r_name STRING",
+            drop_if_exists=True,
+        )
+        t.append(load(spark, sf, "region").select("r_regionkey", "r_name"))
+        t.create_branch("audit")
+        t.append_to_branch(
+            "audit",
+            spark.createDataFrame(
+                [(90, "AUDIT A")], "r_regionkey INT, r_name STRING"
+            ),
+        )
+        t.append_to_branch(
+            "audit",
+            spark.createDataFrame(
+                [(91, "AUDIT B")], "r_regionkey INT, r_name STRING"
+            ),
+        )
+        n_main_before = t.read().count()  # branch writes invisible
+        n_branch = t.read_branch("audit").count()  # audit view
+        t.fast_forward("audit")  # one publish snapshot
+        return t, n_main_before, n_branch
+
+    t, n_main_before, n_branch = _built(spark, sf, "b90", build)
+    return t.read().agg(
+        F.count("*").cast("bigint").alias("n_after"),
+        F.sum(F.when(F.col("r_regionkey") >= 90, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_audit_rows"),
+    ).select(
+        F.lit(n_main_before).cast("bigint").alias("n_main_before"),
+        F.lit(n_branch).cast("bigint").alias("n_branch"),
+        "n_after",
+        "n_audit_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# b91 — snapshot expiration, graded
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b91_snapshot_expiration",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM nation) + 1 AS BIGINT) AS n_live,
+           CAST((SELECT count(*) FROM nation WHERE n_regionkey < 2)
+                AS BIGINT) AS n_tagged,
+           CAST(2 AS INT) AS n_versions_left,
+           TRUE AS middle_expired, TRUE AS expired_read_fails
+    """,
+)
+def b91_snapshot_expiration(spark: SparkSession, sf: str) -> DataFrame:
+    """B91: snapshot expiration with ref-based retention, graded — the
+    Layer A+ maintenance previously proven only in pytest
+    (tables.expire_snapshots; Iceberg's expire_snapshots +
+    remove_orphan_files). Three versions land (v1 half the nations —
+    tagged 'audited' — v2 the rest, v3 a marker row); expire
+    keep_last=1 drops exactly the untagged middle version: v3 survives
+    as HEAD, v1 survives because a tag PINS it, v2's snapshot is gone
+    and time travel to it fails by design while the live read and the
+    tag read are byte-identical to before.
+
+    Scale shape: expiration is a snapshot-log walk plus directory
+    unlinks — metadata work; data dirs still referenced by surviving
+    snapshots are never touched (v2's files live on inside v3's list)."""
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "nation_exp",
+            "n_nationkey INT, n_name STRING, n_regionkey INT",
+            drop_if_exists=True,
+        )
+        n = load(spark, sf, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        t.append(n.filter(F.col("n_regionkey") < 2))  # v1
+        t.create_tag("audited")
+        t.append(n.filter(F.col("n_regionkey") >= 2))  # v2
+        t.append(
+            spark.createDataFrame(
+                [(999, "MARKER", 0)],
+                "n_nationkey INT, n_name STRING, n_regionkey INT",
+            )
+        )  # v3
+        out = t.expire_snapshots(keep_last=1, orphan_older_than_s=0)
+        middle_expired = out["expired_versions"] == [2]
+        try:
+            t.read(version=2).count()
+            expired_read_fails = False
+        except FileNotFoundError:
+            expired_read_fails = True
+        return t, middle_expired, expired_read_fails
+
+    t, middle_expired, expired_read_fails = _built(spark, sf, "b91", build)
+    live = t.read().agg(F.count("*").cast("bigint").alias("n_live"))
+    tagged = t.read(tag="audited").agg(
+        F.count("*").cast("bigint").alias("n_tagged")
+    )
+    return live.crossJoin(F.broadcast(tagged)).select(
+        "n_live",
+        "n_tagged",
+        F.lit(len(t.versions())).cast("int").alias("n_versions_left"),
+        F.lit(middle_expired).alias("middle_expired"),
+        F.lit(expired_read_fails).alias("expired_read_fails"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# b92 — files metadata table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b92_files_metadata",
+    oracle="""
+    SELECT CAST(o_orderkey % 3 + 1 AS INT) AS version,
+           CAST(4 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY version
+    """,
+)
+def b92_files_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """B92: the ``files`` metadata table (Iceberg's ``t.files``) as a
+    queryable relation — per data file: committing sequence and record
+    count, answered from snapshot metadata with ZERO data files
+    opened. Orders land in three appends (split on o_orderkey % 3),
+    each hash-repartitioned into 4 files; the rollup proves per-file
+    stats reconstruct exactly what a scan would count: 4 files per
+    version, per-version row counts equal to the raw table's.
+
+    This is b79's snapshot log taken one level deeper (file grain, not
+    commit grain) — the relation a compaction scheduler reads to find
+    small-file debt. At the reference's own 20,000-file envelope
+    (decouple.rs:25-28) the difference between planning maintenance
+    from KB of manifests vs re-scanning TB of data is the whole game.
+    Hash repartitioning makes file counts parallelism-invariant (the
+    b61/b67 determinism rule: never depend on input split counts)."""
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "orders_files", "o_orderkey BIGINT, o_custkey BIGINT",
+            drop_if_exists=True,
+        )
+        o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        for i in range(3):
+            t.append(
+                o.filter(F.col("o_orderkey") % 3 == i).repartition(
+                    4, "o_orderkey"
+                )
+            )
+        return t
+
+    t = _built(spark, sf, "b92", build)
+    return (
+        t.files()
+        .groupBy(F.col("seq").alias("version"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# b93 — metadata-only count(*)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b93_metadata_count",
+    oracle="""
+    SELECT 'append-only' AS phase,
+           CAST((SELECT count(*) FROM supplier) AS BIGINT) AS n_rows,
+           TRUE AS from_metadata
+    UNION ALL
+    SELECT 'after-delete',
+           (SELECT count(*) FROM supplier WHERE s_nationkey <> 3),
+           FALSE
+    """,
+)
+def b93_metadata_count(spark: SparkSession, sf: str) -> DataFrame:
+    """B93: metadata-only count(*) — Iceberg answers SELECT count(*)
+    from manifest record counts without opening a data file, the
+    cheapest query a 100 TB table ever serves. Phase 1 (append-only):
+    the metadata answer equals the raw table count and from_metadata
+    is TRUE. Phase 2 (after a MoR equality delete): the masked-row
+    count is unknowable from stats, metadata_count() correctly refuses
+    (None) and the count falls back to a real scan — correctness never
+    degrades, only the shortcut. (b92 is the same stats surfaced as a
+    relation; this is the OPTIMIZATION they enable.)"""
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "supplier_mc", "s_suppkey BIGINT, s_nationkey INT",
+            drop_if_exists=True,
+        )
+        t.append(
+            load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+        )
+        meta_n = t.metadata_count()  # phase 1: pure metadata
+        t.delete_where("s_nationkey = 3", ["s_suppkey"])
+        meta_after = t.metadata_count()  # phase 2: must be None
+        return t, meta_n, meta_after
+
+    t, meta_n, meta_after = _built(spark, sf, "b93", build)
+    phase1 = spark.createDataFrame(
+        [("append-only", int(meta_n), meta_n is not None)],
+        "phase STRING, n_rows BIGINT, from_metadata BOOLEAN",
+    )
+    phase2 = t.read().agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    ).select(
+        F.lit("after-delete").alias("phase"),
+        "n_rows",
+        F.lit(meta_after is not None).alias("from_metadata"),
+    )
+    return phase1.unionByName(phase2)
+
+
+# ---------------------------------------------------------------------------
+# c32 — adjacent-pair statistics (the BPE merge-step count)
+# ---------------------------------------------------------------------------
+
+_TOPK_PAIRS = 5
+
+
+@query(
+    "c32_bpe_pair_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1])) AS pair
+      FROM documents),
+    c AS (SELECT lang, pair, count(*) AS pair_count FROM t GROUP BY 1, 2)
+    SELECT lang, pair, CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(row_number() OVER (
+             PARTITION BY lang ORDER BY pair_count DESC, pair) AS INT)
+             AS pair_rank
+    FROM c QUALIFY pair_rank <= {_TOPK_PAIRS}
+    """,
+)
+def c32_bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """C32: adjacent-token-pair frequencies, top-5 per language — the
+    counting step of a BPE/WordPiece merge iteration (the pair a
+    tokenizer trainer would merge next is exactly pair_rank=1). Unlike
+    c05's unigram stats this counts OCCURRENCES of ordered bigrams, so
+    no distinct anywhere. Full (count DESC, pair) ordering makes the
+    top-k boundary tie-proof across engines.
+
+    Scale shape: bigrams via the zip-of-shifted-slices form (the
+    _shingles rule — an index-lambda would re-inline split() per
+    element, O(tokens²)/doc), explode feeds a (lang, pair) hash
+    aggregate with map-side partials, and InferWindowGroupLimit pushes
+    the per-lang top-5 ahead of the final exchange — the full pair
+    vocabulary never concentrates anywhere. One real BPE trainer
+    iterates this plan; each iteration is this same bounded shape."""
+    d = load(spark, sf, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    z = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("a"),
+        F.slice(toks, 2, n - 1).alias("b"),
+    )
+    grams = F.transform(z, lambda s: F.concat_ws(" ", s["a"], s["b"]))
+    pairs = d.select(
+        "lang",
+        F.explode(
+            F.when(n >= 2, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("lang", "pair").agg(
+        F.count("*").cast("bigint").alias("pair_count")
+    )
+    w = W.partitionBy("lang").orderBy(F.col("pair_count").desc(), "pair")
+    return (
+        counts.withColumn(
+            "pair_rank", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("pair_rank") <= _TOPK_PAIRS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# c33 — quality-aware canonical selection for duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c33_canonical_selection",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             list_aggregate(list_transform({_SH_SQL}, x -> md5(x)), 'min')
+               AS fingerprint
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3)
+    SELECT fingerprint,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+             AS cluster_size,
+           doc_id AS canonical_doc, n_chars AS canonical_chars
+    FROM fp
+    QUALIFY count(*) OVER (PARTITION BY fingerprint) >= 2
+        AND row_number() OVER (
+              PARTITION BY fingerprint
+              ORDER BY n_chars DESC, doc_id) = 1
+    """,
+)
+def c33_canonical_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """C33: quality-aware canonical selection — for every content
+    fingerprint shared by ≥2 docs (c14's min-digest clusters), keep
+    the BEST copy (longest, tie-break lowest doc_id), not the
+    arbitrary first. This is the survivor policy a production dedup
+    actually wants: c01/c02 keep min-id; a curated corpus keeps the
+    highest-quality member and records cluster provenance
+    (cluster_size) for downsampling decisions.
+
+    Scale shape: fingerprint is per-row array math (no shuffle); one
+    exchange on fingerprint serves BOTH window functions (same
+    partitioning), and the row_number filter is group-limit-pushable.
+    Quality here is n_chars; any scalar score (c23's LM score, c07's
+    gates) slots into the same ORDER BY."""
+    d = load(spark, sf, "documents")
+    sh = _shingles(_tokens())
+    fp = (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+        )
+        .filter(F.col("fingerprint").isNotNull())
+    )
+    w_cnt = W.partitionBy("fingerprint")
+    w_rank = W.partitionBy("fingerprint").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        fp.withColumn(
+            "cluster_size", F.count("*").over(w_cnt).cast("bigint")
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter((F.col("cluster_size") >= 2) & (F.col("rn") == 1))
+        .select(
+            "fingerprint",
+            "cluster_size",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("n_chars").alias("canonical_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# p13 — duplicate-cluster size histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p13_cluster_histogram",
+    oracle=f"""
+    WITH k AS (
+      SELECT 'exact' AS method, md5(text) AS h FROM documents
+      UNION ALL
+      SELECT 'fingerprint',
+             list_aggregate(list_transform({_SH_SQL}, x -> md5(x)), 'min')
+      FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    c AS (SELECT method, h, count(*) AS cluster_size
+          FROM k GROUP BY 1, 2)
+    SELECT method, CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY method, cluster_size
+    """,
+)
+def p13_cluster_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """P13: duplicate-cluster size histogram, per dedup method — how
+    many clusters exist at each multiplicity under exact content
+    hashing (c01's key) vs content fingerprinting (c14's min-digest,
+    the near-dup key), and how many docs they hold. THE first
+    diagnostic a dedup owner reads: exact≈all-singletons with a fat
+    fingerprint tail (this corpus) means near-dups dominate — route to
+    c02/c33, not c01; huge clusters under both mean boilerplate (p07);
+    and Σdocs−Σclusters per method predicts exactly what each dedup
+    level would remove.
+
+    Scale shape: both keys are per-row map-side arithmetic computed in
+    ONE corpus scan (a 2× explode of (method, key) structs — only
+    16-byte digests ever shuffle, never text); then two bounded hash
+    aggregates, the second over |distinct keys| rows grouped by tiny
+    integers."""
+    d = load(spark, sf, "documents")
+    sh = _shingles(_tokens())
+    fp = F.array_min(F.transform(sh, F.md5))
+    keys = d.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact").alias("method"),
+                    F.md5("text").alias("h"),
+                ),
+                F.struct(
+                    F.lit("fingerprint").alias("method"), fp.alias("h")
+                ),
+            )
+        ).alias("k")
+    ).select("k.method", "k.h").filter(F.col("h").isNotNull())
+    clusters = keys.groupBy("method", "h").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        clusters.groupBy("method", "cluster_size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "method",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# b95 — stream-stream LEFT OUTER join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b95_stream_outer_join",
+    oracle=f"""
+    WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, {_CENTS} AS cents
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+         wm AS (SELECT least((SELECT max(ts) FROM p),
+                             (SELECT max(ts) FROM c))
+                       - INTERVAL 30 MINUTE AS w),
+         j AS (SELECT p.user_id, p.cents, p.ts AS p_ts, c.ts AS c_ts
+               FROM p LEFT JOIN c
+                 ON p.user_id = c.user_id
+                AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts)
+    SELECT user_id,
+           CAST(count(c_ts) AS BIGINT) AS n_matched,
+           CAST(count(*) - count(c_ts) AS BIGINT) AS n_unmatched,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM j, wm
+    WHERE c_ts IS NOT NULL OR p_ts < w
+    GROUP BY user_id
+    """,
+)
+def b95_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B95: stream-stream LEFT OUTER join — b65's band join, but
+    purchases with NO click in the preceding 30 minutes must still
+    emit (with nulls). This exercises the semantics an inner join
+    never touches: the engine can only emit an unmatched left row when
+    the WATERMARK proves no future click can match, i.e. once the
+    global watermark (min over both inputs of max-event-time minus
+    delay) passes the purchase's band. Purchases newer than the final
+    watermark stay in state forever on a drained run — they are NOT
+    emitted, and the oracle encodes exactly that: unmatched rows
+    qualify only when p_ts < min(max_p, max_c) − 30 min. That
+    watermark-conditioned batch equivalence is the contract.
+
+    Scale shape: state is the 30-minute band per user on each side
+    (watermarks evict), identical to b65; the outer emission adds no
+    state, only an eviction-time null flush."""
+    p = (
+        _stream_events(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    c = (
+        _stream_events(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    sink = _run_to_memory(joined.select("user_id", "cents", "p_ts", "c_ts"))
+    return sink.groupBy("user_id").agg(
+        F.count("c_ts").cast("bigint").alias("n_matched"),
+        (F.count("*") - F.count("c_ts")).cast("bigint").alias("n_unmatched"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

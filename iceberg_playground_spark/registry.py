@@ -68,6 +68,14 @@ _R5_NEW: list[str] = [
     "c30_group_sample",
     "c31_minhash_estimate",
     "p12_split_drift",
+    "b90_wap_branch",
+    "b91_snapshot_expiration",
+    "b92_files_metadata",
+    "b93_metadata_count",
+    "c32_bpe_pair_stats",
+    "c33_canonical_selection",
+    "p13_cluster_histogram",
+    "b95_stream_outer_join",
 ]
 # Behavior-changed this round (the transform-lambda arity fix made
 # c02/c24's 16 MinHash permutations real instead of index-degenerate),
@@ -126,6 +134,7 @@ def load_all() -> None:
         extra,
         relational,
         round5,
+        round5b,
     )
 
     prefix = _R5_UNGRADED + _R5_NEW + _R5_CHANGED + _R2_ROTATION

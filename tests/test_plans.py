@@ -373,3 +373,30 @@ def test_streaming_datasource_state_stays_bounded(spark):
     df = _r.QUERIES["b84_streaming_datasource"](spark, SF_CHECK)
     rows = df.collect()
     assert 0 < len(rows) <= 5  # one row per generated category
+
+
+def test_bpe_pair_stats_group_limit_and_single_scan(spark):
+    # c32: one corpus scan; the per-lang top-5 pushes below the
+    # exchange so the full pair vocabulary never concentrates on the
+    # window tasks
+    plan = _plan(spark, "c32_bpe_pair_stats")
+    assert plan.count("Scan parquet") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_canonical_selection_one_exchange_two_windows(spark):
+    # c33: cluster_size and the rank share the fingerprint
+    # partitioning — a second shuffle between the windows would double
+    # the corpus exchange at 100 TB
+    plan = _plan(spark, "c33_canonical_selection")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cluster_histogram_single_scan_digests_only(spark):
+    # p13: both dedup keys come from ONE scan (explode of per-row
+    # structs); only 16-byte digests shuffle, never text
+    plan = _plan(spark, "p13_cluster_histogram")
+    assert plan.count("Scan parquet") == 1
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "text" in read and "doc_id" not in read
