@@ -804,7 +804,13 @@ def c10_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         F.pmod(F.xxhash64("vec_id"), F.lit(_NEARDUP_SALT))
         .cast("int")
         .alias("a_salt"),
-    )
+    ).repartition("a_label", "a_salt")
+    # ^ the explicit exchange makes the salt OPERATIVE even when the
+    # build side broadcasts: without it the probe stays on the scan's
+    # input splits (a single-file corpus = ONE task doing every
+    # Σ|bucket|² dot product — measured 2x wall at sf0.1); with it the
+    # pair work spreads across the same (label, salt) cells a shuffle
+    # join would use at 100 TB, so the plan is scale-shaped at every sf.
     b = en.select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("b_label"),

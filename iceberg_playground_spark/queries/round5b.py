@@ -11,6 +11,10 @@ step) statistics (c32), quality-aware canonical selection for dup
 clusters (c33), duplicate-cluster size histogram (p13). Streaming:
 stream-stream LEFT OUTER join (b95 — watermark-driven null emission,
 the state-eviction semantics b65's inner join never exercises).
+DML/maintenance closure: snapshot rollback (b94 — Iceberg's
+rollback_to_snapshot, metadata-only incident recovery) and the
+three-clause conditional MERGE (b96 — matched-delete + update +
+insert in one transaction, completing b62's upsert).
 
 Grading order is pinned in ``registry._R5_NEW``; every query here
 carries a hash-match oracle.
@@ -567,3 +571,128 @@ def b95_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
         (F.count("*") - F.count("c_ts")).cast("bigint").alias("n_unmatched"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# b94 — snapshot rollback
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b94_rollback",
+    oracle="""
+    SELECT r_regionkey, r_name, TRUE AS bad_was_visible,
+           TRUE AS history_preserved
+    FROM region
+    """,
+)
+def b94_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """B94: snapshot rollback (Iceberg's rollback_to_snapshot) — the
+    incident-recovery move. v2 lands a bad batch AND a bad delete
+    (merge); rollback(1) commits a NEW snapshot whose entries are
+    copied verbatim from v1, so HEAD reads the original content
+    bit-for-bit while history stays append-only: the bad version
+    remains time-travelable for the post-incident audit
+    (bad_was_visible is read FROM v2 after the rollback), and the
+    rollback could itself be rolled back.
+
+    Scale shape: pure metadata — the rollback reads and writes KB of
+    snapshot JSON under the same CAS as every commit; zero data files
+    move. At 100 TB this is why table-format rollback beats restoring
+    files from backup by hours."""
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "region_rb", "r_regionkey INT, r_name STRING",
+            drop_if_exists=True,
+        )
+        t.append(load(spark, sf, "region").select("r_regionkey", "r_name"))
+        t.merge(
+            spark.createDataFrame(
+                [(0, "CORRUPTED", False), (1, None, True)],
+                "r_regionkey INT, r_name STRING, is_delete BOOLEAN",
+            ),
+            ["r_regionkey"],
+            delete_col="is_delete",
+        )  # v2: bad update + bad delete
+        t.rollback(1)  # v3: metadata-only restore
+        bad = t.read(version=2)
+        bad_was_visible = (
+            bad.filter("r_name = 'CORRUPTED'").count() == 1
+            and bad.filter("r_regionkey = 1").count() == 0
+        )
+        history_preserved = t.versions() == [1, 2, 3]
+        return t, bad_was_visible, history_preserved
+
+    t, bad_was_visible, history_preserved = _built(spark, sf, "b94", build)
+    return t.read().select(
+        "r_regionkey",
+        "r_name",
+        F.lit(bad_was_visible).alias("bad_was_visible"),
+        F.lit(history_preserved).alias("history_preserved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# b96 — three-clause conditional MERGE
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b96_conditional_merge",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN 'UPDATED' ELSE n_name END
+             AS n_name,
+           n_regionkey
+    FROM nation WHERE n_regionkey <> 1
+    UNION ALL SELECT 900, 'NEWLAND', 9
+    """,
+)
+def b96_conditional_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """B96: the full three-clause MERGE INTO — WHEN MATCHED AND flag
+    THEN DELETE, WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN
+    INSERT — in ONE snapshot (b62's upsert is the two-clause subset).
+    Region-0 nations update, region-1 nations delete, a new key
+    inserts; untouched rows pass through. One transaction means a
+    reader never observes the intermediate state where the deletes
+    landed but the updates didn't.
+
+    Scale shape: identical to upsert — the delete side is key tuples
+    only (broadcast at read), the update/insert side is a parallel
+    staged append, and the sequence rule scopes the delete to strictly
+    older files so the transaction never masks its own appends."""
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "nation_merge",
+            "n_nationkey INT, n_name STRING, n_regionkey INT",
+            drop_if_exists=True,
+        )
+        n = load(spark, sf, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        t.append(n)
+        src = (
+            n.filter(F.col("n_regionkey").isin(0, 1))
+            .select(
+                "n_nationkey",
+                F.lit("UPDATED").alias("n_name"),
+                "n_regionkey",
+                (F.col("n_regionkey") == 1).alias("is_delete"),
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(900, "NEWLAND", 9, False)],
+                    "n_nationkey INT, n_name STRING, n_regionkey INT, "
+                    "is_delete BOOLEAN",
+                )
+            )
+        )
+        t.merge(src, ["n_nationkey"], delete_col="is_delete")
+        return t
+
+    t = _built(spark, sf, "b96", build)
+    return t.read()

@@ -76,6 +76,11 @@ _R5_NEW: list[str] = [
     "c33_canonical_selection",
     "p13_cluster_histogram",
     "b95_stream_outer_join",
+    "b94_rollback",
+    "b96_conditional_merge",
+    "b97_tpch_q5",
+    "b98_tpch_q10",
+    "b99_tpch_q4",
 ]
 # Behavior-changed this round (the transform-lambda arity fix made
 # c02/c24's 16 MinHash permutations real instead of index-degenerate),
@@ -135,6 +140,7 @@ def load_all() -> None:
         relational,
         round5,
         round5b,
+        tpch,
     )
 
     prefix = _R5_UNGRADED + _R5_NEW + _R5_CHANGED + _R2_ROTATION

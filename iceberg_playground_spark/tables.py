@@ -753,6 +753,78 @@ class LakeTable:
             {"operation": "upsert"},
         )
 
+    def merge(
+        self,
+        df: DataFrame,
+        equality_cols: list[str],
+        delete_col: str | None = None,
+    ) -> int:
+        """Full MERGE shape in ONE snapshot: every source key is
+        equality-deleted (masking prior rows), and source rows NOT
+        flagged by ``delete_col`` are appended — i.e. WHEN MATCHED AND
+        flag THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED
+        THEN INSERT, the three-clause Iceberg MERGE INTO. With
+        ``delete_col=None`` this is exactly ``upsert``. The sequence
+        rule keeps it atomic and self-consistent: the delete (seq N)
+        masks only files with seq < N, never the rows this same
+        transaction appends."""
+        if delete_col is None:
+            return self.upsert(df, equality_cols)
+        keep = df.filter(~F.col(delete_col)).drop(delete_col)
+        staged = self.stage_append(keep)
+        keys = df.select(*equality_cols).distinct()
+        d = os.path.join(self.root, _DELETE_DIR, uuid.uuid4().hex)
+        keys.write.mode("overwrite").parquet(d)
+        return self._commit(
+            [staged],
+            [json.dumps({"path": d, "cols": equality_cols})],
+            {"operation": "merge"},
+        )
+
+    def rollback(self, version: int) -> int:
+        """Roll the table back to an earlier snapshot (Iceberg's
+        rollback_to_snapshot): commits a NEW snapshot whose file
+        entries — data, deletes, sequences, schema — are copied
+        verbatim from ``version``, so the logical content (and even
+        the MoR masking structure) replays exactly while history stays
+        append-only: the bad snapshots remain time-travelable for the
+        post-incident audit, and the rollback itself can be rolled
+        back. Pure metadata: zero data files are read or written; the
+        CAS loop is the _commit pattern (a concurrent commit wins the
+        version slot and the rollback retries on the new HEAD — a
+        rollback targets a VERSION, which a concurrent append does not
+        change)."""
+        old = self.snapshot(version)  # raises if expired/unknown
+        old_ddl = old.get("ddl", self.ddl)
+        for _ in range(5):
+            head = self.current_version()
+            entry = {
+                "version": head + 1,
+                "parent": head,
+                "ddl": old_ddl,
+                "data_files": old["data_files"],
+                "delete_files": old["delete_files"],
+                "summary": {"operation": "rollback", "to": version},
+            }
+            tmp = self._snap_file(head + 1) + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            target = self._snap_file(head + 1)
+            if os.path.exists(target):
+                os.unlink(tmp)
+                continue
+            try:
+                os.link(tmp, target)
+                os.unlink(tmp)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue
+            if old_ddl != self.ddl:  # schema rolls back too
+                self.ddl = old_ddl
+                self._write_meta()
+            return head + 1
+        raise CommitConflict(f"rollback lost 5 races in {self.root}")
+
     def _zvalue(self, df: DataFrame, cols: list[str], bits: int = 16):
         """Z-order key: min-max normalize each column to a ``bits``-wide
         integer rank, then interleave the bits. Files cut along z-order

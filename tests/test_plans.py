@@ -400,3 +400,23 @@ def test_cluster_histogram_single_scan_digests_only(spark):
     assert plan.count("Scan parquet") == 1
     read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "text" in read and "doc_id" not in read
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
+    # b97: the cyclic 6-way join must resolve to broadcast hash joins
+    # on the dim chain with zero cartesian products
+    plan = _plan(spark, "b97_tpch_q5")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_tpch_q10_topk_never_global_sorts(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "b98_tpch_q10")
+
+
+def test_tpch_q4_exists_decorrelates_to_semi(spark):
+    # b99: EXISTS must lower to a semi join on l_orderkey, not a
+    # per-order re-scan of lineitem
+    plan = _plan(spark, "b99_tpch_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

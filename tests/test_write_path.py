@@ -641,3 +641,56 @@ def test_metadata_count_and_fallback(catalog, spark):
     t.compact(target_files=1)               # rewrite folds deletes in
     assert t.metadata_count() == 4          # metadata answer restored
     assert t.metadata_count(version=1) == 5  # per-version stats
+
+
+def test_merge_with_delete_clause(catalog, spark):
+    # WHEN MATCHED AND flag THEN DELETE / MATCHED THEN UPDATE /
+    # NOT MATCHED THEN INSERT — all in one snapshot
+    t = _table(catalog, spark, name="mrg")
+    src = spark.createDataFrame(
+        [("A", "tiny", 1, False),   # matched -> update
+         ("B", None, 0, True),      # matched -> delete
+         ("Z", "large", 9, False)], # not matched -> insert
+        "name STRING, size STRING, count INT, is_delete BOOLEAN",
+    )
+    v = t.merge(src, ["name"], delete_col="is_delete")
+    assert v == 2
+    rows = {r["name"]: (r["size"], r["count"]) for r in t.read().collect()}
+    assert rows["A"] == ("tiny", 1)      # updated
+    assert "B" not in rows               # deleted
+    assert rows["Z"] == ("large", 9)     # inserted
+    assert rows["C"] == ("medium", 10)   # untouched passthrough
+    assert len(rows) == 5
+    # time travel: v1 still has the originals
+    assert t.read(version=1).filter("name = 'B'").count() == 1
+
+
+def test_rollback_restores_content_and_keeps_history(catalog, spark):
+    t = _table(catalog, spark, name="rb")  # v1
+    t.append(spark.createDataFrame([("BAD", "x", -1)], DDL))  # v2: oops
+    t.delete_where("name = 'A'", ["name"])  # v3: worse
+    v = t.rollback(1)
+    assert v == 4 and t.current_version() == 4
+    assert sorted(tuple(r) for r in t.read().collect()) == sorted(ROWS)
+    # history stays append-only: the bad snapshots remain auditable
+    assert t.read(version=2).filter("name = 'BAD'").count() == 1
+    assert t.read(version=3).filter("name = 'A'").count() == 0
+    # a rollback can itself be rolled back
+    t.rollback(3)
+    assert t.read().filter("name = 'A'").count() == 0
+    assert t.current_version() == 5
+
+
+def test_rollback_replays_old_schema(catalog, spark):
+    t = _table(catalog, spark, name="rbs")  # v1
+    t.add_column("flag", "INT")  # v2
+    t.append(
+        spark.createDataFrame([("F", "l", 7, 1)], DDL + ", flag INT")
+    )  # v3
+    t.rollback(1)  # v4: back to 3 columns
+    assert t.read().columns == ["name", "size", "count"]
+    assert t.read().count() == 5
+    # forward again: schema returns with the data
+    t.rollback(3)
+    assert t.read().columns == ["name", "size", "count", "flag"]
+    assert t.read().count() == 6
