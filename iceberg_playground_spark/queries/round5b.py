@@ -696,3 +696,100 @@ def b96_conditional_merge(spark: SparkSession, sf: str) -> DataFrame:
 
     t = _built(spark, sf, "b96", build)
     return t.read()
+
+
+# ---------------------------------------------------------------------------
+# p14 — incremental ingest dedup report (lakehouse x pipeline composition)
+# ---------------------------------------------------------------------------
+
+_P14_FP_SQL = (
+    "list_aggregate(list_transform(" + _SH_SQL + ", x -> md5(x)), 'min')"
+)
+
+
+def _p14_oracle() -> str:
+    from iceberg_playground_spark.queries._util import bucket_sql
+
+    b = bucket_sql("doc_id")
+    return f"""
+    WITH base AS (SELECT * FROM documents WHERE {b} < 80),
+         delta AS (SELECT * FROM documents WHERE {b} >= 80),
+         bfp AS (SELECT DISTINCT {_P14_FP_SQL} AS fp FROM base
+                 WHERE len(string_split(text, ' ')) >= 3),
+         dfp AS (SELECT lang,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+                        {_P14_FP_SQL} AS fp
+                 FROM delta)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(tok) AS BIGINT) AS new_tokens,
+           CAST(count(*) FILTER (WHERE fp IN (SELECT fp FROM bfp))
+                AS BIGINT) AS n_dup_vs_base,
+           CAST(count(*) - count(*) FILTER (WHERE fp IN (SELECT fp FROM bfp))
+                AS BIGINT) AS n_novel
+    FROM dfp GROUP BY lang
+    """
+
+
+@query("p14_ingest_dedup_report", oracle=_p14_oracle())
+def p14_ingest_dedup_report(spark: SparkSession, sf: str) -> DataFrame:
+    """P14: incremental ingest dedup report — the operational question
+    of a continuously-ingested training corpus: WHAT did this batch
+    add, and how much of it duplicates what we already hold? The
+    corpus lives as a lake table (80% of docs at v1); an ingestion
+    batch lands as v2; the report reads ONLY the delta
+    (read_incremental — file selection is snapshot metadata, the tail
+    consumer never rescans history) and joins its content fingerprints
+    (c14's min-digest) against the existing corpus's distinct
+    fingerprint set, per language: new docs, new tokens, dups vs base,
+    novel docs. Short docs (<3 tokens) carry no fingerprint and count
+    as novel — both engines agree because NULL never matches a join
+    key or an IN.
+
+    Scale shape: fingerprints are per-row array math on each side; the
+    dup check is a DIGEST-ONLY left join (base side pre-deduplicated —
+    at 100 TB the fingerprint index is what you'd maintain as its own
+    table, exactly c22's decontamination shape applied at ingest
+    time); the report aggregate is |langs| rows."""
+    from iceberg_playground_spark.queries._util import hash_bucket
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "docs_inc", "doc_id BIGINT, lang STRING, text STRING",
+            drop_if_exists=True,
+        )
+        d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+        bucket = hash_bucket(F.col("doc_id"))
+        t.append(d.filter(bucket < 80))   # v1: the existing corpus
+        t.append(d.filter(bucket >= 80))  # v2: the ingestion batch
+        return t
+
+    t = _built(spark, sf, "p14", build)
+    fp = F.array_min(F.transform(_shingles(_tokens()), F.md5))
+    base_fp = (
+        t.read(version=1)
+        .select(fp.alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    delta = t.read_incremental(1, 2).select(
+        "lang",
+        F.size(_tokens()).cast("bigint").alias("tok"),
+        fp.alias("fp"),
+    )
+    return (
+        delta.join(base_fp, on="fp", how="left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_new"),
+            F.sum("tok").cast("bigint").alias("new_tokens"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_vs_base"),
+            (F.count("*") - F.sum(F.coalesce(F.col("is_dup"), F.lit(0))))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )

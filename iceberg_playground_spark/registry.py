@@ -81,6 +81,7 @@ _R5_NEW: list[str] = [
     "b97_tpch_q5",
     "b98_tpch_q10",
     "b99_tpch_q4",
+    "p14_ingest_dedup_report",
 ]
 # Behavior-changed this round (the transform-lambda arity fix made
 # c02/c24's 16 MinHash permutations real instead of index-degenerate),

@@ -109,3 +109,15 @@ def test_metadata_count_grading_flags(spark):
     assert rows["append-only"]["from_metadata"] is True
     assert rows["after-delete"]["from_metadata"] is False
     assert rows["append-only"]["n_rows"] > rows["after-delete"]["n_rows"]
+
+
+def test_ingest_dedup_report_finds_real_collisions(spark):
+    # the corpus is near-dup-dominated: a random 20% ingest batch must
+    # collide with the 80% base, and novel + dup must partition n_new
+    rows = registry.QUERIES["p14_ingest_dedup_report"](
+        spark, SF_CHECK
+    ).collect()
+    assert sum(r["n_dup_vs_base"] for r in rows) > 0
+    for r in rows:
+        assert r["n_dup_vs_base"] + r["n_novel"] == r["n_new"]
+        assert r["new_tokens"] > 0
