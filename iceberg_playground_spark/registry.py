@@ -82,6 +82,9 @@ _R5_NEW: list[str] = [
     "b98_tpch_q10",
     "b99_tpch_q4",
     "p14_ingest_dedup_report",
+    "b100_variant_shred",
+    "b101_rle_udtf",
+    "b102_lateral_topk",
 ]
 # Behavior-changed this round (the transform-lambda arity fix made
 # c02/c24's 16 MinHash permutations real instead of index-degenerate),
@@ -142,6 +145,7 @@ def load_all() -> None:
         round5,
         round5b,
         tpch,
+        modern,
     )
 
     prefix = _R5_UNGRADED + _R5_NEW + _R5_CHANGED + _R2_ROTATION

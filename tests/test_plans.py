@@ -420,3 +420,21 @@ def test_tpch_q4_exists_decorrelates_to_semi(spark):
     plan = _plan(spark, "b99_tpch_q4")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    # b102: the correlated ORDER BY/LIMIT subquery must rewrite to ONE
+    # customer scan + a per-nation ranking window, never a per-row
+    # re-execution or a cartesian
+    plan = _plan(spark, "b102_lateral_topk")
+    assert plan.count("Scan parquet") == 2  # nation + customer, once each
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan
+
+
+def test_variant_shred_pushes_projection(spark):
+    # b100: the scan must read only event_type + props
+    plan = _plan(spark, "b100_variant_shred")
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "props" in read and "event_type" in read
+    assert "value" not in read and "user_id" not in read

@@ -121,3 +121,21 @@ def test_ingest_dedup_report_finds_real_collisions(spark):
     for r in rows:
         assert r["n_dup_vs_base"] + r["n_novel"] == r["n_new"]
         assert r["new_tokens"] > 0
+
+
+def test_rle_udtf_runs_are_maximal_and_repeated(spark):
+    # every emitted run is >=2 long, and no two runs of the same token
+    # in one doc are adjacent (maximality — a split run would mean the
+    # UDTF's scan logic broke)
+    rows = registry.QUERIES["b101_rle_udtf"](spark, SF_CHECK).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert r["run_len"] >= 2
+        by_doc.setdefault((r["doc_id"], r["token"]), []).append(
+            (r["start_pos"], r["run_len"])
+        )
+    for runs in by_doc.values():
+        runs.sort()
+        for (s1, l1), (s2, _) in zip(runs, runs[1:]):
+            assert s1 + l1 < s2  # a gap separates same-token runs
