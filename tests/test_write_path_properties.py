@@ -1,14 +1,19 @@
 """Property-based write-path check (hypothesis): random sequences of
-append / equality-delete / compact must always read back exactly what a
-plain-Python model of sequence-scoped merge-on-read predicts — and time
-travel must replay every intermediate state.
+append / equality-delete / compact / merge / rollback / branch-publish
+must always read back exactly what a plain-Python model of
+sequence-scoped merge-on-read predicts — and time travel must replay
+every intermediate state.
 
 The model: each data row remembers the sequence that appended it; an
 equality delete captures the keys visible at delete time and masks only
 rows with a strictly lower sequence (Iceberg's sequence-number rule,
 mirroring /root/reference/src/bin/deletes.rs:94-110 where a same-txn
 append is not masked by its own delete). Compaction freezes the current
-view as new rows at the compact sequence.
+view as new rows at the compact sequence. Merge masks every source key
+and re-adds the non-delete-flagged rows at the merge sequence. Rollback
+restores a prior version's rows WITH their original sequences (entries
+copy verbatim — so a later delete still masks them). A branch publish
+is equivalent to one append of everything staged on the branch.
 """
 
 from __future__ import annotations
@@ -29,15 +34,35 @@ _append = st.lists(
 ).map(lambda rows: ("append", rows))
 _delete = st.sampled_from(_NAMES).map(lambda n: ("delete", n))
 _compact = st.just(("compact", None))
+_merge = st.lists(
+    st.tuples(
+        st.sampled_from(_NAMES), st.integers(0, 3), st.booleans()
+    ),
+    min_size=1,
+    max_size=3,
+    unique_by=lambda r: r[0],  # one clause per key, like MERGE
+).map(lambda rows: ("merge", rows))
+_rollback = st.integers(0, 5).map(lambda i: ("rollback", i))
+_wap = st.lists(
+    st.tuples(st.sampled_from(_NAMES), st.integers(0, 3)),
+    min_size=1,
+    max_size=3,
+).map(lambda rows: ("wap", rows))
 
 _ops = st.lists(
-    st.one_of(_append, _append, _delete, _compact), min_size=1, max_size=6
+    st.one_of(
+        _append, _append, _delete, _compact, _merge, _rollback, _wap
+    ),
+    min_size=1,
+    max_size=6,
 )
 
 
-def _model_apply(state: list, seq: int, op: str, arg) -> list:
+def _model_apply(
+    state: list, seq: int, op: str, arg, history: dict
+) -> list:
     """state: [(name, count, seq_added)]; returns the new state."""
-    if op == "append":
+    if op == "append" or op == "wap":
         return state + [(n, c, seq) for n, c in arg]
     if op == "delete":
         # keys captured from the CURRENT view; masks strictly-older rows
@@ -46,6 +71,12 @@ def _model_apply(state: list, seq: int, op: str, arg) -> list:
         return state
     if op == "compact":
         return [(n, c, seq) for n, c, _ in state]
+    if op == "merge":
+        keys = {n for n, _, _ in arg}
+        kept = [r for r in state if r[0] not in keys]
+        return kept + [(n, c, seq) for n, c, d in arg if not d]
+    if op == "rollback":
+        return list(history[arg])  # verbatim, original seqs included
     raise AssertionError(op)
 
 
@@ -67,9 +98,23 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             v = t.append(spark.createDataFrame(arg, DDL))
         elif op == "delete":
             v = t.delete_where(f"name = '{arg}'", ["name"])
+        elif op == "merge":
+            v = t.merge(
+                spark.createDataFrame(arg, DDL + ", is_del BOOLEAN"),
+                ["name"],
+                delete_col="is_del",
+            )
+        elif op == "rollback":
+            arg = arg % (t.current_version() + 1)  # a committed version
+            v = t.rollback(arg)
+        elif op == "wap":
+            t.create_branch("hb")
+            for row in arg:  # one staged append per row
+                t.append_to_branch("hb", spark.createDataFrame([row], DDL))
+            v = t.fast_forward("hb")
         else:
             v = t.compact()
-        state = _model_apply(state, v, op, arg)
+        state = _model_apply(state, v, op, arg, history)
         history[v] = state
 
     def snap_rows(df):
