@@ -793,3 +793,57 @@ def p14_ingest_dedup_report(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_novel"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# b103 — TIMESTAMP AS OF time travel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b103_timestamp_travel",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM region) AS BIGINT) AS n_at_mid,
+           CAST((SELECT count(*) FROM region) + 1 AS BIGINT) AS n_now,
+           CAST(1 AS INT) AS v_at_mid, CAST(2 AS INT) AS v_now
+    """,
+)
+def b103_timestamp_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """B103: `TIMESTAMP AS OF` time travel — every snapshot records its
+    commit wall time, and a reader resolves any past instant to the
+    LAST version committed at or before it (Iceberg's timestamp
+    resolution; the audit question "what did the dashboard show at
+    09:00?"). A wall time captured between v1 and v2 resolves to v1
+    and reads its exact content; "now" resolves to HEAD. Resolution is
+    a snapshot-log walk — KB of metadata, zero data files opened; the
+    reads are ordinary pruned snapshot scans."""
+    import time as _time
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "region_ts", "r_regionkey INT, r_name STRING",
+            drop_if_exists=True,
+        )
+        t.append(load(spark, sf, "region").select("r_regionkey", "r_name"))
+        t_mid = _time.time()  # strictly after v1's commit stamp
+        t.append(
+            spark.createDataFrame(
+                [(90, "LATE ROW")], "r_regionkey INT, r_name STRING"
+            )
+        )
+        return t, t_mid
+
+    t, t_mid = _built(spark, sf, "b103", build)
+    mid = t.read(as_of_ts=t_mid).agg(
+        F.count("*").cast("bigint").alias("n_at_mid")
+    )
+    now = t.read(as_of_ts=_time.time()).agg(
+        F.count("*").cast("bigint").alias("n_now")
+    )
+    return mid.crossJoin(F.broadcast(now)).select(
+        "n_at_mid",
+        "n_now",
+        F.lit(t.version_at(t_mid)).cast("int").alias("v_at_mid"),
+        F.lit(t.current_version()).cast("int").alias("v_now"),
+    )

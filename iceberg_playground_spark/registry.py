@@ -85,6 +85,7 @@ _R5_NEW: list[str] = [
     "b100_variant_shred",
     "b101_rle_udtf",
     "b102_lateral_topk",
+    "b103_timestamp_travel",
 ]
 # Behavior-changed this round (the transform-lambda arity fix made
 # c02/c24's 16 MinHash permutations real instead of index-degenerate),

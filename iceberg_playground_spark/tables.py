@@ -536,6 +536,7 @@ class LakeTable:
             entry = {
                 "version": seq,
                 "parent": head,
+                "ts": time.time(),  # commit wall time (AS OF TIMESTAMP)
                 "ddl": entry_ddl,  # the schema this snapshot serves
                 "data_files": (
                     new_data if replace else snap["data_files"] + new_data
@@ -801,6 +802,7 @@ class LakeTable:
             entry = {
                 "version": head + 1,
                 "parent": head,
+                "ts": time.time(),
                 "ddl": old_ddl,
                 "data_files": old["data_files"],
                 "delete_files": old["delete_files"],
@@ -1153,20 +1155,42 @@ class LakeTable:
         return out
 
     # -- read path -----------------------------------------------------------
+    def version_at(self, ts: float) -> int:
+        """The snapshot a reader at wall time ``ts`` would have seen:
+        the LAST committed version whose commit timestamp is <= ts
+        (Iceberg's `TIMESTAMP AS OF` resolution). Errors if the table
+        had no commit yet at ``ts``. Entries predating timestamp
+        recording are treated as arbitrarily old (always eligible) —
+        monotone version order keeps the answer well-defined."""
+        best = None
+        for v in self.versions():
+            if self.snapshot(v).get("ts", 0.0) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before ts={ts} in {self.root}"
+            )
+        return best
+
     def read(
-        self, version: int | None = None, tag: str | None = None
+        self,
+        version: int | None = None,
+        tag: str | None = None,
+        as_of_ts: float | None = None,
     ) -> DataFrame:
         """Snapshot scan (B2): current HEAD, `VERSION AS OF` a number,
-        or `VERSION AS OF` a named tag.
+        `VERSION AS OF` a named tag, or `TIMESTAMP AS OF` a wall time.
 
         MoR apply: LEFT ANTI JOIN against the union of delete-key files.
         The delete side is orders of magnitude smaller than data (keys
         only), so it's explicitly broadcast — at 100 TB the scan gains a
         map-side hash filter and zero shuffles."""
+        if sum(x is not None for x in (version, tag, as_of_ts)) > 1:
+            raise ValueError("pass at most one of version/tag/as_of_ts")
         if tag is not None:
-            if version is not None:
-                raise ValueError("pass version or tag, not both")
             version = self.resolve_ref(tag)
+        elif as_of_ts is not None:
+            version = self.version_at(as_of_ts)
         v = self.current_version() if version is None else version
         return self._assemble(self.snapshot(v)["data_files"], version)
 

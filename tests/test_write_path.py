@@ -694,3 +694,19 @@ def test_rollback_replays_old_schema(catalog, spark):
     t.rollback(3)
     assert t.read().columns == ["name", "size", "count", "flag"]
     assert t.read().count() == 6
+
+
+def test_timestamp_time_travel(catalog, spark):
+    import time as _time
+
+    t = _table(catalog, spark, name="ts_tt")  # v1
+    t_mid = _time.time()
+    t.append(spark.createDataFrame([("F", "large", 7)], DDL))  # v2
+    assert t.version_at(t_mid) == 1
+    assert t.version_at(_time.time()) == 2
+    assert t.read(as_of_ts=t_mid).count() == 5
+    assert t.read(as_of_ts=_time.time()).count() == 6
+    with pytest.raises(ValueError):
+        t.version_at(0.0)  # before the first commit
+    with pytest.raises(ValueError):
+        t.read(version=1, as_of_ts=t_mid)  # mutually exclusive
