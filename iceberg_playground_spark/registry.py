@@ -123,13 +123,22 @@ def load_all() -> None:
     after all modules register, QUERIES/ORACLES are rebuilt so the
     prefix is _R5_UNGRADED (the 11 never-driver-graded round-4
     queries: meta's b79/b82/b83/b84/c27/b85/b86, pipeline's p11/c28,
-    extra's b80/b81) + _R5_NEW (round-5 additions) + _R5_CHANGED
-    (behavior-changed this round) + _R2_ROTATION
-    (oldest-graded pack, re-grade insurance), with every remaining
-    r3/r4-green query after that in module order. Unlike rounds 2-4,
-    import order no longer doubles as grading order — the explicit
-    lists do — so modules can import in dependency order freely.
-    A name listed but never registered fails loudly here (typo guard).
+    extra's b80/b81) + _R5_NEW (the 29 round-5 additions across
+    round5.py b87-b89/c29-c31/p12, round5b.py b90-b96/c32-c33/
+    p13-p14/b103, tpch.py b97-b99, and modern.py b100-b102) +
+    _R5_CHANGED (c02/c24, behavior-changed this round) + _R2_ROTATION
+    (oldest-graded pack, as many as fit the ~50-slot budget — 8 this
+    round), with every remaining r3/r4-green query after that in
+    module order. Unlike rounds 2-4, import order no longer doubles as
+    grading order — the explicit lists do — so modules can import in
+    dependency order freely. A name listed but never registered fails
+    loudly here (typo guard).
+
+    Round-6 note: after this round's grading lands, every query will
+    have a driver-graded row; plan the round-6 prefix as (any new or
+    behavior-changed queries) + the continuation of the r2 rotation
+    from b14_broadcast_join onward (the first 8 rotation entries —
+    b01 through b13 — fit this round's window).
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
