@@ -94,6 +94,16 @@ _R5_CHANGED = [
     "c02_minhash_lsh_dedup",
     "c24_dedup_clusters",
 ]
+# Output-identical but shape/format-touched this round, graded again
+# as cheap insurance (round-4 verdict item 2): snapshot entries grew
+# rows/ts fields (every lakehouse build path serializes them — b61 is
+# the watch-list representative, b60 the other variance cell), and
+# c10's probe side gained the salt repartition (plan-only change).
+_R5_TOUCHED = [
+    "b61_data_skipping",
+    "b60_bucketed_join",
+    "c10_embedding_near_dup",
+]
 # r2-era relational pack in its original registration order; as many as
 # fit after the blocks above rotate through the 50-slot window.
 _R2_ROTATION = [
@@ -123,12 +133,14 @@ def load_all() -> None:
     after all modules register, QUERIES/ORACLES are rebuilt so the
     prefix is _R5_UNGRADED (the 11 never-driver-graded round-4
     queries: meta's b79/b82/b83/b84/c27/b85/b86, pipeline's p11/c28,
-    extra's b80/b81) + _R5_NEW (the 29 round-5 additions across
+    extra's b80/b81) + _R5_NEW (the 25 round-5 additions across
     round5.py b87-b89/c29-c31/p12, round5b.py b90-b96/c32-c33/
     p13-p14/b103, tpch.py b97-b99, and modern.py b100-b102) +
-    _R5_CHANGED (c02/c24, behavior-changed this round) + _R2_ROTATION
-    (oldest-graded pack, as many as fit the ~50-slot budget — 8 this
-    round), with every remaining r3/r4-green query after that in
+    _R5_CHANGED (c02/c24, behavior-changed this round) + _R5_TOUCHED
+    (b61/b60/c10, output-identical shape changes) + _R2_ROTATION
+    (oldest-graded pack, as many as fit the ~50-slot budget — 9 this
+    round, b01 through b14), with every remaining r3/r4-green query
+    after that in
     module order. Unlike rounds 2-4, import order no longer doubles as
     grading order — the explicit lists do — so modules can import in
     dependency order freely. A name listed but never registered fails
@@ -137,8 +149,8 @@ def load_all() -> None:
     Round-6 note: after this round's grading lands, every query will
     have a driver-graded row; plan the round-6 prefix as (any new or
     behavior-changed queries) + the continuation of the r2 rotation
-    from b14_broadcast_join onward (the first 8 rotation entries —
-    b01 through b13 — fit this round's window).
+    from b15_outer_join onward (the first 9 rotation entries — b01
+    through b14 — fit this round's window).
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
@@ -158,7 +170,9 @@ def load_all() -> None:
         modern,
     )
 
-    prefix = _R5_UNGRADED + _R5_NEW + _R5_CHANGED + _R2_ROTATION
+    prefix = (
+        _R5_UNGRADED + _R5_NEW + _R5_CHANGED + _R5_TOUCHED + _R2_ROTATION
+    )
     missing = [n for n in prefix if n not in QUERIES]
     if missing:
         raise RuntimeError(f"grading-order names not registered: {missing}")
