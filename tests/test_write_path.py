@@ -710,3 +710,35 @@ def test_timestamp_time_travel(catalog, spark):
         t.version_at(0.0)  # before the first commit
     with pytest.raises(ValueError):
         t.read(version=1, as_of_ts=t_mid)  # mutually exclusive
+
+
+def test_concurrent_branch_appends_all_land(catalog, spark):
+    # four writers racing onto the SAME branch: the os.link entry CAS
+    # serializes them — every staged append survives into the publish
+    import threading
+
+    t = _table(catalog, spark, name="wapr")
+    t.create_branch("audit")
+    errs = []
+
+    def stage(tag):
+        try:
+            t.append_to_branch(
+                "audit", spark.createDataFrame([(tag, "x", 1)], DDL)
+            )
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [
+        threading.Thread(target=stage, args=(f"B{i}",)) for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t.branches()["audit"]["n_appends"] == 4
+    t.fast_forward("audit")
+    names = {r["name"] for r in t.read().collect()}
+    assert {"B0", "B1", "B2", "B3"} <= names  # nothing lost
+    assert t.current_version() == 2  # ONE publish snapshot
