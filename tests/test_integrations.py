@@ -144,3 +144,31 @@ def test_real_iceberg_roundtrip(tmp_path):
     ).first()[0]
     v1 = spark.read.option("snapshot-id", first).table("lake.it_ns.t")
     assert v1.count() == 2  # VERSION AS OF the first append
+
+
+def test_dictionary_encoded_parquet_reads_transparently(spark, tmp_path):
+    # The reference declares a dict-array experiment it never wrote
+    # (Cargo.toml:44-46, src/bin/dict_array.rs absent). Close the
+    # roadmap hint with evidence: parquet written with dictionary
+    # encoding FORCED reads back through Spark's vectorized reader
+    # bit-identically to the plain-encoded copy — no user-level work
+    # exists, which is the SURVEY's claim for this row.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "k": pa.array(list(range(1000))),
+            "cat": pa.array(["alpha", "beta", "gamma"][i % 3] for i in range(1000)),
+        }
+    )
+    dict_path = str(tmp_path / "dict.parquet")
+    plain_path = str(tmp_path / "plain.parquet")
+    pq.write_table(tbl, dict_path, use_dictionary=True)
+    pq.write_table(tbl, plain_path, use_dictionary=False)
+    # the dictionary file must actually carry dictionary-encoded pages
+    col = pq.ParquetFile(dict_path).metadata.row_group(0).column(1)
+    assert any("DICTIONARY" in str(e) for e in col.encodings)
+    a = sorted(map(tuple, spark.read.parquet(dict_path).collect()))
+    b = sorted(map(tuple, spark.read.parquet(plain_path).collect()))
+    assert a == b and len(a) == 1000
