@@ -122,12 +122,16 @@ def test_grading_prefix_composition():
     # The driver grades EXACTLY the first ~50 registered queries, so
     # registration order decides what gets graded. Since round 5 the
     # order is imposed by explicit lists (registry._R5_UNGRADED /
-    # _R5_NEW / _R5_CHANGED / _R2_ROTATION) rather than import order;
-    # pin that the reorder actually happened and the window leads with
-    # the never-graded + new + behavior-changed blocks.
+    # _R5_NEW / _R5_CHANGED / _R5_TOUCHED / _R2_ROTATION) rather than
+    # import order; pin that the reorder actually happened and the
+    # window leads with the never-graded + new + behavior-changed +
+    # shape-touched blocks.
     names = list(registry.QUERIES)
     lead = (
-        registry._R5_UNGRADED + registry._R5_NEW + registry._R5_CHANGED
+        registry._R5_UNGRADED
+        + registry._R5_NEW
+        + registry._R5_CHANGED
+        + registry._R5_TOUCHED
     )
     assert names[: len(lead)] == lead
     # the remainder of the 50-slot window rotates the r2-era pack
