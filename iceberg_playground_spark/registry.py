@@ -103,6 +103,8 @@ _R5_TOUCHED = [
     "b61_data_skipping",
     "b60_bucketed_join",
     "c10_embedding_near_dup",
+    "c08_simhash",
+    "c09_ngram_jaccard",
 ]
 # r2-era relational pack in its original registration order; as many as
 # fit after the blocks above rotate through the 50-slot window.
@@ -137,10 +139,10 @@ def load_all() -> None:
     round5.py b87-b89/c29-c31/p12, round5b.py b90-b96/c32-c33/
     p13-p14/b103, tpch.py b97-b99, and modern.py b100-b102) +
     _R5_CHANGED (c02/c24, behavior-changed this round) + _R5_TOUCHED
-    (b61/b60/c10, output-identical shape changes) + _R2_ROTATION
-    (oldest-graded pack, as many as fit the ~50-slot budget — 9 this
-    round, b01 through b14), with every remaining r3/r4-green query
-    after that in
+    (b61/b60/c10/c08/c09, output-identical shape changes) +
+    _R2_ROTATION (oldest-graded pack, as many as fit the ~50-slot
+    budget — 7 this round, b01 through b12), with every remaining
+    r3/r4-green query after that in
     module order. Unlike rounds 2-4, import order no longer doubles as
     grading order — the explicit lists do — so modules can import in
     dependency order freely. A name listed but never registered fails
@@ -149,8 +151,8 @@ def load_all() -> None:
     Round-6 note: after this round's grading lands, every query will
     have a driver-graded row; plan the round-6 prefix as (any new or
     behavior-changed queries) + the continuation of the r2 rotation
-    from b15_outer_join onward (the first 9 rotation entries — b01
-    through b14 — fit this round's window).
+    from b13_inner_join onward (the first 7 rotation entries — b01
+    through b12 — fit this round's window).
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
