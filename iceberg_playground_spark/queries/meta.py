@@ -72,23 +72,7 @@ def b79_snapshot_metadata(spark: SparkSession, sf: str) -> DataFrame:
         return t
 
     t = _built(spark, sf, "b79", build)
-    rows = []
-    for v in t.versions():
-        snap = t.snapshot(v)
-        rows.append(
-            (
-                v,
-                snap["summary"]["operation"],
-                len(snap["data_files"]),
-                len(snap["delete_files"]),
-                snap["parent"],
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "version INT, operation STRING, n_data_sets INT, "
-        "n_delete_files INT, parent INT",
-    )
+    return t.snapshots()
 
 
 @query(
