@@ -340,10 +340,11 @@ class LakeTable:
                     base = json.load(f)["base"]
             except FileNotFoundError:
                 continue  # concurrently dropped
-            out[name] = {
-                "base": base,
-                "n_appends": len(self._branch_entries(name)),
-            }
+            try:
+                n = len(self._branch_entries(name))
+            except ValueError:
+                continue  # dropped between the two reads
+            out[name] = {"base": base, "n_appends": n}
         return out
 
     def _branch_entries(self, name: str) -> list[str]:
@@ -410,7 +411,13 @@ class LakeTable:
         snapshot, then drop the branch. Fails with CommitConflict if
         main's HEAD moved past the fork base (the branch view was
         audited against a base main no longer has — re-branch and
-        re-audit, exactly Iceberg's fast_forward ancestor check)."""
+        re-audit, exactly Iceberg's fast_forward ancestor check).
+
+        A branch append racing the publish (landing after the entry
+        list is read) is NOT included — publish ships exactly what was
+        audited; the late append's staged dir survives as an orphan
+        (expire_snapshots' grace window reclaims it) and its writer
+        should treat the missing branch as the re-branch signal."""
         base = self._branch_base(name)
         head = self.current_version()
         if head != base:
