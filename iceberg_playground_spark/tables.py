@@ -692,6 +692,40 @@ class LakeTable:
             {"operation": "delete", "predicate": predicate},
         )
 
+    def delete_where_positional(self, predicate: str) -> int:
+        """A5': POSITION delete, merge-on-read — Iceberg's second
+        delete-file kind (format v2 positional deletes; the reference
+        exercises only equality deletes, deletes.rs:60-110, but a
+        switching user's engine may write either). The delete file
+        stores (file_path, row_index) pairs of the CURRENTLY VISIBLE
+        rows matching ``predicate`` — captured from Spark's
+        ``_metadata.file_path``/``row_index`` scan columns, the native
+        per-file row position — and readers subtract them by position,
+        never by key. Data files are untouched.
+
+        Equality vs position trade (why both exist): an equality
+        delete is tiny (keys only) but masks FUTURE-blind — it applies
+        to every strictly-older file; a position delete pins exact
+        physical rows, so identical key values appended later are
+        untouched even at the same sequence, and engines without the
+        key columns in hand (CDC appliers) can still delete. At 100 TB
+        the read-path cost is one broadcast anti-join either way."""
+        v = self.current_version()
+        hits = (
+            self._assemble(
+                self.snapshot(v)["data_files"], v, with_pos=True
+            )
+            .filter(predicate)
+            .select("__f", "__p")
+        )
+        d = os.path.join(self.root, _DELETE_DIR, uuid.uuid4().hex)
+        hits.write.mode("overwrite").parquet(d)
+        return self._commit(
+            [],
+            [json.dumps({"path": d, "pos": True})],
+            {"operation": "delete-pos", "predicate": predicate},
+        )
+
     def add_column(self, name: str, dtype: str) -> int:
         """Schema evolution: append a nullable column (Iceberg
         add-column). Metadata-only — no data file is touched; rows
@@ -1163,14 +1197,30 @@ class LakeTable:
             ]
             if dels:
                 prior = self.read(version=v - 1)
+                prior_files = self.snapshot(v - 1)["data_files"]
                 for meta in dels:
                     keys = self.spark.read.parquet(meta["path"]).distinct()
-                    parts.append(
-                        prior.join(
+                    if meta.get("pos"):
+                        # positional: recover masked rows by their
+                        # (file, row-index) handles on the prior view
+                        prior_pos = self._assemble(
+                            prior_files, v - 1, with_pos=True
+                        )
+                        masked = (
+                            prior_pos.join(
+                                F.broadcast(keys),
+                                on=["__f", "__p"],
+                                how="inner",
+                            ).drop("__f", "__p")
+                        )
+                    else:
+                        masked = prior.join(
                             F.broadcast(keys),
                             on=list(meta["cols"]),
                             how="inner",
-                        ).select(
+                        )
+                    parts.append(
+                        masked.select(
                             *stamp,
                             F.lit("delete").alias("change_type"),
                             "*",
@@ -1226,9 +1276,15 @@ class LakeTable:
         return self._assemble(self.snapshot(v)["data_files"], version)
 
     def _assemble(
-        self, files: list[dict], version: int | None = None
+        self,
+        files: list[dict],
+        version: int | None = None,
+        with_pos: bool = False,
     ) -> DataFrame:
-        """MoR view of a (possibly pruned) file-entry subset."""
+        """MoR view of a (possibly pruned) file-entry subset.
+        ``with_pos=True`` keeps the physical position columns
+        (``__f`` = file path, ``__p`` = row index) on the output —
+        the handles a position delete writes."""
         v = self.current_version() if version is None else version
         snap = self.snapshot(v)
         ddl = snap.get("ddl", self.ddl)  # time travel replays old schemas
@@ -1242,7 +1298,10 @@ class LakeTable:
         # basePath (so hive-partitioned layouts recover the partition
         # columns) and anti-joins only the deletes that postdate it;
         # everything unions. Compaction collapses back to one entry
-        # with zero deletes.
+        # with zero deletes. Equality deletes subtract by KEY; position
+        # deletes subtract by (file, row-index) via Spark's _metadata
+        # scan columns — attached only when a positional delete (or the
+        # caller) actually needs them, so the common path pays nothing.
         # declared column order: hive-partitioned reads append partition
         # columns last, so project back to the schema's order
         ddl_cols = self.spark.createDataFrame([], ddl).columns
@@ -1250,18 +1309,38 @@ class LakeTable:
         for f in sorted(files, key=lambda x: x["seq"]):
             r = self.spark.read.schema(ddl).option("basePath", f["path"])
             paths = f.get("paths") or [f["path"]]
-            df = r.parquet(*paths).select(*ddl_cols)
-            by_cols: dict[tuple[str, ...], list[str]] = {}
+            raw = r.parquet(*paths)
+            eq_by_cols: dict[tuple[str, ...], list[str]] = {}
+            pos_paths: list[str] = []
             for dseq, meta in deletes:
                 if dseq > f["seq"]:
-                    by_cols.setdefault(tuple(meta["cols"]), []).append(
-                        meta["path"]
-                    )
-            for cols, dpaths in by_cols.items():
+                    if meta.get("pos"):
+                        pos_paths.append(meta["path"])
+                    else:
+                        eq_by_cols.setdefault(
+                            tuple(meta["cols"]), []
+                        ).append(meta["path"])
+            need_pos = with_pos or bool(pos_paths)
+            if need_pos:
+                df = raw.select(
+                    *ddl_cols,
+                    F.col("_metadata.file_path").alias("__f"),
+                    F.col("_metadata.row_index").alias("__p"),
+                )
+            else:
+                df = raw.select(*ddl_cols)
+            if pos_paths:
+                dels = self.spark.read.parquet(*pos_paths).distinct()
+                df = df.join(
+                    F.broadcast(dels), on=["__f", "__p"], how="left_anti"
+                )
+            for cols, dpaths in eq_by_cols.items():
                 dels = self.spark.read.parquet(*dpaths).distinct()
                 df = df.join(
                     F.broadcast(dels), on=list(cols), how="left_anti"
                 )
+            if need_pos and not with_pos:
+                df = df.select(*ddl_cols)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:

@@ -742,3 +742,84 @@ def test_concurrent_branch_appends_all_land(catalog, spark):
     names = {r["name"] for r in t.read().collect()}
     assert {"B0", "B1", "B2", "B3"} <= names  # nothing lost
     assert t.current_version() == 2  # ONE publish snapshot
+
+
+def test_position_delete_mor(catalog, spark):
+    # positional deletes pin EXACT physical rows: with duplicate "A"
+    # rows, a predicate delete removes both (they both match), but a
+    # later re-append of the same key is untouched — even though an
+    # equality delete at the same sequence would NOT mask it either,
+    # the position kind can never mask anything it didn't list.
+    t = _table(catalog, spark, rows=ROWS + [("A", "large", 99)])
+    t.delete_where_positional("name = 'A'")
+    names = [r["name"] for r in t.read().collect()]
+    assert sorted(names) == ["B", "C", "D", "E"]
+    # data files untouched (merge-on-read)
+    assert t.snapshot(2)["data_files"] == t.snapshot(1)["data_files"]
+    # pre-delete snapshot still shows both As
+    assert t.read(version=1).filter("name = 'A'").count() == 2
+    # re-append after the positional delete: visible (new file, new rows)
+    t.append(spark.createDataFrame([("A", "tiny", 1)], DDL))
+    rows = t.read().filter("name = 'A'").collect()
+    assert [(r["size"], r["count"]) for r in rows] == [("tiny", 1)]
+
+
+def test_position_delete_only_listed_rows(catalog, spark):
+    # two equal-valued rows in DIFFERENT files: deleting where count=2
+    # removes both copies; a narrower predicate touching one file's row
+    # leaves the twin alone — the by-position not by-key contract.
+    t = catalog.create_table("test_ns", "pd2", DDL, drop_if_exists=True)
+    t.append(spark.createDataFrame([("X", "s", 1), ("Y", "s", 2)], DDL))
+    t.append(spark.createDataFrame([("X", "s", 1)], DDL))  # twin of v1's X
+    t.delete_where_positional("name = 'X' AND count = 1")
+    assert t.read().filter("name = 'X'").count() == 0  # both listed
+    t2 = catalog.create_table("test_ns", "pd3", DDL, drop_if_exists=True)
+    t2.append(spark.createDataFrame([("X", "s", 1)], DDL))
+    t2.append(spark.createDataFrame([("X", "s", 1)], DDL))
+    # delete only the SECOND file's copy via a positional file built
+    # from the incremental view of v2
+    v = t2.current_version()
+    hits = (
+        t2._assemble(
+            [f for f in t2.snapshot(v)["data_files"] if f["seq"] == 2],
+            v,
+            with_pos=True,
+        )
+        .filter("name = 'X'")
+        .select("__f", "__p")
+    )
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    d = _os.path.join(t2.root, "deletes", _uuid.uuid4().hex)
+    hits.write.mode("overwrite").parquet(d)
+    t2._commit(
+        [], [_json.dumps({"path": d, "pos": True})], {"operation": "delete-pos"}
+    )
+    assert t2.read().filter("name = 'X'").count() == 1  # twin survives
+
+
+def test_position_delete_compaction_and_changelog(catalog, spark):
+    t = _table(catalog, spark, name="pdc")
+    t.delete_where_positional("name = 'B'")  # v2
+    rows = {
+        (r["commit_version"], r["change_type"], r["name"])
+        for r in t.changelog(1, 2).collect()
+    }
+    assert rows == {(2, "delete", "B")}
+    before = sorted(tuple(r) for r in t.read().collect())
+    t.compact(target_files=1)  # folds the positional delete in
+    snap = t.snapshot(t.current_version())
+    assert snap["delete_files"] == []
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+
+
+def test_mixed_equality_and_position_deletes(catalog, spark):
+    t = _table(catalog, spark, name="pdm")
+    t.delete_where("name = 'A'", ["name"])          # equality
+    t.delete_where_positional("name = 'B'")          # positional
+    names = sorted(r["name"] for r in t.read().collect())
+    assert names == ["C", "D", "E"]
+    # metadata count correctly refuses under either kind
+    assert t.metadata_count() is None
