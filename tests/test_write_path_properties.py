@@ -33,6 +33,12 @@ _append = st.lists(
     max_size=3,
 ).map(lambda rows: ("append", rows))
 _delete = st.sampled_from(_NAMES).map(lambda n: ("delete", n))
+# position deletes are observationally EQUIVALENT to equality deletes
+# for key predicates (both remove exactly the currently-visible
+# matching rows; the kinds differ only in how masking is stored), so
+# they share the model's delete rule — the equivalence itself is what
+# this op fuzzes.
+_pdelete = st.sampled_from(_NAMES).map(lambda n: ("pdelete", n))
 _compact = st.just(("compact", None))
 _merge = st.lists(
     st.tuples(
@@ -51,7 +57,8 @@ _wap = st.lists(
 
 _ops = st.lists(
     st.one_of(
-        _append, _append, _delete, _compact, _merge, _rollback, _wap
+        _append, _append, _delete, _pdelete, _compact, _merge,
+        _rollback, _wap
     ),
     min_size=1,
     max_size=6,
@@ -64,7 +71,7 @@ def _model_apply(
     """state: [(name, count, seq_added)]; returns the new state."""
     if op == "append" or op == "wap":
         return state + [(n, c, seq) for n, c in arg]
-    if op == "delete":
+    if op == "delete" or op == "pdelete":
         # keys captured from the CURRENT view; masks strictly-older rows
         if any(n == arg for n, _, _ in state):
             return [r for r in state if r[0] != arg]
@@ -98,6 +105,8 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             v = t.append(spark.createDataFrame(arg, DDL))
         elif op == "delete":
             v = t.delete_where(f"name = '{arg}'", ["name"])
+        elif op == "pdelete":
+            v = t.delete_where_positional(f"name = '{arg}'")
         elif op == "merge":
             v = t.merge(
                 spark.createDataFrame(arg, DDL + ", is_del BOOLEAN"),
