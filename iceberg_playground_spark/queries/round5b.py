@@ -847,3 +847,60 @@ def b103_timestamp_travel(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(t.version_at(t_mid)).cast("int").alias("v_at_mid"),
         F.lit(t.current_version()).cast("int").alias("v_now"),
     )
+
+
+# ---------------------------------------------------------------------------
+# b104 — position deletes (registered for the round-6 window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b104_position_delete",
+    oracle="""
+    SELECT r_regionkey, r_name, TRUE AS files_untouched
+    FROM region WHERE r_regionkey NOT IN (1, 3)
+    UNION ALL SELECT 1, 'REGION ONE RETURNS', TRUE
+    """,
+)
+def b104_position_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """B104: POSITION deletes, merge-on-read — Iceberg's second
+    delete-file kind (format v2; the reference writes only equality
+    deletes, deletes.rs:60-110, but a switching user's other engines
+    may emit either). The delete file stores (file_path, row_index)
+    pairs captured from Spark's ``_metadata`` scan columns — exact
+    physical rows, so a later re-append of a deleted key is visible by
+    CONSTRUCTION (it lives in a new file), and data files are never
+    rewritten (files_untouched compares the file lists across the
+    delete commit). Registered past the round-5 grading window;
+    leads round 6's per the registry rule.
+
+    Scale shape: the read path gains one broadcast anti-join on
+    (file, position) — the same cost as the equality kind; position
+    columns are attached to a scan ONLY when a positional delete
+    actually applies to it."""
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "region_pd", "r_regionkey INT, r_name STRING",
+            drop_if_exists=True,
+        )
+        t.append(load(spark, sf, "region").select("r_regionkey", "r_name"))
+        t.delete_where_positional("r_regionkey IN (1, 3)")  # v2
+        t.append(
+            spark.createDataFrame(
+                [(1, "REGION ONE RETURNS")],
+                "r_regionkey INT, r_name STRING",
+            )
+        )  # v3: the deleted key returns in a NEW file
+        files_untouched = (
+            t.snapshot(2)["data_files"] == t.snapshot(1)["data_files"]
+        )
+        return t, files_untouched
+
+    t, files_untouched = _built(spark, sf, "b104", build)
+    return t.read().select(
+        "r_regionkey",
+        "r_name",
+        F.lit(files_untouched).alias("files_untouched"),
+    )

@@ -148,11 +148,12 @@ def load_all() -> None:
     dependency order freely. A name listed but never registered fails
     loudly here (typo guard).
 
-    Round-6 note: after this round's grading lands, every query will
-    have a driver-graded row; plan the round-6 prefix as (any new or
-    behavior-changed queries) + the continuation of the r2 rotation
-    from b13_inner_join onward (the first 7 rotation entries — b01
-    through b12 — fit this round's window).
+    Round-6 note: b104_position_delete registers PAST this round's
+    window (implemented + oracle-ready late in round 5) — it leads the
+    round-6 prefix, followed by any new/behavior-changed queries and
+    the continuation of the r2 rotation from b13_inner_join onward
+    (the first 7 rotation entries — b01 through b12 — fit this
+    round's window).
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
