@@ -1289,7 +1289,12 @@ class LakeTable:
         snap = self.snapshot(v)
         ddl = snap.get("ddl", self.ddl)  # time travel replays old schemas
         if not files:
-            return self.spark.createDataFrame([], ddl)
+            # the empty view still carries the position handles when
+            # asked (a positional delete against an empty table is a
+            # legal no-op, caught by the hypothesis soak)
+            return self.spark.createDataFrame(
+                [], ddl + (", __f STRING, __p BIGINT" if with_pos else "")
+            )
         deletes = [
             (d["seq"], json.loads(d["entry"])) for d in snap["delete_files"]
         ]

@@ -823,3 +823,12 @@ def test_mixed_equality_and_position_deletes(catalog, spark):
     assert names == ["C", "D", "E"]
     # metadata count correctly refuses under either kind
     assert t.metadata_count() is None
+
+
+def test_position_delete_on_empty_table_is_noop(catalog, spark):
+    t = catalog.create_table("test_ns", "pd0", DDL, drop_if_exists=True)
+    v = t.delete_where_positional("name = 'A'")  # nothing to match
+    assert v == 1 and t.read().count() == 0
+    t.append(spark.createDataFrame([("A", "s", 1)], DDL))
+    # the empty positional delete masks nothing, incl. same-key appends
+    assert t.read().count() == 1
