@@ -832,3 +832,19 @@ def test_position_delete_on_empty_table_is_noop(catalog, spark):
     t.append(spark.createDataFrame([("A", "s", 1)], DDL))
     # the empty positional delete masks nothing, incl. same-key appends
     assert t.read().count() == 1
+
+
+def test_position_delete_on_partitioned_table(catalog, spark):
+    # hive layout: positions are per physical file inside partition
+    # dirs; the partition column recovers from the path and the
+    # positional mask still pins exact rows
+    t = catalog.create_table(
+        "test_ns", "pdpart", DDL, partition_by=["size"],
+        drop_if_exists=True,
+    )
+    t.append(spark.createDataFrame(ROWS, DDL))
+    t.delete_where_positional("size = 'medium' AND count > 10")
+    rows = sorted((r["name"], r["size"]) for r in t.read().collect())
+    assert ("B", "medium") not in rows          # count 15: deleted
+    assert ("C", "medium") in rows              # count 10: kept
+    assert len(rows) == 4
