@@ -812,7 +812,13 @@ class LakeTable:
         transaction appends."""
         if delete_col is None:
             return self.upsert(df, equality_cols)
-        keep = df.filter(~F.col(delete_col)).drop(delete_col)
+        # NULL flag = NOT a delete (a WHEN MATCHED AND <cond> clause
+        # whose condition is NULL does not fire) — without the
+        # coalesce, ~NULL would silently drop the row from the append
+        # while its key still masked, i.e. an accidental delete.
+        keep = df.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
         staged = self.stage_append(keep)
         keys = df.select(*equality_cols).distinct()
         d = os.path.join(self.root, _DELETE_DIR, uuid.uuid4().hex)

@@ -848,3 +848,17 @@ def test_position_delete_on_partitioned_table(catalog, spark):
     assert ("B", "medium") not in rows          # count 15: deleted
     assert ("C", "medium") in rows              # count 10: kept
     assert len(rows) == 4
+
+
+def test_merge_null_flag_is_not_a_delete(catalog, spark):
+    # a WHEN MATCHED AND <cond> clause with a NULL condition does not
+    # fire: the row updates, it is not silently deleted
+    t = _table(catalog, spark, name="mrgnull")
+    src = spark.createDataFrame(
+        [("A", "tiny", 1, None), ("B", None, 0, True)],
+        "name STRING, size STRING, count INT, is_delete BOOLEAN",
+    )
+    t.merge(src, ["name"], delete_col="is_delete")
+    rows = {r["name"]: (r["size"], r["count"]) for r in t.read().collect()}
+    assert rows["A"] == ("tiny", 1)  # NULL flag: updated, not deleted
+    assert "B" not in rows
