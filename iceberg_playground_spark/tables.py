@@ -201,6 +201,11 @@ class LakeTable:
             meta = json.load(f)
         self.ddl = meta["ddl"]
         self.partition_by: list[str] = meta.get("partition_by", [])
+        # rename history: [{"v": version, "from": old, "to": new}] —
+        # kept in table metadata (not snapshots) so it survives
+        # snapshot expiration; the read path needs it to translate
+        # equality-delete key names written before a rename.
+        self.renames: list[dict] = meta.get("renames", [])
 
     # -- named refs (Iceberg tags) ------------------------------------------
     # One FILE PER TAG under refs/, created with the same os.link CAS
@@ -536,6 +541,11 @@ class LakeTable:
                     # record_count, the stat behind metadata-only
                     # count(*) and the files metadata table.
                     "rows": rows_by_dir[p],
+                    # The DDL these files were WRITTEN under: the read
+                    # path maps it positionally onto the schema being
+                    # read, which is what makes rename_column
+                    # metadata-only on a name-based layer.
+                    "ddl": entry_ddl,
                 }
                 for p in data_files
             ]
@@ -755,8 +765,79 @@ class LakeTable:
         """Publish current table metadata (after a successful commit)."""
         with open(os.path.join(self.root, "schema.json"), "w") as f:
             json.dump(
-                {"ddl": self.ddl, "partition_by": self.partition_by}, f
+                {
+                    "ddl": self.ddl,
+                    "partition_by": self.partition_by,
+                    "renames": self.renames,
+                },
+                f,
             )
+
+    _DDL_FIELDS_CACHE: dict[str, list[tuple[str, str]]] = {}
+
+    def _ddl_fields(self, ddl: str) -> list[tuple[str, str]]:
+        """(name, ddl-type) pairs of a DDL string, via Spark's parser
+        (robust to any type syntax, unlike string splitting); memoized —
+        the read path consults it per file entry."""
+        hit = self._DDL_FIELDS_CACHE.get(ddl)
+        if hit is None:
+            schema = self.spark.createDataFrame([], ddl).schema
+            hit = [
+                (f.name, f.dataType.simpleString())
+                for f in schema.fields
+            ]
+            self._DDL_FIELDS_CACHE[ddl] = hit
+        return hit
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Schema evolution: RENAME a column — metadata-only, zero data
+        files touched (Iceberg renames via field IDs; this layer is
+        name-based, so every data-file entry records the DDL it was
+        written under and the read path maps old names to current ones
+        POSITIONALLY — sound because evolution here only appends
+        columns or renames in place, never reorders). Equality-delete
+        files written before the rename keep masking: their key names
+        translate through the rename history at read time.
+
+        Restriction (documented, enforced): a PARTITION column cannot
+        rename — its name is baked into hive directory paths; Iceberg
+        handles that case through field IDs, which plain parquet paths
+        cannot express."""
+        fields = self._ddl_fields(self.ddl)
+        names = [n for n, _ in fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column exists: {new}")
+        if old in self.partition_by:
+            raise ValueError(
+                f"cannot rename partition column {old}: its name is the "
+                "hive directory layout; evolve the spec first"
+            )
+        new_ddl = ", ".join(
+            f"{new if n == old else n} {t}" for n, t in fields
+        )
+        v = self._commit(
+            [], [],
+            {"operation": "rename-column", "from": old, "to": new},
+            ddl=new_ddl,
+        )
+        self.ddl = new_ddl
+        self.renames.append({"v": v, "from": old, "to": new})
+        self._write_meta()
+        return v
+
+    def _translate_delete_cols(
+        self, cols: list[str], dseq: int, read_version: int
+    ) -> list[str]:
+        """Key names of a delete file committed at ``dseq``, expressed
+        in the schema of ``read_version``: apply every rename that
+        happened after the delete and at or before the read, in order."""
+        out = list(cols)
+        for r in sorted(self.renames, key=lambda x: x["v"]):
+            if dseq < r["v"] <= read_version:
+                out = [r["to"] if c == r["from"] else c for c in out]
+        return out
 
     def set_partition_spec(self, partition_by: list[str]) -> int:
         """Partition evolution (Iceberg's marquee advantage over hive
@@ -1315,40 +1396,68 @@ class LakeTable:
         # caller) actually needs them, so the common path pays nothing.
         # declared column order: hive-partitioned reads append partition
         # columns last, so project back to the schema's order
-        ddl_cols = self.spark.createDataFrame([], ddl).columns
+        target = self._ddl_fields(ddl)
+        ddl_cols = [n for n, _ in target]
         parts: list[DataFrame] = []
         for f in sorted(files, key=lambda x: x["seq"]):
-            r = self.spark.read.schema(ddl).option("basePath", f["path"])
+            # Read each entry with the DDL its files were WRITTEN under
+            # (stamped at commit), then map positionally onto the
+            # schema being read: same position = same column (evolution
+            # only appends or renames in place, never reorders), newer
+            # columns read NULL. Entries predating the stamp read with
+            # the target schema directly (name-based projection — the
+            # pre-rename behavior, exactly right for them).
+            entry_ddl = f.get("ddl", ddl)
+            r = self.spark.read.schema(entry_ddl).option(
+                "basePath", f["path"]
+            )
             paths = f.get("paths") or [f["path"]]
             raw = r.parquet(*paths)
-            eq_by_cols: dict[tuple[str, ...], list[str]] = {}
+            entry_cols = [n for n, _ in self._ddl_fields(entry_ddl)]
+            sel = [
+                (
+                    F.col(entry_cols[i]).alias(tn)
+                    if i < len(entry_cols)
+                    else F.lit(None).cast(tt).alias(tn)
+                )
+                for i, (tn, tt) in enumerate(target)
+            ]
+            eq_groups: dict[tuple, list[str]] = {}
             pos_paths: list[str] = []
             for dseq, meta in deletes:
                 if dseq > f["seq"]:
                     if meta.get("pos"):
                         pos_paths.append(meta["path"])
                     else:
-                        eq_by_cols.setdefault(
-                            tuple(meta["cols"]), []
-                        ).append(meta["path"])
+                        orig = tuple(meta["cols"])
+                        trans = tuple(
+                            self._translate_delete_cols(
+                                meta["cols"], dseq, v
+                            )
+                        )
+                        eq_groups.setdefault((orig, trans), []).append(
+                            meta["path"]
+                        )
             need_pos = with_pos or bool(pos_paths)
             if need_pos:
                 df = raw.select(
-                    *ddl_cols,
+                    *sel,
                     F.col("_metadata.file_path").alias("__f"),
                     F.col("_metadata.row_index").alias("__p"),
                 )
             else:
-                df = raw.select(*ddl_cols)
+                df = raw.select(*sel)
             if pos_paths:
                 dels = self.spark.read.parquet(*pos_paths).distinct()
                 df = df.join(
                     F.broadcast(dels), on=["__f", "__p"], how="left_anti"
                 )
-            for cols, dpaths in eq_by_cols.items():
+            for (orig, trans), dpaths in eq_groups.items():
                 dels = self.spark.read.parquet(*dpaths).distinct()
+                if orig != trans:  # delete predates a rename: its key
+                    dels = dels.toDF(*trans)  # names translate forward
                 df = df.join(
-                    F.broadcast(dels), on=list(cols), how="left_anti"
+                    F.broadcast(dels), on=list(trans), how="left_anti"
                 )
             if need_pos and not with_pos:
                 df = df.select(*ddl_cols)

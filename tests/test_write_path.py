@@ -862,3 +862,72 @@ def test_merge_null_flag_is_not_a_delete(catalog, spark):
     rows = {r["name"]: (r["size"], r["count"]) for r in t.read().collect()}
     assert rows["A"] == ("tiny", 1)  # NULL flag: updated, not deleted
     assert "B" not in rows
+
+
+def test_rename_column_metadata_only(catalog, spark):
+    t = _table(catalog, spark, name="rn")  # v1 under (name,size,count)
+    v = t.rename_column("size", "bucket")
+    assert v == 2
+    # zero files moved; old rows read under the NEW name
+    assert t.snapshot(2)["data_files"] == t.snapshot(1)["data_files"]
+    assert t.read().columns == ["name", "bucket", "count"]
+    assert t.read().filter("bucket = 'medium'").count() == 2
+    # time travel replays the OLD name
+    assert t.read(version=1).columns == ["name", "size", "count"]
+    # appends under the new schema mix with old-generation files
+    t.append(
+        spark.createDataFrame(
+            [("F", "huge", 7)], "name STRING, bucket STRING, count INT"
+        )
+    )
+    assert t.read().filter("bucket = 'huge'").count() == 1
+    assert t.read().count() == 6
+
+
+def test_rename_column_validation(catalog, spark):
+    t = _table(catalog, spark, name="rnv")
+    with pytest.raises(ValueError):
+        t.rename_column("nope", "x")  # unknown
+    with pytest.raises(ValueError):
+        t.rename_column("size", "name")  # collision
+    tp = catalog.create_table(
+        "test_ns", "rnp", DDL, partition_by=["size"], drop_if_exists=True
+    )
+    with pytest.raises(ValueError):
+        tp.rename_column("size", "bucket")  # partition column
+
+
+def test_rename_after_delete_keeps_masking(catalog, spark):
+    # an equality delete committed BEFORE the rename must keep masking
+    # after it: the delete file's key names translate forward
+    t = _table(catalog, spark, name="rnd")
+    t.delete_where("size = 'medium'", ["size"])  # masks B and C
+    t.rename_column("size", "bucket")
+    names = sorted(r["name"] for r in t.read().collect())
+    assert names == ["A", "D", "E"]
+    # and a delete AFTER the rename works under the new name
+    t.delete_where("bucket = 'small'", ["name"])
+    assert sorted(r["name"] for r in t.read().collect()) == ["E"]
+
+
+def test_rename_then_add_then_rename(catalog, spark):
+    # evolution chain: rename -> add -> rename; every generation reads
+    t = _table(catalog, spark, name="rnc")
+    t.rename_column("count", "qty")
+    t.add_column("flag", "INT")
+    t.rename_column("flag", "marker")
+    assert t.read().columns == ["name", "size", "qty", "marker"]
+    assert t.read().filter("marker IS NULL").count() == 5
+    t.append(
+        spark.createDataFrame(
+            [("Z", "s", 1, 9)],
+            "name STRING, size STRING, qty INT, marker INT",
+        )
+    )
+    assert t.read().filter("marker = 9").count() == 1
+    # compaction folds everything into the current shape
+    t.compact(target_files=1)
+    assert t.read().count() == 6
+    # rollback to v1 replays the ORIGINAL schema
+    t.rollback(1)
+    assert t.read().columns == ["name", "size", "count"]
