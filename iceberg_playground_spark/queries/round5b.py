@@ -904,3 +904,68 @@ def b104_position_delete(spark: SparkSession, sf: str) -> DataFrame:
         "r_name",
         F.lit(files_untouched).alias("files_untouched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# b105 — rename-column schema evolution (registered for the round-6 window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b105_rename_column",
+    oracle="""
+    SELECT n_nationkey, n_name AS nation_name, n_regionkey, TRUE AS
+           files_untouched, TRUE AS old_delete_still_masks
+    FROM nation WHERE n_regionkey <> 2
+    UNION ALL SELECT 900, 'NEWLAND', 9, TRUE, TRUE
+    """,
+)
+def b105_rename_column(spark: SparkSession, sf: str) -> DataFrame:
+    """B105: rename-column schema evolution, metadata-only (Iceberg's
+    ALTER TABLE RENAME COLUMN, field-ID based there; here each data
+    entry records its write-time DDL and the read maps positionally).
+    The sequence proves the hard interactions: an equality delete
+    lands FIRST (its key file stores the old name), the rename
+    follows (zero files touched — files_untouched compares the file
+    lists), and an append under the NEW schema lands after; one HEAD
+    read serves all three generations with the deleted rows still
+    masked (the delete's key names translate forward through the
+    rename history).
+
+    Scale shape: rename is one KB-sized metadata commit; reads gain a
+    per-entry positional projection — free inside the scan."""
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "nation_rn",
+            "n_nationkey INT, n_name STRING, n_regionkey INT",
+            drop_if_exists=True,
+        )
+        t.append(
+            load(spark, sf, "nation").select(
+                "n_nationkey", "n_name", "n_regionkey"
+            )
+        )
+        t.delete_where("n_regionkey = 2", ["n_name"])  # old-name keys
+        t.rename_column("n_name", "nation_name")  # metadata-only
+        t.append(
+            spark.createDataFrame(
+                [(900, "NEWLAND", 9)],
+                "n_nationkey INT, nation_name STRING, n_regionkey INT",
+            )
+        )
+        files_untouched = (
+            t.snapshot(3)["data_files"] == t.snapshot(1)["data_files"]
+        )
+        masks = t.read().filter("n_regionkey = 2").count() == 0
+        return t, files_untouched, masks
+
+    t, files_untouched, masks = _built(spark, sf, "b105", build)
+    return t.read().select(
+        "n_nationkey",
+        "nation_name",
+        "n_regionkey",
+        F.lit(files_untouched).alias("files_untouched"),
+        F.lit(masks).alias("old_delete_still_masks"),
+    )

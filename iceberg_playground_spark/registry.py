@@ -148,9 +148,10 @@ def load_all() -> None:
     dependency order freely. A name listed but never registered fails
     loudly here (typo guard).
 
-    Round-6 note: b104_position_delete registers PAST this round's
-    window (implemented + oracle-ready late in round 5) — it leads the
-    round-6 prefix, followed by any new/behavior-changed queries and
+    Round-6 note: b104_position_delete and b105_rename_column register
+    PAST this round's window (implemented + oracle-ready late in round
+    5) — they lead the round-6 prefix, followed by any
+    new/behavior-changed queries and
     the continuation of the r2 rotation from b13_inner_join onward
     (the first 7 rotation entries — b01 through b12 — fit this
     round's window).
