@@ -1262,7 +1262,29 @@ class LakeTable:
         Scale shape: file selection per version is metadata-only; the
         heavy operands are the windowed incremental reads (only the
         delta files) and per-version broadcast anti/inner joins on
-        key-only delete files — never a diff of two full snapshots."""
+        key-only delete files — never a diff of two full snapshots.
+
+        Schema evolution inside the window: every emitted row conforms
+        to the WINDOW-END schema (what the consumer reads today) — a
+        version's rows map positionally onto it, renamed columns under
+        their current names, later-added columns NULL."""
+        end_ddl = self.snapshot(to_version).get("ddl", self.ddl)
+        tgt = self._ddl_fields(end_ddl)
+
+        def conform(df: DataFrame) -> DataFrame:
+            # df = (commit_version, change_type, <data cols of some
+            # version's schema>); map the data cols positionally
+            data_cols = df.columns[2:]
+            sel = [F.col("commit_version"), F.col("change_type")] + [
+                (
+                    F.col(data_cols[i]).alias(tn)
+                    if i < len(data_cols)
+                    else F.lit(None).cast(tt).alias(tn)
+                )
+                for i, (tn, tt) in enumerate(tgt)
+            ]
+            return df.select(*sel)
+
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             snap = self.snapshot(v)
@@ -1273,8 +1295,10 @@ class LakeTable:
             ]
             ins = self.read_incremental(v - 1, v)
             parts.append(
-                ins.select(
-                    *stamp, F.lit("insert").alias("change_type"), "*"
+                conform(
+                    ins.select(
+                        *stamp, F.lit("insert").alias("change_type"), "*"
+                    )
                 )
             )
             dels = [
@@ -1307,15 +1331,17 @@ class LakeTable:
                             how="inner",
                         )
                     parts.append(
-                        masked.select(
-                            *stamp,
-                            F.lit("delete").alias("change_type"),
-                            "*",
+                        conform(
+                            masked.select(
+                                *stamp,
+                                F.lit("delete").alias("change_type"),
+                                "*",
+                            )
                         )
                     )
         if not parts:
             return self.spark.createDataFrame(
-                [], f"commit_version INT, change_type STRING, {self.ddl}"
+                [], f"commit_version INT, change_type STRING, {end_ddl}"
             )
         out = parts[0]
         for p in parts[1:]:

@@ -931,3 +931,25 @@ def test_rename_then_add_then_rename(catalog, spark):
     # rollback to v1 replays the ORIGINAL schema
     t.rollback(1)
     assert t.read().columns == ["name", "size", "count"]
+
+
+def test_changelog_conforms_across_schema_evolution(catalog, spark):
+    # every changelog row emits in the WINDOW-END schema: renamed
+    # columns under their current names, later-added columns NULL
+    t = catalog.create_table("test_ns", "clrn", "k INT, v STRING")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING"))
+    t.rename_column("v", "val")
+    t.delete_where("val = 'a'", ["k"])
+    t.add_column("n", "INT")
+    t.append(
+        spark.createDataFrame([(3, "c", 7)], "k INT, val STRING, n INT")
+    )
+    log = t.changelog(0, t.current_version())
+    assert log.columns == ["commit_version", "change_type", "k", "val", "n"]
+    rows = sorted(tuple(r) for r in log.collect())
+    assert rows == [
+        (1, "insert", 1, "a", None),
+        (1, "insert", 2, "b", None),
+        (3, "delete", 1, "a", None),
+        (5, "insert", 3, "c", 7),
+    ]
