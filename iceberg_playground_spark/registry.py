@@ -96,9 +96,11 @@ _R5_CHANGED = [
 ]
 # Output-identical but shape/format-touched this round, graded again
 # as cheap insurance (round-4 verdict item 2): snapshot entries grew
-# rows/ts fields (every lakehouse build path serializes them — b61 is
-# the watch-list representative, b60 the other variance cell), and
-# c10's probe side gained the salt repartition (plan-only change).
+# rows/ts/ddl fields and the assembler gained positional schema
+# mapping + position-delete application (every lakehouse read runs
+# through it — b61 is the watch-list representative, b60 the other
+# variance cell; the full lakehouse group re-verified vs DuckDB at
+# round close), and c10/c08/c09 gained repartitions (plan-only).
 _R5_TOUCHED = [
     "b61_data_skipping",
     "b60_bucketed_join",
