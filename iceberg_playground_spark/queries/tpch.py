@@ -119,3 +119,197 @@ def b99_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
     — same correlated-predicate structure, same decorrelation."""
     register_views(spark, sf)
     return spark.sql(_Q4_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: Q7 / Q8 / Q14 / Q18 / Q19 — the rest of the schema-expressible
+# TPC-H set (partsupp does not exist in the driver tables, so Q2/Q9/Q11/
+# Q16/Q20 cannot be posed; lineitem has no shipmode/commit/receipt dates,
+# so Q12/Q21 lose their defining columns — Q19 below keeps its OR-of-ANDs
+# shape on the columns that do exist).
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(sum(volume) AS DECIMAL(30,4)) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q8_SQL = """
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(25,8)) END)
+                AS DECIMAL(30,4)) AS DOUBLE)
+             / CAST(CAST(sum(volume) AS DECIMAL(30,4)) AS DOUBLE)
+             AS mkt_share,
+           CAST(CAST(sum(volume) AS DECIMAL(30,4)) AS DOUBLE)
+             AS total_volume
+    FROM (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+_Q14_SQL = """
+    SELECT CAST(100 AS DOUBLE) * promo_revenue / total_revenue
+             AS promo_pct,
+           promo_revenue, total_revenue
+    FROM (
+      SELECT
+        CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                * CAST(1 - l_discount AS DECIMAL(6,4)) END)
+             AS DECIMAL(30,4)) AS DOUBLE) AS promo_revenue,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(6,4)))
+             AS DECIMAL(30,4)) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-03-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+    ) t
+"""
+
+_Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+_Q19_SQL = """
+    SELECT p_brand,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(6,4)))
+                AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+@query("b106_tpch_q7", oracle=_Q7_SQL)
+def b106_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """B106: TPC-H Q7 (volume shipping), same-text-two-engines.
+    Two nation dimensions join the SAME fact through different foreign
+    keys (supplier's nation vs customer's nation) under a symmetric
+    OR pair filter — the optimizer must keep the two nation aliases
+    distinct while still broadcasting both, and the shipdate band
+    pushes into the fact scan. Nations 3/8 exist in the supplier
+    table at every sf (sf0.001 carries only 10 suppliers).
+
+    Scale: nation/supplier/customer broadcast at any realistic sf;
+    lineitem is the only shuffled relation, and only after its pushed
+    date filter. Reference parity: the raw-SQL surface of the bundled
+    spark-iceberg service (docker-compose.yml:58-81)."""
+    register_views(spark, sf)
+    return spark.sql(_Q7_SQL)
+
+
+@query("b107_tpch_q8", oracle=_Q8_SQL)
+def b107_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """B107: TPC-H Q8 (national market share), same-text-two-engines.
+    The deepest join in the schema-expressible set: an 8-relation tree
+    (part, lineitem, supplier, orders, customer, nation x2, region)
+    with a conditional-aggregate ratio on top. The NATION_3 share and
+    the total run over the SAME grouped rows — one aggregate, two
+    sums, then one exactly-rounded double division per year (the
+    decimal→double boundary rule keeps both engines bit-identical).
+
+    Scale: every dimension broadcasts; the two facts (lineitem,
+    orders) meet in one shuffle keyed on l_orderkey after both carry
+    pushed filters (p_type via the part join's dynamic filter at real
+    scale, o_orderdate pushed into the orders scan)."""
+    register_views(spark, sf)
+    return spark.sql(_Q8_SQL)
+
+
+@query("b108_tpch_q14", oracle=_Q14_SQL)
+def b108_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """B108: TPC-H Q14 (promotion effect), same-text-two-engines.
+    Global conditional-aggregate ratio: promo revenue share of one
+    ship month. The classic CASE-inside-SUM rewrite (b27's filtered
+    aggregate) on a broadcast part join; the month band prunes the
+    fact scan. Output is one row — the ratio plus both operands, so
+    a mismatch localizes to numerator or denominator."""
+    register_views(spark, sf)
+    return spark.sql(_Q14_SQL)
+
+
+@query("b109_tpch_q18", oracle=_Q18_SQL)
+def b109_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """B109: TPC-H Q18 (large-volume customers), same-text-two-engines.
+    The IN-subquery over a grouped HAVING on the SAME fact table:
+    Catalyst plans lineitem twice — once aggregated to find >150-qty
+    orders, once re-joined for detail — then a global top-100 via
+    TakeOrderedAndProject. Quantity sums run in DECIMAL (doubles would
+    be shuffle-order-dependent); o_orderkey tie-breaks the sort."""
+    register_views(spark, sf)
+    return spark.sql(_Q18_SQL)
+
+
+@query("b110_tpch_q19", oracle=_Q19_SQL)
+def b110_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """B110: TPC-H Q19 shape (discounted revenue), same-text-two-
+    engines. The OR-of-ANDs predicate workout: three brand/size/
+    quantity bands where every disjunct mixes columns from BOTH join
+    sides, so the optimizer can push only the per-side residuals
+    (p_brand IN (...) to part, quantity bounds to lineitem) and must
+    evaluate the cross-side disjunction post-join. Adapted to this
+    schema: no p_container/l_shipmode columns exist, so the bands run
+    on p_size — same structure, same pushdown challenge. Grouped by
+    brand so a mismatch localizes to a disjunct."""
+    register_views(spark, sf)
+    return spark.sql(_Q19_SQL)
