@@ -1,0 +1,330 @@
+"""Round-6 operators: recursive SQL, procedural-SQL surface, mergeable
+sketches, temperature resampling.
+
+- b111: WITH RECURSIVE (Spark 4's recursive CTE) — iterative queries a
+  reference user previously needed a driver loop for (c24's pointer
+  jumping is the DataFrame-API complement).
+- b112: SQL-language UDFs + session variables — the CREATE FUNCTION /
+  DECLARE VARIABLE surface of the bundled Spark SQL service
+  (docker-compose.yml:58-81): logic shared across queries without
+  leaving SQL or paying Python-UDF serialization.
+- c34: HyperLogLog sketch aggregation — the MERGEABLE distinct-count
+  path: per-partition sketches union hierarchically, so a 100 TB
+  rollup reuses per-group sketches instead of rescanning (b23's
+  approx_count_distinct computes one estimate and throws the state
+  away).
+- c35: temperature-based domain resampling (alpha=0.5) — the standard
+  multilingual-mix move (upsample rare languages toward
+  p_l^alpha/sum p^alpha) with deterministic per-doc replication, the
+  up-sampling complement of p05's keep-rate rebalancing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_playground_spark.queries._util import (
+    bucket_sql,
+    hash_bucket,
+    load,
+)
+from iceberg_playground_spark.registry import query
+from iceberg_playground_spark.session import register_views
+
+
+# ---------------------------------------------------------------------------
+# b111 — recursive CTE (hierarchy walk)
+# ---------------------------------------------------------------------------
+
+# Same text, two engines (the b66 contract). The customer key space is
+# dense from 0, so parent(k) = floor(k/10) defines a synthetic forest
+# whose edges all EXIST in the table — the recursive term is a genuine
+# join against customer, not key arithmetic alone. floor() (not a
+# bare CAST) because double→int casts round half-even in DuckDB but
+# truncate in Spark.
+_RECURSIVE_SQL = """
+    WITH RECURSIVE chain(start_key, cur_key, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT ch.start_key, p.c_custkey, ch.depth + 1
+      FROM chain ch
+      JOIN customer p ON p.c_custkey = CAST(floor(ch.cur_key / 10) AS BIGINT)
+      WHERE ch.cur_key >= 10
+    )
+    SELECT start_key AS c_custkey,
+           CAST(max(depth) AS INT) AS depth,
+           CAST(max_by(cur_key, depth) AS BIGINT) AS root_key
+    FROM chain
+    GROUP BY start_key
+    ORDER BY c_custkey
+"""
+
+
+@query("b111_recursive_cte", oracle=_RECURSIVE_SQL)
+def b111_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """B111: WITH RECURSIVE hierarchy walk, same-text-two-engines.
+    Spark 4 executes recursive CTEs natively (UnionLoop): each
+    superstep joins the previous frontier against customer on
+    parent(k) = floor(k/10) until every chain bottoms out below 10,
+    then an aggregate reports per-customer depth and root. The
+    per-round dedup/join is distributed; only loop CONTROL sits on
+    the driver — exactly c24's pointer-jumping contract, now in pure
+    SQL (a reference user's hierarchical query needs no driver loop).
+
+    Scale: rounds grow as log10(max_key) — 5 supersteps at 100 TB key
+    spaces, each a broadcast-able join of the shrinking frontier
+    against the dimension. Frontier rows leave the loop the moment
+    their WHERE fails, so state never exceeds one frontier."""
+    register_views(spark, sf)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# b112 — SQL-language UDFs + session variables
+# ---------------------------------------------------------------------------
+
+_SQLUDF_ORACLE = """
+    SELECT l_returnflag, band,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(6,4)))
+                AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM (
+      SELECT l_returnflag, l_extendedprice, l_discount,
+             CASE WHEN l_quantity < 10 THEN 'low'
+                  WHEN l_quantity < 30 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM lineitem
+      WHERE l_quantity <= 45
+    ) t
+    GROUP BY l_returnflag, band
+    ORDER BY l_returnflag, band
+"""
+
+
+@query("b112_sql_udf", oracle=_SQLUDF_ORACLE)
+def b112_sql_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """B112: SQL-language UDFs + session variables — the procedural
+    surface of the reference's bundled SQL service. ``CREATE
+    TEMPORARY FUNCTION ... RETURN <expr>`` (Spark 4 SQL UDFs) centers
+    the money arithmetic and the quantity banding in ONE definition
+    reused across queries, and ``DECLARE VARIABLE`` + ``SET VAR``
+    parameterizes the quantity cutoff the way a dashboard user would.
+    The oracle inlines both bodies — proving SQL UDFs are pure
+    Catalyst inlining (the plan is identical to the handwritten
+    expression; NO serialization boundary, unlike b55's Python UDF).
+
+    Scale: zero cost by construction — after inlining this IS b27's
+    filtered aggregate: pushed scan filter, partial+final hash agg."""
+    register_views(spark, sf)
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+               ep DOUBLE, disc DOUBLE) RETURNS DECIMAL(25,8)
+           RETURN CAST(ep AS DECIMAL(18,4))
+                  * CAST(1 - disc AS DECIMAL(6,4))"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE)
+           RETURNS STRING
+           RETURN CASE WHEN q < 10 THEN 'low'
+                       WHEN q < 30 THEN 'mid'
+                       ELSE 'high' END"""
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_cutoff DOUBLE DEFAULT 50.0")
+    spark.sql("SET VAR qty_cutoff = 45.0")
+    return spark.sql(
+        """
+        SELECT l_returnflag, qty_band(l_quantity) AS band,
+               CAST(CAST(sum(disc_price(l_extendedprice, l_discount))
+                    AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_quantity <= qty_cutoff
+        GROUP BY l_returnflag, qty_band(l_quantity)
+        ORDER BY l_returnflag, band
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# c34 — mergeable HLL sketch rollup
+# ---------------------------------------------------------------------------
+
+
+@query("c34_hll_rollup")  # rows-only: DataSketches estimates are
+# engine-native (DuckDB's HLL differs); tests bound the relative error
+# against exact counts instead.
+def c34_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """C34: mergeable distinct-count sketches — per-language HLL
+    sketches over the 3-gram shingle stream, UNIONED into a
+    corpus-level estimate without rescanning. b23's
+    approx_count_distinct yields one number and discards its state;
+    ``hll_sketch_agg`` keeps the sketch as a value, so rollups
+    compose: per-(shard, lang) sketches at 100 TB merge to per-lang,
+    then to global, each level KB-sized — the cardinality analogue of
+    b61's reusable per-file stats. Shingles, not tokens: the corpus
+    vocabulary is ~31 words (llm._shingles' rationale), so token
+    cardinality is below HLL resolution; 3-gram cardinality is in the
+    thousands, where estimation is real. Both estimates ship next to
+    exact countDistinct at test scale so the error is measurable
+    (tests pin <5%).
+
+    Scale: the explode feeds a partial hll_sketch_agg BEFORE the
+    exchange — only |langs| sketch buffers shuffle, never shingles.
+    The union agg moves |langs| KB-sized buffers to one reducer."""
+    from iceberg_playground_spark.queries.llm import _shingles
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            _shingles(F.split(F.lower("text"), r"\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_lang = toks.groupBy("lang").agg(
+        F.hll_sketch_agg("tok").alias("sk"),
+        F.count_distinct("tok").alias("exact_distinct"),
+    )
+    lang_rows = per_lang.select(
+        "lang",
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+        "exact_distinct",
+    )
+    # Corpus level: union the per-lang sketches (shared tokens across
+    # languages dedupe inside the sketch — a plain sum of per-lang
+    # counts could not), exact value from one distinct over tokens.
+    global_est = per_lang.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct")
+    )
+    global_exact = toks.agg(
+        F.count_distinct("tok").alias("exact_distinct")
+    )
+    global_row = global_est.crossJoin(global_exact).select(
+        F.lit("__ALL__").alias("lang"), "est_distinct", "exact_distinct"
+    )
+    return lang_rows.unionByName(global_row).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# c35 — temperature-based domain resampling
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_ORACLE = f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_in,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS micro
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_in) AS BIGINT) AS n_total,
+             CAST(sum(micro) AS BIGINT) AS micro_total
+      FROM counts
+    ), rates AS (
+      SELECT lang, n_in,
+             CAST(floor(CAST(n_total AS DOUBLE) * CAST(micro AS DOUBLE)
+                   / CAST(micro_total AS DOUBLE) / CAST(n_in AS DOUBLE))
+                  AS BIGINT) AS rep_floor,
+             CAST(floor((CAST(n_total AS DOUBLE) * CAST(micro AS DOUBLE)
+                   / CAST(micro_total AS DOUBLE) / CAST(n_in AS DOUBLE)
+                   - floor(CAST(n_total AS DOUBLE) * CAST(micro AS DOUBLE)
+                     / CAST(micro_total AS DOUBLE) / CAST(n_in AS DOUBLE)))
+                  * 100) AS BIGINT) AS extra_pct
+      FROM counts, tot
+    ), assigned AS (
+      SELECT d.lang, d.n_chars, r.n_in, r.rep_floor, r.extra_pct,
+             r.rep_floor
+               + CASE WHEN {bucket_sql('d.doc_id')} < r.extra_pct
+                      THEN 1 ELSE 0 END AS rep
+      FROM documents d JOIN rates r ON d.lang = r.lang
+    ), replicas AS (
+      SELECT lang, n_chars, n_in, rep_floor, extra_pct,
+             unnest(generate_series(1, rep)) AS copy_i
+      FROM assigned WHERE rep >= 1
+    )
+    SELECT lang,
+           max(n_in) AS n_in,
+           CAST(count(*) AS BIGINT) AS n_out,
+           CAST(sum(n_chars) AS BIGINT) AS chars_out,
+           max(rep_floor) AS rep_floor,
+           max(extra_pct) AS extra_pct
+    FROM replicas
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@query("c35_temperature_mix", oracle=_TEMP_MIX_ORACLE)
+def c35_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """C35: temperature-based language resampling (alpha = 0.5) — the
+    standard multilingual training mix: target share of language l is
+    n_l^0.5 / sum_m n_m^0.5, so rare languages UP-sample (replicated
+    docs) and dominant ones down-sample, with the corpus size
+    preserved. Replication is deterministic: every doc gets
+    floor(rate) copies plus one more iff its md5 bucket (_util's
+    engine-neutral stamp — the same stamp c17/c18/p05 sample by)
+    falls under the percent-quantized fractional part, so re-runs and
+    retries replicate the SAME docs (c17's reproducibility property,
+    extended from keep/drop to copy counts). Per-language sqrt sums
+    run in integer micro units — a double SUM over langs would be
+    shuffle-order-dependent.
+
+    Scale: two tiny aggregates (|langs| rows) broadcast back; the
+    corpus is scanned once, replica fan-out is map-side explode with
+    rate bounded by sqrt skew (never data-sized), and the report agg
+    is the only corpus-wide shuffle. The up-sampled output feeds
+    p10's deterministic shuffle unchanged."""
+    docs = load(spark, sf, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_in"),
+        F.floor(F.sqrt(F.count("*").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("micro"),
+    )
+    tot = counts.agg(
+        F.sum("n_in").cast("bigint").alias("n_total"),
+        F.sum("micro").cast("bigint").alias("micro_total"),
+    )
+    rate = (
+        F.col("n_total").cast("double")
+        * F.col("micro").cast("double")
+        / F.col("micro_total").cast("double")
+        / F.col("n_in").cast("double")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_in",
+            F.floor(rate).cast("bigint").alias("rep_floor"),
+            F.floor((rate - F.floor(rate)) * 100)
+            .cast("bigint")
+            .alias("extra_pct"),
+        )
+    )
+    assigned = docs.join(F.broadcast(rates), "lang").withColumn(
+        "rep",
+        F.col("rep_floor")
+        + F.when(
+            hash_bucket(F.col("doc_id")) < F.col("extra_pct"), 1
+        ).otherwise(0),
+    )
+    replicas = assigned.filter(F.col("rep") >= 1).select(
+        "lang",
+        "n_chars",
+        "n_in",
+        "rep_floor",
+        "extra_pct",
+        F.explode(F.sequence(F.lit(1), F.col("rep"))).alias("copy_i"),
+    )
+    return (
+        replicas.groupBy("lang")
+        .agg(
+            F.max("n_in").alias("n_in"),
+            F.count("*").cast("bigint").alias("n_out"),
+            F.sum("n_chars").cast("bigint").alias("chars_out"),
+            F.max("rep_floor").alias("rep_floor"),
+            F.max("extra_pct").alias("extra_pct"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,138 @@
+"""Round-6 operator semantics: recursive CTE, SQL UDFs, HLL rollup,
+temperature resampling, and the TPC-H Q7-Q19 pack's plan shapes.
+Oracle parity for the oracle-backed ones is covered by
+test_correctness's registry-wide parametrization; these tests pin the
+semantic invariants an oracle diff alone would not localize."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_playground_spark import registry
+
+registry.load_all()
+
+from tests.conftest import SF_CHECK  # noqa: E402
+
+
+def _plan(spark, name: str) -> str:
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    df = registry.QUERIES[name](spark, SF_CHECK)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- b111 recursive CTE ---------------------------------------------------
+
+
+def test_b111_depth_is_digit_count(spark):
+    # parent(k) = floor(k/10): depth must equal len(str(k)) - 1 and
+    # every chain must bottom out at a sub-10 root.
+    rows = registry.QUERIES["b111_recursive_cte"](spark, SF_CHECK).collect()
+    assert len(rows) == 1500
+    for r in rows:
+        assert r["depth"] == len(str(r["c_custkey"])) - 1
+        assert r["root_key"] < 10
+
+
+def test_b111_runs_as_union_loop(spark):
+    # Spark 4 executes WITH RECURSIVE natively — the plan carries the
+    # loop operator rather than a driver-side rewrite.
+    assert "UnionLoop" in _plan(spark, "b111_recursive_cte")
+
+
+# --- b112 SQL UDF ---------------------------------------------------------
+
+
+def test_b112_sql_udf_inlines_no_python(spark):
+    # SQL UDFs are Catalyst inlining: no Python eval operator, and the
+    # session-variable cutoff folds into a pushed scan filter.
+    plan = _plan(spark, "b112_sql_udf")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LessThanOrEqual(l_quantity,45.0)" in plan
+
+
+def test_b112_bands_cover_and_sum(spark):
+    rows = registry.QUERIES["b112_sql_udf"](spark, SF_CHECK).collect()
+    bands = {r["band"] for r in rows}
+    assert bands == {"low", "mid", "high"}
+    # cutoff 45 keeps 45/50 of a uniform quantity domain
+    n = sum(r["n_lines"] for r in rows)
+    from iceberg_playground_spark.session import load
+
+    total = load(spark, SF_CHECK, "lineitem").count()
+    assert 0.85 * total <= n <= 0.95 * total
+
+
+# --- c34 HLL rollup -------------------------------------------------------
+
+
+def test_c34_estimates_within_5pct(spark):
+    rows = registry.QUERIES["c34_hll_rollup"](spark, SF_CHECK).collect()
+    langs = [r for r in rows if r["lang"] != "__ALL__"]
+    glob = [r for r in rows if r["lang"] == "__ALL__"]
+    assert len(glob) == 1 and len(langs) >= 3
+    for r in rows:
+        assert r["exact_distinct"] > 100  # shingles, not the 31-word vocab
+        err = abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert err < 0.05, (r["lang"], err)
+    # union of sketches can never estimate below its largest member
+    assert glob[0]["est_distinct"] >= max(r["est_distinct"] for r in langs) * 0.95
+
+
+# --- c35 temperature mix --------------------------------------------------
+
+
+def test_c35_flattens_toward_sqrt_mix(spark):
+    rows = {
+        r["lang"]: r
+        for r in registry.QUERIES["c35_temperature_mix"](
+            spark, SF_CHECK
+        ).collect()
+    }
+    n_in = {k: r["n_in"] for k, r in rows.items()}
+    n_out = {k: r["n_out"] for k, r in rows.items()}
+    # alpha=0.5 upsamples rare langs, downsamples the dominant one
+    dominant = max(n_in, key=n_in.get)
+    rare = min(n_in, key=n_in.get)
+    assert n_out[dominant] < n_in[dominant]
+    assert n_out[rare] > n_in[rare]
+    # corpus size preserved within the percent-quantization slack
+    assert abs(sum(n_out.values()) - sum(n_in.values())) <= 0.03 * sum(
+        n_in.values()
+    )
+    # output share ordering follows sqrt(n_in) ordering
+    import math
+
+    sqrt_order = sorted(n_in, key=lambda k: math.sqrt(n_in[k]))
+    out_order = sorted(n_out, key=n_out.get)
+    assert sqrt_order == out_order
+
+
+def test_c35_is_deterministic(spark):
+    q = registry.QUERIES["c35_temperature_mix"]
+    a = sorted(map(tuple, q(spark, SF_CHECK).collect()))
+    b = sorted(map(tuple, q(spark, SF_CHECK).collect()))
+    assert a == b
+
+
+# --- TPC-H pack plan shapes ----------------------------------------------
+
+
+def test_q18_uses_top_k(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "b109_tpch_q18")
+
+
+def test_q7_q8_no_cartesian_and_broadcast_dims(spark):
+    for name in ("b106_tpch_q7", "b107_tpch_q8"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastExchange" in plan, name
+
+
+def test_q19_pushes_per_side_residuals(spark):
+    # each side's OR residual must reach its own scan (brand/size
+    # disjunction on part, quantity envelope on lineitem) — only the
+    # cross-side conjunctions stay post-join
+    plan = _plan(spark, "b110_tpch_q19")
+    assert "EqualTo(p_brand,Brand#11" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
