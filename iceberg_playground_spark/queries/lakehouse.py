@@ -51,17 +51,25 @@ def _alive(spark: SparkSession, art: object) -> bool:
         return os.path.isfile(os.path.join(art.root, "schema.json"))
     if isinstance(art, str):
         return os.path.exists(art)
-    if isinstance(art, tuple):  # saved-table names (b60)
-        try:
-            for n in art:
-                files = spark.table(n).inputFiles()
-                if not files or not os.path.exists(
-                    files[0].removeprefix("file:")
-                ):
-                    return False
-            return True
-        except Exception:
-            return False
+    if isinstance(art, tuple):
+        if all(isinstance(n, str) for n in art):  # saved-table names (b60)
+            try:
+                for n in art:
+                    files = spark.table(n).inputFiles()
+                    if not files or not os.path.exists(
+                        files[0].removeprefix("file:")
+                    ):
+                        return False
+                return True
+            except Exception:
+                return False
+        # mixed artifact tuples, e.g. (LakeTable, precomputed flags):
+        # probe the storage-backed members (b104/b105/b113 shape —
+        # without this branch the spark.table probe above always threw
+        # and the demo warehouse silently rebuilt on every invocation)
+        return all(
+            _alive(spark, x) for x in art if isinstance(x, LakeTable)
+        )
     return True
 
 

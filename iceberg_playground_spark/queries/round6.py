@@ -29,8 +29,10 @@ from iceberg_playground_spark.queries._util import (
     hash_bucket,
     load,
 )
+from iceberg_playground_spark.queries.lakehouse import _built
 from iceberg_playground_spark.registry import query
 from iceberg_playground_spark.session import register_views
+from iceberg_playground_spark.tables import LakeCatalog
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +146,82 @@ def b112_sql_udf(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY l_returnflag, qty_band(l_quantity)
         ORDER BY l_returnflag, band
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# b113 — type-widening schema evolution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b113_widen_column",
+    oracle="""
+    SELECT n_nationkey AS id, CAST(n_regionkey AS BIGINT) AS qty,
+           CAST(CAST(CAST(n_nationkey AS DOUBLE) * 0.5 AS FLOAT)
+                AS DOUBLE) AS score,
+           TRUE AS files_untouched, TRUE AS old_delete_still_masks
+    FROM nation WHERE n_regionkey <> 2
+    UNION ALL SELECT 900, 5000000000, 1.5e200, TRUE, TRUE
+    """,
+)
+def b113_widen_column(spark: SparkSession, sf: str) -> DataFrame:
+    """B113: type-widening schema evolution — Iceberg's legal primitive
+    promotions (int→long, float→double), metadata-only. The sequence
+    proves the hard interactions: an equality delete keyed on the
+    still-narrow column lands first (its key file stores int32
+    values), BOTH promotions follow (zero data files touched —
+    files_untouched compares the file lists), then an append lands
+    values only the wide types can hold (a 5-billion qty, a 1.5e200
+    score). One HEAD read serves both generations: old files cast up
+    per entry (each records its write-time DDL), the old delete still
+    masks through the type change (the anti-join coerces its narrow
+    keys), and `VERSION AS OF` replays the narrow schema. Completes
+    the evolution triple: add (b74), rename (b105), widen (b113).
+
+    Scale shape: the widen commit is KB-sized metadata; reads gain a
+    per-entry cast inside the scan projection — free, and only on the
+    generations written before the promotion."""
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "metrics_w", "id INT, qty INT, score FLOAT",
+            drop_if_exists=True,
+        )
+        t.append(
+            load(spark, sf, "nation").select(
+                F.col("n_nationkey").cast("int").alias("id"),
+                F.col("n_regionkey").cast("int").alias("qty"),
+                (F.col("n_nationkey").cast("double") * 0.5)
+                .cast("float")
+                .alias("score"),
+            )
+        )
+        t.delete_where("qty = 2", ["qty"])  # int32 keys, pre-widening
+        before = t.current_version()
+        t.widen_column("qty", "bigint")
+        t.widen_column("score", "double")
+        files_untouched = (
+            t.snapshot(t.current_version())["data_files"]
+            == t.snapshot(before)["data_files"]
+        )
+        t.append(
+            spark.createDataFrame(
+                [(900, 5_000_000_000, 1.5e200)],
+                "id INT, qty BIGINT, score DOUBLE",
+            )
+        )
+        masks = t.read().filter("qty = 2").count() == 0
+        return t, files_untouched, masks
+
+    t, files_untouched, masks = _built(spark, sf, "b113", build)
+    return t.read().select(
+        "id",
+        "qty",
+        "score",
+        F.lit(files_untouched).alias("files_untouched"),
+        F.lit(masks).alias("old_delete_still_masks"),
     )
 
 

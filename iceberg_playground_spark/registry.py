@@ -100,6 +100,7 @@ _R6_NEW = [
     "b110_tpch_q19",
     "b111_recursive_cte",
     "b112_sql_udf",
+    "b113_widen_column",
     "c34_hll_rollup",
     "c35_temperature_mix",
 ]

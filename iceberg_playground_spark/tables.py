@@ -827,6 +827,65 @@ class LakeTable:
         self._write_meta()
         return v
 
+    # Iceberg's legal primitive promotions (spec §Schema Evolution):
+    # widening only — values written under the narrow type reread
+    # exactly under the wide one. Everything else (narrowing, numeric
+    # to string, ...) would silently corrupt old files and is refused.
+    _WIDENINGS = {("int", "bigint"), ("float", "double")}
+
+    def widen_column(self, name: str, new_type: str) -> int:
+        """Schema evolution: WIDEN a column's type (Iceberg type
+        promotion — int→long, float→double). Metadata-only: zero data
+        files touched. Files written under the narrow type keep it on
+        disk; the read path casts them up per entry (each file entry
+        records its write-time DDL, so the cast applies exactly to the
+        generations that need it — a lossless widening by the
+        promotion rule above). Each snapshot records its schema, so
+        `VERSION AS OF` replays the narrow shape, and equality deletes
+        written with narrow keys keep masking (the anti-join coerces
+        key types upward).
+
+        Restriction (mirrors rename_column): a PARTITION column cannot
+        widen — its values are hive path strings parsed back through
+        the declared schema, and flipping that type mid-history would
+        reparse old paths under the new type ambiguously. Iceberg
+        handles this via typed partition specs; evolve the spec
+        first."""
+        fields = self._ddl_fields(self.ddl)
+        names = [n for n, _ in fields]
+        if name not in names:
+            raise ValueError(f"no such column: {name}")
+        old_type = dict(fields)[name]
+        want = self.spark.createDataFrame(
+            [], f"x {new_type}"
+        ).schema.fields[0].dataType.simpleString()
+        if (old_type, want) not in self._WIDENINGS:
+            raise ValueError(
+                f"illegal promotion {old_type} -> {want} for {name}: "
+                f"allowed {sorted(self._WIDENINGS)}"
+            )
+        if name in self.partition_by:
+            raise ValueError(
+                f"cannot widen partition column {name}: its values are "
+                "typed via the hive path layout; evolve the spec first"
+            )
+        new_ddl = ", ".join(
+            f"{n} {want if n == name else t}" for n, t in fields
+        )
+        v = self._commit(
+            [], [],
+            {
+                "operation": "widen-column",
+                "column": name,
+                "from": old_type,
+                "to": want,
+            },
+            ddl=new_ddl,
+        )
+        self.ddl = new_ddl
+        self._write_meta()
+        return v
+
     def _translate_delete_cols(
         self, cols: list[str], dseq: int, read_version: int
     ) -> list[str]:
@@ -1277,7 +1336,10 @@ class LakeTable:
             data_cols = df.columns[2:]
             sel = [F.col("commit_version"), F.col("change_type")] + [
                 (
-                    F.col(data_cols[i]).alias(tn)
+                    # cast unconditionally: a no-op when types already
+                    # agree, the upcast when the column widened inside
+                    # the window (same-type casts fold away in Catalyst)
+                    F.col(data_cols[i]).cast(tt).alias(tn)
                     if i < len(data_cols)
                     else F.lit(None).cast(tt).alias(tn)
                 )
@@ -1439,15 +1501,17 @@ class LakeTable:
             )
             paths = f.get("paths") or [f["path"]]
             raw = r.parquet(*paths)
-            entry_cols = [n for n, _ in self._ddl_fields(entry_ddl)]
-            sel = [
-                (
-                    F.col(entry_cols[i]).alias(tn)
-                    if i < len(entry_cols)
-                    else F.lit(None).cast(tt).alias(tn)
-                )
-                for i, (tn, tt) in enumerate(target)
-            ]
+            entry_fields = self._ddl_fields(entry_ddl)
+            sel = []
+            for i, (tn, tt) in enumerate(target):
+                if i < len(entry_fields):
+                    en, et = entry_fields[i]
+                    c = F.col(en)
+                    if et != tt:  # widened since this entry: cast up
+                        c = c.cast(tt)
+                    sel.append(c.alias(tn))
+                else:
+                    sel.append(F.lit(None).cast(tt).alias(tn))
             eq_groups: dict[tuple, list[str]] = {}
             pos_paths: list[str] = []
             for dseq, meta in deletes:

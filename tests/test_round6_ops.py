@@ -136,3 +136,57 @@ def test_q19_pushes_per_side_residuals(spark):
     plan = _plan(spark, "b110_tpch_q19")
     assert "EqualTo(p_brand,Brand#11" in plan
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+# --- b113 type widening ---------------------------------------------------
+
+
+def test_widen_rules_and_time_travel(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("ns", "w", "id INT, qty INT, score FLOAT")
+    t.append(spark.createDataFrame([(1, 10, 1.5)], "id INT, qty INT, score FLOAT"))
+    v_narrow = t.current_version()
+    t.widen_column("qty", "bigint")
+    # old snapshot replays the narrow schema; HEAD serves the wide one
+    assert dict(t.read(version=v_narrow).dtypes)["qty"] == "int"
+    assert dict(t.read().dtypes)["qty"] == "bigint"
+    t.append(spark.createDataFrame([(2, 6_000_000_000)], "id INT, qty BIGINT")
+             .withColumn("score", F.lit(2.5).cast("float"))
+             .select("id", "qty", "score"))
+    got = {r["id"]: r["qty"] for r in t.read().collect()}
+    assert got == {1: 10, 2: 6_000_000_000}
+    # illegal promotions refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.widen_column("qty", "int")  # narrowing
+    with _pytest.raises(ValueError):
+        t.widen_column("score", "string")
+    with _pytest.raises(ValueError):
+        t.widen_column("nope", "bigint")
+
+
+def test_widen_partition_column_refused(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+    import pytest as _pytest
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("ns", "wp", "id INT, k INT", partition_by=["k"])
+    with _pytest.raises(ValueError):
+        t.widen_column("k", "bigint")
+
+
+def test_widen_changelog_conforms_to_window_end(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("ns", "wc", "id INT, qty INT")
+    t.append(spark.createDataFrame([(1, 10)], "id INT, qty INT"))
+    t.widen_column("qty", "bigint")
+    t.append(spark.createDataFrame([(2, 7_000_000_000)], "id INT, qty BIGINT"))
+    log = t.changelog(0, t.current_version())
+    assert dict(log.dtypes)["qty"] == "bigint"
+    rows = {(r["commit_version"], r["id"]): r["qty"] for r in log.collect()}
+    assert rows[(1, 1)] == 10 and rows[(3, 2)] == 7_000_000_000

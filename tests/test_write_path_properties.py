@@ -54,11 +54,17 @@ _wap = st.lists(
     min_size=1,
     max_size=3,
 ).map(lambda rows: ("wap", rows))
+# type widening (count int -> bigint) is value-preserving by the
+# promotion rule, so the model state is unchanged — what the op
+# fuzzes is that every OTHER op (deletes keyed before the widen,
+# compaction folding mixed-width generations, rollback to a narrow
+# schema, appends under the wide one) still reads back exactly.
+_widen = st.just(("widen", None))
 
 _ops = st.lists(
     st.one_of(
         _append, _append, _delete, _pdelete, _compact, _merge,
-        _rollback, _wap
+        _rollback, _wap, _widen
     ),
     min_size=1,
     max_size=6,
@@ -84,6 +90,8 @@ def _model_apply(
         return kept + [(n, c, seq) for n, c, d in arg if not d]
     if op == "rollback":
         return list(history[arg])  # verbatim, original seqs included
+    if op == "widen":
+        return state  # metadata-only; values reread exactly
     raise AssertionError(op)
 
 
@@ -101,15 +109,17 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
     state: list = []
     history: dict[int, list] = {0: []}
     for op, arg in ops:
+        # appends/merges conform to the CURRENT declared schema (a
+        # widen op may have promoted count to bigint mid-sequence)
         if op == "append":
-            v = t.append(spark.createDataFrame(arg, DDL))
+            v = t.append(spark.createDataFrame(arg, t.ddl))
         elif op == "delete":
             v = t.delete_where(f"name = '{arg}'", ["name"])
         elif op == "pdelete":
             v = t.delete_where_positional(f"name = '{arg}'")
         elif op == "merge":
             v = t.merge(
-                spark.createDataFrame(arg, DDL + ", is_del BOOLEAN"),
+                spark.createDataFrame(arg, t.ddl + ", is_del BOOLEAN"),
                 ["name"],
                 delete_col="is_del",
             )
@@ -119,8 +129,14 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
         elif op == "wap":
             t.create_branch("hb")
             for row in arg:  # one staged append per row
-                t.append_to_branch("hb", spark.createDataFrame([row], DDL))
+                t.append_to_branch(
+                    "hb", spark.createDataFrame([row], t.ddl)
+                )
             v = t.fast_forward("hb")
+        elif op == "widen":
+            if dict(t._ddl_fields(t.ddl))["count"] != "int":
+                continue  # already widened earlier in the sequence
+            v = t.widen_column("count", "bigint")
         else:
             v = t.compact()
         state = _model_apply(state, v, op, arg, history)
