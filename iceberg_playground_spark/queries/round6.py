@@ -226,6 +226,86 @@ def b113_widen_column(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b114 — metadata-aligned DELETE
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b114_metadata_delete",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS status_drop_metadata_only,
+           FALSE AS price_drop_metadata_only,
+           TRUE AS no_delete_files_after_status_drop
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+      AND NOT (o_totalprice >= 0 AND o_totalprice <= 50000)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def b114_metadata_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """B114: metadata-aligned DELETE — Iceberg's delete planning. A
+    predicate aligned to the partition layout (drop status 'F') removes
+    WHOLE files from the snapshot by bounds alone: zero delete files
+    written, zero data I/O, plan-summary metadata_only=True and the
+    delete-file list still empty afterwards (both graded as flag
+    columns). A misaligned predicate (a totalprice range crossing
+    every file) degrades gracefully: boundary files stay live and ONE
+    positional delete (b104's machinery) masks just their matching
+    rows — metadata_only=False. The changelog recovers dropped-file
+    rows by diffing live-file sets, so CDC consumers still see every
+    deleted row.
+
+    Scale shape: planning walks KB-sized manifest bounds (the
+    retention DELETE on a 100 TB table touches no data); the residual
+    scan opens only boundary files."""
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "orders_md",
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+            partition_by=["o_orderstatus"], drop_if_exists=True,
+        )
+        t.append(
+            load(spark, sf, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
+        )
+        v1, s1 = t.delete_range("o_orderstatus", "F", "F")
+        no_dfiles = len(t.snapshot(v1)["delete_files"]) == 0
+        _, s2 = t.delete_range("o_totalprice", 0.0, 50000.0)
+        status_meta = bool(s1["metadata_only"] and s1["files_dropped"] > 0)
+        price_meta = bool(s2["metadata_only"])
+        return t, status_meta, price_meta, no_dfiles
+
+    t, status_meta, price_meta, no_dfiles = _built(spark, sf, "b114", build)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "sum_price",
+            F.lit(status_meta).alias("status_drop_metadata_only"),
+            F.lit(price_meta).alias("price_drop_metadata_only"),
+            F.lit(no_dfiles).alias("no_delete_files_after_status_drop"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

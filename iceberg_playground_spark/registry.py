@@ -101,6 +101,7 @@ _R6_NEW = [
     "b111_recursive_cte",
     "b112_sql_udf",
     "b113_widen_column",
+    "b114_metadata_delete",
     "c34_hll_rollup",
     "c35_temperature_mix",
 ]

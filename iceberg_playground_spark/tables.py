@@ -736,6 +736,140 @@ class LakeTable:
             {"operation": "delete-pos", "predicate": predicate},
         )
 
+    def _live_fns(self, f: dict) -> set[str] | None:
+        """Relative filenames an entry still serves: its explicit
+        ``paths`` subset if a metadata delete carved one, else every
+        file with recorded stats; None = whole dir, stats unknown."""
+        if f.get("paths") is not None:
+            return {os.path.relpath(p, f["path"]) for p in f["paths"]}
+        b = f.get("bounds")
+        return set(b) if b else None
+
+    def delete_range(self, col: str, lo, hi) -> tuple[int, dict]:
+        """Metadata-aligned DELETE (Iceberg's delete planning): remove
+        every row with ``lo <= col <= hi``, dropping WHOLE data files
+        from the snapshot when their committed bounds prove every row
+        matches — zero delete files, zero data I/O for those — and
+        writing one positional delete for the rows inside partially
+        overlapping files. A delete aligned to partition or sort
+        boundaries (the common retention case: DROP a day, a region)
+        is therefore pure metadata, exactly like Iceberg's
+        partition-predicate DELETE; a misaligned predicate degrades
+        gracefully to b104's merge-on-read path for the boundary files
+        only. Files without recorded bounds are treated as partial
+        (conservative). Returns (version, plan_summary).
+
+        Scale shape: planning walks KB-sized manifest bounds; the
+        residual scan opens ONLY the boundary files. The CAS loop
+        replans from HEAD on every retry, so a racing append's new
+        files are never silently dropped."""
+        for _ in range(5):
+            head = self.current_version()
+            snap = self.snapshot(head)
+            new_files: list[dict] = []
+            dropped = 0
+            partial: list[dict] = []  # entries restricted to boundary files
+            for f in snap["data_files"]:
+                per_file = f.get("bounds", {})
+                live = self._live_fns(f)
+                if live is None:
+                    # statless entry: all rows are boundary candidates
+                    partial.append(dict(f))
+                    new_files.append(dict(f))
+                    continue
+                keep_fns, partial_fns = [], []
+                for fn in live:
+                    cb = per_file.get(fn, {}).get(col)
+                    if cb is not None and lo <= cb[0] and cb[1] <= hi:
+                        dropped += 1  # wholly inside: drop from metadata
+                    elif cb is not None and (cb[1] < lo or cb[0] > hi):
+                        keep_fns.append(fn)  # disjoint: untouched
+                    else:
+                        partial_fns.append(fn)
+                        keep_fns.append(fn)
+                if partial_fns:
+                    partial.append(
+                        {
+                            **f,
+                            "paths": [
+                                os.path.join(f["path"], fn)
+                                for fn in partial_fns
+                            ],
+                        }
+                    )
+                if keep_fns:
+                    new_files.append(
+                        {
+                            **f,
+                            "paths": [
+                                os.path.join(f["path"], fn)
+                                for fn in keep_fns
+                            ],
+                            "bounds": {
+                                fn: per_file[fn]
+                                for fn in keep_fns
+                                if fn in per_file
+                            },
+                            "rows": {
+                                fn: n
+                                for fn, n in f.get("rows", {}).items()
+                                if fn in keep_fns
+                            },
+                        }
+                    )
+            new_dels = list(snap["delete_files"])
+            n_partial = len(partial)
+            if partial:
+                hits = (
+                    self._assemble(partial, head, with_pos=True)
+                    .filter(
+                        (F.col(col) >= F.lit(lo))
+                        & (F.col(col) <= F.lit(hi))
+                    )
+                    .select("__f", "__p")
+                )
+                d = os.path.join(self.root, _DELETE_DIR, uuid.uuid4().hex)
+                hits.write.mode("overwrite").parquet(d)
+                new_dels.append(
+                    {
+                        "entry": json.dumps({"path": d, "pos": True}),
+                        "seq": head + 1,
+                    }
+                )
+            summary = {
+                "operation": "delete-aligned",
+                "col": col,
+                "lo": lo,
+                "hi": hi,
+                "files_dropped": dropped,
+                "files_partial": n_partial,
+                "metadata_only": n_partial == 0,
+            }
+            entry = {
+                "version": head + 1,
+                "parent": head,
+                "ts": time.time(),
+                "ddl": snap.get("ddl", self.ddl),
+                "data_files": new_files,
+                "delete_files": new_dels,
+                "summary": summary,
+            }
+            tmp = self._snap_file(head + 1) + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(entry, fh)
+            target = self._snap_file(head + 1)
+            if os.path.exists(target):
+                os.unlink(tmp)
+                continue
+            try:
+                os.link(tmp, target)
+                os.unlink(tmp)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue
+            return head + 1, summary
+        raise CommitConflict(f"delete_range lost 5 races in {self.root}")
+
     def add_column(self, name: str, dtype: str) -> int:
         """Schema evolution: append a nullable column (Iceberg
         add-column). Metadata-only — no data file is touched; rows
@@ -1363,6 +1497,44 @@ class LakeTable:
                     )
                 )
             )
+            if snap["summary"].get("operation") == "delete-aligned":
+                # a metadata delete drops whole files with no delete
+                # file to join — recover their rows by diffing the
+                # live-file sets against v-1 and reading exactly the
+                # removed files (the residual boundary rows surface
+                # through the ordinary positional-delete branch below)
+                prev_snap = self.snapshot(v - 1)
+                cur_live: dict[str, set] = {}
+                for f in snap["data_files"]:
+                    fns = self._live_fns(f)
+                    if fns is not None:
+                        cur_live.setdefault(f["path"], set()).update(fns)
+                removed: list[dict] = []
+                for f in prev_snap["data_files"]:
+                    fns = self._live_fns(f)
+                    if fns is None:
+                        continue  # statless entries never drop files
+                    gone = fns - cur_live.get(f["path"], set())
+                    if gone:
+                        removed.append(
+                            {
+                                **f,
+                                "paths": [
+                                    os.path.join(f["path"], fn)
+                                    for fn in sorted(gone)
+                                ],
+                            }
+                        )
+                if removed:
+                    parts.append(
+                        conform(
+                            self._assemble(removed, v - 1).select(
+                                *stamp,
+                                F.lit("delete").alias("change_type"),
+                                "*",
+                            )
+                        )
+                    )
             dels = [
                 json.loads(d["entry"])
                 for d in snap["delete_files"]

@@ -190,3 +190,54 @@ def test_widen_changelog_conforms_to_window_end(spark, tmp_path):
     assert dict(log.dtypes)["qty"] == "bigint"
     rows = {(r["commit_version"], r["id"]): r["qty"] for r in log.collect()}
     assert rows[(1, 1)] == 10 and rows[(3, 2)] == 7_000_000_000
+
+
+# --- b114 metadata-aligned delete ----------------------------------------
+
+
+def test_delete_range_aligned_is_pure_metadata(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("ns", "md", "id INT, grp STRING", partition_by=["grp"])
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id INT, grp STRING"))
+    v, s = t.delete_range("grp", "a", "a")
+    assert s["metadata_only"] and s["files_dropped"] >= 1
+    assert len(t.snapshot(v)["delete_files"]) == 0  # no delete file written
+    assert sorted(r["id"] for r in t.read().collect()) == [3, 4]
+    # time travel still serves the pre-delete rows
+    assert t.read(version=v - 1).count() == 4
+    # metadata-only count still works (no MoR state introduced)
+    assert t.metadata_count() == 2
+
+
+def test_delete_range_misaligned_degrades_to_positional(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("ns", "md2", "id INT, val INT")
+    # two coarse files (vals 0-40 and 50-90) so the 25-55 range cuts
+    # through both interiors instead of swallowing single-row files
+    t.append(spark.createDataFrame([(i, i * 10) for i in range(10)],
+                                   "id INT, val INT").coalesce(2))
+    v, s = t.delete_range("val", 25, 55)  # cuts through file interiors
+    assert not s["metadata_only"] and s["files_partial"] >= 1
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 2, 6, 7, 8, 9]
+    # the changelog window emits exactly the deleted rows as deletes
+    log = t.changelog(v - 1, v).collect()
+    dels = sorted(r["id"] for r in log if r["change_type"] == "delete")
+    assert dels == [3, 4, 5]
+
+
+def test_delete_range_composes_with_later_append(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("ns", "md3", "id INT, grp STRING", partition_by=["grp"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id INT, grp STRING"))
+    t.delete_range("grp", "a", "a")
+    t.append(spark.createDataFrame([(9, "a")], "id INT, grp STRING"))
+    # the dropped partition's key returns via the NEW file only
+    assert sorted((r["id"], r["grp"]) for r in t.read().collect()) == [
+        (2, "b"), (9, "a")]
