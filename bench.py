@@ -66,6 +66,12 @@ HEADLINE = [
     # lakehouse layout paths: bucketed co-located join + stats skipping
     "b60_bucketed_join",
     "b61_data_skipping",
+    # round-6: the TPC-H optimizer workouts (6- and 8-relation joins —
+    # the raw-SQL surface a reference user actually runs) and the
+    # replication fan-out of temperature resampling
+    "b97_tpch_q5",
+    "b107_tpch_q8",
+    "c35_temperature_mix",
     # streaming ingest path — the reference's own benchmark subject
     # (bench-kafka.rs stage timers): stream → decode → files → commit
     "b68_tumbling_window",

@@ -306,6 +306,81 @@ def b114_metadata_delete(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b115 — drop-column schema evolution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b115_drop_column",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_regionkey,
+           TRUE AS files_untouched
+    FROM nation WHERE n_regionkey <> 3
+    UNION ALL SELECT 900, 'NEWLAND', NULL, TRUE
+    UNION ALL SELECT 901, 'READDED', 7, TRUE
+    """,
+)
+def b115_drop_column(spark: SparkSession, sf: str) -> DataFrame:
+    """B115: DROP-column schema evolution, metadata-only — the last
+    member of the evolution quadruple (add b74, rename b105, widen
+    b113). The column renames in place to a hidden tombstone (the
+    name-based stand-in for Iceberg's field-ID drop), so zero data
+    files are touched (files_untouched compares file lists) and old
+    snapshots replay the column. The sequence proves the hard parts:
+    an equality delete KEYED ON the doomed column lands first and
+    still masks after the drop (its keys translate to the tombstone,
+    which stays materialized through assembly), and the same name is
+    then RE-ADDED as a fresh field — pre-drop rows read NULL for it
+    (their old values belong to the tombstone), exactly Iceberg's
+    drop-then-add contract, while a post-re-add append carries real
+    values.
+
+    Scale shape: one KB-sized metadata commit; reads lose a column
+    from the projection (scans get NARROWER, never wider)."""
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "nation_dc",
+            "n_nationkey INT, n_name STRING, n_regionkey INT",
+            drop_if_exists=True,
+        )
+        t.append(
+            load(spark, sf, "nation").select(
+                "n_nationkey", "n_name", "n_regionkey"
+            )
+        )
+        t.delete_where("n_regionkey = 3", ["n_regionkey"])  # doomed key
+        before = t.current_version()
+        t.drop_column("n_regionkey")
+        files_untouched = (
+            t.snapshot(t.current_version())["data_files"]
+            == t.snapshot(before)["data_files"]
+        )
+        t.append(
+            spark.createDataFrame(
+                [(900, "NEWLAND")], "n_nationkey INT, n_name STRING"
+            )
+        )
+        t.add_column("n_regionkey", "int")  # fresh field, same name
+        t.append(
+            spark.createDataFrame(
+                [(901, "READDED", 7)],
+                "n_nationkey INT, n_name STRING, n_regionkey INT",
+            )
+        )
+        return t, files_untouched
+
+    t, files_untouched = _built(spark, sf, "b115", build)
+    return t.read().select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.lit(files_untouched).alias("files_untouched"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

@@ -102,12 +102,19 @@ _R6_NEW = [
     "b112_sql_udf",
     "b113_widen_column",
     "b114_metadata_delete",
-    "c34_hll_rollup",
+    "b115_drop_column",
     "c35_temperature_mix",
+    # rows-only entries close the window: the driver's check for them
+    # is the weak rows-run either way, so if the ~50 budget cuts
+    # anywhere, it cuts where grading adds least.
+    "c34_hll_rollup",
 ]
 # Behavior-changed in round 5 (the transform-lambda arity fix made
 # c02/c24's 16 MinHash permutations real instead of index-degenerate),
-# never re-graded since, so they stay inside the window.
+# never re-graded since. Both are rows-only checks, so they sit at the
+# window's edge (slots 51-52): graded if the budget is loose, cheap to
+# lose if it is exactly 50 — their semantics are pinned locally by
+# test_round5_ops' permutation/calibration tests and c31's estimator.
 _R5_CHANGED = [
     "c02_minhash_lsh_dedup",
     "c24_dedup_clusters",
@@ -157,12 +164,14 @@ def load_all() -> None:
     queries) + _R5_NEW (the 25 round-5 additions — ALL still
     ungraded: round 5's driver sweep produced no CORRECTNESS_r05) +
     _R6_NEW (the late-round-5 b104/b105 plus round-6's tpch Q7-Q19
-    pack and round6.py's b111/b112/c34/c35) + _R5_CHANGED (c02/c24,
-    behavior-changed in round 5, never re-graded) — 49 entries, the
-    full ~50-slot window. _R5_TOUCHED (output-identical r5 shape
-    changes, r4-graded green) and _R2_ROTATION (byte-stable r2
-    greens) follow immediately after as insurance if the budget is
-    looser than 50, then every remaining green query in module order.
+    pack, round6.py's b111-b115/c34/c35 — 14 entries, hash-oracle
+    ones first) + _R5_CHANGED (c02/c24, behavior-changed in round 5,
+    never re-graded; rows-only, so they close the 52-entry prefix
+    where a hard 50-slot cutoff costs least). _R5_TOUCHED
+    (output-identical r5 shape changes, r4-graded green) and
+    _R2_ROTATION (byte-stable r2 greens) follow immediately after as
+    insurance if the budget is looser, then every remaining green
+    query in module order.
     Import order no longer doubles as grading order — the explicit
     lists do. A name listed but never registered fails loudly here
     (typo guard).

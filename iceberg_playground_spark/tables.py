@@ -1020,6 +1020,61 @@ class LakeTable:
         self._write_meta()
         return v
 
+    _DROP_PREFIX = "__dropped_"
+
+    def _visible_fields(self, ddl: str) -> list[tuple[str, str]]:
+        """Declared fields minus drop tombstones — what readers see."""
+        return [
+            (n, t)
+            for n, t in self._ddl_fields(ddl)
+            if not n.startswith(self._DROP_PREFIX)
+        ]
+
+    def drop_column(self, name: str) -> int:
+        """Schema evolution: DROP a column — metadata-only, zero data
+        files touched (Iceberg drops via field IDs; this name-based
+        layer renames the field in place to a unique hidden tombstone
+        and excludes tombstones from every read projection). Old files
+        keep their bytes; old snapshots replay the column via their
+        recorded schemas; equality deletes keyed on the column keep
+        masking (their key names translate forward to the tombstone,
+        which is still materialized during assembly). Re-adding a
+        column with the SAME name later is legal and yields a fresh
+        field: pre-drop files read NULL for it (their old values
+        belong to the tombstone's position), exactly Iceberg's
+        drop-then-add semantics. Completes the evolution quadruple:
+        add (b74), rename (b105), widen (b113), drop (b115).
+
+        Restrictions: partition columns cannot drop (their name is the
+        hive path layout — evolve the spec first), and at least one
+        visible column must remain."""
+        fields = self._ddl_fields(self.ddl)
+        names = [n for n, _ in fields]
+        if name not in names or name.startswith(self._DROP_PREFIX):
+            raise ValueError(f"no such column: {name}")
+        if name in self.partition_by:
+            raise ValueError(
+                f"cannot drop partition column {name}: its name is the "
+                "hive directory layout; evolve the spec first"
+            )
+        if len(self._visible_fields(self.ddl)) <= 1:
+            raise ValueError("cannot drop the last visible column")
+        mangled = f"{self._DROP_PREFIX}{uuid.uuid4().hex[:8]}_{name}"
+        new_ddl = ", ".join(
+            f"{mangled if n == name else n} {t}" for n, t in fields
+        )
+        v = self._commit(
+            [], [],
+            {"operation": "drop-column", "column": name},
+            ddl=new_ddl,
+        )
+        self.ddl = new_ddl
+        # recorded as a rename so delete-key translation and the
+        # changelog's cross-version name mapping see the tombstone
+        self.renames.append({"v": v, "from": name, "to": mangled})
+        self._write_meta()
+        return v
+
     def _translate_delete_cols(
         self, cols: list[str], dseq: int, read_version: int
     ) -> list[str]:
@@ -1459,25 +1514,33 @@ class LakeTable:
 
         Schema evolution inside the window: every emitted row conforms
         to the WINDOW-END schema (what the consumer reads today) — a
-        version's rows map positionally onto it, renamed columns under
-        their current names, later-added columns NULL."""
+        version's column names translate forward through the
+        rename/drop history, types cast up across widenings,
+        later-added columns read NULL, dropped columns vanish."""
         end_ddl = self.snapshot(to_version).get("ddl", self.ddl)
-        tgt = self._ddl_fields(end_ddl)
+        tgt = self._visible_fields(end_ddl)
 
-        def conform(df: DataFrame) -> DataFrame:
-            # df = (commit_version, change_type, <data cols of some
-            # version's schema>); map the data cols positionally
+        def conform(df: DataFrame, src_v: int) -> DataFrame:
+            # df = (commit_version, change_type, <data cols under
+            # version src_v's visible schema>). Map BY NAME, not by
+            # position: equality-delete joins reorder their key
+            # columns to the front, and a drop inside the window
+            # shifts later positions — both break positional mapping.
             data_cols = df.columns[2:]
+            fwd = {
+                c: self._translate_delete_cols([c], src_v, to_version)[0]
+                for c in data_cols
+            }
+            inv = {end_name: c for c, end_name in fwd.items()}
             sel = [F.col("commit_version"), F.col("change_type")] + [
                 (
-                    # cast unconditionally: a no-op when types already
-                    # agree, the upcast when the column widened inside
-                    # the window (same-type casts fold away in Catalyst)
-                    F.col(data_cols[i]).cast(tt).alias(tn)
-                    if i < len(data_cols)
+                    # cast unconditionally: a no-op when types agree,
+                    # the upcast when the column widened in the window
+                    F.col(inv[tn]).cast(tt).alias(tn)
+                    if tn in inv
                     else F.lit(None).cast(tt).alias(tn)
                 )
-                for i, (tn, tt) in enumerate(tgt)
+                for tn, tt in tgt
             ]
             return df.select(*sel)
 
@@ -1494,7 +1557,8 @@ class LakeTable:
                 conform(
                     ins.select(
                         *stamp, F.lit("insert").alias("change_type"), "*"
-                    )
+                    ),
+                    v,
                 )
             )
             if snap["summary"].get("operation") == "delete-aligned":
@@ -1532,7 +1596,8 @@ class LakeTable:
                                 *stamp,
                                 F.lit("delete").alias("change_type"),
                                 "*",
-                            )
+                            ),
+                            v - 1,
                         )
                     )
             dels = [
@@ -1570,12 +1635,14 @@ class LakeTable:
                                 *stamp,
                                 F.lit("delete").alias("change_type"),
                                 "*",
-                            )
+                            ),
+                            v - 1,
                         )
                     )
         if not parts:
+            vis_ddl = ", ".join(f"{n} {t}" for n, t in tgt)
             return self.spark.createDataFrame(
-                [], f"commit_version INT, change_type STRING, {end_ddl}"
+                [], f"commit_version INT, change_type STRING, {vis_ddl}"
             )
         out = parts[0]
         for p in parts[1:]:
@@ -1638,9 +1705,14 @@ class LakeTable:
         if not files:
             # the empty view still carries the position handles when
             # asked (a positional delete against an empty table is a
-            # legal no-op, caught by the hypothesis soak)
+            # legal no-op, caught by the hypothesis soak); tombstoned
+            # (dropped) columns never surface
+            vis_ddl = ", ".join(
+                f"{n} {t}" for n, t in self._visible_fields(ddl)
+            )
             return self.spark.createDataFrame(
-                [], ddl + (", __f STRING, __p BIGINT" if with_pos else "")
+                [],
+                vis_ddl + (", __f STRING, __p BIGINT" if with_pos else ""),
             )
         deletes = [
             (d["seq"], json.loads(d["entry"])) for d in snap["delete_files"]
@@ -1657,7 +1729,10 @@ class LakeTable:
         # declared column order: hive-partitioned reads append partition
         # columns last, so project back to the schema's order
         target = self._ddl_fields(ddl)
-        ddl_cols = [n for n, _ in target]
+        # tombstones stay materialized through assembly (equality
+        # deletes keyed on a since-dropped column still anti-join on
+        # it) and are projected out at the end
+        vis_cols = [n for n, _ in self._visible_fields(ddl)]
         parts: list[DataFrame] = []
         for f in sorted(files, key=lambda x: x["seq"]):
             # Read each entry with the DDL its files were WRITTEN under
@@ -1721,8 +1796,9 @@ class LakeTable:
                 df = df.join(
                     F.broadcast(dels), on=list(trans), how="left_anti"
                 )
-            if need_pos and not with_pos:
-                df = df.select(*ddl_cols)
+            df = df.select(
+                *vis_cols, *(["__f", "__p"] if with_pos else [])
+            )
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:

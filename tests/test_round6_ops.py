@@ -241,3 +241,65 @@ def test_delete_range_composes_with_later_append(spark, tmp_path):
     # the dropped partition's key returns via the NEW file only
     assert sorted((r["id"], r["grp"]) for r in t.read().collect()) == [
         (2, "b"), (9, "a")]
+
+
+# --- b115 drop column ----------------------------------------------------
+
+
+def test_drop_column_full_lifecycle(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+    import pytest as _pytest
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("ns", "dc", "id INT, name STRING, val INT")
+    t.append(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id INT, name STRING, val INT"))
+    t.delete_where("name = 'b'", ["name"])
+    v_pre = t.current_version()
+    t.drop_column("name")
+    assert t.read().columns == ["id", "val"]
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, 10)]
+    # old snapshots replay the column
+    assert t.read(version=v_pre).columns == ["id", "name", "val"]
+    # re-add = fresh field: old rows NULL
+    t.add_column("name", "string")
+    t.append(spark.createDataFrame([(3, 30, "x")],
+                                   "id INT, val INT, name STRING"))
+    got = {r["id"]: r["name"] for r in t.read().collect()}
+    assert got == {1: None, 3: "x"}
+    # guards
+    with _pytest.raises(ValueError):
+        t.drop_column("missing")
+    t.drop_column("val")
+    t.drop_column("name")
+    with _pytest.raises(ValueError):
+        t.drop_column("id")  # last visible column
+
+
+def test_drop_partition_column_refused(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+    import pytest as _pytest
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("ns", "dcp", "id INT, k STRING", partition_by=["k"])
+    with _pytest.raises(ValueError):
+        t.drop_column("k")
+
+
+def test_changelog_delete_keyed_on_nonfirst_column_not_transposed(
+    spark, tmp_path
+):
+    # regression: the equality-delete join moves its key columns to the
+    # front; a positional conform would transpose values into the wrong
+    # columns. Name-aware conform must keep them straight.
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("ns", "clt", "id INT, name STRING, val INT")
+    t.append(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id INT, name STRING, val INT"))
+    v = t.delete_where("val = 20", ["val"])  # keyed on the LAST column
+    log = t.changelog(v - 1, v).collect()
+    dels = [(r["id"], r["name"], r["val"]) for r in log
+            if r["change_type"] == "delete"]
+    assert dels == [(2, "b", 20)]
