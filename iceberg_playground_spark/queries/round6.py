@@ -381,6 +381,80 @@ def b115_drop_column(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b116 — schema-drift ingestion (mergeSchema append)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b116_schema_drift",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN event_id % 3 <> 2 THEN 1 END) AS BIGINT)
+             AS n_user,
+           CAST(count(CASE WHEN event_id % 3 = 1 THEN 1 END) AS BIGINT)
+             AS n_value,
+           CAST(sum(CASE WHEN event_id % 3 = 1
+                    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+             AS value_cents,
+           CAST(count(DISTINCT CASE WHEN event_id % 3 = 2
+                      THEN event_type END) AS BIGINT) AS n_types
+    FROM events
+    """,
+)
+def b116_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """B116: schema-drift ingestion — ``append(df, merge_schema=True)``,
+    the Iceberg mergeSchema/accept-any-schema write in ONE atomic
+    commit (an ALTER is never visible without its data). Three
+    producer generations land: the original narrow shape, a batch
+    whose user_id arrives WIDER (int → bigint, auto-promoted) and
+    which introduces a value column (auto-added), and a batch missing
+    user_id entirely while introducing event_type (missing → NULL).
+    One HEAD read serves all three; the aggregate counts exactly which
+    generation carried which column. This is the reality of the
+    reference's Kafka firehose (kafka-load-gen's AssetMessage grew
+    fields over time — main.go:51-120): the pipeline keeps ingesting,
+    the table evolves underneath, readers never break.
+
+    Scale shape: the merged-DDL commit is the ordinary append commit;
+    alignment is a map-side projection in the writer."""
+
+    def build(tmp: str) -> LakeCatalog:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "drift", "event_id BIGINT, user_id INT",
+            drop_if_exists=True,
+        )
+        ev = load(spark, sf, "events")
+        t.append(
+            ev.filter("event_id % 3 = 0").select(
+                "event_id", F.col("user_id").cast("int").alias("user_id")
+            )
+        )
+        t.append(  # wider user_id (promotes) + new value column (adds)
+            ev.filter("event_id % 3 = 1").select(
+                "event_id", "user_id", "value"
+            ),
+            merge_schema=True,
+        )
+        t.append(  # user_id missing (NULL) + new event_type column
+            ev.filter("event_id % 3 = 2").select("event_id", "event_type"),
+            merge_schema=True,
+        )
+        return t
+
+    t = _built(spark, sf, "b116", build)
+    return t.read().agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("user_id").cast("bigint").alias("n_user"),
+        F.count("value").cast("bigint").alias("n_value"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("value_cents"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

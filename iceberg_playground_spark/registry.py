@@ -103,6 +103,7 @@ _R6_NEW = [
     "b113_widen_column",
     "b114_metadata_delete",
     "b115_drop_column",
+    "b116_schema_drift",
     "c35_temperature_mix",
     # rows-only entries close the window: the driver's check for them
     # is the weak rows-run either way, so if the ~50 budget cuts

@@ -671,9 +671,86 @@ class LakeTable:
                         pass
         return out, out_rows
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """A4: append = parallel parquet write + one fast-append commit
-        (src/main.rs:46-93 collapsed into two calls)."""
+        (src/main.rs:46-93 collapsed into two calls).
+
+        ``merge_schema=True`` accepts schema DRIFT the way Iceberg's
+        mergeSchema/accept-any-schema write option does, in ONE atomic
+        commit (never an ALTER half-visible without its data):
+
+        - columns the table lacks are ADDED (nullable; old files read
+          NULL for them),
+        - input columns NARROWER than the declared type cast up,
+        - input columns WIDER promote the table type when the
+          promotion is legal (int→bigint, float→double) — else the
+          append refuses loudly,
+        - columns the input lacks land as NULL.
+
+        The drifted files are stamped with the merged DDL, so the
+        positional read rule is untouched (new columns only ever
+        append at the end)."""
+        if merge_schema:
+            fields = self._ddl_fields(self.ddl)
+            declared = dict(fields)
+            vis = [n for n, _ in self._visible_fields(self.ddl)]
+            in_types = {
+                f.name: f.dataType.simpleString() for f in df.schema.fields
+            }
+            merged = list(fields)
+            for n, t in declared.items():
+                it = in_types.get(n)
+                if it is None or it == t:
+                    continue
+                if (t, it) in self._WIDENINGS:  # input wider: promote
+                    if n in self.partition_by:
+                        raise ValueError(
+                            f"append would widen partition column {n}; "
+                            "refused (see widen_column)"
+                        )
+                    merged = [
+                        (mn, it if mn == n else mt) for mn, mt in merged
+                    ]
+                elif (it, t) not in self._WIDENINGS:
+                    raise ValueError(
+                        f"append column {n}: input type {it} is not "
+                        f"reconcilable with declared {t}"
+                    )
+            new_cols = [
+                (f.name, f.dataType.simpleString())
+                for f in df.schema.fields
+                if f.name not in declared
+            ]
+            merged += new_cols
+            merged_ddl = ", ".join(f"{n} {t}" for n, t in merged)
+            mtypes = dict(merged)
+            # align the input onto the merged VISIBLE shape: declared
+            # order first (missing -> NULL, everything cast to the
+            # merged type), drifted new columns last
+            sel = [
+                (
+                    F.col(n).cast(mtypes[n]).alias(n)
+                    if n in in_types
+                    else F.lit(None).cast(mtypes[n]).alias(n)
+                )
+                for n in vis
+            ] + [F.col(n).cast(t).alias(n) for n, t in new_cols]
+            staged = self.stage_append(df.select(*sel))
+            v = self._commit(
+                [staged],
+                [],
+                {
+                    "operation": "append",
+                    "added": 1,
+                    "schema_merged": bool(new_cols)
+                    or merged_ddl != self.ddl,
+                },
+                ddl=merged_ddl,
+            )
+            if merged_ddl != self.ddl:
+                self.ddl = merged_ddl
+                self._write_meta()
+            return v
         staged = self.stage_append(df)
         return self._commit(
             [staged], [], {"operation": "append", "added": 1}

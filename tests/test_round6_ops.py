@@ -303,3 +303,35 @@ def test_changelog_delete_keyed_on_nonfirst_column_not_transposed(
     dels = [(r["id"], r["name"], r["val"]) for r in log
             if r["change_type"] == "delete"]
     assert dels == [(2, "b", 20)]
+
+
+# --- b116 schema-drift append --------------------------------------------
+
+
+def test_merge_schema_append_atomic_and_null_fill(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+    import pytest as _pytest
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("ns", "dr", "id BIGINT, n INT")
+    t.append(spark.createDataFrame([(1, 5)], "id BIGINT, n INT"))
+    # drift: n arrives wider AND a new col appears — ONE commit
+    v0 = t.current_version()
+    v1 = t.append(
+        spark.createDataFrame([(2, 8_000_000_000, "x")],
+                              "id BIGINT, n BIGINT, tag STRING"),
+        merge_schema=True,
+    )
+    assert v1 == v0 + 1  # atomic: no separate ALTER commit
+    assert dict(t.read().dtypes) == {
+        "id": "bigint", "n": "bigint", "tag": "string"}
+    got = {r["id"]: (r["n"], r["tag"]) for r in t.read().collect()}
+    assert got == {1: (5, None), 2: (8_000_000_000, "x")}
+    # missing column null-fills; irreconcilable type refuses
+    t.append(spark.createDataFrame([(3,)], "id BIGINT"), merge_schema=True)
+    assert {r["id"]: r["n"] for r in t.read().collect()}[3] is None
+    with _pytest.raises(ValueError):
+        t.append(spark.createDataFrame([("s", 1)], "id STRING, n INT"),
+                 merge_schema=True)
+    # plain append still refuses nothing but writes as-is (unchanged path)
+    assert t.read(version=v0).columns == ["id", "n"]
