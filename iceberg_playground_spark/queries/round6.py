@@ -455,6 +455,112 @@ def b116_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b117 — XML decode (the third semi-structured face)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b117_xml_decode",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def b117_xml_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """B117: XML decode — Spark 4's native XML support closes the
+    semi-structured trio next to JSON (b03/b47) and VARIANT (b100):
+    a reference user fed XML feeds gets the same schema-directed
+    decode contract as A12's JSON path. Events serialize to XML
+    per-row (``format_string``) and parse back with ``from_xml``
+    under an explicit schema; the aggregate proves lossless typed
+    round-trip (Java's double→string→double is exact, so value cents
+    match the source bit-for-bit). The file-source variant
+    (``spark.read.format("xml")``) is pinned in tests.
+
+    Scale shape: serialize + parse are narrow per-row JVM ops inside
+    the scan stage; the aggregate is the usual tiny-key hash agg."""
+    ev = load(spark, sf, "events")
+    xml = ev.select(
+        F.format_string(
+            "<e><id>%s</id><ty>%s</ty><v>%s</v></e>",
+            "event_id", "event_type", "value",
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml("x", "id BIGINT, ty STRING, v DOUBLE").alias("p")
+    ).select("p.*")
+    return (
+        parsed.groupBy(F.col("ty").alias("event_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(round(v * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("value_cents"),
+            F.max("id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b118 — in-pass observed metrics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b118_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_cents,
+           CAST(count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS BIGINT)
+             AS n_discounted
+    FROM lineitem
+    """,
+)
+def b118_observed_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """B118: in-pass observability — ``df.observe`` (the Observation
+    API) collects named aggregates DURING a query's own execution:
+    the data-quality counters an ingest pipeline wants (row count,
+    quantity mass, discounted-line count) cost ZERO extra scans,
+    unlike a monitoring query that re-reads the table (the reference
+    instruments its ingest stages the same way, with in-line timers —
+    bench-kafka.rs:42-173; A14). The observed values are returned as
+    a one-row DataFrame and hash-checked against a direct aggregate —
+    proving the side-channel sees every row exactly once.
+
+    Scale shape: observation metrics are accumulator-style partial
+    aggregates merged on the driver; the observed pass itself here is
+    a full materialization to the noop sink."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf, "lineitem")
+    obs = Observation("ingest_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CAST(round(l_quantity * 100) AS BIGINT)")).alias(
+            "qty_cents"
+        ),
+        F.count(F.when(F.col("l_discount") >= 0.05, 1)).alias(
+            "n_discounted"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["qty_cents"]), int(m["n_discounted"]))],
+        "n_rows BIGINT, qty_cents BIGINT, n_discounted BIGINT",
+    )
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

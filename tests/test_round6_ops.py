@@ -335,3 +335,41 @@ def test_merge_schema_append_atomic_and_null_fill(spark, tmp_path):
                  merge_schema=True)
     # plain append still refuses nothing but writes as-is (unchanged path)
     assert t.read(version=v0).columns == ["id", "n"]
+
+
+# --- b117 XML / b118 observe ---------------------------------------------
+
+
+def test_xml_file_source_roundtrip(spark, tmp_path):
+    # the file-source half of b117: spark.read.format("xml") with a
+    # rowTag recovers typed rows from an XML document
+    p = tmp_path / "r.xml"
+    p.write_text(
+        "<rows>"
+        + "".join(
+            f"<row><k>{i}</k><name>n{i}</name></row>" for i in range(5)
+        )
+        + "</rows>"
+    )
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema("k INT, name STRING")
+        .load(str(tmp_path))
+    )
+    assert sorted((r["k"], r["name"]) for r in df.collect()) == [
+        (i, f"n{i}") for i in range(5)
+    ]
+
+
+def test_observe_sees_every_row_once(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+    from iceberg_playground_spark.session import load
+
+    li = load(spark, SF_CHECK, "lineitem")
+    obs = Observation()
+    li.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    assert obs.get["n"] == li.count()
