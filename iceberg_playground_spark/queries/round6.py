@@ -561,6 +561,100 @@ def b118_observed_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b119 — SQL pipe syntax
+# ---------------------------------------------------------------------------
+
+_PIPE_ORACLE = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS base_price
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND l_quantity >= 10
+    GROUP BY l_returnflag
+    HAVING count(*) > 10
+    ORDER BY l_returnflag
+"""
+
+
+@query("b119_pipe_sql", oracle=_PIPE_ORACLE)
+def b119_pipe_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """B119: SQL pipe syntax — Spark 4's ``|>`` operators express the
+    same logical plan as nested SELECTs in data-flow order (the way
+    an analyst reads it: source, filter, aggregate, filter again,
+    order). The oracle is the classic GROUP BY/HAVING formulation —
+    hash-matching proves pipes are pure surface syntax over the same
+    Catalyst plan, with the filters still pushed into the scan.
+
+    Scale shape: identical to b27's filtered aggregate after
+    parsing; nothing new executes."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+                 AND l_quantity >= 10
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                          AS DOUBLE) AS base_price
+           GROUP BY l_returnflag
+        |> WHERE n_lines > 10
+        |> SELECT l_returnflag, n_lines, base_price
+        |> ORDER BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# b120 — parameterized SQL
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b120_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_totalprice >= 100000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def b120_parameterized_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """B120: parameterized SQL — named parameter markers
+    (``:status``, ``:floor``) bound via ``spark.sql(query, args=…)``,
+    the injection-safe templating a reference user's dashboards and
+    services need (values bind as typed literals in the plan, never
+    string-spliced — a status of ``'; DROP TABLE`` binds as data).
+    The oracle inlines the same constants; hash-matching proves
+    binding is semantically identical to literal text, including the
+    pushed scan filters.
+
+    Scale shape: parameters fold to literals before optimization —
+    pushdown/pruning see exactly the literal plan."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        WHERE o_orderstatus = :status
+          AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"status": "O", "floor": 100000.0},
+    )
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

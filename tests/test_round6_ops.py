@@ -373,3 +373,18 @@ def test_observe_sees_every_row_once(spark):
         "noop"
     ).mode("overwrite").save()
     assert obs.get["n"] == li.count()
+
+
+# --- b119 pipe SQL / b120 parameterized SQL -------------------------------
+
+
+def test_pipe_sql_pushes_filters(spark):
+    plan = _plan(spark, "b119_pipe_sql")
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan
+
+
+def test_parameterized_sql_binds_as_literals(spark):
+    # bound parameters must reach the scan as ordinary pushed literals
+    plan = _plan(spark, "b120_parameterized_sql")
+    assert "EqualTo(o_orderstatus,O)" in plan
+    assert "GreaterThanOrEqual(o_totalprice,100000.0)" in plan
