@@ -655,6 +655,175 @@ def b120_parameterized_sql(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b121 — regression aggregates from exact integer moments
+# ---------------------------------------------------------------------------
+
+# Least-squares slope/intercept of extendedprice (cents) on quantity,
+# per returnflag, from INTEGER moment sums: Sx, Sy, Sxy, Sxx are exact
+# BIGINT aggregates (associative — shuffle-order-proof), and every
+# value stays under 2^53 at bench scale, so the final double formula
+# is a fixed sequence of exactly-representable operands in both
+# engines. The native regr_slope/regr_intercept would accumulate
+# DOUBLES whose partial-sum order varies per shuffle — never
+# hash-matchable; the moment form is the deterministic equivalent.
+_REGR_SQL = """
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_lines,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS slope_cents_per_qty,
+           (CAST(sy AS DOUBLE)
+             - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept_cents
+    FROM (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    ) m
+    ORDER BY l_returnflag
+"""
+
+
+@query("b121_regression_agg", oracle=_REGR_SQL)
+def b121_regression_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """B121: regression aggregates (the regr_slope/regr_intercept
+    family, SURVEY B28's statistical pack extended) — least-squares
+    fit of line price on quantity per returnflag, computed from exact
+    integer MOMENT sums rather than the native float-accumulating
+    aggregates (whose partial-sum order varies per shuffle and can
+    never hash-match). Same text, two engines.
+
+    Scale shape: one partial+final integer hash agg — the cheapest
+    possible statistics pass. At 1e12-row scale the cent moments
+    outgrow 2^53 and the sums would move to DECIMAL with a scale-0
+    rescale before the double cast (_util's boundary rule); the
+    moment formulation itself is unchanged."""
+    register_views(spark, sf)
+    return spark.sql(_REGR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# b122 — error-safe arithmetic under ANSI mode
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b122_try_arithmetic",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(CASE WHEN l_tax = 0 THEN 1 END) AS BIGINT)
+             AS n_div_null,
+           CAST(sum(CASE WHEN l_tax = 0 THEN NULL
+                    ELSE CAST(floor(l_extendedprice / l_tax) AS BIGINT)
+                    END) AS BIGINT) AS ratio_floor_sum,
+           CAST(count(TRY_CAST(CASE WHEN l_quantity < 10
+                      THEN '#' || CAST(CAST(round(l_quantity) AS INT)
+                                       AS VARCHAR)
+                      ELSE CAST(CAST(round(l_quantity) AS INT)
+                                AS VARCHAR) END AS INT)) AS BIGINT)
+             AS n_cast_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def b122_try_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    """B122: error-safe arithmetic — this session runs Spark 4's
+    DEFAULT ANSI mode, where a plain division by zero or bad cast
+    ABORTS the query; ``try_divide``/``try_cast`` are the sanctioned
+    per-row escape: NULL for the poisoned row, the query survives
+    (the ingest reality: one malformed record must not kill a 100 TB
+    pass — the same philosophy as A12's coerce-to-null rule for
+    wrong-typed JSON fields). The oracle spells the same semantics
+    with guards (CASE WHEN divisor=0 / TRY_CAST), hash-matching the
+    NULL placement and the surviving values.
+
+    Scale shape: per-row expressions inside the scan stage feeding a
+    tiny-key aggregate; zero extra cost over the unguarded form."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(CASE WHEN try_divide(l_extendedprice, l_tax)
+                          IS NULL THEN 1 END) AS BIGINT) AS n_div_null,
+               CAST(sum(CAST(floor(try_divide(l_extendedprice, l_tax))
+                             AS BIGINT)) AS BIGINT) AS ratio_floor_sum,
+               CAST(count(try_cast(CASE WHEN l_quantity < 10
+                          THEN '#' || CAST(CAST(round(l_quantity) AS INT)
+                                           AS STRING)
+                          ELSE CAST(CAST(round(l_quantity) AS INT)
+                                    AS STRING) END AS INT)) AS BIGINT)
+                 AS n_cast_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# b123 — exact distinct via bitmap aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b123_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def b123_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """B123: EXACT distinct counting via bitmap aggregation — the
+    third member of the distinct-count triangle: b22's
+    count(distinct) shuffles every distinct VALUE, c34/b23's sketches
+    are approximate; bitmaps are exact AND mergeable. Keys partition
+    into 32k-bit buckets (``bitmap_bucket_number``), each bucket
+    aggregates to a fixed 4 KB bitmap (``bitmap_construct_agg``), and
+    counts sum — at 100 TB the shuffle moves only bucket bitmaps
+    (|key-space|/32768 rows of 4 KB), never the values, and partial
+    bitmaps OR together map-side. Hash-matched against the plain
+    count(distinct).
+
+    (The same bitmaps stored per partition would make the count
+    incrementally maintainable — ``bitmap_or_agg`` merges them — the
+    exact analogue of c34's sketch rollup.)"""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(cnt) AS BIGINT) AS n_distinct_parts
+        FROM (
+          SELECT l_returnflag,
+                 bitmap_count(bitmap_construct_agg(
+                   bitmap_bit_position(l_partkey))) AS cnt
+          FROM lineitem
+          GROUP BY l_returnflag, bitmap_bucket_number(l_partkey)
+        ) buckets
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

@@ -388,3 +388,46 @@ def test_parameterized_sql_binds_as_literals(spark):
     plan = _plan(spark, "b120_parameterized_sql")
     assert "EqualTo(o_orderstatus,O)" in plan
     assert "GreaterThanOrEqual(o_totalprice,100000.0)" in plan
+
+
+# --- b121/b122/b123 -------------------------------------------------------
+
+
+def test_regression_slope_is_sane(spark):
+    # price and quantity are independent in the generator, so the
+    # fitted slope must be near zero relative to the intercept (mean
+    # price level); n must cover the whole table
+    rows = registry.QUERIES["b121_regression_agg"](spark, SF_CHECK).collect()
+    from iceberg_playground_spark.session import load
+
+    assert sum(r["n_lines"] for r in rows) == load(
+        spark, SF_CHECK, "lineitem"
+    ).count()
+    for r in rows:
+        assert abs(r["slope_cents_per_qty"]) < 0.05 * r["intercept_cents"]
+
+
+def test_try_arithmetic_null_placement(spark):
+    rows = registry.QUERIES["b122_try_arithmetic"](spark, SF_CHECK).collect()
+    for r in rows:
+        assert r["n_div_null"] >= 0 and r["n_cast_ok"] < r["n_lines"]
+
+
+def test_bitmap_distinct_equals_naive(spark):
+    from iceberg_playground_spark.session import load
+    import pyspark.sql.functions as F
+
+    got = {
+        r["l_returnflag"]: r["n_distinct_parts"]
+        for r in registry.QUERIES["b123_bitmap_distinct"](
+            spark, SF_CHECK
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: r["n"]
+        for r in load(spark, SF_CHECK, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert got == want
