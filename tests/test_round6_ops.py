@@ -431,3 +431,74 @@ def test_bitmap_distinct_equals_naive(spark):
         .collect()
     }
     assert got == want
+
+
+# --- RocksDB state store -------------------------------------------------
+
+
+def test_stateful_agg_on_rocksdb_state_store(spark, tmp_path):
+    # the large-state scale path: RocksDB-backed state keeps streaming
+    # aggregation state off-heap (100 TB streams outgrow the in-memory
+    # HDFS-backed provider). Same drained result as batch GROUP BY.
+    from iceberg_playground_spark.queries.streaming import _stream_events
+    from iceberg_playground_spark.session import load
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = _stream_events(spark, SF_CHECK)
+        agg = ev.groupBy("event_type").count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rocks_agg")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["event_type"]: r["count"]
+            for r in spark.sql("SELECT * FROM rocks_agg").collect()
+        }
+        want = {
+            r["event_type"]: r["n"]
+            for r in load(spark, SF_CHECK, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want and len(got) >= 3
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+# --- plan pins for round-6 ops -------------------------------------------
+
+
+def test_c35_no_cartesian_and_bounded_scans(spark):
+    plan = _plan(spark, "c35_temperature_mix")
+    assert "CartesianProduct" not in plan
+    # corpus is read at most twice (counts pass + replica pass); the
+    # tiny rates frame joins broadcast
+    assert plan.count("Scan parquet") <= 3
+    assert "BroadcastExchange" in plan
+
+
+def test_b123_aggregates_bitmaps_not_values(spark):
+    # the exchange must move bitmaps, not key values: a map-side
+    # PARTIAL bitmap aggregate runs below the shuffle (bitmap buffers
+    # lower to SortAggregate — binary buffers can't hash-agg), with
+    # the bucket-count sum stacked above
+    plan = _plan(spark, "b123_bitmap_distinct")
+    assert "partial_bitmap_construct_agg" in plan
+    assert "bitmap_construct_agg" in plan
+    assert plan.count("HashAggregate") >= 2  # the count-sum level
