@@ -824,6 +824,127 @@ def b123_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p15 — sequence packing with document span maps
+# ---------------------------------------------------------------------------
+
+_P15_CTX = 512
+_P15_SHARDS = 8
+
+_P15_ORACLE = f"""
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST({bucket_sql('doc_id')} % {_P15_SHARDS} AS INT) AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT lang, shard, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev
+      FROM t),
+    s AS (
+      SELECT lang, shard,
+             CAST(floor(prev / {_P15_CTX}.0) AS BIGINT) AS pack_id,
+             doc_id, n_tokens,
+             CAST(prev - floor(prev / {_P15_CTX}.0) * {_P15_CTX}
+                  AS BIGINT) AS start
+      FROM c)
+    SELECT lang, shard, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(sum(CASE WHEN start + n_tokens > {_P15_CTX}
+                    THEN start + n_tokens - {_P15_CTX} ELSE 0 END)
+                AS BIGINT) AS spill_tokens,
+           string_agg(lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                      || ':' || CAST(start AS VARCHAR)
+                      || '+' || CAST(n_tokens AS VARCHAR),
+                      ' ' ORDER BY doc_id) AS spans
+    FROM s GROUP BY lang, shard, pack_id
+    ORDER BY lang, shard, pack_id
+"""
+
+
+@query("p15_packing_spans", oracle=_P15_ORACLE)
+def p15_packing_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """P15: sequence packing WITH span maps — c19 reports pack sizes;
+    training additionally needs, per context window, exactly WHERE
+    each document sits (the attention-mask boundaries that stop
+    cross-document attention, and the spill amount when a doc crosses
+    into the next window). Spans serialize as
+    ``docid:start+len`` (doc_id zero-padded so lexicographic sort ==
+    numeric order — arrays can't cross the driver comparator).
+
+    Scale shape: identical to c19 — ONE shuffle on the (lang, shard)
+    window key (the hash shard bounds partitions under language
+    skew), then per-row arithmetic; the span concat rides the SAME
+    grouped exchange as the counts."""
+    d = load(spark, sf, "documents")
+    t = d.select(
+        "lang",
+        (hash_bucket(F.col("doc_id")) % _P15_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    s = c.select(
+        "lang",
+        "shard",
+        F.floor(F.col("prev") / F.lit(float(_P15_CTX)))
+        .cast("bigint")
+        .alias("pack_id"),
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("prev")
+            - F.floor(F.col("prev") / F.lit(float(_P15_CTX)))
+            * _P15_CTX
+        )
+        .cast("bigint")
+        .alias("start"),
+    )
+    span = F.concat_ws(
+        "",
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.lit(":"),
+        F.col("start").cast("string"),
+        F.lit("+"),
+        F.col("n_tokens").cast("string"),
+    )
+    return (
+        s.withColumn("span", span)
+        .groupBy("lang", "shard", "pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.col("start") + F.col("n_tokens") - _P15_CTX,
+                )
+            )
+            .cast("bigint")
+            .alias("spill_tokens"),
+            F.concat_ws(" ", F.array_sort(F.collect_list("span"))).alias(
+                "spans"
+            ),
+        )
+        .orderBy("lang", "shard", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

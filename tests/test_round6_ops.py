@@ -502,3 +502,31 @@ def test_b123_aggregates_bitmaps_not_values(spark):
     assert "partial_bitmap_construct_agg" in plan
     assert "bitmap_construct_agg" in plan
     assert plan.count("HashAggregate") >= 2  # the count-sum level
+
+
+# --- p15 packing spans ---------------------------------------------------
+
+
+def test_p15_spans_reconstruct_packs(spark):
+    rows = registry.QUERIES["p15_packing_spans"](spark, SF_CHECK).collect()
+    c19 = {
+        (r["lang"], r["shard"], r["pack_id"]): (r["n_docs"], r["pack_tokens"])
+        for r in registry.QUERIES["c19_sequence_packing"](
+            spark, SF_CHECK
+        ).collect()
+    }
+    for r in rows:
+        spans = r["spans"].split(" ")
+        assert len(spans) == r["n_docs"]
+        tok_sum = spill = 0
+        for sp in spans:
+            doc, rest = sp.split(":")
+            start, ln = map(int, rest.split("+"))
+            assert 0 <= start < 512  # every doc STARTS inside its window
+            tok_sum += ln
+            spill += max(0, start + ln - 512)
+        assert tok_sum == r["pack_tokens"]
+        assert spill == r["spill_tokens"]
+        # agrees with c19's packing (same order, same shards, same cuts)
+        assert c19[(r["lang"], r["shard"], r["pack_id"])] == (
+            r["n_docs"], r["pack_tokens"])
