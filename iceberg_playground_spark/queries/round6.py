@@ -945,6 +945,112 @@ def p15_packing_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b124 — LOCF forward fill (ignore-nulls windows)
+# ---------------------------------------------------------------------------
+
+# Purchases carry a price, every other event reads the LAST purchase
+# price carried forward (last-observation-carried-forward — the
+# standard sensor/price-series densification). (ts, event_id) ordering
+# makes ties deterministic; cents floor keeps the aggregate
+# integer-exact. The ONLY divergence between the two texts is
+# IGNORE NULLS placement: Spark takes it as a second argument
+# (`last_value(x, true)`), DuckDB inside the parens per the standard.
+_LOCF_BODY = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(carried) AS BIGINT) AS n_with_price,
+           CAST(sum(CAST(floor(carried * 100) AS BIGINT)) AS BIGINT)
+             AS carried_cents
+    FROM (
+      SELECT event_type,
+             last_value({ignore_nulls}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS carried
+      FROM events
+    ) filled
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+_LOCF_CASE = "CASE WHEN event_type = 'purchase' THEN value END"
+_LOCF_SQL_SPARK = _LOCF_BODY.format(ignore_nulls=_LOCF_CASE + ", true")
+_LOCF_SQL_DUCK = _LOCF_BODY.format(ignore_nulls=_LOCF_CASE + " IGNORE NULLS")
+
+
+@query("b124_locf_fill", oracle=_LOCF_SQL_DUCK)
+def b124_locf_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """B124: forward fill (LOCF) via IGNORE NULLS windows — every
+    event reads the latest purchase price at-or-before it, carried
+    forward per user (the sparse→dense move for sensor readings,
+    prices, config states; b80's gap fill densifies the TIME axis,
+    this densifies the VALUE axis). ``last_value(... IGNORE NULLS)``
+    with a running frame is the engine-native form — no self-join, no
+    explode; events before a user's first purchase stay NULL and are
+    counted. One shared text except IGNORE NULLS placement (Spark
+    argument form vs the standard's in-parens form).
+
+    Scale shape: one shuffle on user_id serves the window; the frame
+    is running (state = one value), never a re-scan of history."""
+    register_views(spark, sf)
+    return spark.sql(_LOCF_SQL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# b125 — SCD2 point-in-time lookup
+# ---------------------------------------------------------------------------
+
+# Dimension: each purchase opens a price-band validity interval
+# [ts, next purchase ts); facts (clicks/views) join the interval
+# ACTIVE at their event time — the slowly-changing-dimension Type 2
+# pattern every warehouse migration carries.
+_SCD2_SQL = """
+    WITH dim AS (
+      SELECT user_id,
+             CASE WHEN value < 30 THEN 'low'
+                  WHEN value < 70 THEN 'mid'
+                  ELSE 'high' END AS band,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'purchase'
+    ),
+    fact AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type IN ('click', 'view')
+    )
+    SELECT d.band,
+           CAST(count(*) AS BIGINT) AS n_facts,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
+    FROM fact f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    GROUP BY d.band
+    ORDER BY d.band
+"""
+
+
+@query("b125_scd2_lookup", oracle=_SCD2_SQL)
+def b125_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """B125: slowly-changing-dimension (Type 2) point-in-time lookup —
+    the dimension's validity intervals are BUILT with a lead() window
+    (each purchase opens a price-band version, closed by the user's
+    next purchase) and facts join the version active at their event
+    time. The as-of join (b19) returns the latest row at-or-before t;
+    SCD2 additionally enforces the interval's END, so late facts
+    never bleed into a newer version. Same text, two engines.
+
+    Scale shape: the interval predicate rides an EQUI join on user_id
+    (one shuffle, sort-merge; never a cartesian) with the band check
+    as join residual — per-user interval counts are purchase counts,
+    so the residual is bounded. At 100 TB the dim side is the small
+    relation and broadcasts."""
+    register_views(spark, sf)
+    return spark.sql(_SCD2_SQL)
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

@@ -530,3 +530,39 @@ def test_p15_spans_reconstruct_packs(spark):
         # agrees with c19's packing (same order, same shards, same cuts)
         assert c19[(r["lang"], r["shard"], r["pack_id"])] == (
             r["n_docs"], r["pack_tokens"])
+
+
+# --- b124 LOCF / b125 SCD2 ------------------------------------------------
+
+
+def test_locf_purchase_rows_carry_own_price(spark):
+    rows = {r["event_type"]: r for r in registry.QUERIES["b124_locf_fill"](
+        spark, SF_CHECK).collect()}
+    # every purchase row has a price (its own); click/view inherit one
+    # unless they precede the user's first purchase
+    p = rows["purchase"]
+    assert p["n_with_price"] == p["n_events"]
+    for t in ("click", "view"):
+        assert 0 < rows[t]["n_with_price"] <= rows[t]["n_events"]
+
+
+def test_scd2_join_is_equi_not_cartesian(spark):
+    plan = _plan(spark, "b125_scd2_lookup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the user_id equi key anchors the join; interval bounds are residual
+    assert "user_id" in plan.split("Join")[1][:400]
+
+
+def test_scd2_versions_partition_time(spark):
+    # each fact matches AT MOST one dimension version (intervals are
+    # disjoint per user), so n_facts never exceeds the fact count
+    from iceberg_playground_spark.session import load
+
+    rows = registry.QUERIES["b125_scd2_lookup"](spark, SF_CHECK).collect()
+    n_facts = sum(r["n_facts"] for r in rows)
+    total = (
+        load(spark, SF_CHECK, "events")
+        .filter("event_type IN ('click','view')")
+        .count()
+    )
+    assert n_facts <= total
