@@ -1051,6 +1051,108 @@ def b125_scd2_lookup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b126 — incremental aggregate maintenance over the changelog
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b126_incremental_agg",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+                ELSE o_orderstatus END AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                    * CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END)
+                AS BIGINT) AS cents,
+           TRUE AS matches_full_recompute
+    FROM orders
+    WHERE NOT (o_orderkey % 10 <> 0 AND o_orderstatus = 'P')
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def b126_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """B126: incremental aggregate maintenance — a per-status
+    (count, cents) aggregate table kept current by applying the CDC
+    changelog's deltas (insert rows +, delete rows −) instead of
+    re-aggregating the table: materialized-view maintenance, the
+    consumption pattern b87's changelog exists FOR. The window covers
+    an upsert (whose delete+insert pair MOVES mass between groups
+    when the key's status changes) and a plain delete; the maintained
+    result is asserted equal to a full recompute at HEAD
+    (matches_full_recompute) and hash-checked against the oracle's
+    closed-form prediction.
+
+    Scale shape: the refresh reads ONLY the window's delta files and
+    key-sized delete joins (changelog cost), then a |groups|-row
+    outer-merge — at 100 TB a daily refresh touches the day's files,
+    never the table. Deletions can empty a group (n → 0 drops the
+    row), which a naive "add the new rows" refresh would miss."""
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "orders_ivm",
+            "o_orderkey BIGINT, status STRING, cents BIGINT",
+            drop_if_exists=True,
+        )
+        src = load(spark, sf, "orders").select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        t.append(src)  # v1: the base the aggregate was built from
+        t.upsert(  # v2: every %10 key re-lands as status X, doubled
+            src.filter("o_orderkey % 10 = 0").select(
+                "o_orderkey",
+                F.lit("X").alias("status"),
+                (F.col("cents") * 2).alias("cents"),
+            ),
+            ["o_orderkey"],
+        )
+        t.delete_where("status = 'P'", ["o_orderkey"])  # v3
+
+        base = t.read(version=1).groupBy("status").agg(
+            F.count("*").alias("n_orders"), F.sum("cents").alias("cents")
+        )
+        sign = F.when(F.col("change_type") == "insert", 1).otherwise(-1)
+        delta = (
+            t.changelog(1, 3)
+            .groupBy("status")
+            .agg(
+                F.sum(sign).alias("dn"),
+                F.sum(sign * F.col("cents")).alias("dcents"),
+            )
+        )
+        maintained = (
+            base.join(delta, "status", "full_outer")
+            .select(
+                "status",
+                (F.coalesce("n_orders", F.lit(0))
+                 + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+                (F.coalesce("cents", F.lit(0))
+                 + F.coalesce("dcents", F.lit(0))).alias("cents"),
+            )
+            .filter(F.col("n_orders") > 0)
+        )
+        recompute = t.read().groupBy("status").agg(
+            F.count("*").alias("n_orders"), F.sum("cents").alias("cents")
+        )
+        m_rows = sorted(map(tuple, maintained.collect()))
+        r_rows = sorted(map(tuple, recompute.collect()))
+        return t, m_rows, m_rows == r_rows
+
+    _, m_rows, matches = _built(spark, sf, "b126", build)
+    return spark.createDataFrame(
+        [(s, n, c, matches) for s, n, c in m_rows],
+        "status STRING, n_orders BIGINT, cents BIGINT, "
+        "matches_full_recompute BOOLEAN",
+    ).orderBy("status")
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

@@ -566,3 +566,17 @@ def test_scd2_versions_partition_time(spark):
         .count()
     )
     assert n_facts <= total
+
+
+# --- b126 incremental aggregate maintenance -------------------------------
+
+
+def test_incremental_agg_drops_emptied_group_and_matches(spark):
+    rows = registry.QUERIES["b126_incremental_agg"](spark, SF_CHECK).collect()
+    statuses = {r["status"] for r in rows}
+    # the delete emptied 'P' entirely (non-upserted P rows deleted,
+    # upserted ones moved to 'X'): the maintained view must DROP the
+    # group, not keep an n=0 row
+    assert "P" not in statuses and "X" in statuses
+    assert all(r["matches_full_recompute"] for r in rows)
+    assert all(r["n_orders"] > 0 for r in rows)
