@@ -1153,6 +1153,74 @@ def b126_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b127 / b128 — analyst-ergonomics SQL surface
+# ---------------------------------------------------------------------------
+
+_GBA_SQL = """
+    SELECT l_returnflag,
+           CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(6,4)))
+                AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) < DATE '1999-01-01'
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query("b127_group_by_all", oracle=_GBA_SQL)
+def b127_group_by_all(spark: SparkSession, sf: str) -> DataFrame:
+    """B127: GROUP BY ALL / ORDER BY ALL — the analyst shorthand both
+    modern engines converged on (every non-aggregate select item
+    groups; every output column orders). Hash-matching the same text
+    proves both engines infer the SAME grouping set — a silent
+    divergence here would corrupt every dashboard using the shorthand.
+
+    Scale shape: resolves at parse time to the explicit b21-family
+    aggregate; nothing new executes."""
+    register_views(spark, sf)
+    return spark.sql(_GBA_SQL)
+
+
+_LCA_SQL = """
+    SELECT l_returnflag,
+           CAST(CAST(sum(disc_price) AS DECIMAL(30,4)) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(CAST(sum(charge) AS DECIMAL(30,6)) AS DOUBLE)
+             AS sum_charge,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS disc_price,
+             disc_price
+               * CAST(1 + CAST(l_tax AS DECIMAL(5,4)) AS DECIMAL(6,4))
+               AS charge
+      FROM lineitem
+    ) t
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("b128_lateral_alias", oracle=_LCA_SQL)
+def b128_lateral_alias(spark: SparkSession, sf: str) -> DataFrame:
+    """B128: lateral column aliases — ``charge`` is defined in terms
+    of ``disc_price`` IN THE SAME select list (no repeated expression,
+    no extra subquery level in the user's mental model); b21 writes
+    the same arithmetic fully expanded. Hash-matching the same text
+    proves both engines resolve the alias chain to identical decimal
+    expressions, rounding rules included.
+
+    Scale shape: aliases inline during analysis; the plan is b21's
+    partial+final aggregate exactly."""
+    register_views(spark, sf)
+    return spark.sql(_LCA_SQL)
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 
