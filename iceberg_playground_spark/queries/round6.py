@@ -1221,6 +1221,148 @@ def b128_lateral_alias(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p16 — dataset card
+# ---------------------------------------------------------------------------
+
+_SH_SQL_P16 = """list_distinct(list_transform(
+      range(1, len(string_split(text, ' ')) - 1),
+      i -> string_split(text, ' ')[i] || ' ' ||
+           string_split(text, ' ')[i+1] || ' ' ||
+           string_split(text, ' ')[i+2]))"""
+
+_CARD_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN {bucket_sql('doc_id')} < 90 THEN 'train'
+                  WHEN {bucket_sql('doc_id')} < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             md5(text) AS exact_key,
+             list_aggregate(list_transform({_SH_SQL_P16},
+                            x -> md5(x)), 'min') AS fp
+      FROM documents
+    )
+    SELECT 'docs' AS metric, '__corpus__' AS scope,
+           CAST(count(*) AS BIGINT) AS value FROM d
+    UNION ALL
+    SELECT 'langs', '__corpus__', CAST(count(DISTINCT lang) AS BIGINT)
+    FROM d
+    UNION ALL
+    SELECT 'exact_dup_docs', '__corpus__',
+           CAST(COALESCE(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM d GROUP BY exact_key) g
+    WHERE n > 1
+    UNION ALL
+    SELECT 'fingerprint_dup_docs', '__corpus__',
+           CAST(COALESCE(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM d GROUP BY fp) g WHERE n > 1
+    UNION ALL
+    SELECT 'docs', split, CAST(count(*) AS BIGINT) FROM d GROUP BY split
+    UNION ALL
+    SELECT 'chars', split, CAST(sum(n_chars) AS BIGINT)
+    FROM d GROUP BY split
+    UNION ALL
+    SELECT 'docs', lang, CAST(count(*) AS BIGINT) FROM d GROUP BY lang
+    ORDER BY metric, scope
+"""
+
+
+@query("p16_dataset_card", oracle=_CARD_ORACLE)
+def p16_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """P16: dataset card — the summary every shipped training corpus
+    carries, as ONE long-format relation (metric, scope, value):
+    corpus totals, language census, per-split (c17's hash split)
+    doc/char budgets, and the duplicate mass at both dedup levels
+    (exact content hash vs c14 fingerprints — the fingerprint number
+    exceeding the exact one is the near-dup tail p13 histograms).
+    All-integer values hash-match the oracle exactly.
+
+    Scale shape: ONE text scan builds the enriched doc frame
+    (lazily checkpointed so seven aggregates don't re-shingle);
+    every aggregate is key-bounded (splits, langs, digest groups).
+    On a cluster the checkpoint becomes a staging table and the card
+    recomputes only on ingest (or maintains via b126's deltas)."""
+    d = load(spark, sf, "documents")
+    from iceberg_playground_spark.queries.llm import _shingles
+
+    bucket = hash_bucket(F.col("doc_id"))
+    enriched = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.md5("text").alias("exact_key"),
+        F.array_min(
+            F.transform(_shingles(F.split("text", " ")), F.md5)
+        ).alias("fp"),
+    ).localCheckpoint(eager=False)
+
+    def dup_mass(key: str):
+        return (
+            enriched.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
+                .cast("bigint")
+                .alias("value")
+            )
+        )
+
+    parts = [
+        enriched.agg(F.count("*").cast("bigint").alias("value")).select(
+            F.lit("docs").alias("metric"),
+            F.lit("__corpus__").alias("scope"),
+            "value",
+        ),
+        enriched.agg(
+            F.count_distinct("lang").cast("bigint").alias("value")
+        ).select(
+            F.lit("langs").alias("metric"),
+            F.lit("__corpus__").alias("scope"),
+            "value",
+        ),
+        dup_mass("exact_key").select(
+            F.lit("exact_dup_docs").alias("metric"),
+            F.lit("__corpus__").alias("scope"),
+            "value",
+        ),
+        dup_mass("fp").select(
+            F.lit("fingerprint_dup_docs").alias("metric"),
+            F.lit("__corpus__").alias("scope"),
+            "value",
+        ),
+        enriched.groupBy("split")
+        .agg(F.count("*").cast("bigint").alias("value"))
+        .select(
+            F.lit("docs").alias("metric"),
+            F.col("split").alias("scope"),
+            "value",
+        ),
+        enriched.groupBy("split")
+        .agg(F.sum("n_chars").cast("bigint").alias("value"))
+        .select(
+            F.lit("chars").alias("metric"),
+            F.col("split").alias("scope"),
+            "value",
+        ),
+        enriched.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("value"))
+        .select(
+            F.lit("docs").alias("metric"),
+            F.col("lang").alias("scope"),
+            "value",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("metric", "scope")
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

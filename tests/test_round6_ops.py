@@ -580,3 +580,24 @@ def test_incremental_agg_drops_emptied_group_and_matches(spark):
     assert "P" not in statuses and "X" in statuses
     assert all(r["matches_full_recompute"] for r in rows)
     assert all(r["n_orders"] > 0 for r in rows)
+
+
+# --- p16 dataset card ----------------------------------------------------
+
+
+def test_dataset_card_internally_consistent(spark):
+    rows = registry.QUERIES["p16_dataset_card"](spark, SF_CHECK).collect()
+    card = {(r["metric"], r["scope"]): r["value"] for r in rows}
+    total = card[("docs", "__corpus__")]
+    # split docs partition the corpus; lang docs partition it too
+    assert sum(card[("docs", s)] for s in ("train", "val", "test")) == total
+    langs = [k[1] for k in card if k[0] == "docs"
+             and k[1] not in ("__corpus__", "train", "val", "test")]
+    assert sum(card[("docs", l)] for l in langs) == total
+    assert card[("langs", "__corpus__")] == len(langs)
+    # near-dup mass can only exceed exact-dup mass; this corpus is
+    # near-dup-dominated (p13's finding: a fingerprint tail where
+    # exact hashing sees nothing)
+    assert (card[("fingerprint_dup_docs", "__corpus__")]
+            >= card[("exact_dup_docs", "__corpus__")] >= 0)
+    assert card[("fingerprint_dup_docs", "__corpus__")] > 0
