@@ -123,6 +123,7 @@ _R6_NEW = [
     # is the weak rows-run either way, so if the ~50 budget cuts
     # anywhere, it cuts where grading adds least.
     "c34_hll_rollup",
+    "c36_product_quantization",
 ]
 # Behavior-changed in round 5 (the transform-lambda arity fix made
 # c02/c24's 16 MinHash permutations real instead of index-degenerate),
@@ -179,9 +180,9 @@ def load_all() -> None:
     queries) + _R5_NEW (the 25 round-5 additions — ALL still
     ungraded: round 5's driver sweep produced no CORRECTNESS_r05) +
     _R6_NEW (the late-round-5 b104/b105 plus round-6's tpch Q7-Q19
-    pack, round6.py's b111-b128/p15-p16/c34/c35 — 29 entries, hash-oracle
+    pack, round6.py's b111-b128/p15-p16/c34-c36 — 30 entries, hash-oracle
     ones first) + _R5_CHANGED (c02/c24, behavior-changed in round 5,
-    never re-graded; rows-only, so they close the 67-entry prefix
+    never re-graded; rows-only, so they close the 68-entry prefix
     where a hard 50-slot cutoff costs least). _R5_TOUCHED
     (output-identical r5 shape changes, r4-graded green) and
     _R2_ROTATION (byte-stable r2 greens) follow immediately after as

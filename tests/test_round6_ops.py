@@ -601,3 +601,23 @@ def test_dataset_card_internally_consistent(spark):
     assert (card[("fingerprint_dup_docs", "__corpus__")]
             >= card[("exact_dup_docs", "__corpus__")] >= 0)
     assert card[("fingerprint_dup_docs", "__corpus__")] > 0
+
+
+# --- c36 product quantization --------------------------------------------
+
+
+def test_pq_contract(spark):
+    rows = registry.QUERIES["c36_product_quantization"](
+        spark, SF_CHECK
+    ).collect()
+    assert len(rows) == 10
+    by_rank = {r["rank"]: r for r in rows}
+    # the probe's own vector (exact distance 0) must survive
+    # quantization to rank 1 on both sides
+    assert by_rank[1]["pq_pick"] == 0 and by_rank[1]["exact_pick"] == 0
+    assert by_rank[1]["hit"]
+    # k-means trained: inertia strictly dropped from the seeded init
+    r0 = rows[0]
+    assert r0["inertia_final_micro"] < r0["inertia_init_micro"]
+    assert r0["recall_hits_at_10"] >= 1
+    assert r0["recall_hits_at_10"] == sum(1 for r in rows if r["hit"])
