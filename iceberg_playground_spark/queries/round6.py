@@ -1549,6 +1549,69 @@ def c36_product_quantization(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b129 — CTAS / RTAS
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b129_ctas_rtas",
+    oracle="""
+    SELECT r_name, CAST(r_regionkey * r_regionkey AS BIGINT) AS key_sq,
+           TRUE AS history_kept, TRUE AS old_schema_replays
+    FROM region
+    """,
+)
+def b129_ctas_rtas(spark: SparkSession, sf: str) -> DataFrame:
+    """B129: CREATE TABLE AS SELECT + REPLACE TABLE AS SELECT — the
+    table-from-query lifecycle a SQL user runs daily. CTAS derives
+    the schema from the query and lands creation + first snapshot
+    together; RTAS swaps content AND schema in ONE atomic commit
+    while KEEPING history (the old version still reads under its own
+    schema — history_kept / old_schema_replays are computed, not
+    assumed), which is what separates Iceberg's REPLACE TABLE from a
+    drop-and-recreate that orphans every snapshot. The changelog
+    renders the swap as full-delete + full-insert (pinned in tests),
+    so CDC consumers see data change, never a table identity change.
+
+    Scale shape: CTAS is an ordinary parallel append; RTAS is one
+    replace commit (the compaction machinery) — metadata swap plus
+    the new content's write, nothing rewritten twice."""
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        region = load(spark, sf, "region")
+        t = cat.create_table_as(
+            "demo", "ctas_t",
+            region.select(
+                "r_regionkey", "r_name",
+                F.length("r_name").cast("int").alias("name_len"),
+            ),
+            drop_if_exists=True,
+        )
+        v1 = t.current_version()
+        t.replace_as(
+            region.select(
+                "r_name",
+                (F.col("r_regionkey") * F.col("r_regionkey"))
+                .cast("bigint")
+                .alias("key_sq"),
+            )
+        )
+        old = t.read(version=v1)
+        history_kept = old.count() == 5
+        old_schema = old.columns == ["r_regionkey", "r_name", "name_len"]
+        return t, history_kept, old_schema
+
+    t, history_kept, old_schema = _built(spark, sf, "b129", build)
+    return t.read().select(
+        "r_name",
+        "key_sq",
+        F.lit(history_kept).alias("history_kept"),
+        F.lit(old_schema).alias("old_schema_replays"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

@@ -178,6 +178,28 @@ class LakeCatalog:
             json.dump({"ddl": ddl, "partition_by": partition_by or []}, f)
         return LakeTable(self.spark, root)
 
+    def create_table_as(
+        self,
+        ns: str,
+        name: str,
+        df: DataFrame,
+        drop_if_exists: bool = False,
+        partition_by: list[str] | None = None,
+    ) -> "LakeTable":
+        """CTAS: schema from the query's result, creation and first
+        snapshot in one call (CREATE TABLE ... AS SELECT). The first
+        append is an ordinary v1 snapshot, so every table API
+        (time travel, changelog, maintenance) applies from birth."""
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        )
+        t = self.create_table(
+            ns, name, ddl, drop_if_exists, partition_by
+        )
+        t.append(df)
+        return t
+
     def drop_table(self, ns: str, name: str) -> None:
         import shutil
 
@@ -1235,6 +1257,46 @@ class LakeTable:
             {"operation": "merge"},
         )
 
+    def replace_as(self, df: DataFrame) -> int:
+        """RTAS: REPLACE TABLE ... AS SELECT — the table's content AND
+        schema swap to the query's result in ONE snapshot, while
+        history stays: every prior version remains time-travelable
+        under its own schema (Iceberg's REPLACE TABLE keeps snapshots
+        exactly this way; DROP+CREATE would orphan them). The commit
+        is a replace pinned to the HEAD it read (CommitConflict on a
+        race, the rewrite rule), and the changelog emits the swap as
+        full-delete + full-insert so CDC consumers see it as data,
+        not as a new table.
+
+        The partition spec survives only if the new schema still
+        carries every spec column; otherwise the caller must evolve
+        the spec first (same rule as rename/widen on spec columns)."""
+        new_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        )
+        new_cols = {f.name for f in df.schema.fields}
+        missing = [c for c in self.partition_by if c not in new_cols]
+        if missing:
+            raise ValueError(
+                f"replace_as drops partition column(s) {missing}: "
+                "evolve the spec first"
+            )
+        head = self.current_version()
+        staged = self.stage_append(df)
+        v = self._commit(
+            [staged],
+            [],
+            {"operation": "replace-table"},
+            replace=True,
+            base=head,
+            ddl=new_ddl,
+        )
+        if new_ddl != self.ddl:
+            self.ddl = new_ddl
+            self._write_meta()
+        return v
+
     def rollback(self, version: int) -> int:
         """Roll the table back to an earlier snapshot (Iceberg's
         rollback_to_snapshot): commits a NEW snapshot whose file
@@ -1638,12 +1700,18 @@ class LakeTable:
                     v,
                 )
             )
-            if snap["summary"].get("operation") == "delete-aligned":
-                # a metadata delete drops whole files with no delete
-                # file to join — recover their rows by diffing the
-                # live-file sets against v-1 and reading exactly the
-                # removed files (the residual boundary rows surface
-                # through the ordinary positional-delete branch below)
+            if snap["summary"].get("operation") in (
+                "delete-aligned",
+                "replace-table",
+            ):
+                # these ops remove whole files with no delete file to
+                # join — recover their rows by diffing the live-file
+                # sets against v-1 and reading exactly the removed
+                # files (for delete-aligned the residual boundary rows
+                # surface through the ordinary positional-delete
+                # branch below; for replace-table the diff is the
+                # whole prior content, making the swap a full
+                # delete+insert in CDC terms)
                 prev_snap = self.snapshot(v - 1)
                 cur_live: dict[str, set] = {}
                 for f in snap["data_files"]:

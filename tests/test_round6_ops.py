@@ -621,3 +621,41 @@ def test_pq_contract(spark):
     assert r0["inertia_final_micro"] < r0["inertia_init_micro"]
     assert r0["recall_hits_at_10"] >= 1
     assert r0["recall_hits_at_10"] == sum(1 for r in rows if r["hit"])
+
+
+# --- b129 CTAS / RTAS -----------------------------------------------------
+
+
+def test_rtas_keeps_history_and_changelog_shows_swap(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table_as(
+        "ns", "ct",
+        spark.createDataFrame([(1, "a"), (2, "b")], "id INT, tag STRING"),
+    )
+    v1 = t.current_version()
+    v2 = t.replace_as(
+        spark.createDataFrame([(10, 3.5)], "k BIGINT, score DOUBLE")
+    )
+    # new shape at HEAD; old snapshot reads under its own schema
+    assert t.read().columns == ["k", "score"]
+    assert sorted(tuple(r) for r in t.read().collect()) == [(10, 3.5)]
+    assert t.read(version=v1).columns == ["id", "tag"]
+    assert t.read(version=v1).count() == 2
+    # the changelog renders the swap as full delete + full insert,
+    # conformed to the window-end schema (old columns vanish)
+    log = t.changelog(v1, v2).collect()
+    kinds = sorted((r["change_type"], r["k"]) for r in log)
+    assert kinds == [("delete", None), ("delete", None), ("insert", 10)]
+
+
+def test_rtas_refuses_to_drop_partition_column(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+    import pytest as _pytest
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("ns", "cp", "id INT, k STRING", partition_by=["k"])
+    t.append(spark.createDataFrame([(1, "x")], "id INT, k STRING"))
+    with _pytest.raises(ValueError):
+        t.replace_as(spark.createDataFrame([(2,)], "id INT"))
