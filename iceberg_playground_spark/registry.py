@@ -128,9 +128,9 @@ _R6_NEW = [
 ]
 # Behavior-changed in round 5 (the transform-lambda arity fix made
 # c02/c24's 16 MinHash permutations real instead of index-degenerate),
-# never re-graded since. Both are rows-only checks, so they sit at the
-# window's edge (slots 51-52): graded if the budget is loose, cheap to
-# lose if it is exactly 50 — their semantics are pinned locally by
+# never re-graded since. Both are rows-only checks, so they close the
+# never-graded prefix: graded if the budget is loose, cheap to lose
+# under a hard cutoff — their semantics are pinned locally by
 # test_round5_ops' permutation/calibration tests and c31's estimator.
 _R5_CHANGED = [
     "c02_minhash_lsh_dedup",
@@ -192,6 +192,13 @@ def load_all() -> None:
     Import order no longer doubles as grading order — the explicit
     lists do. A name listed but never registered fails loudly here
     (typo guard).
+
+    Round-7 note: with a hard 50-slot budget this round grades
+    through ~b117_xml_decode (slots 37-50 are b104-b117); the
+    round-6 tail — b118_observed_metrics through c36 plus c02/c24 —
+    would then still be ungraded and must LEAD the round-7 window,
+    followed by any round-7 additions, with the r2 rotation resuming
+    after (same composition rule as this round).
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
