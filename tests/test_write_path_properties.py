@@ -18,10 +18,17 @@ is equivalent to one append of everything staged on the branch.
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from iceberg_playground_spark.tables import LakeCatalog
+
+# one-off deep soak: HYPOTHESIS_SOAK=1 python -m pytest ...properties.py
+# (a profile would be overridden by the per-test @settings, so the
+# example budget is read directly)
+_MAX_EXAMPLES = 50 if os.environ.get("HYPOTHESIS_SOAK") else 12
 
 DDL = "name STRING, count INT"
 
@@ -54,6 +61,15 @@ _wap = st.lists(
     min_size=1,
     max_size=3,
 ).map(lambda rows: ("wap", rows))
+# metadata-aligned range delete: drops whole files when bounds prove
+# every row matches, positional residual for boundary files — the
+# observable semantics are exactly "remove every currently-visible row
+# with lo <= count <= hi" (later re-appends visible), which is what
+# the model encodes; the file-drop/residual SPLIT is what this op
+# fuzzes across every other operation.
+_rdelete = st.tuples(st.integers(0, 3), st.integers(0, 3)).map(
+    lambda b: ("rdelete", (min(b), max(b)))
+)
 # type widening (count int -> bigint) is value-preserving by the
 # promotion rule, so the model state is unchanged — what the op
 # fuzzes is that every OTHER op (deletes keyed before the widen,
@@ -63,8 +79,8 @@ _widen = st.just(("widen", None))
 
 _ops = st.lists(
     st.one_of(
-        _append, _append, _delete, _pdelete, _compact, _merge,
-        _rollback, _wap, _widen
+        _append, _append, _delete, _pdelete, _rdelete, _compact,
+        _merge, _rollback, _wap, _widen
     ),
     min_size=1,
     max_size=6,
@@ -82,6 +98,9 @@ def _model_apply(
         if any(n == arg for n, _, _ in state):
             return [r for r in state if r[0] != arg]
         return state
+    if op == "rdelete":
+        lo, hi = arg
+        return [r for r in state if not (lo <= r[1] <= hi)]
     if op == "compact":
         return [(n, c, seq) for n, c, _ in state]
     if op == "merge":
@@ -96,7 +115,7 @@ def _model_apply(
 
 
 @settings(
-    max_examples=12,
+    max_examples=_MAX_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -133,6 +152,8 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
                     "hb", spark.createDataFrame([row], t.ddl)
                 )
             v = t.fast_forward("hb")
+        elif op == "rdelete":
+            v, _summary = t.delete_range("count", arg[0], arg[1])
         elif op == "widen":
             if dict(t._ddl_fields(t.ddl))["count"] != "int":
                 continue  # already widened earlier in the sequence
