@@ -1612,6 +1612,107 @@ def b129_ctas_rtas(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b130 / b131 — join hints and cached scans
+# ---------------------------------------------------------------------------
+
+_HINTS_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("b130_join_hints", oracle=_HINTS_ORACLE)
+def b130_join_hints(spark: SparkSession, sf: str) -> DataFrame:
+    """B130: join strategy hints — the tuning surface users reach for
+    when statistics mislead the optimizer: ``/*+ SHUFFLE_MERGE */``
+    here forces a sort-merge join where AQE would otherwise pick a
+    broadcast (orders is under the threshold at test scale). The
+    oracle is the UNHINTED query — a hint must never change rows,
+    only the physical strategy (strategy change is pinned in tests,
+    row-identity is the hash-match). The other hints (BROADCAST,
+    SHUFFLE_HASH, SHUFFLE_REPLICATE_NL, REBALANCE) ride the same
+    grammar; tests pin BROADCAST and SHUFFLE_HASH too.
+
+    Scale shape: at 100 TB this is exactly the knob that matters —
+    a mis-broadcast OOMs every executor; the hint pins the safe
+    strategy while the fix lands."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT /*+ SHUFFLE_MERGE(orders) */ o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "b131_cached_scan",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty,
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_discount >= 0.05) AS BIGINT) AS n_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def b131_cached_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """B131: cached relations — ``df.cache()`` materializes the scan
+    into Spark's columnar in-memory store so EVERY consumer reads the
+    cache instead of re-scanning parquet (the interactive-notebook
+    workflow of the reference's bundled Jupyter service,
+    docker-compose.yml:58-66). Two aggregates consume the same cached
+    frame; results hash-match the uncached oracle (a cache must never
+    change values) and the plan's InMemoryTableScan is pinned in
+    tests. The cache is released before returning — a graded query
+    must not leak executor memory into the rest of the run.
+
+    Scale shape: caching trades memory for scan elimination —
+    worth it for a hot dimension or an iterated working set, never
+    for a single-pass 100 TB fact (storage-level spill makes it
+    disk-bound re-reads); the Iceberg-side equivalent for cold data
+    is b61's metadata skipping, which costs no memory."""
+    li = load(spark, sf, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount"
+    )
+    li = li.cache()
+    try:
+        n_disc = li.filter(F.col("l_discount") >= 0.05).count()
+        out = (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("bigint").alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .withColumn("n_discounted", F.lit(n_disc).cast("bigint"))
+            .orderBy("l_returnflag")
+        )
+        # materialize while the cache is alive; the returned frame is
+        # a literal result (the driver re-executes collect on it)
+        rows = out.collect()
+    finally:
+        li.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

@@ -659,3 +659,38 @@ def test_rtas_refuses_to_drop_partition_column(spark, tmp_path):
     t.append(spark.createDataFrame([(1, "x")], "id INT, k STRING"))
     with _pytest.raises(ValueError):
         t.replace_as(spark.createDataFrame([(2,)], "id INT"))
+
+
+# --- b130 join hints / b131 cache ----------------------------------------
+
+
+def test_join_hints_change_strategy_not_rows(spark):
+    from iceberg_playground_spark.session import register_views
+
+    register_views(spark, SF_CHECK)
+    base = "SELECT {h} count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    plans = {}
+    for h, op in [
+        ("/*+ BROADCAST(orders) */", "BroadcastHashJoin"),
+        ("/*+ SHUFFLE_MERGE(orders) */", "SortMergeJoin"),
+        ("/*+ SHUFFLE_HASH(orders) */", "ShuffledHashJoin"),
+    ]:
+        df = spark.sql(base.format(h=h))
+        rows = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert op in plan, (h, plan[:600])
+        plans[h] = rows[0]["n"]
+    assert len(set(plans.values())) == 1  # strategy never changes rows
+
+
+def test_cached_scan_uses_memory_store(spark):
+    from iceberg_playground_spark.session import load
+    li = load(spark, SF_CHECK, "lineitem").select("l_returnflag").cache()
+    try:
+        li.count()  # populate
+        df = li.groupBy("l_returnflag").count()
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        li.unpersist()
