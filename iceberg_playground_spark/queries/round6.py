@@ -1713,6 +1713,121 @@ def b131_cached_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# c37 — bigram-LM quality scoring
+# ---------------------------------------------------------------------------
+
+_C37_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(ts)),
+                    i -> ts[i] || ' ' || ts[i+1])) AS pair
+      FROM tok
+    ),
+    pc AS (SELECT lang, pair, count(*) AS c FROM pairs GROUP BY 1, 2),
+    prevc AS (
+      SELECT lang, split_part(pair, ' ', 1) AS prev, count(*) AS pcnt
+      FROM pairs GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT lang, count(DISTINCT t) AS v
+      FROM (SELECT lang, unnest(ts) AS t FROM tok) u GROUP BY 1
+    ),
+    model AS (
+      SELECT pc.lang, pc.pair,
+             CAST(round(ln((pc.c + 1.0) / (prevc.pcnt + vocab.v))
+                        * 1000000) AS BIGINT) AS microlog
+      FROM pc
+      JOIN prevc ON pc.lang = prevc.lang
+                AND split_part(pc.pair, ' ', 1) = prevc.prev
+      JOIN vocab ON pc.lang = vocab.lang
+    )
+    SELECT p.doc_id, p.lang,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(m.microlog) AS DOUBLE)
+                 / (count(*) * 1000000.0), 4) AS avg_logprob
+    FROM pairs p
+    JOIN model m ON p.lang = m.lang AND p.pair = m.pair
+    GROUP BY p.doc_id, p.lang
+"""
+
+
+@query("c37_bigram_lm_score", oracle=_C37_ORACLE)
+def c37_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """C37: bigram-LM quality scoring — c23's unigram scorer upgraded
+    to CONTEXT: each document scores by its mean conditional
+    log-probability ln P(w|prev) under an add-one-smoothed per-language
+    bigram model (the word-salad failure mode c23 cannot see —
+    plausible tokens in implausible ORDER — scores low here). Same
+    determinism discipline as c23: every probability is a ratio of
+    integers, each contribution rounds to an integer microlog (ulp
+    noise absorbed), per-doc sums are associative, one division at
+    the boundary.
+
+    Scale shape: bigrams build as zip-of-shifted-slices (O(tokens)
+    per doc, c32's machinery); the pair stream is computed once
+    (lazy checkpoint) and feeds training aggregates AND the scoring
+    join; the model is |lang|x|vocab|^2-bounded → broadcast, so
+    scoring adds no corpus-sized shuffle beyond the final doc agg."""
+    d = load(spark, sf, "documents")
+    ts = F.split("text", " ")
+    n = F.size(ts)
+    z = F.arrays_zip(
+        F.slice(ts, 1, n - 1).alias("a"), F.slice(ts, 2, n - 1).alias("b")
+    )
+    pair_arr = F.transform(z, lambda s: F.concat_ws(" ", s["a"], s["b"]))
+    pairs = (
+        d.select("doc_id", "lang", F.explode(pair_arr).alias("pair"))
+        .localCheckpoint(eager=False)
+    )
+    pc = pairs.groupBy("lang", "pair").agg(F.count("*").alias("c"))
+    prevc = (
+        pairs.select(
+            "lang", F.split("pair", " ").getItem(0).alias("prev")
+        )
+        .groupBy("lang", "prev")
+        .agg(F.count("*").alias("pcnt"))
+    )
+    vocab = (
+        d.select("lang", F.explode(ts).alias("t"))
+        .groupBy("lang")
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    model = (
+        pc.withColumn("prev", F.split("pair", " ").getItem(0))
+        .join(prevc, ["lang", "prev"])
+        .join(vocab, "lang")
+        .select(
+            "lang",
+            "pair",
+            F.round(
+                F.log(
+                    (F.col("c") + F.lit(1.0))
+                    / (F.col("pcnt") + F.col("v"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("microlog"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(model), ["lang", "pair"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("microlog").cast("double")
+                / (F.count("*") * F.lit(1000000.0)),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # c34 — mergeable HLL sketch rollup
 # ---------------------------------------------------------------------------
 

@@ -122,6 +122,7 @@ _R6_NEW = [
     "p15_packing_spans",
     "p16_dataset_card",
     "c35_temperature_mix",
+    "c37_bigram_lm_score",
     # rows-only entries close the window: the driver's check for them
     # is the weak rows-run either way, so if the ~50 budget cuts
     # anywhere, it cuts where grading adds least.
@@ -183,9 +184,9 @@ def load_all() -> None:
     queries) + _R5_NEW (the 25 round-5 additions — ALL still
     ungraded: round 5's driver sweep produced no CORRECTNESS_r05) +
     _R6_NEW (the late-round-5 b104/b105 plus round-6's tpch Q7-Q19
-    pack, round6.py's b111-b131/p15-p16/c34-c36 — 33 entries, hash-oracle
+    pack, round6.py's b111-b131/p15-p16/c34-c37 — 34 entries, hash-oracle
     ones first) + _R5_CHANGED (c02/c24, behavior-changed in round 5,
-    never re-graded; rows-only, so they close the 71-entry prefix
+    never re-graded; rows-only, so they close the 72-entry prefix
     where a hard 50-slot cutoff costs least). _R5_TOUCHED
     (output-identical r5 shape changes, r4-graded green) and
     _R2_ROTATION (byte-stable r2 greens) follow immediately after as

@@ -694,3 +694,23 @@ def test_cached_scan_uses_memory_store(spark):
         assert "InMemoryTableScan" in plan
     finally:
         li.unpersist()
+
+
+# --- c37 bigram LM --------------------------------------------------------
+
+
+def test_bigram_lm_invariants(spark):
+    from iceberg_playground_spark.session import load
+
+    rows = registry.QUERIES["c37_bigram_lm_score"](spark, SF_CHECK).collect()
+    docs = load(spark, SF_CHECK, "documents")
+    assert len(rows) == docs.count()  # every doc has >= 2 tokens here
+    tok_counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.selectExpr(
+            "doc_id", "size(split(text, ' ')) AS n"
+        ).collect()
+    }
+    for r in rows:
+        assert r["avg_logprob"] < 0  # log-probabilities
+        assert r["n_bigrams"] == tok_counts[r["doc_id"]] - 1
