@@ -72,6 +72,11 @@ HEADLINE = [
     "b97_tpch_q5",
     "b107_tpch_q8",
     "c35_temperature_mix",
+    # round-7: incremental LSH dedup (16 md5 minhashes x 2 sides +
+    # digest join over a lake-table delta) and the PQ encode +
+    # ADC-shortlist + exact re-rank composition
+    "p17_incremental_lsh_dedup",
+    "c38_pq_rerank",
     # streaming ingest path — the reference's own benchmark subject
     # (bench-kafka.rs stage timers): stream → decode → files → commit
     "b68_tumbling_window",

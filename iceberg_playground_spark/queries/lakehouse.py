@@ -64,12 +64,11 @@ def _alive(spark: SparkSession, art: object) -> bool:
             except Exception:
                 return False
         # mixed artifact tuples, e.g. (LakeTable, precomputed flags):
-        # probe the storage-backed members (b104/b105/b113 shape —
-        # without this branch the spark.table probe above always threw
-        # and the demo warehouse silently rebuilt on every invocation)
-        return all(
-            _alive(spark, x) for x in art if isinstance(x, LakeTable)
-        )
+        # probe EVERY member recursively (strings are path probes,
+        # non-storage members are vacuously alive) — filtering to
+        # LakeTable would let a stale path-carrying tuple with no
+        # LakeTable member vacuously pass and never rebuild
+        return all(_alive(spark, x) for x in art)
     return True
 
 

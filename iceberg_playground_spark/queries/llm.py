@@ -304,15 +304,13 @@ def c03_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def c04_knn_join(spark: SparkSession, sf: str) -> DataFrame:
-    """C4: batch KNN join — k=3 nearest base vectors per probe.
-
-    The probe side is the SMALL side by construction (broadcast), so
-    the base table is scanned once with no shuffle for the join; the
-    per-probe top-k window then shuffles only on probe_id.
-    Brute-force is exact and right up to ~10^4 probes × any base size
-    (work = |probes|·|base| dot products, embarrassingly parallel);
-    beyond that use the IVF-pruned path (c11_ann_ivf) which prunes
-    the base per probe before the dot products."""
+    """C4: batch KNN join — k=3 nearest base vectors per probe,
+    via ``knn_join``'s strategy switch. At 5 probes this resolves to
+    the EXACT brute-force path (broadcast probes, one base scan, no
+    join shuffle — the registered hash-match contract); probe sets
+    past the brute threshold take the hyperplane-LSH bucket path
+    (equi-join on band keys, never a cartesian — pinned in
+    tests/test_plans.py)."""
     e = load(spark, sf, "embeddings")
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
@@ -320,18 +318,96 @@ def c04_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     base = e.filter(F.col("vec_id") >= 5).select(
         F.col("vec_id").alias("base_id"), F.col("embedding").alias("be")
     )
+    return knn_join(base, probes, k=3, n_probes=5)
+
+
+_KNN_BRUTE_MAX = 10_000  # probe sets above this switch to the LSH path
+
+
+def knn_join(
+    base: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    brute_max: int = _KNN_BRUTE_MAX,
+    n_probes: int | None = None,
+) -> DataFrame:
+    """Batch KNN join with a strategy switch (the c04 scale path,
+    VERDICT r6 item 3). ``base`` is (base_id, be), ``probes`` is
+    (probe_id, pe); returns (probe_id, base_id, cosine), top-k per
+    probe.
+
+    - |probes| ≤ brute_max: EXACT brute force — broadcast the probe
+      set against one base scan (|base|·|probes| dot products,
+      embarrassingly parallel, zero shuffle for the join). Right up
+      to ~10^4 probes × any base size.
+    - |probes| > brute_max: hyperplane-LSH candidate path — both
+      sides get c29's 16 sign bits from the fixed ±1 projection
+      (c27's matrix), 4 bands × 4 bits; candidates meet ONLY inside
+      a (band, bval) bucket via an equi-join — the cartesian never
+      materializes, so cost is Σ|base_bucket|·|probe_bucket| instead
+      of |base|·|probes| — then the exact cosine re-ranks survivors
+      per probe. Approximate: a true neighbor sharing no band is
+      missed (standard sign-LSH recall); a probe whose exact vector
+      exists in base always self-hits (identical vectors agree on
+      every band). The band explode carries the vectors (4× fan-out)
+      so re-ranking needs no second join back to either side.
+
+    ``n_probes`` skips the sizing count when the caller already knows
+    it (c04 passes its literal probe count; a pipeline caller would
+    pass the batch size)."""
+    if n_probes is None:
+        n_probes = probes.count()
     cosine = F.round(
         _dot(F.col("be"), F.col("pe"))
         / (_norm(F.col("be")) * _norm(F.col("pe"))),
         6,
     ).alias("cosine")
-    pairs = base.crossJoin(F.broadcast(probes)).select(
-        "probe_id", "base_id", cosine
-    )
+    if n_probes <= brute_max:
+        pairs = base.crossJoin(F.broadcast(probes)).select(
+            "probe_id", "base_id", cosine
+        )
+    else:
+        from iceberg_playground_spark.queries.meta import _RP_SIGNS
+
+        def bands(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+            emb = F.col(emb_col)
+            bits = [
+                F.when(
+                    _dot(
+                        emb, F.array(*[F.lit(s) for s in _RP_SIGNS[j]])
+                    )
+                    >= 0,
+                    1,
+                ).otherwise(0)
+                for j in range(16)
+            ]
+            structs = []
+            for b in range(4):
+                val = None
+                for r in range(4):
+                    term = bits[b * 4 + r] * (1 << (3 - r))
+                    val = term if val is None else val + term
+                structs.append(
+                    F.struct(F.lit(b).alias("band"), val.alias("bval"))
+                )
+            return df.select(
+                id_col,
+                emb_col,
+                F.explode(F.array(*structs)).alias("bk"),
+            ).select(id_col, emb_col, "bk.band", "bk.bval")
+
+        pairs = (
+            bands(base, "base_id", "be")
+            .join(bands(probes, "probe_id", "pe"), ["band", "bval"])
+            # a pair sharing several bands appears once per band —
+            # dedup BEFORE the window so top-k ranks distinct neighbors
+            .dropDuplicates(["probe_id", "base_id"])
+            .select("probe_id", "base_id", cosine)
+        )
     w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "base_id")
     return (
         pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= k)
         .drop("rn")
     )
 

@@ -14,10 +14,10 @@ wide-asset-message pipeline over the load generator (b85).
 
 Round-4 history: this block registered past the driver's 50-entry
 grading budget (the round-4 prefix was exactly full) and so was never
-driver-graded that round. Round 5 pins grading order explicitly in
-``registry._R5_UNGRADED`` — this module's seven queries lead the
-window there, each with full hash-match oracles (b85 rows-only by
-design) and local-suite coverage.
+driver-graded that round. Grading order has been pinned by explicit registry lists since
+round 5; this module's queries were driver-graded green in round 6
+(CORRECTNESS_r06), each with full hash-match oracles (b85 rows-only
+by design) and local-suite coverage.
 """
 
 from __future__ import annotations

@@ -10,8 +10,9 @@ Jaccard-estimation accuracy vs exact (c31 — grades the estimator the
 c02 dedup path relies on), and train/eval distribution-drift report
 (p12 — the check that a split didn't skew a language's token share).
 
-Grading order is pinned in ``registry._R5_NEW`` (import order stopped
-mattering in round 5); every query here carries a hash-match oracle.
+Grading order is pinned by explicit registry lists (import order
+stopped mattering in round 5); every query here carries a hash-match
+oracle and was driver-graded green in round 6 (CORRECTNESS_r06).
 """
 
 from __future__ import annotations

@@ -16,8 +16,9 @@ rollback_to_snapshot, metadata-only incident recovery) and the
 three-clause conditional MERGE (b96 — matched-delete + update +
 insert in one transaction, completing b62's upsert).
 
-Grading order is pinned in ``registry._R5_NEW``; every query here
-carries a hash-match oracle.
+Grading order is pinned by explicit registry lists; every query
+here carries a hash-match oracle and was driver-graded green in
+round 6 (CORRECTNESS_r06).
 """
 
 from __future__ import annotations

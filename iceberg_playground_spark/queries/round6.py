@@ -856,7 +856,7 @@ _P15_ORACLE = f"""
            CAST(sum(CASE WHEN start + n_tokens > {_P15_CTX}
                     THEN start + n_tokens - {_P15_CTX} ELSE 0 END)
                 AS BIGINT) AS spill_tokens,
-           string_agg(lpad(CAST(doc_id AS VARCHAR), 6, '0')
+           string_agg(CAST(doc_id AS VARCHAR)
                       || ':' || CAST(start AS VARCHAR)
                       || '+' || CAST(n_tokens AS VARCHAR),
                       ' ' ORDER BY doc_id) AS spans
@@ -871,9 +871,11 @@ def p15_packing_spans(spark: SparkSession, sf: str) -> DataFrame:
     training additionally needs, per context window, exactly WHERE
     each document sits (the attention-mask boundaries that stop
     cross-document attention, and the spill amount when a doc crosses
-    into the next window). Spans serialize as
-    ``docid:start+len`` (doc_id zero-padded so lexicographic sort ==
-    numeric order — arrays can't cross the driver comparator).
+    into the next window). Spans serialize as ``docid:start+len``,
+    ordered NUMERICALLY by doc_id on both sides (Spark sorts
+    struct(doc_id, span) arrays, the oracle ORDER BYs the int column) —
+    a zero-pad-and-sort-lexicographically scheme silently diverges
+    once doc_id outgrows the pad width.
 
     Scale shape: identical to c19 — ONE shuffle on the (lang, shard)
     window key (the hash shard bounds partitions under language
@@ -916,7 +918,7 @@ def p15_packing_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
     span = F.concat_ws(
         "",
-        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.col("doc_id").cast("string"),
         F.lit(":"),
         F.col("start").cast("string"),
         F.lit("+"),
@@ -936,9 +938,15 @@ def p15_packing_spans(spark: SparkSession, sf: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("spill_tokens"),
-            F.concat_ws(" ", F.array_sort(F.collect_list("span"))).alias(
-                "spans"
-            ),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "span"))
+                    ),
+                    lambda x: x["span"],
+                ),
+            ).alias("spans"),
         )
         .orderBy("lang", "shard", "pack_id")
     )

@@ -1,0 +1,384 @@
+"""Round-7 operators: the two compositions a 100 TB training-data
+pipeline still lacked (VERDICT r6, item 6).
+
+- p17: cross-run INCREMENTAL near-dup — p14's ingest report lifted
+  from exact fingerprints to MinHash-LSH: the new batch's band
+  signatures (c02's banding) probe the existing corpus's signature
+  index over b72's incremental read, so near-dedup composes with CDC
+  ingestion instead of rescanning the corpus per batch. (Ref anchor:
+  the reference's ingestion loop appends batch-by-batch —
+  /root/reference/kafka-load-gen/main.go:51-120 — and never
+  re-reads history; the dedup question at ingest time is exactly
+  "new batch vs what we already hold".)
+- c38: PQ-shortlist → exact re-rank — c36's ADC scan produces a
+  bounded candidate shortlist from 8 B/vector codes, then ONLY the
+  shortlist's float vectors are read for the exact cosine top-k;
+  proves the compression-then-exact composition end-to-end as one
+  plan (FAISS's ADC + re-ranking, Jégou et al. 2011, PAPERS.md).
+
+Both are hash-oracle graded: p17 uses md5-seeded MinHash (portable
+across engines, unlike c02's engine-native xxhash64), c38 skips Lloyd
+training (the float-averaging step that forces c36 to rows-only) and
+quantizes against the deterministic md5-seeded codebook — every fold
+on both sides is the same left-to-right IEEE sequence, so the bits
+agree (the llm.py module-docstring determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from iceberg_playground_spark.queries._util import (
+    bucket_sql,
+    hash_bucket,
+    load,
+)
+from iceberg_playground_spark.queries.lakehouse import _built
+from iceberg_playground_spark.queries.llm import (
+    _SH_SQL,
+    _dot,
+    _dot_sql,
+    _norm,
+    _norm_sql,
+    _shingles,
+    _tokens,
+)
+from iceberg_playground_spark.registry import query
+from iceberg_playground_spark.tables import LakeCatalog, LakeTable
+
+# ---------------------------------------------------------------------------
+# p17 — incremental MinHash-LSH near-dup vs the existing corpus
+# ---------------------------------------------------------------------------
+
+_P17_PERMS = 16
+_P17_BANDS = 4
+_P17_ROWS = _P17_PERMS // _P17_BANDS
+
+
+def _mh_md5(seed: int) -> Column:
+    """One portable MinHash permutation: min over shingles of
+    md5('<seed>|' || shingle). Hex-string min orders identically in
+    Spark and DuckDB (ASCII [0-9a-f]); seed binds as a closure
+    constant (the two-param transform-lambda pitfall, llm.py:94)."""
+
+    def h(x: Column) -> Column:
+        return F.md5(F.concat(F.lit(f"{seed}|"), x))
+
+    return F.array_min(F.transform(F.col("sh"), h))
+
+
+def _band_sig_cols() -> list[Column]:
+    """(band, sig) structs: sig = md5(mh_a || '|' || ... ) per band.
+    F.concat (not concat_ws) so an empty-shingle doc's NULL minhash
+    propagates to a NULL sig — which never equi-joins, same as the
+    oracle's NULL `||` propagation."""
+    out = []
+    for b in range(_P17_BANDS):
+        parts: list[Column] = []
+        for r in range(_P17_ROWS):
+            if parts:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"mh{b * _P17_ROWS + r}"))
+        out.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("sig")
+            )
+        )
+    return out
+
+
+def _p17_oracle() -> str:
+    bkt = bucket_sql("doc_id")
+    mh = ",\n             ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('{i}|' || x)), "
+        f"'min') AS mh{i}"
+        for i in range(_P17_PERMS)
+    )
+
+    def sig(b: int) -> str:
+        parts = " || '|' || ".join(
+            f"mh{b * _P17_ROWS + r}" for r in range(_P17_ROWS)
+        )
+        return f"md5({parts})"
+
+    bands_b = " UNION ALL ".join(
+        f"SELECT {b} AS band, {sig(b)} AS sig FROM bmh"
+        for b in range(_P17_BANDS)
+    )
+    bands_d = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {sig(b)} AS sig FROM dmh"
+        for b in range(_P17_BANDS)
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE {bkt} < 80),
+         delta AS (SELECT doc_id, lang, text FROM documents
+                   WHERE {bkt} >= 80),
+         bsh AS (SELECT doc_id, {_SH_SQL} AS sh FROM base),
+         bmh AS (SELECT doc_id, {mh} FROM bsh),
+         bsig AS (SELECT DISTINCT band, sig FROM ({bands_b})
+                  WHERE sig IS NOT NULL),
+         dsh AS (SELECT doc_id, lang, {_SH_SQL} AS sh FROM delta),
+         dmh AS (SELECT doc_id, {mh} FROM dsh),
+         dsig AS (SELECT DISTINCT doc_id, band, sig FROM ({bands_d})
+                  WHERE sig IS NOT NULL),
+         hits AS (SELECT DISTINCT dsig.doc_id
+                  FROM dsig JOIN bsig USING (band, sig))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(count(hits.doc_id) AS BIGINT) AS n_near_dup_vs_base,
+           CAST(count(*) - count(hits.doc_id) AS BIGINT) AS n_novel
+    FROM delta LEFT JOIN hits ON delta.doc_id = hits.doc_id
+    GROUP BY lang
+    """
+
+
+@query("p17_incremental_lsh_dedup", oracle=_p17_oracle())
+def p17_incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """P17: incremental MinHash-LSH near-dup report — p14's ingest
+    question upgraded from exact fingerprints to NEAR duplicates: the
+    corpus lives as a lake table (80% at v1), the ingestion batch
+    lands as v2, and the report reads ONLY the delta (read_incremental
+    — file selection is snapshot metadata) and probes its LSH band
+    signatures against the existing corpus's distinct signature index.
+    Per language: new docs, near-dups vs base, novel docs.
+
+    Banding is c02's 16-perm × 4-band scheme with md5-seeded
+    permutations (portable → hash-oracle graded; c02 keeps the
+    engine-native xxhash64 fast path). A doc is near-dup iff ANY band
+    signature collides — P[collide] = 1-(1-j^4)^4 over 3-gram
+    Jaccard j.
+
+    Scale shape: signatures are per-row array math (one scan per
+    side); the probe is a DIGEST-ONLY equi-join on (band, sig) — at
+    100 TB the base signature index is exactly the table you'd
+    maintain incrementally (4 small rows per corpus doc, appended as
+    batches commit), so each ingest batch costs |batch| signature
+    rows shuffled against the index, never a corpus rescan. NULL sigs
+    (docs under 3 tokens) never join and count as novel on both
+    engines."""
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "docs_lsh_inc",
+            "doc_id BIGINT, lang STRING, text STRING",
+            drop_if_exists=True,
+        )
+        d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+        bucket = hash_bucket(F.col("doc_id"))
+        t.append(d.filter(bucket < 80))   # v1: the existing corpus
+        t.append(d.filter(bucket >= 80))  # v2: the ingestion batch
+        return t
+
+    t = _built(spark, sf, "p17", build)
+    mh_cols = [_mh_md5(i).alias(f"mh{i}") for i in range(_P17_PERMS)]
+
+    def band_sigs(df: DataFrame, *keep: str) -> DataFrame:
+        return (
+            df.select(*keep, _shingles(_tokens()).alias("sh"))
+            .select(*keep, *mh_cols)
+            .select(*keep, F.explode(F.array(*_band_sig_cols())).alias("bk"))
+            .select(*keep, "bk.band", "bk.sig")
+            .filter(F.col("sig").isNotNull())
+        )
+
+    base_idx = band_sigs(t.read(version=1)).distinct()
+    delta = t.read_incremental(1, 2).select("doc_id", "lang", "text")
+    hits = (
+        band_sigs(delta, "doc_id")
+        .join(base_idx, ["band", "sig"], "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    dup = F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+    return (
+        delta.select("doc_id", "lang")
+        .join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_new"),
+            dup.cast("bigint").alias("n_near_dup_vs_base"),
+            (F.count("*") - dup).cast("bigint").alias("n_novel"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# c38 — PQ ADC shortlist → exact re-rank
+# ---------------------------------------------------------------------------
+
+_C38_SUB = 8    # subspaces (64 dims -> 8 x 8), c36's geometry
+_C38_DIM = 8
+_C38_K = 16     # centroids per subspace
+_C38_SHORT = 50
+_C38_TOPK = 10
+
+
+def _c38_oracle() -> str:
+    d = _C38_DIM
+
+    def fold(a: str, b: str) -> str:
+        # sequential L2 fold, same left-to-right order as Spark's
+        # aggregate(zip_with(...)) — bit-stable across engines
+        return (
+            f"list_reduce(list_transform(range(1, {d + 1}), "
+            f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+            f"(x, y) -> x + y)"
+        )
+
+    qsub = f"list_slice(qe, cent.s * {d} + 1, cent.s * {d} + {d})"
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ss AS (SELECT unnest(range(0, {_C38_SUB})) AS s),
+         seeds AS (
+           SELECT row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                    AS j,
+                  embedding
+           FROM embeddings QUALIFY j < {_C38_K}),
+         cent AS (
+           SELECT ss.s, seeds.j,
+                  list_slice(embedding, ss.s * {d} + 1, ss.s * {d} + {d})
+                    AS cent
+           FROM seeds CROSS JOIN ss),
+         sv AS (
+           SELECT vec_id, ss.s,
+                  list_slice(embedding, ss.s * {d} + 1, ss.s * {d} + {d})
+                    AS sub
+           FROM embeddings CROSS JOIN ss),
+         asg AS (
+           SELECT vec_id, s, (min({{'d2': d2, 'j': j}})).j AS code
+           FROM (SELECT sv.vec_id, sv.s, cent.j,
+                        {fold('sub', 'cent')} AS d2
+                 FROM sv JOIN cent USING (s))
+           GROUP BY vec_id, s),
+         adc AS (
+           SELECT cent.s, cent.j AS code, {fold(qsub, 'cent.cent')} AS qd
+           FROM cent CROSS JOIN q),
+         est AS (
+           SELECT vec_id,
+                  list_reduce(list(qd ORDER BY asg.s), (x, y) -> x + y)
+                    AS est_d2
+           FROM asg JOIN adc ON asg.s = adc.s AND asg.code = adc.code
+           GROUP BY vec_id),
+         short AS (SELECT vec_id FROM est
+                   ORDER BY est_d2, vec_id LIMIT {_C38_SHORT})
+    SELECT e.vec_id,
+           round({_dot_sql('e.embedding', 'qe')}
+                 / ({_norm_sql('e.embedding')} * {_norm_sql('qe')}), 6)
+             AS cosine
+    FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {_C38_TOPK}
+    """
+
+
+@query("c38_pq_rerank", oracle=_c38_oracle())
+def c38_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """C38: PQ ADC shortlist → EXACT re-rank — the end-to-end shape of
+    a compressed vector index (FAISS IVFADC's refine step): quantize
+    every vector to 8 four-bit codes against a deterministic codebook
+    (c36's geometry, md5-seeded, NO Lloyd step — training's float
+    averaging is what forces c36 to rows-only; skipping it keeps every
+    arithmetic fold engine-identical and this query hash-graded),
+    scan CODES ONLY with an 8x16 ADC lookup table to shortlist the
+    top-{_C38_SHORT} candidates, then compute exact cosines for JUST
+    the shortlist and return the top-{_C38_TOPK}.
+
+    Scale shape: the candidate scan touches 8 B/vector codes + a
+    broadcast KB-sized ADC table — at 100 TB that is the difference
+    between scanning ~1 TB of codes and ~100 TB of floats; the exact
+    re-rank reads {_C38_SHORT} float vectors (bounded by the LIMIT,
+    independent of corpus size — TakeOrderedAndProject keeps the
+    shortlist driver-tiny). No pair materializes anywhere. The two
+    collects are codebook-sized (16 seed rows, 1 query row) by
+    construction. Composes with c11's IVF cells (prune before ADC)
+    unchanged."""
+    emb = load(spark, sf, "embeddings")
+    seed_rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_C38_K)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [
+        [
+            [
+                float(seed_rows[j]["embedding"][s * _C38_DIM + d])
+                for d in range(_C38_DIM)
+            ]
+            for j in range(_C38_K)
+        ]
+        for s in range(_C38_SUB)
+    ]
+    cent_df = spark.createDataFrame(
+        [
+            (s, j, centroids[s][j])
+            for s in range(_C38_SUB)
+            for j in range(_C38_K)
+        ],
+        "s INT, j INT, cent ARRAY<DOUBLE>",
+    )
+    slices = F.array(
+        *[
+            F.slice("embedding", s * _C38_DIM + 1, _C38_DIM)
+            for s in range(_C38_SUB)
+        ]
+    )
+    subvecs = emb.select("vec_id", F.posexplode(slices).alias("s", "sub"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.transform("sub", lambda x: x.cast("double")),
+            "cent",
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        subvecs.join(F.broadcast(cent_df), "s")
+        .withColumn("d2", dist)
+        .groupBy("vec_id", "s")
+        .agg(F.min_by("j", F.struct("d2", "j")).alias("code"))
+    )
+    q = emb.filter("vec_id = 0").select("embedding").collect()[0][
+        "embedding"
+    ]
+    adc = []
+    for s in range(_C38_SUB):
+        for j in range(_C38_K):
+            qd = 0.0
+            for d in range(_C38_DIM):
+                t = float(q[s * _C38_DIM + d]) - centroids[s][j][d]
+                qd += t * t  # same sequential fold as the oracle
+            adc.append((s, j, qd))
+    adc_df = spark.createDataFrame(adc, "s INT, code INT, qd DOUBLE")
+    est = (
+        codes.join(F.broadcast(adc_df), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("s", "qd"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["qd"],
+            ).alias("est_d2")
+        )
+    )
+    short = est.orderBy("est_d2", "vec_id").limit(_C38_SHORT).select(
+        "vec_id"
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    cosine = F.round(
+        _dot(F.col("embedding"), qlit)
+        / (_norm(F.col("embedding")) * _norm(qlit)),
+        6,
+    ).alias("cosine")
+    return (
+        emb.join(F.broadcast(short), "vec_id")
+        .select("vec_id", cosine)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(_C38_TOPK)
+    )

@@ -36,75 +36,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Grading-order contract, round 6. The driver's correctness sweep
+# Grading-order contract, round 7. The driver's correctness sweep
 # grades the FIRST ~50 registered entries and stops, so registration
-# order decides what gets graded. Round 5's sweep never materialized
-# (no CORRECTNESS_r05 artifact exists), so every round-5-window query
-# is STILL ungraded — the round-5 prefix stays at the head verbatim,
-# followed by the two late-round-5 registrations (b104/b105), the
-# round-6 additions, and the behavior-changed c02/c24. The touched
-# block and the r2 rotation yield their slots to the new queries
-# (touched members were r4-graded green on identical output; rotation
-# members are byte-stable r2 greens — both are insurance, not gaps).
-_R5_UNGRADED = [
-    "b79_snapshot_metadata",
-    "b82_compaction_rollup",
-    "b83_python_datasource",
-    "b84_streaming_datasource",
-    "c27_random_projection",
-    "b85_asset_pipeline",
-    "b86_snapshot_tags",
-    "p11_quality_matrix",
-    "c28_edit_distance_dups",
-    "b80_gap_fill",
-    "b81_sessionize",
-]
-# Brand-new round-5 queries (filled as they are implemented; each must
-# exist in QUERIES after load — typos fail loudly below).
-_R5_NEW: list[str] = [
-    "b87_changelog_scan",
-    "b88_zorder_skipping",
-    "b89_partition_evolution",
-    "c29_hyperplane_lsh",
-    "c30_group_sample",
-    "c31_minhash_estimate",
-    "p12_split_drift",
-    "b90_wap_branch",
-    "b91_snapshot_expiration",
-    "b92_files_metadata",
-    "b93_metadata_count",
-    "c32_bpe_pair_stats",
-    "c33_canonical_selection",
-    "p13_cluster_histogram",
-    "b95_stream_outer_join",
-    "b94_rollback",
-    "b96_conditional_merge",
-    "b97_tpch_q5",
-    "b98_tpch_q10",
-    "b99_tpch_q4",
-    "p14_ingest_dedup_report",
-    "b100_variant_shred",
-    "b101_rle_udtf",
-    "b102_lateral_topk",
-    "b103_timestamp_travel",
-]
-# Late round-5 registrations (implemented + oracle-ready after the
-# round-5 window was fixed) and the round-6 additions — never graded.
-_R6_NEW = [
-    "b104_position_delete",
-    "b105_rename_column",
-    "b106_tpch_q7",
-    "b107_tpch_q8",
-    "b108_tpch_q14",
-    "b109_tpch_q18",
-    "b110_tpch_q19",
-    "b111_recursive_cte",
-    "b112_sql_udf",
-    "b113_widen_column",
-    "b114_metadata_delete",
-    "b115_drop_column",
-    "b116_schema_drift",
-    "b117_xml_decode",
+# order decides what gets graded. Round 6's sweep graded 50 slots
+# through b117_xml_decode (CORRECTNESS_r06.json: all green), leaving
+# the round-6 tail — b118-b131, p15/p16, c35/c37, c34/c36 — plus the
+# behavior-changed c02/c24 ungraded. Those LEAD the round-7 window
+# (VERDICT r6, item 1), followed by round-7 additions, the p15
+# format-touched entry's neighbors, and the r2 rotation filling the
+# remaining ~25 slots (VERDICT r6, item 2).
+_R6_TAIL = [
     "b118_observed_metrics",
     "b119_pipe_sql",
     "b120_parameterized_sql",
@@ -123,38 +64,26 @@ _R6_NEW = [
     "p16_dataset_card",
     "c35_temperature_mix",
     "c37_bigram_lm_score",
-    # rows-only entries close the window: the driver's check for them
-    # is the weak rows-run either way, so if the ~50 budget cuts
-    # anywhere, it cuts where grading adds least.
+    # rows-only entries: the driver's check for them is the weak
+    # rows-run either way, so they sit after the hash-oracle tail.
     "c34_hll_rollup",
     "c36_product_quantization",
-]
-# Behavior-changed in round 5 (the transform-lambda arity fix made
-# c02/c24's 16 MinHash permutations real instead of index-degenerate),
-# never re-graded since. Both are rows-only checks, so they close the
-# never-graded prefix: graded if the budget is loose, cheap to lose
-# under a hard cutoff — their semantics are pinned locally by
-# test_round5_ops' permutation/calibration tests and c31's estimator.
-_R5_CHANGED = [
+    # behavior-changed in round 5 (transform-lambda arity fix), never
+    # re-graded; rows-only.
     "c02_minhash_lsh_dedup",
     "c24_dedup_clusters",
 ]
-# Output-identical but shape/format-touched this round, graded again
-# as cheap insurance (round-4 verdict item 2): snapshot entries grew
-# rows/ts/ddl fields and the assembler gained positional schema
-# mapping + position-delete application (every lakehouse read runs
-# through it — b61 is the watch-list representative, b60 the other
-# variance cell; the full lakehouse group re-verified vs DuckDB at
-# round close), and c10/c08/c09 gained repartitions (plan-only).
-_R5_TOUCHED = [
-    "b61_data_skipping",
-    "b60_bucketed_join",
-    "c10_embedding_near_dup",
-    "c08_simhash",
-    "c09_ngram_jaccard",
+# Round-7 additions (VERDICT r6 item 6): registered behind the tail so
+# the tail's grading is never displaced, ahead of the rotation.
+_R7_NEW: list[str] = [
+    "p17_incremental_lsh_dedup",
+    "c38_pq_rerank",
 ]
-# r2-era relational pack in its original registration order; as many as
-# fit after the blocks above rotate through the 50-slot window.
+# r2-era relational pack rotation (VERDICT r6 item 2): b01-b49 carry
+# round-2 grades on round-2 code — byte-stable, but never re-graded on
+# the current session confs (ANSI-mode Spark 4, nanosAsLong). As many
+# as fit after the blocks above rotate through the ~50-slot window
+# (~25 expected).
 _R2_ROTATION = [
     "b01_parquet_scan", "b03_json_lines_decode", "b04_csv_decode",
     "b08_projection", "b09_filter_predicates", "b11_case_conditional",
@@ -176,32 +105,24 @@ _R2_ROTATION = [
 
 
 def load_all() -> None:
-    """Import every query module, then impose the round-6 grading order.
+    """Import every query module, then impose the round-7 grading order.
 
     ORDER IS A CONTRACT, not style (see the block comments above):
     after all modules register, QUERIES/ORACLES are rebuilt so the
-    prefix is _R5_UNGRADED (the 11 never-driver-graded round-4
-    queries) + _R5_NEW (the 25 round-5 additions — ALL still
-    ungraded: round 5's driver sweep produced no CORRECTNESS_r05) +
-    _R6_NEW (the late-round-5 b104/b105 plus round-6's tpch Q7-Q19
-    pack, round6.py's b111-b131/p15-p16/c34-c37 — 34 entries, hash-oracle
-    ones first) + _R5_CHANGED (c02/c24, behavior-changed in round 5,
-    never re-graded; rows-only, so they close the 72-entry prefix
-    where a hard 50-slot cutoff costs least). _R5_TOUCHED
-    (output-identical r5 shape changes, r4-graded green) and
-    _R2_ROTATION (byte-stable r2 greens) follow immediately after as
-    insurance if the budget is looser, then every remaining green
+    prefix is _R6_TAIL (the 22 entries round 6's 50-slot sweep never
+    reached: b118-b131 + p15/p16 + c35/c37, then the rows-only
+    c34/c36/c02/c24) + _R7_NEW (this round's additions) + _R2_ROTATION
+    (byte-stable r2 greens re-graded on current session confs — as
+    many as the remaining ~25 slots fit), then every remaining green
     query in module order.
     Import order no longer doubles as grading order — the explicit
     lists do. A name listed but never registered fails loudly here
     (typo guard).
 
-    Round-7 note: with a hard 50-slot budget this round grades
-    through ~b117_xml_decode (slots 37-50 are b104-b117); the
-    round-6 tail — b118_observed_metrics through c36 plus c02/c24 —
-    would then still be ungraded and must LEAD the round-7 window,
-    followed by any round-7 additions, with the r2 rotation resuming
-    after (same composition rule as this round).
+    Round-8 note: a hard 50-slot budget this round grades _R6_TAIL
+    (22) + _R7_NEW (3) + the first ~25 of _R2_ROTATION (through
+    ~b30_collect_list); the rotation remainder (b31-b66, ~21 entries)
+    should LEAD round 8's window, followed by round-8 additions.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
@@ -220,12 +141,10 @@ def load_all() -> None:
         tpch,
         modern,
         round6,
+        round7,
     )
 
-    prefix = (
-        _R5_UNGRADED + _R5_NEW + _R6_NEW + _R5_CHANGED
-        + _R5_TOUCHED + _R2_ROTATION
-    )
+    prefix = _R6_TAIL + _R7_NEW + _R2_ROTATION
     missing = [n for n in prefix if n not in QUERIES]
     if missing:
         raise RuntimeError(f"grading-order names not registered: {missing}")

@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import time
 import uuid
 
@@ -78,11 +79,17 @@ def _make_bounds_task():
             return raw
 
         # hive path components carry identity-partition values — a
-        # [v, v] bound per partition column, no footer needed
+        # [v, v] bound per partition column, no footer needed. The
+        # NULL-partition sentinel is NOT a value of the column's type:
+        # recording it would poison later bounds comparisons (int vs
+        # str TypeError in plan_files/delete_range), so a NULL
+        # partition stays stat-less and is conservatively kept.
         bounds: dict[str, list] = {}
         for comp in rel_fn.split(_os.sep)[:-1]:
             if "=" in comp:
                 c, raw = comp.split("=", 1)
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    continue
                 bounds[c] = [pval(raw), pval(raw)]
         md = pq.ParquetFile(_os.path.join(staged_dir, rel_fn)).metadata
         for rg in range(md.num_row_groups):
@@ -108,6 +115,23 @@ def _make_bounds_task():
         return staged_dir, rel_fn, bounds, md.num_rows
 
     return bounds_task
+
+
+def _bounds_relation(cb: list, lo, hi) -> str:
+    """Relation of a committed [min, max] bound to a [lo, hi] predicate:
+    'inside' (every row matches), 'disjoint' (no row can match), or
+    'partial'. Incomparable bounds — e.g. a string sneaking into an int
+    column's stats via schema drift — degrade to 'partial' (treated as
+    no-stat, conservatively kept) instead of raising TypeError and
+    failing the whole plan."""
+    try:
+        if lo <= cb[0] and cb[1] <= hi:
+            return "inside"
+        if cb[1] < lo or cb[0] > hi:
+            return "disjoint"
+    except TypeError:
+        pass
+    return "partial"
 
 
 class CommitConflict(RuntimeError):
@@ -879,9 +903,13 @@ class LakeTable:
                 keep_fns, partial_fns = [], []
                 for fn in live:
                     cb = per_file.get(fn, {}).get(col)
-                    if cb is not None and lo <= cb[0] and cb[1] <= hi:
+                    rel = (
+                        "partial" if cb is None
+                        else _bounds_relation(cb, lo, hi)
+                    )
+                    if rel == "inside":
                         dropped += 1  # wholly inside: drop from metadata
-                    elif cb is not None and (cb[1] < lo or cb[0] > hi):
+                    elif rel == "disjoint":
                         keep_fns.append(fn)  # disjoint: untouched
                     else:
                         partial_fns.append(fn)
@@ -918,6 +946,7 @@ class LakeTable:
                     )
             new_dels = list(snap["delete_files"])
             n_partial = len(partial)
+            delete_dir = None
             if partial:
                 hits = (
                     self._assemble(partial, head, with_pos=True)
@@ -927,11 +956,15 @@ class LakeTable:
                     )
                     .select("__f", "__p")
                 )
-                d = os.path.join(self.root, _DELETE_DIR, uuid.uuid4().hex)
-                hits.write.mode("overwrite").parquet(d)
+                delete_dir = os.path.join(
+                    self.root, _DELETE_DIR, uuid.uuid4().hex
+                )
+                hits.write.mode("overwrite").parquet(delete_dir)
                 new_dels.append(
                     {
-                        "entry": json.dumps({"path": d, "pos": True}),
+                        "entry": json.dumps(
+                            {"path": delete_dir, "pos": True}
+                        ),
                         "seq": head + 1,
                     }
                 )
@@ -957,14 +990,23 @@ class LakeTable:
             with open(tmp, "w") as fh:
                 json.dump(entry, fh)
             target = self._snap_file(head + 1)
-            if os.path.exists(target):
+
+            def _lost_race() -> None:
+                # reclaim the now-stale residual delete dir immediately
+                # instead of leaving it for the orphan-grace sweep; the
+                # next iteration replans boundary files from the new HEAD
                 os.unlink(tmp)
+                if delete_dir is not None:
+                    shutil.rmtree(delete_dir, ignore_errors=True)
+
+            if os.path.exists(target):
+                _lost_race()
                 continue
             try:
                 os.link(tmp, target)
                 os.unlink(tmp)
             except FileExistsError:
-                os.unlink(tmp)
+                _lost_race()
                 continue
             return head + 1, summary
         raise CommitConflict(f"delete_range lost 5 races in {self.root}")
@@ -1442,7 +1484,10 @@ class LakeTable:
             paths = []
             for fn, b in per_file.items():
                 cb = b.get(col)
-                if cb is not None and (hi < cb[0] or lo > cb[1]):
+                if (
+                    cb is not None
+                    and _bounds_relation(cb, lo, hi) == "disjoint"
+                ):
                     pruned += 1
                     continue
                 paths.append(os.path.join(f["path"], fn))

@@ -438,3 +438,57 @@ def test_variant_shred_pushes_projection(spark):
     read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "props" in read and "event_type" in read
     assert "value" not in read and "user_id" not in read
+
+
+def test_knn_join_lsh_path_no_cartesian(spark):
+    # knn_join past the brute threshold must meet candidates ONLY via
+    # the (band, bval) equi-join — no cartesian, no nested loop (the
+    # c04 de-weakening contract, VERDICT r6 item 3). Self-probes must
+    # still hit themselves at cosine 1.0 (identical vectors agree on
+    # every band), so the approximate path keeps the one guarantee
+    # that is data-independent.
+    from pyspark.sql import functions as F
+
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.llm import knn_join
+
+    e = load(spark, SF_CHECK, "embeddings")
+    base = e.select(
+        F.col("vec_id").alias("base_id"), F.col("embedding").alias("be")
+    )
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    out = knn_join(base, probes, k=3, brute_max=0, n_probes=500)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    self_hits = out.filter("probe_id = base_id AND cosine = 1.0").count()
+    assert self_hits == 500
+
+
+def test_knn_join_small_probes_stay_brute(spark):
+    # under the threshold the exact broadcast-nested-loop path (the
+    # registered c04 hash contract) must be chosen — the switch must
+    # not silently degrade small probe sets to approximate answers
+    plan = _plan(spark, "c04_knn_join")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_p17_probe_is_digest_only_no_cartesian(spark):
+    # p17: the near-dup probe is an equi-join of (band, sig) digests —
+    # never a cartesian; the base index aggregates to DISTINCT sigs
+    # before the join so the exchange carries digests, not documents
+    plan = _plan(spark, "p17_incremental_lsh_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_c38_rerank_shortlist_bounded(spark):
+    # c38: both the ADC shortlist and the final top-k must be
+    # TakeOrderedAndProject (bounded, no global sort materializes),
+    # and no pair join appears anywhere
+    plan = _plan(spark, "c38_pq_rerank")
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2

@@ -121,29 +121,21 @@ def test_fuzzy_decontaminate_split_discipline(spark):
 def test_grading_prefix_composition():
     # The driver grades EXACTLY the first ~50 registered queries, so
     # registration order decides what gets graded. Since round 5 the
-    # order is imposed by explicit lists (registry._R5_UNGRADED /
-    # _R5_NEW / _R6_NEW / _R5_CHANGED / _R5_TOUCHED / _R2_ROTATION)
-    # rather than import order; pin that the reorder actually happened
-    # and the window leads with the never-graded + new +
-    # behavior-changed + shape-touched blocks.
+    # order is imposed by explicit lists (round 7: registry._R6_TAIL /
+    # _R7_NEW / _R2_ROTATION) rather than import order; pin that the
+    # reorder actually happened: the round-6 ungraded tail leads, the
+    # round-7 additions follow, and the r2 rotation fills the window.
     names = list(registry.QUERIES)
-    lead = (
-        registry._R5_UNGRADED
-        + registry._R5_NEW
-        + registry._R6_NEW
-        + registry._R5_CHANGED
-        + registry._R5_TOUCHED
-    )
+    lead = registry._R6_TAIL + registry._R7_NEW
     assert names[: len(lead)] == lead
-    # the r2-era rotation pack follows the lead blocks immediately —
-    # it fills whatever the ~50-slot window has left (round 6: the
-    # lead alone overflows 50, so the rotation is pure past-window
-    # insurance)
     n_rotated = max(0, min(len(registry._R2_ROTATION), 50 - len(lead)))
     assert (
         names[len(lead) : len(lead) + len(registry._R2_ROTATION)]
         == registry._R2_ROTATION
     )
+    # the window must still have room to re-grade a meaningful slice
+    # of the rotation after the lead blocks
+    assert n_rotated >= 20
     assert all(q in set(names[:50]) for q in registry._R2_ROTATION[:n_rotated])
     assert len(names) >= 128
 

@@ -953,3 +953,68 @@ def test_changelog_conforms_across_schema_evolution(catalog, spark):
         (3, "delete", 1, "a", None),
         (5, "insert", 3, "c", 7),
     ]
+
+
+def test_null_partition_value_keeps_bounds_planning_alive(catalog, spark):
+    # ADVICE r6 (medium): a merge_schema append missing the partition
+    # column lands under __HIVE_DEFAULT_PARTITION__; recording that
+    # sentinel STRING as the int column's [min,max] poisoned every
+    # later bounds comparison (TypeError in plan_files / scan_where /
+    # delete_range). The sentinel must record NO bound — the file is
+    # conservatively kept — and range planning must keep working.
+    t = catalog.create_table(
+        "test_ns", "nullpart", "name STRING, count INT",
+        partition_by=["count"], drop_if_exists=True,
+    )
+    t.append(
+        spark.createDataFrame([("A", 1), ("B", 2)], "name STRING, count INT")
+    )
+    t.append(
+        spark.createDataFrame([("Z", "drifted")], "name STRING, extra STRING"),
+        merge_schema=True,
+    )
+    kept, _ = t.plan_files("count", 2, 2)
+    assert kept  # planning survives; sentinel file kept conservatively
+    assert sorted(
+        r["name"] for r in t.scan_where("count", 2, 2).collect()
+    ) == ["B"]
+    _, summary = t.delete_range("count", 1, 1)
+    assert summary["files_dropped"] >= 0  # planning completed
+    # A (count=1) deleted; B kept; Z's NULL count is outside any range
+    assert sorted(r["name"] for r in t.read().collect()) == ["B", "Z"]
+
+
+def test_delete_range_lost_race_reclaims_residual_dir(
+    catalog, spark, monkeypatch
+):
+    # ADVICE r6 (low): a lost CAS race used to orphan the fully
+    # written residual positional-delete dir until the 3-day orphan
+    # grace; the loser must reclaim it immediately before replanning.
+    import os
+
+    t = catalog.create_table(
+        "test_ns", "drrace", DDL, drop_if_exists=True
+    )
+    # one data file so the range [12,16] is a PARTIAL overlap (bounds
+    # [2,20]) and a residual delete dir is written on every attempt
+    t.append(spark.createDataFrame(ROWS, DDL).coalesce(1))
+
+    real_link = os.link
+    fails = {"n": 1}
+
+    def flaky_link(src, dst, *a, **kw):
+        if fails["n"] and os.sep + "snapshots" + os.sep in dst:
+            fails["n"] -= 1
+            raise FileExistsError(dst)
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr("os.link", flaky_link)
+    _, summary = t.delete_range("count", 12, 16)
+    assert summary["files_partial"] == 1
+    deletes_dir = os.path.join(t.root, "deletes")
+    # exactly ONE delete dir remains: the committed one; the loser's
+    # dir was reclaimed on retry
+    assert len(os.listdir(deletes_dir)) == 1
+    assert sorted(r["name"] for r in t.read().collect()) == [
+        "A", "C", "D", "E",
+    ]  # only B (count 15) fell in [12,16]
