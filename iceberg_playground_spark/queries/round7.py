@@ -54,32 +54,40 @@ from iceberg_playground_spark.tables import LakeCatalog, LakeTable
 _P17_PERMS = 16
 _P17_BANDS = 4
 _P17_ROWS = _P17_PERMS // _P17_BANDS
+# One-base-hash affine MinHash family (c31's construction, round5.py:
+# 394-403): every shingle digests ONCE (md5 → 32-bit int) and the 16
+# "permutations" are affine maps (a·d + b) mod 2^32 — integer
+# arithmetic both engines evaluate bit-identically, ~6x cheaper than
+# 16 independent md5 passes (measured on c31 at sf0.1; p17's first
+# cut with per-seed md5 benched 5.24 s, this form 2.9 s).
+_P17_M = 1 << 32
+_P17_A = [((1103515245 * (i + 1)) % (1 << 30)) | 1 for i in range(_P17_PERMS)]
+_P17_B = [(12345 + 987654321 * i) % (1 << 31) for i in range(_P17_PERMS)]
 
 
-def _mh_md5(seed: int) -> Column:
-    """One portable MinHash permutation: min over shingles of
-    md5('<seed>|' || shingle). Hex-string min orders identically in
-    Spark and DuckDB (ASCII [0-9a-f]); seed binds as a closure
-    constant (the two-param transform-lambda pitfall, llm.py:94)."""
+def _mh_affine(i: int) -> Column:
+    """Permutation i over the per-shingle base digests in ``ds``. The
+    constants bind as CLOSURE constants (the two-param transform-lambda
+    pitfall, llm.py:94)."""
+    a, b = _P17_A[i], _P17_B[i]
 
-    def h(x: Column) -> Column:
-        return F.md5(F.concat(F.lit(f"{seed}|"), x))
+    def perm(d: Column) -> Column:
+        return (F.lit(a) * d + F.lit(b)) % F.lit(_P17_M)
 
-    return F.array_min(F.transform(F.col("sh"), h))
+    return F.array_min(F.transform(F.col("ds"), perm))
 
 
 def _band_sig_cols() -> list[Column]:
-    """(band, sig) structs: sig = md5(mh_a || '|' || ... ) per band.
-    F.concat (not concat_ws) so an empty-shingle doc's NULL minhash
-    propagates to a NULL sig — which never equi-joins, same as the
-    oracle's NULL `||` propagation."""
+    """(band, sig) structs: sig = md5 of the band's 4 minhash ints,
+    '|'-joined — one md5 per band per doc (the only string hashing
+    left after the affine family)."""
     out = []
     for b in range(_P17_BANDS):
         parts: list[Column] = []
         for r in range(_P17_ROWS):
             if parts:
                 parts.append(F.lit("|"))
-            parts.append(F.col(f"mh{b * _P17_ROWS + r}"))
+            parts.append(F.col(f"mh{b * _P17_ROWS + r}").cast("string"))
         out.append(
             F.struct(
                 F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("sig")
@@ -91,14 +99,15 @@ def _band_sig_cols() -> list[Column]:
 def _p17_oracle() -> str:
     bkt = bucket_sql("doc_id")
     mh = ",\n             ".join(
-        f"list_aggregate(list_transform(sh, x -> md5('{i}|' || x)), "
-        f"'min') AS mh{i}"
-        for i in range(_P17_PERMS)
+        f"list_min(list_transform(ds, d -> ({a} * d + {b}) % {_P17_M}))"
+        f" AS mh{i}"
+        for i, (a, b) in enumerate(zip(_P17_A, _P17_B))
     )
 
     def sig(b: int) -> str:
         parts = " || '|' || ".join(
-            f"mh{b * _P17_ROWS + r}" for r in range(_P17_ROWS)
+            f"CAST(mh{b * _P17_ROWS + r} AS VARCHAR)"
+            for r in range(_P17_ROWS)
         )
         return f"md5({parts})"
 
@@ -110,18 +119,24 @@ def _p17_oracle() -> str:
         f"SELECT doc_id, {b} AS band, {sig(b)} AS sig FROM dmh"
         for b in range(_P17_BANDS)
     )
+    digest = (
+        "list_transform(sh, s -> "
+        "CAST('0x' || substring(md5(s), 1, 8) AS BIGINT))"
+    )
     return f"""
     WITH base AS (SELECT doc_id, text FROM documents WHERE {bkt} < 80),
          delta AS (SELECT doc_id, lang, text FROM documents
                    WHERE {bkt} >= 80),
-         bsh AS (SELECT doc_id, {_SH_SQL} AS sh FROM base),
+         bsh AS (SELECT doc_id, {digest} AS ds
+                 FROM (SELECT doc_id, {_SH_SQL} AS sh FROM base)
+                 WHERE len(sh) > 0),
          bmh AS (SELECT doc_id, {mh} FROM bsh),
-         bsig AS (SELECT DISTINCT band, sig FROM ({bands_b})
-                  WHERE sig IS NOT NULL),
-         dsh AS (SELECT doc_id, lang, {_SH_SQL} AS sh FROM delta),
+         bsig AS (SELECT DISTINCT band, sig FROM ({bands_b})),
+         dsh AS (SELECT doc_id, {digest} AS ds
+                 FROM (SELECT doc_id, {_SH_SQL} AS sh FROM delta)
+                 WHERE len(sh) > 0),
          dmh AS (SELECT doc_id, {mh} FROM dsh),
-         dsig AS (SELECT DISTINCT doc_id, band, sig FROM ({bands_d})
-                  WHERE sig IS NOT NULL),
+         dsig AS (SELECT DISTINCT doc_id, band, sig FROM ({bands_d})),
          hits AS (SELECT DISTINCT dsig.doc_id
                   FROM dsig JOIN bsig USING (band, sig))
     SELECT lang,
@@ -143,19 +158,21 @@ def p17_incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
     signatures against the existing corpus's distinct signature index.
     Per language: new docs, near-dups vs base, novel docs.
 
-    Banding is c02's 16-perm × 4-band scheme with md5-seeded
-    permutations (portable → hash-oracle graded; c02 keeps the
-    engine-native xxhash64 fast path). A doc is near-dup iff ANY band
-    signature collides — P[collide] = 1-(1-j^4)^4 over 3-gram
-    Jaccard j.
+    Banding is c02's 16-perm × 4-band scheme over c31's one-base-hash
+    affine family (portable integer arithmetic → hash-oracle graded;
+    c02 keeps the engine-native xxhash64 fast path). A doc is
+    near-dup iff ANY band signature collides — P[collide] =
+    1-(1-j^4)^4 over 3-gram Jaccard j.
 
-    Scale shape: signatures are per-row array math (one scan per
+    Scale shape: signatures are per-row array math — each shingle is
+    md5-digested ONCE, the 16 permutations are affine maps over that
+    digest, and one md5 per band makes the bucket key (one scan per
     side); the probe is a DIGEST-ONLY equi-join on (band, sig) — at
     100 TB the base signature index is exactly the table you'd
     maintain incrementally (4 small rows per corpus doc, appended as
     batches commit), so each ingest batch costs |batch| signature
-    rows shuffled against the index, never a corpus rescan. NULL sigs
-    (docs under 3 tokens) never join and count as novel on both
+    rows shuffled against the index, never a corpus rescan. Docs
+    under 3 tokens carry no signature and count as novel on both
     engines."""
 
     def build(tmp: str) -> LakeTable:
@@ -165,22 +182,37 @@ def p17_incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id BIGINT, lang STRING, text STRING",
             drop_if_exists=True,
         )
-        d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+        # repartition BEFORE the appends: the documents source is one
+        # parquet split, so without it each append writes ONE file and
+        # every later read serializes its per-row CPU on one core
+        # (c31's single-split parallelization note, round5.py)
+        d = (
+            load(spark, sf, "documents")
+            .select("doc_id", "lang", "text")
+            .repartition(8, "doc_id")
+        )
         bucket = hash_bucket(F.col("doc_id"))
         t.append(d.filter(bucket < 80))   # v1: the existing corpus
         t.append(d.filter(bucket >= 80))  # v2: the ingestion batch
         return t
 
     t = _built(spark, sf, "p17", build)
-    mh_cols = [_mh_md5(i).alias(f"mh{i}") for i in range(_P17_PERMS)]
+    mh_cols = [_mh_affine(i).alias(f"mh{i}") for i in range(_P17_PERMS)]
+    digest = F.transform(
+        F.col("sh"),
+        lambda s: F.conv(F.md5(s).substr(1, 8), 16, 10).cast("bigint"),
+    )
 
     def band_sigs(df: DataFrame, *keep: str) -> DataFrame:
+        # no repartition needed: the build wrote 8 files per append,
+        # so the shingle/digest CPU is already split-parallel
         return (
             df.select(*keep, _shingles(_tokens()).alias("sh"))
+            .filter(F.size("sh") > 0)
+            .select(*keep, digest.alias("ds"))
             .select(*keep, *mh_cols)
             .select(*keep, F.explode(F.array(*_band_sig_cols())).alias("bk"))
             .select(*keep, "bk.band", "bk.sig")
-            .filter(F.col("sig").isNotNull())
         )
 
     base_idx = band_sigs(t.read(version=1)).distinct()
