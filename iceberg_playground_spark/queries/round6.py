@@ -1713,7 +1713,12 @@ def b131_cached_scan(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("l_returnflag")
         )
         # materialize while the cache is alive; the returned frame is
-        # a literal result (the driver re-executes collect on it)
+        # a literal result (the driver re-executes collect on it).
+        # SIZE GUARD: this collect-and-rebuild is legitimate ONLY
+        # because `out` is a |returnflag|-row AGGREGATE (bounded by
+        # the group-key cardinality, not the corpus) — never copy
+        # this pattern onto a non-aggregated frame, where it becomes
+        # a driver-side materialization of the whole relation.
         rows = out.collect()
     finally:
         li.unpersist()

@@ -1,5 +1,6 @@
-"""Round-7 operators: the two compositions a 100 TB training-data
-pipeline still lacked (VERDICT r6, item 6).
+"""Round-7 operators: the compositions a 100 TB training-data
+pipeline still lacked (VERDICT r6, item 6), closing the incremental
+near-dedup loop end-to-end.
 
 - p17: cross-run INCREMENTAL near-dup — p14's ingest report lifted
   from exact fingerprints to MinHash-LSH: the new batch's band
@@ -15,16 +16,25 @@ pipeline still lacked (VERDICT r6, item 6).
   shortlist's float vectors are read for the exact cosine top-k;
   proves the compression-then-exact composition end-to-end as one
   plan (FAISS's ADC + re-ranking, Jégou et al. 2011, PAPERS.md).
+- c39: the signature index p17 probes, MAINTAINED as a lake table by
+  MERGE (edited docs' rows replaced, new docs' rows inserted) and
+  hash-proved equal to a from-scratch rebuild.
+- p18: the same novelty probe run as a STREAMING pipeline (file
+  stream → sign → probe static index → land only novel docs), with
+  batch/stream parity proved by the oracle.
 
-Both are hash-oracle graded: p17 uses md5-seeded MinHash (portable
-across engines, unlike c02's engine-native xxhash64), c38 skips Lloyd
-training (the float-averaging step that forces c36 to rows-only) and
-quantizes against the deterministic md5-seeded codebook — every fold
-on both sides is the same left-to-right IEEE sequence, so the bits
-agree (the llm.py module-docstring determinism contract).
+All are hash-oracle graded: the LSH trio shares c31's one-base-hash
+affine MinHash family (portable integer arithmetic, unlike c02's
+engine-native xxhash64), c38 skips Lloyd training (the
+float-averaging step that forces c36 to rows-only) and quantizes
+against the deterministic md5-seeded codebook — every fold on both
+sides is the same left-to-right IEEE sequence, so the bits agree
+(the llm.py module-docstring determinism contract).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -96,33 +106,68 @@ def _band_sig_cols() -> list[Column]:
     return out
 
 
-def _p17_oracle() -> str:
-    bkt = bucket_sql("doc_id")
-    mh = ",\n             ".join(
+def _digest_col() -> Column:
+    """Per-shingle base digest (md5 bottom-32 → bigint), both engines.
+    Built lazily — a higher-order-function lambda needs an ACTIVE
+    SparkSession at construction, which import time doesn't have."""
+    return F.transform(
+        F.col("sh"),
+        lambda s: F.conv(F.md5(s).substr(1, 8), 16, 10).cast("bigint"),
+    )
+
+
+_DIGEST_SQL = (
+    "list_transform(sh, s -> "
+    "CAST('0x' || substring(md5(s), 1, 8) AS BIGINT))"
+)
+
+
+def _band_sigs(df: DataFrame, *keep: str) -> DataFrame:
+    """(keep..., band, sig) rows for every ≥3-token doc in ``df`` —
+    the shared signature pipeline of p17/c39/p18: one md5 per
+    shingle, 16 affine permutations, one md5 per band."""
+    mh_cols = [_mh_affine(i).alias(f"mh{i}") for i in range(_P17_PERMS)]
+    return (
+        df.select(*keep, _shingles(_tokens()).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(*keep, _digest_col().alias("ds"))
+        .select(*keep, *mh_cols)
+        .select(*keep, F.explode(F.array(*_band_sig_cols())).alias("bk"))
+        .select(*keep, "bk.band", "bk.sig")
+    )
+
+
+def _mh_sql() -> str:
+    """The 16 affine-permutation minhash columns over ``ds``."""
+    return ",\n             ".join(
         f"list_min(list_transform(ds, d -> ({a} * d + {b}) % {_P17_M}))"
         f" AS mh{i}"
         for i, (a, b) in enumerate(zip(_P17_A, _P17_B))
     )
 
-    def sig(b: int) -> str:
-        parts = " || '|' || ".join(
-            f"CAST(mh{b * _P17_ROWS + r} AS VARCHAR)"
-            for r in range(_P17_ROWS)
-        )
-        return f"md5({parts})"
 
-    bands_b = " UNION ALL ".join(
-        f"SELECT {b} AS band, {sig(b)} AS sig FROM bmh"
+def _sig_sql(b: int) -> str:
+    parts = " || '|' || ".join(
+        f"CAST(mh{b * _P17_ROWS + r} AS VARCHAR)" for r in range(_P17_ROWS)
+    )
+    return f"md5({parts})"
+
+
+def _bands_union_sql(src: str, keep: str = "") -> str:
+    """UNION ALL of the 4 per-band (keep..., band, sig) selects."""
+    pre = f"{keep}, " if keep else ""
+    return " UNION ALL ".join(
+        f"SELECT {pre}{b} AS band, {_sig_sql(b)} AS sig FROM {src}"
         for b in range(_P17_BANDS)
     )
-    bands_d = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {sig(b)} AS sig FROM dmh"
-        for b in range(_P17_BANDS)
-    )
-    digest = (
-        "list_transform(sh, s -> "
-        "CAST('0x' || substring(md5(s), 1, 8) AS BIGINT))"
-    )
+
+
+def _p17_oracle() -> str:
+    bkt = bucket_sql("doc_id")
+    mh = _mh_sql()
+    bands_b = _bands_union_sql("bmh")
+    bands_d = _bands_union_sql("dmh", "doc_id")
+    digest = _DIGEST_SQL
     return f"""
     WITH base AS (SELECT doc_id, text FROM documents WHERE {bkt} < 80),
          delta AS (SELECT doc_id, lang, text FROM documents
@@ -197,28 +242,12 @@ def p17_incremental_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
         return t
 
     t = _built(spark, sf, "p17", build)
-    mh_cols = [_mh_affine(i).alias(f"mh{i}") for i in range(_P17_PERMS)]
-    digest = F.transform(
-        F.col("sh"),
-        lambda s: F.conv(F.md5(s).substr(1, 8), 16, 10).cast("bigint"),
-    )
-
-    def band_sigs(df: DataFrame, *keep: str) -> DataFrame:
-        # no repartition needed: the build wrote 8 files per append,
-        # so the shingle/digest CPU is already split-parallel
-        return (
-            df.select(*keep, _shingles(_tokens()).alias("sh"))
-            .filter(F.size("sh") > 0)
-            .select(*keep, digest.alias("ds"))
-            .select(*keep, *mh_cols)
-            .select(*keep, F.explode(F.array(*_band_sig_cols())).alias("bk"))
-            .select(*keep, "bk.band", "bk.sig")
-        )
-
-    base_idx = band_sigs(t.read(version=1)).distinct()
+    # no repartition needed before _band_sigs: the build wrote 8
+    # files per append, so the shingle/digest CPU is split-parallel
+    base_idx = _band_sigs(t.read(version=1)).distinct()
     delta = t.read_incremental(1, 2).select("doc_id", "lang", "text")
     hits = (
-        band_sigs(delta, "doc_id")
+        _band_sigs(delta, "doc_id")
         .join(base_idx, ["band", "sig"], "leftsemi")
         .select("doc_id")
         .distinct()
@@ -414,3 +443,213 @@ def c38_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(_C38_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# c39 — signature-index maintenance via MERGE
+# ---------------------------------------------------------------------------
+
+
+def _c39_oracle() -> str:
+    bkt = bucket_sql("doc_id")
+    return f"""
+    WITH final_docs AS (
+      SELECT doc_id,
+             CASE WHEN {bkt} < 80 AND doc_id % 50 = 0
+                  THEN text || ' v2' ELSE text END AS text
+      FROM documents),
+    sh0 AS (SELECT doc_id, {{sh}} AS sh FROM final_docs),
+    dig AS (SELECT doc_id, {_DIGEST_SQL} AS ds FROM sh0
+            WHERE len(sh) > 0),
+    mh AS (SELECT doc_id, {_mh_sql()} FROM dig),
+    sig AS ({_bands_union_sql('mh', 'doc_id')})
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT sig) AS BIGINT) AS n_distinct_sigs,
+           min(sig) AS min_sig, max(sig) AS max_sig
+    FROM sig GROUP BY band
+    """.replace("{sh}", _SH_SQL)
+
+
+@query("c39_signature_index_merge", oracle=_c39_oracle())
+def c39_signature_index_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """C39: LSH signature-index MAINTENANCE — the operational closing
+    of p17's loop: the (doc_id, band, sig) index p17 probes is itself
+    a lake table kept current by MERGE, never recomputed. v1 seeds
+    the index from the existing corpus; an ingestion batch arrives
+    carrying NEW docs AND re-ingested EDITS of existing docs (every
+    50th base doc with amended text — the CDC update case), and one
+    three-clause MERGE (b96's machinery, equality on doc_id) lands
+    it: edited docs' stale signature rows are equality-deleted and
+    replaced, new docs' rows insert, untouched docs' rows are never
+    rewritten. The graded output aggregates the MAINTAINED index per
+    band (row count, distinct sigs, min/max sig) and the oracle
+    recomputes the whole index FROM SCRATCH — hash-matching proves
+    incremental maintenance ≡ full rebuild.
+
+    Scale shape: the MERGE shuffles |batch|·4 signature rows (KB per
+    doc) against manifest metadata — the corpus text is read once to
+    sign the batch, never to maintain the index; at 100 TB the index
+    is ~32 B/doc·4 and the rebuild this replaces is the full-corpus
+    shingle pass. (Ref anchor: the reference's equality-delete
+    ingestion, src/bin/deletes.rs:60-110, applied to index rows
+    instead of data rows.)"""
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        idx = cat.create_table(
+            "demo", "sig_index",
+            "doc_id BIGINT, band INT, sig STRING",
+            drop_if_exists=True,
+        )
+        d = (
+            load(spark, sf, "documents")
+            .select("doc_id", "text")
+            .repartition(8, "doc_id")
+        )
+        bucket = hash_bucket(F.col("doc_id"))
+        base = d.filter(bucket < 80)
+        idx.append(_band_sigs(base, "doc_id"))  # v1: seeded index
+        edited = base.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" v2"))
+        )
+        batch = d.filter(bucket >= 80).unionByName(edited)
+        # one MERGE: stale rows of edited docs masked + replaced, new
+        # docs inserted — the index never rebuilds
+        idx.merge(_band_sigs(batch, "doc_id"), equality_cols=["doc_id"])
+        return idx
+
+    idx = _built(spark, sf, "c39", build)
+    return idx.read().groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("sig").cast("bigint").alias("n_distinct_sigs"),
+        F.min("sig").alias("min_sig"),
+        F.max("sig").alias("max_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p18 — streaming novelty filter (CDC ingest keeps only novel docs)
+# ---------------------------------------------------------------------------
+
+
+def _p18_oracle() -> str:
+    # novel docs per language == p17's n_novel, reshaped to one row
+    # per (lang) with the count of docs that hit NO base band bucket
+    bkt = bucket_sql("doc_id")
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE {bkt} < 80),
+         delta AS (SELECT doc_id, lang, text FROM documents
+                   WHERE {bkt} >= 80),
+         bsh AS (SELECT doc_id, {_DIGEST_SQL} AS ds
+                 FROM (SELECT doc_id, {_SH_SQL} AS sh FROM base)
+                 WHERE len(sh) > 0),
+         bmh AS (SELECT doc_id, {_mh_sql()} FROM bsh),
+         bsig AS (SELECT DISTINCT band, sig
+                  FROM ({_bands_union_sql('bmh')})),
+         dsh AS (SELECT doc_id, {_DIGEST_SQL} AS ds
+                 FROM (SELECT doc_id, {_SH_SQL} AS sh FROM delta)
+                 WHERE len(sh) > 0),
+         dmh AS (SELECT doc_id, {_mh_sql()} FROM dsh),
+         dsig AS (SELECT DISTINCT doc_id, band, sig
+                  FROM ({_bands_union_sql('dmh', 'doc_id')})),
+         hits AS (SELECT DISTINCT dsig.doc_id
+                  FROM dsig JOIN bsig USING (band, sig))
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_novel
+    FROM delta
+    WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    GROUP BY lang
+    """
+
+
+@query("p18_streaming_novelty_filter", oracle=_p18_oracle())
+def p18_streaming_novelty_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P18: STREAMING novelty filter — p17's ingest-time near-dedup
+    run as a continuous pipeline: incoming documents arrive as a file
+    stream (the Kafka-partition analogue, one micro-batch per file),
+    each micro-batch signs its docs (the shared LSH pipeline), probes
+    the STATIC base signature index, and appends ONLY the novel docs
+    to the output lake table through the b54 machinery (executors
+    write, one BatchedCommitter snapshot per epoch). b51 deduplicates
+    a stream on exact keys; this is its NEAR-dup counterpart — the
+    filter CDC ingestion actually wants ("drop re-crawls and
+    boilerplate copies before they land").
+
+    Deterministic despite streaming: novelty is judged against the
+    static index only (batch boundaries cannot change the answer), so
+    the drained table hash-matches p17's batch computation — the
+    stream/batch parity Structured Streaming promises.
+
+    Scale shape: per micro-batch work is |batch| signature rows +
+    a digest equi-join against the index (broadcast when it fits,
+    shuffle otherwise); no cross-batch state, so the stream runs
+    forever at constant memory. (Ref anchor: the reference's
+    consume→decode→write→commit loop, src/bin/bench-kafka.rs:66-173,
+    with the novelty probe inserted between decode and write.)"""
+    import shutil
+
+    from iceberg_playground_spark.queries.streaming import _scratch
+    from iceberg_playground_spark.tables import BatchedCommitter
+
+    def build(tmp: str) -> tuple:
+        d = (
+            load(spark, sf, "documents")
+            .select("doc_id", "lang", "text")
+            .repartition(8, "doc_id")
+        )
+        bucket = hash_bucket(F.col("doc_id"))
+        src = os.path.join(tmp, "incoming")
+        d.filter(bucket >= 80).write.mode("overwrite").parquet(src)
+        idx = os.path.join(tmp, "base_index")
+        _band_sigs(d.filter(bucket < 80)).distinct().write.mode(
+            "overwrite"
+        ).parquet(idx)
+        return (src, idx)
+
+    src, idx_path = _built(spark, sf, "p18", build)
+    base_idx = spark.read.parquet(idx_path)
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(src)
+    )
+
+    out_root = _scratch("ips_stream_novel_")
+    try:
+        cat = LakeCatalog(spark, out_root)
+        t = cat.create_table(
+            "stream", "novel_docs", "doc_id BIGINT, lang STRING",
+            drop_if_exists=True,
+        )
+        committer = BatchedCommitter(t, interval_s=0.0)
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            hits = (
+                _band_sigs(batch_df, "doc_id")
+                .join(base_idx, ["band", "sig"], "leftsemi")
+                .select("doc_id")
+                .distinct()
+            )
+            novel = batch_df.join(hits, "doc_id", "left_anti").select(
+                "doc_id", "lang"
+            )
+            committer.add(t.stage_append(novel))
+
+        q = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", _scratch("ips_stream_nvck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        committer.flush()
+        rows = (
+            t.read()
+            .groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_novel"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return spark.createDataFrame(rows, "lang STRING, n_novel BIGINT")

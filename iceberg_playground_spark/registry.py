@@ -120,9 +120,12 @@ def load_all() -> None:
     (typo guard).
 
     Round-8 note: a hard 50-slot budget this round grades _R6_TAIL
-    (22) + _R7_NEW (3) + the first ~25 of _R2_ROTATION (through
-    ~b30_collect_list); the rotation remainder (b31-b66, ~21 entries)
-    should LEAD round 8's window, followed by round-8 additions.
+    (22) + _R7_NEW (2) + the first ~26 of _R2_ROTATION (through
+    ~b31_window_ranking); round 8's window should LEAD with the
+    late-round-7 registrations that sit past this round's budget
+    (c39_signature_index_merge, p18_streaming_novelty_filter — both
+    hash-oracle, locally green), then the rotation remainder
+    (b32-b66, ~20 entries), then round-8 additions.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,

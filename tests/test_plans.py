@@ -492,3 +492,13 @@ def test_c38_rerank_shortlist_bounded(spark):
     plan = _plan(spark, "c38_pq_rerank")
     assert "CartesianProduct" not in plan
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_c39_maintained_index_never_rescans_corpus(spark):
+    # c39: the graded aggregate reads the MAINTAINED index table only —
+    # the documents corpus is signed once during the build and must
+    # never appear in the query's own scan set (at 100 TB the index is
+    # ~32 B/doc; a corpus rescan here would defeat the maintenance)
+    plan = _plan(spark, "c39_signature_index_merge")
+    assert "documents" not in plan
+    assert "Scan parquet" in plan
