@@ -1,0 +1,145 @@
+"""Round-7 operator semantics: the incremental LSH dedup loop
+(p17 report → c39 index maintenance → p18 streaming filter) and the
+PQ shortlist→re-rank composition. Oracle parity is covered by
+test_correctness's registry-wide parametrization; these pin the
+invariants an oracle diff alone would not localize."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_playground_spark import registry
+
+registry.load_all()
+
+from tests.conftest import SF_CHECK  # noqa: E402
+
+
+# --- p17 incremental near-dup report --------------------------------------
+
+
+def test_p17_report_is_consistent_and_covers_delta(spark):
+    rows = registry.QUERIES["p17_incremental_lsh_dedup"](
+        spark, SF_CHECK
+    ).collect()
+    assert rows
+    total_new = 0
+    for r in rows:
+        # the two classes partition the batch
+        assert r["n_near_dup_vs_base"] + r["n_novel"] == r["n_new"]
+        assert r["n_near_dup_vs_base"] >= 0 and r["n_novel"] >= 0
+        total_new += r["n_new"]
+    # the report covers exactly the 20%-bucket ingestion batch
+    from iceberg_playground_spark.queries._util import hash_bucket, load
+
+    n_delta = (
+        load(spark, SF_CHECK, "documents")
+        .filter(hash_bucket(F.col("doc_id")) >= 80)
+        .count()
+    )
+    assert total_new == n_delta
+
+
+def test_p17_self_duplicate_batch_is_all_near_dup(spark, tmp_path):
+    # a batch that re-ingests EXACT copies of base docs must come back
+    # 100% near-dup: identical text → identical signatures → every
+    # band collides (the data-independent guarantee of the pipeline)
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.round7 import _band_sigs
+
+    d = (
+        load(spark, SF_CHECK, "documents")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    base_idx = _band_sigs(d, "doc_id").select("band", "sig").distinct()
+    probe = _band_sigs(d, "doc_id")
+    misses = probe.join(base_idx, ["band", "sig"], "left_anti")
+    assert misses.count() == 0
+
+
+# --- c39 signature-index maintenance --------------------------------------
+
+
+def test_c39_merge_masks_without_rewriting_untouched_files(spark):
+    from iceberg_playground_spark.queries.lakehouse import _BUILT
+
+    registry.QUERIES["c39_signature_index_merge"](spark, SF_CHECK)
+    key = next(
+        k for k in _BUILT if k[1] == SF_CHECK and k[2] == "c39"
+    )
+    idx = _BUILT[key]
+    v1 = idx.snapshot(1)
+    v2 = idx.snapshot(idx.current_version())
+    # every v1 data dir survives into HEAD (masked, never rewritten)
+    v1_paths = {f["path"] for f in v1["data_files"]}
+    v2_paths = {f["path"] for f in v2["data_files"]}
+    assert v1_paths <= v2_paths
+    # the merge added exactly one equality-delete file keyed on doc_id
+    assert len(v2["delete_files"]) == len(v1["delete_files"]) + 1
+
+
+def test_c39_edited_docs_changed_new_docs_added(spark):
+    # HEAD index vs v1 index: every 50th base doc re-signed (rows
+    # present at both versions, at least one sig differs), batch docs
+    # newly present
+    from iceberg_playground_spark.queries.lakehouse import _BUILT
+
+    registry.QUERIES["c39_signature_index_merge"](spark, SF_CHECK)
+    key = next(
+        k for k in _BUILT if k[1] == SF_CHECK and k[2] == "c39"
+    )
+    idx = _BUILT[key]
+    old = {
+        (r["doc_id"], r["band"]): r["sig"]
+        for r in idx.read(version=1).collect()
+    }
+    new = {
+        (r["doc_id"], r["band"]): r["sig"]
+        for r in idx.read().collect()
+    }
+    assert set(new) > set(old)  # strictly grew (batch docs added)
+    edited = {k for k in old if k[0] % 50 == 0}
+    assert edited  # fixture guarantees some edited docs
+    assert any(new[k] != old[k] for k in edited)
+    untouched = {k for k in old if k[0] % 50 != 0}
+    assert all(new[k] == old[k] for k in untouched)
+
+
+# --- p18 streaming novelty filter -----------------------------------------
+
+
+def test_p18_stream_matches_batch_novelty(spark):
+    # stream/batch parity: the docs the stream lands == p17's novel
+    # counts per language (same base index, same banding)
+    stream_rows = {
+        r["lang"]: r["n_novel"]
+        for r in registry.QUERIES["p18_streaming_novelty_filter"](
+            spark, SF_CHECK
+        ).collect()
+    }
+    batch_rows = {
+        r["lang"]: r["n_novel"]
+        for r in registry.QUERIES["p17_incremental_lsh_dedup"](
+            spark, SF_CHECK
+        ).collect()
+    }
+    assert stream_rows == {
+        lang: n for lang, n in batch_rows.items() if n > 0
+    }
+
+
+# --- c38 PQ shortlist → exact re-rank -------------------------------------
+
+
+def test_c38_self_hit_and_shortlist_contract(spark):
+    rows = registry.QUERIES["c38_pq_rerank"](spark, SF_CHECK).collect()
+    assert len(rows) == 10
+    # the probe's own vector encodes to its own codes → ADC est 0 for
+    # its own subquantizers... it must survive the shortlist and top
+    # the exact re-rank at cosine 1.0
+    assert rows[0]["vec_id"] == 0
+    assert abs(rows[0]["cosine"] - 1.0) < 1e-9
+    # descending cosine, vec_id tie-break
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
