@@ -235,3 +235,84 @@ def test_strict_decode_matches_python_model(spark, docs):
     }
     for d in docs:
         assert got[d] == _model_violation(d), f"doc={d!r}"
+
+
+# ---------------------------------------------------------------------------
+# partitioned-table fuzz: NULL partition values (merge_schema appends
+# missing the partition column land under __HIVE_DEFAULT_PARTITION__)
+# interleaved with bounds-based planning — the ADVICE-r6 TypeError
+# class: a sentinel recorded as a typed bound poisoned plan_files /
+# delete_range. The model is count-based visibility with None never
+# matching a range.
+# ---------------------------------------------------------------------------
+
+_pappend = st.lists(
+    st.tuples(st.sampled_from(_NAMES), st.integers(0, 3)),
+    min_size=1,
+    max_size=3,
+).map(lambda rows: ("append", rows))
+# schema drift: rows WITHOUT the partition column (count lands NULL)
+_pdrift = st.lists(
+    st.sampled_from(_NAMES), min_size=1, max_size=2
+).map(lambda names: ("drift", names))
+_prdelete = st.tuples(st.integers(0, 3), st.integers(0, 3)).map(
+    lambda b: ("rdelete", (min(b), max(b)))
+)
+_pdelete_name = st.sampled_from(_NAMES).map(lambda n: ("delete", n))
+_pcompact = st.just(("compact", None))
+
+_pops = st.lists(
+    st.one_of(_pappend, _pdrift, _prdelete, _pdelete_name, _pcompact),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=_MAX_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_pops)
+def test_partitioned_null_partition_sequences_match_model(
+    spark, tmp_path_factory, ops
+):
+    wh = str(tmp_path_factory.mktemp("prop_pwh"))
+    cat = LakeCatalog(spark, wh)
+    t = cat.create_table(
+        "p", "tp", DDL, partition_by=["count"], drop_if_exists=True
+    )
+
+    state: list = []  # [(name, count-or-None)]
+    for op, arg in ops:
+        if op == "append":
+            t.append(spark.createDataFrame(arg, DDL))
+            state = state + [(n, c) for n, c in arg]
+        elif op == "drift":
+            t.append(
+                spark.createDataFrame([(n,) for n in arg], "name STRING"),
+                merge_schema=True,
+            )
+            state = state + [(n, None) for n in arg]
+        elif op == "rdelete":
+            lo, hi = arg
+            t.delete_range("count", lo, hi)
+            # NULL count is outside every range
+            state = [
+                r for r in state
+                if r[1] is None or not (lo <= r[1] <= hi)
+            ]
+        elif op == "delete":
+            t.delete_where(f"name = '{arg}'", ["name"])
+            state = [r for r in state if r[0] != arg]
+        else:
+            t.compact()
+
+    got = sorted(
+        [(r["name"], r["count"]) for r in t.read().collect()], key=str
+    )
+    assert got == sorted(state, key=str)
+    # bounds planning stays alive across every state (the TypeError
+    # class regression): planning must complete, sentinel files kept
+    kept, _ = t.plan_files("count", 0, 3)
+    assert isinstance(kept, list)
