@@ -72,10 +72,17 @@ HEADLINE = [
     "b97_tpch_q5",
     "b107_tpch_q8",
     "c35_temperature_mix",
-    # round-7: incremental LSH dedup (16 md5 minhashes x 2 sides +
-    # digest join over a lake-table delta) and the PQ encode +
-    # ADC-shortlist + exact re-rank composition
+    # round-7: the incremental near-dedup loop (signature pipeline +
+    # digest join over a lake-table delta; index maintenance via
+    # MERGE) and the PQ encode + ADC-shortlist + exact re-rank
+    # composition. p18 (the streaming novelty drain) is graded for
+    # correctness but not benched: its 4-micro-batch drain pays the
+    # per-epoch plan-compile floor 4x (~7 s at demo scale, pure
+    # fixed overhead that real batch sizes amortize), which would
+    # swamp the cell with no plan signal — b68/b54 keep streaming
+    # represented in the headline.
     "p17_incremental_lsh_dedup",
+    "c39_signature_index_merge",
     "c38_pq_rerank",
     # streaming ingest path — the reference's own benchmark subject
     # (bench-kafka.rs stage timers): stream → decode → files → commit

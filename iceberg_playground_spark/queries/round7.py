@@ -599,7 +599,14 @@ def p18_streaming_novelty_filter(spark: SparkSession, sf: str) -> DataFrame:
         )
         bucket = hash_bucket(F.col("doc_id"))
         src = os.path.join(tmp, "incoming")
-        d.filter(bucket >= 80).write.mode("overwrite").parquet(src)
+        # 4 arrival files -> 4 micro-batches: enough to prove
+        # multi-epoch behavior while keeping per-epoch fixed costs
+        # (plan compile, commit, checkpoint) amortized — at scale the
+        # same lesson reads "size micro-batches so epoch overhead is
+        # noise against batch work"
+        d.filter(bucket >= 80).repartition(4, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
         idx = os.path.join(tmp, "base_index")
         _band_sigs(d.filter(bucket < 80)).distinct().write.mode(
             "overwrite"
@@ -622,7 +629,11 @@ def p18_streaming_novelty_filter(spark: SparkSession, sf: str) -> DataFrame:
             "stream", "novel_docs", "doc_id BIGINT, lang STRING",
             drop_if_exists=True,
         )
-        committer = BatchedCommitter(t, interval_s=0.0)
+        # interval-batched commits, the reference's committer shape
+        # (decouple.rs:13 — flush every 5 s, NOT per writer epoch):
+        # epochs stage files; the commit (and its footer-bounds job)
+        # lands once at flush. b54 demonstrates the per-epoch variant.
+        committer = BatchedCommitter(t, interval_s=5.0)
 
         def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
             hits = (
