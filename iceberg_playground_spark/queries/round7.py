@@ -277,6 +277,102 @@ _C38_SHORT = 50
 _C38_TOPK = 10
 
 
+def _pq_codebook(spark: SparkSession, emb: DataFrame):
+    """Deterministic md5-seeded PQ codebook (c36's seeding, NO Lloyd
+    step): centroids[s][j][d] python list + the broadcastable
+    (s, j, cent) frame. The collect is codebook-sized (16 rows)."""
+    seed_rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_C38_K)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [
+        [
+            [
+                float(seed_rows[j]["embedding"][s * _C38_DIM + d])
+                for d in range(_C38_DIM)
+            ]
+            for j in range(_C38_K)
+        ]
+        for s in range(_C38_SUB)
+    ]
+    cent_df = spark.createDataFrame(
+        [
+            (s, j, centroids[s][j])
+            for s in range(_C38_SUB)
+            for j in range(_C38_K)
+        ],
+        "s INT, j INT, cent ARRAY<DOUBLE>",
+    )
+    return centroids, cent_df
+
+
+def _pq_dists(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """(vec_id, s, j, d2): every vector's subvectors against every
+    subspace centroid — the shared substrate of PQ coding (argmin over
+    j per s) and IVF cell assignment (ordered sum over s per j). The
+    fold is the same left-to-right IEEE sequence as the oracle's
+    list_reduce."""
+    slices = F.array(
+        *[
+            F.slice("embedding", s * _C38_DIM + 1, _C38_DIM)
+            for s in range(_C38_SUB)
+        ]
+    )
+    subvecs = emb.select("vec_id", F.posexplode(slices).alias("s", "sub"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.transform("sub", lambda x: x.cast("double")),
+            "cent",
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        subvecs.join(F.broadcast(cent_df), "s")
+        .withColumn("d2", dist)
+        .select("vec_id", "s", "j", "d2")
+    )
+
+
+def _pq_adc(q, centroids) -> list[tuple]:
+    """(s, j, qd) ADC rows for query vector ``q`` — python floats ARE
+    IEEE doubles and the loop folds in the oracle's order."""
+    adc = []
+    for s in range(_C38_SUB):
+        for j in range(_C38_K):
+            qd = 0.0
+            for d in range(_C38_DIM):
+                t = float(q[s * _C38_DIM + d]) - centroids[s][j][d]
+                qd += t * t
+            adc.append((s, j, qd))
+    return adc
+
+
+def _ordered_fold(val: str, key: str = "s") -> Column:
+    """Deterministic grouped float sum: collect (key, val) structs,
+    sort by key, fold left — a plain F.sum over floats is
+    shuffle-order-dependent and can never hash-match."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(key, val))),
+        F.lit(0.0),
+        lambda acc, x: acc + x[val],
+    )
+
+
+def _q_cosine(q) -> Column:
+    """Exact cosine vs the literal query vector, rounded at the output
+    boundary (c03's determinism contract)."""
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    return F.round(
+        _dot(F.col("embedding"), qlit)
+        / (_norm(F.col("embedding")) * _norm(qlit)),
+        6,
+    ).alias("cosine")
+
+
 def _c38_oracle() -> str:
     d = _C38_DIM
 
@@ -359,87 +455,29 @@ def c38_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     construction. Composes with c11's IVF cells (prune before ADC)
     unchanged."""
     emb = load(spark, sf, "embeddings")
-    seed_rows = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_C38_K)
-        .select("embedding")
-        .collect()
-    )
-    centroids = [
-        [
-            [
-                float(seed_rows[j]["embedding"][s * _C38_DIM + d])
-                for d in range(_C38_DIM)
-            ]
-            for j in range(_C38_K)
-        ]
-        for s in range(_C38_SUB)
-    ]
-    cent_df = spark.createDataFrame(
-        [
-            (s, j, centroids[s][j])
-            for s in range(_C38_SUB)
-            for j in range(_C38_K)
-        ],
-        "s INT, j INT, cent ARRAY<DOUBLE>",
-    )
-    slices = F.array(
-        *[
-            F.slice("embedding", s * _C38_DIM + 1, _C38_DIM)
-            for s in range(_C38_SUB)
-        ]
-    )
-    subvecs = emb.select("vec_id", F.posexplode(slices).alias("s", "sub"))
-    dist = F.aggregate(
-        F.zip_with(
-            F.transform("sub", lambda x: x.cast("double")),
-            "cent",
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    centroids, cent_df = _pq_codebook(spark, emb)
     codes = (
-        subvecs.join(F.broadcast(cent_df), "s")
-        .withColumn("d2", dist)
+        _pq_dists(emb, cent_df)
         .groupBy("vec_id", "s")
         .agg(F.min_by("j", F.struct("d2", "j")).alias("code"))
     )
     q = emb.filter("vec_id = 0").select("embedding").collect()[0][
         "embedding"
     ]
-    adc = []
-    for s in range(_C38_SUB):
-        for j in range(_C38_K):
-            qd = 0.0
-            for d in range(_C38_DIM):
-                t = float(q[s * _C38_DIM + d]) - centroids[s][j][d]
-                qd += t * t  # same sequential fold as the oracle
-            adc.append((s, j, qd))
-    adc_df = spark.createDataFrame(adc, "s INT, code INT, qd DOUBLE")
+    adc_df = spark.createDataFrame(
+        _pq_adc(q, centroids), "s INT, code INT, qd DOUBLE"
+    )
     est = (
         codes.join(F.broadcast(adc_df), ["s", "code"])
         .groupBy("vec_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("s", "qd"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["qd"],
-            ).alias("est_d2")
-        )
+        .agg(_ordered_fold("qd").alias("est_d2"))
     )
     short = est.orderBy("est_d2", "vec_id").limit(_C38_SHORT).select(
         "vec_id"
     )
-    qlit = F.array(*[F.lit(float(v)) for v in q])
-    cosine = F.round(
-        _dot(F.col("embedding"), qlit)
-        / (_norm(F.col("embedding")) * _norm(qlit)),
-        6,
-    ).alias("cosine")
     return (
         emb.join(F.broadcast(short), "vec_id")
-        .select("vec_id", cosine)
+        .select("vec_id", _q_cosine(q))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(_C38_TOPK)
     )
@@ -664,3 +702,171 @@ def p18_streaming_novelty_filter(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
     return spark.createDataFrame(rows, "lang STRING, n_novel BIGINT")
+
+
+# ---------------------------------------------------------------------------
+# c40 — IVF + ADC + exact re-rank (the full compressed-index pipeline)
+# ---------------------------------------------------------------------------
+
+_C40_NPROBE = 4
+_C40_SHORT = 20
+_C40_TOPK = 10
+
+
+def _c40_oracle() -> str:
+    d = _C38_DIM
+
+    def fold(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {d + 1}), "
+            f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+            f"(x, y) -> x + y)"
+        )
+
+    qsub = f"list_slice(qe, cent.s * {d} + 1, cent.s * {d} + {d})"
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ss AS (SELECT unnest(range(0, {_C38_SUB})) AS s),
+         seeds AS (
+           SELECT row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                    AS j,
+                  embedding
+           FROM embeddings QUALIFY j < {_C38_K}),
+         cent AS (
+           SELECT ss.s, seeds.j,
+                  list_slice(embedding, ss.s * {d} + 1, ss.s * {d} + {d})
+                    AS cent
+           FROM seeds CROSS JOIN ss),
+         sv AS (
+           SELECT vec_id, ss.s,
+                  list_slice(embedding, ss.s * {d} + 1, ss.s * {d} + {d})
+                    AS sub
+           FROM embeddings CROSS JOIN ss),
+         d2s AS (
+           SELECT sv.vec_id, sv.s, cent.j, {fold('sub', 'cent')} AS d2
+           FROM sv JOIN cent USING (s)),
+         asg AS (
+           SELECT vec_id, s, (min({{'d2': d2, 'j': j}})).j AS code
+           FROM d2s GROUP BY vec_id, s),
+         cellsum AS (
+           SELECT vec_id, j,
+                  list_reduce(list(d2 ORDER BY s), (x, y) -> x + y)
+                    AS cd2
+           FROM d2s GROUP BY vec_id, j),
+         cells AS (
+           SELECT vec_id, (min({{'cd2': cd2, 'j': j}})).j AS cell
+           FROM cellsum GROUP BY vec_id),
+         adc AS (
+           SELECT cent.s, cent.j AS code, {fold(qsub, 'cent.cent')} AS qd
+           FROM cent CROSS JOIN q),
+         qcells AS (
+           SELECT code AS cell
+           FROM (SELECT code,
+                        list_reduce(list(qd ORDER BY s), (x, y) -> x + y)
+                          AS qcd
+                 FROM adc GROUP BY code)
+           ORDER BY qcd, cell LIMIT {_C40_NPROBE}),
+         cand AS (
+           SELECT asg.vec_id, asg.s, asg.code
+           FROM asg JOIN cells USING (vec_id)
+           WHERE cells.cell IN (SELECT cell FROM qcells)),
+         est AS (
+           SELECT vec_id,
+                  list_reduce(list(qd ORDER BY cand.s), (x, y) -> x + y)
+                    AS est_d2
+           FROM cand JOIN adc ON cand.s = adc.s AND cand.code = adc.code
+           GROUP BY vec_id),
+         short AS (SELECT vec_id FROM est
+                   ORDER BY est_d2, vec_id LIMIT {_C40_SHORT})
+    SELECT e.vec_id, cells.cell,
+           round({_dot_sql('e.embedding', 'qe')}
+                 / ({_norm_sql('e.embedding')} * {_norm_sql('qe')}), 6)
+             AS cosine
+    FROM embeddings e
+    JOIN short USING (vec_id)
+    JOIN cells ON cells.vec_id = e.vec_id
+    CROSS JOIN q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {_C40_TOPK}
+    """
+
+
+@query("c40_ivf_adc_rerank", oracle=_c40_oracle())
+def c40_ivf_adc_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """C40: the FULL compressed-index search pipeline — IVF cell
+    pruning, then ADC over codes, then exact re-rank — unifying the
+    ANN stack (c11 IVF cells, c36/c38 PQ codes) into FAISS's IVFADC
+    shape, hash-graded end-to-end:
+
+    (1) every vector assigns to its nearest of 16 coarse cells —
+        reusing the SAME per-subspace distances as PQ coding (cell
+        distance = ordered sum over subspaces), so indexing costs ONE
+        distance pass for both structures;
+    (2) the query probes its {_C40_NPROBE} nearest cells (a
+        KB-sized, driver-computed decision — the inverted-file
+        prune: only probed cells' codes are scanned);
+    (3) ADC shortlists the top-{_C40_SHORT} candidates from 8 B/vector
+        codes inside probed cells;
+    (4) exact cosine re-ranks ONLY the shortlist to the top-{_C40_TOPK}.
+
+    Codes quantize raw vectors, not residuals — residual encoding
+    (true IVFADC) requires trained centroids, which is exactly the
+    float-averaging path that forces c36 rows-only; this variant keeps
+    every fold engine-identical. The probe's own vector lands in a
+    probed cell by construction (its cell distance IS the minimal
+    query-cell distance), so the self-hit survives to rank 1.
+
+    Scale shape: one distance pass builds cells + codes (|corpus|·128
+    KB-joined rows, map-side); the search scans codes of ~nprobe/nlist
+    of the corpus with a broadcast ADC table, the shortlist is
+    TakeOrderedAndProject-bounded, and the exact re-rank reads
+    {_C40_SHORT} float vectors regardless of corpus size."""
+    emb = load(spark, sf, "embeddings")
+    centroids, cent_df = _pq_codebook(spark, emb)
+    dists = _pq_dists(emb, cent_df).localCheckpoint(eager=False)
+    codes = dists.groupBy("vec_id", "s").agg(
+        F.min_by("j", F.struct("d2", "j")).alias("code")
+    )
+    cells = (
+        dists.groupBy("vec_id", "j")
+        .agg(_ordered_fold("d2").alias("cd2"))
+        .groupBy("vec_id")
+        .agg(F.min_by("j", F.struct("cd2", "j")).alias("cell"))
+    )
+    q = emb.filter("vec_id = 0").select("embedding").collect()[0][
+        "embedding"
+    ]
+    adc = _pq_adc(q, centroids)
+    adc_df = spark.createDataFrame(adc, "s INT, code INT, qd DOUBLE")
+    # probe-cell choice is codebook-sized arithmetic: qcd[j] folds the
+    # 8 subspace distances in s-order (same bits as the oracle's
+    # list_reduce), top-nprobe by (qcd, j)
+    qcd: dict[int, float] = {}
+    for s, j, qd in adc:  # adc rows are s-major → s ascending per j
+        qcd[j] = qcd.get(j, 0.0) + qd
+    probed = [
+        j for j, _ in sorted(qcd.items(), key=lambda kv: (kv[1], kv[0]))
+    ][:_C40_NPROBE]
+    cand = codes.join(
+        F.broadcast(
+            cells.filter(F.col("cell").isin(probed)).select("vec_id")
+        ),
+        "vec_id",
+    )
+    est = (
+        cand.join(F.broadcast(adc_df), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(_ordered_fold("qd").alias("est_d2"))
+    )
+    short = est.orderBy("est_d2", "vec_id").limit(_C40_SHORT).select(
+        "vec_id"
+    )
+    return (
+        emb.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(cells), "vec_id")
+        .select("vec_id", "cell", _q_cosine(q))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(_C40_TOPK)
+    )

@@ -502,3 +502,13 @@ def test_c39_maintained_index_never_rescans_corpus(spark):
     plan = _plan(spark, "c39_signature_index_merge")
     assert "documents" not in plan
     assert "Scan parquet" in plan
+
+
+def test_c40_prune_and_shortlist_bounded(spark):
+    # c40: cell pruning + ADC shortlist + exact re-rank must stay
+    # bounded (two TakeOrderedAndProject) with no pair join anywhere;
+    # the cell filter must reach the candidate side as an equi-join
+    # against a broadcast, never a cartesian
+    plan = _plan(spark, "c40_ivf_adc_rerank")
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2

@@ -143,3 +143,18 @@ def test_c38_self_hit_and_shortlist_contract(spark):
     # descending cosine, vec_id tie-break
     cos = [r["cosine"] for r in rows]
     assert cos == sorted(cos, reverse=True)
+
+
+# --- c40 IVF + ADC + exact re-rank ----------------------------------------
+
+
+def test_c40_self_hit_and_cell_membership(spark):
+    rows = registry.QUERIES["c40_ivf_adc_rerank"](spark, SF_CHECK).collect()
+    assert 0 < len(rows) <= 10
+    # the probe's cell is probed by construction → self-hit at rank 1
+    assert rows[0]["vec_id"] == 0
+    assert abs(rows[0]["cosine"] - 1.0) < 1e-9
+    # every result's cell is one of the coarse cells (0..15)
+    assert all(0 <= r["cell"] < 16 for r in rows)
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
