@@ -74,8 +74,9 @@ HEADLINE = [
     "c35_temperature_mix",
     # round-7: the incremental near-dedup loop (signature pipeline +
     # digest join over a lake-table delta; index maintenance via
-    # MERGE) and the PQ encode + ADC-shortlist + exact re-rank
-    # composition. p18 (the streaming novelty drain) is graded for
+    # MERGE) and the full IVF + ADC + exact-re-rank composition
+    # (c40 subsumes c38's encode/shortlist/re-rank path and adds the
+    # cell prune). p18 (the streaming novelty drain) is graded for
     # correctness but not benched: its 4-micro-batch drain pays the
     # per-epoch plan-compile floor 4x (~7 s at demo scale, pure
     # fixed overhead that real batch sizes amortize), which would
@@ -83,7 +84,7 @@ HEADLINE = [
     # represented in the headline.
     "p17_incremental_lsh_dedup",
     "c39_signature_index_merge",
-    "c38_pq_rerank",
+    "c40_ivf_adc_rerank",
     # streaming ingest path — the reference's own benchmark subject
     # (bench-kafka.rs stage timers): stream → decode → files → commit
     "b68_tumbling_window",
