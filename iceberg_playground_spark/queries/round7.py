@@ -693,6 +693,10 @@ def p18_streaming_novelty_filter(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination()
         committer.flush()
+        # SIZE GUARD: |langs|-row aggregate only — collected because
+        # the scratch output table is deleted in the finally block, so
+        # the returned frame must not reference its files (b131's
+        # literal-result rule; never copy onto a non-aggregated frame)
         rows = (
             t.read()
             .groupBy("lang")
