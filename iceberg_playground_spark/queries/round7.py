@@ -22,6 +22,12 @@ near-dedup loop end-to-end.
 - p18: the same novelty probe run as a STREAMING pipeline (file
   stream → sign → probe static index → land only novel docs), with
   batch/stream parity proved by the oracle.
+- c40: the full IVF + ADC + exact-re-rank composition (FAISS's
+  IVFADC shape over the deterministic codebook), unifying c11's
+  cells with c36/c38's codes.
+- p19: contamination-SAFE splitting — c17's hash split with eval
+  near-dups dropped from train via the same signature probe
+  (decontamination applied where leakage actually happens).
 
 All are hash-oracle graded: the LSH trio shares c31's one-base-hash
 affine MinHash family (portable integer arithmetic, unlike c02's
@@ -873,4 +879,102 @@ def c40_ivf_adc_rerank(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", "cell", _q_cosine(q))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(_C40_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# p19 — contamination-safe split (leakage prevention at split time)
+# ---------------------------------------------------------------------------
+
+
+def _p19_oracle() -> str:
+    bkt = bucket_sql("doc_id")
+    return f"""
+    WITH split AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN {bkt} < 90 THEN 'train' ELSE 'eval' END AS split
+      FROM documents),
+    esh AS (SELECT doc_id, {_DIGEST_SQL} AS ds
+            FROM (SELECT doc_id, {_SH_SQL} AS sh FROM split
+                  WHERE split = 'eval')
+            WHERE len(sh) > 0),
+    emh AS (SELECT doc_id, {_mh_sql()} FROM esh),
+    esig AS (SELECT DISTINCT band, sig FROM ({_bands_union_sql('emh')})),
+    tsh AS (SELECT doc_id, {_DIGEST_SQL} AS ds
+            FROM (SELECT doc_id, {_SH_SQL} AS sh FROM split
+                  WHERE split = 'train')
+            WHERE len(sh) > 0),
+    tmh AS (SELECT doc_id, {_mh_sql()} FROM tsh),
+    tsig AS (SELECT DISTINCT doc_id, band, sig
+             FROM ({_bands_union_sql('tmh', 'doc_id')})),
+    leaky AS (SELECT DISTINCT tsig.doc_id
+              FROM tsig JOIN esig USING (band, sig))
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT)
+             AS n_train,
+           CAST(count(*) FILTER (WHERE split = 'eval') AS BIGINT)
+             AS n_eval,
+           CAST(count(*) FILTER (WHERE split = 'train'
+                 AND doc_id IN (SELECT doc_id FROM leaky)) AS BIGINT)
+             AS n_leaky_dropped,
+           CAST(count(*) FILTER (WHERE split = 'train'
+                 AND doc_id NOT IN (SELECT doc_id FROM leaky)) AS BIGINT)
+             AS n_train_clean
+    FROM split GROUP BY lang
+    """
+
+
+@query("p19_decontaminated_split", oracle=_p19_oracle())
+def p19_decontaminated_split(spark: SparkSession, sf: str) -> DataFrame:
+    """P19: contamination-SAFE train/eval split — c17's deterministic
+    hash split composed with near-dup leakage prevention: any train
+    doc sharing an LSH band signature with ANY eval doc is a
+    benchmark-leak risk and is DROPPED from train (the standard
+    decontamination rule, c22/c26's shape applied at split time —
+    evaluation scores are meaningless if eval near-dups remain in
+    train). Per language: train size, eval size, leaky docs dropped,
+    clean train size.
+
+    Scale shape: split assignment is per-row hash arithmetic (zero
+    shuffle, c17's contract); the leak check is the p17 probe with
+    the EVAL side as the index — at 100 TB the eval set is tiny by
+    construction (the 10% hash slice, in practice a fixed benchmark
+    suite), so its distinct signature set BROADCASTS and the train
+    side is never shuffled for the probe (pinned in test_plans). The
+    corpus is scanned per consumer (eval sigs, train sigs, report) —
+    cheap column-pruned scans; the expensive thing a naive
+    formulation would do, an all-pairs train×eval comparison, never
+    materializes. Short docs (<3 tokens) carry no signature and can
+    never leak (both engines agree via NULL semantics)."""
+    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    b = hash_bucket(F.col("doc_id"))
+    split = d.withColumn(
+        "split", F.when(b < 90, "train").otherwise("eval")
+    )
+    eval_sig = (
+        _band_sigs(split.filter(F.col("split") == "eval"))
+        .distinct()
+    )
+    leaky = (
+        _band_sigs(split.filter(F.col("split") == "train"), "doc_id")
+        .join(F.broadcast(eval_sig), ["band", "sig"], "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("leaky", F.lit(1))
+    )
+    is_train = F.col("split") == "train"
+    is_leaky = F.coalesce(F.col("leaky"), F.lit(0)) == 1
+    return (
+        split.join(leaky, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum(is_train.cast("bigint")).alias("n_train"),
+            F.sum((~is_train).cast("bigint")).alias("n_eval"),
+            F.sum((is_train & is_leaky).cast("bigint")).alias(
+                "n_leaky_dropped"
+            ),
+            F.sum((is_train & ~is_leaky).cast("bigint")).alias(
+                "n_train_clean"
+            ),
+        )
     )

@@ -512,3 +512,13 @@ def test_c40_prune_and_shortlist_bounded(spark):
     plan = _plan(spark, "c40_ivf_adc_rerank")
     assert "CartesianProduct" not in plan
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_p19_eval_index_broadcasts_no_cartesian(spark):
+    # p19: the eval signature set must broadcast (the train side is
+    # never shuffled for the leak probe) and no train x eval pair
+    # comparison may materialize
+    plan = _plan(spark, "p19_decontaminated_split")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -158,3 +158,21 @@ def test_c40_self_hit_and_cell_membership(spark):
     assert all(0 <= r["cell"] < 16 for r in rows)
     cos = [r["cosine"] for r in rows]
     assert cos == sorted(cos, reverse=True)
+
+
+# --- p19 contamination-safe split -----------------------------------------
+
+
+def test_p19_counts_partition_and_eval_leaks_nothing(spark):
+    rows = registry.QUERIES["p19_decontaminated_split"](
+        spark, SF_CHECK
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_leaky_dropped"] + r["n_train_clean"] == r["n_train"]
+        assert r["n_leaky_dropped"] >= 0
+    # split fractions: the 90/10 hash rule over the whole corpus
+    from iceberg_playground_spark.queries._util import load
+
+    total = load(spark, SF_CHECK, "documents").count()
+    assert sum(r["n_train"] + r["n_eval"] for r in rows) == total
