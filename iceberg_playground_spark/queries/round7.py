@@ -28,6 +28,10 @@ near-dedup loop end-to-end.
 - p19: contamination-SAFE splitting — c17's hash split with eval
   near-dups dropped from train via the same signature probe
   (decontamination applied where leakage actually happens).
+- p20: corpus build v2 — LSH dedup → split → decontamination →
+  release report, the whole modern pipeline in one graded plan (and,
+  via the affine family, the hash-graded sibling of rows-only c02's
+  banded dedup).
 
 All are hash-oracle graded: the LSH trio shares c31's one-base-hash
 affine MinHash family (portable integer arithmetic, unlike c02's
@@ -977,4 +981,147 @@ def p19_decontaminated_split(spark: SparkSession, sf: str) -> DataFrame:
                 "n_train_clean"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# p20 — corpus build v2: LSH dedup → decontaminated split → release report
+# ---------------------------------------------------------------------------
+
+
+def _p20_oracle() -> str:
+    bkt = bucket_sql("doc_id")
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN {bkt} < 90 THEN 'train' ELSE 'eval' END AS split,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      FROM documents),
+    sh0 AS (SELECT doc_id, {_DIGEST_SQL} AS ds
+            FROM (SELECT doc_id, {_SH_SQL} AS sh FROM docs)
+            WHERE len(sh) > 0),
+    mh AS (SELECT doc_id, {_mh_sql()} FROM sh0),
+    sigs AS ({_bands_union_sql('mh', 'doc_id')}),
+    winners AS (
+      SELECT band, sig, min(doc_id) AS w FROM sigs GROUP BY band, sig),
+    kept_sig AS (
+      SELECT w AS doc_id FROM winners
+      GROUP BY w HAVING count(*) = {_P17_BANDS}),
+    kept AS (  -- signature winners + shingle-less docs (no buckets)
+      SELECT doc_id FROM kept_sig
+      UNION ALL
+      SELECT doc_id FROM docs
+      WHERE doc_id NOT IN (SELECT doc_id FROM sh0)),
+    esig AS (
+      SELECT DISTINCT band, sig FROM sigs
+      WHERE doc_id IN (SELECT doc_id FROM kept)
+        AND doc_id IN (SELECT doc_id FROM docs WHERE split = 'eval')),
+    leaky AS (
+      SELECT DISTINCT sigs.doc_id FROM sigs
+      JOIN esig USING (band, sig)
+      WHERE sigs.doc_id IN (SELECT doc_id FROM kept)
+        AND sigs.doc_id IN (SELECT doc_id FROM docs
+                            WHERE split = 'train')),
+    st AS (
+      SELECT docs.*,
+             doc_id IN (SELECT doc_id FROM kept) AS is_kept,
+             doc_id IN (SELECT doc_id FROM leaky) AS is_leaky
+      FROM docs)
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs_in,
+           CAST(count(*) FILTER (WHERE NOT is_kept) AS BIGINT)
+             AS n_dedup_dropped,
+           CAST(count(*) FILTER (WHERE is_kept AND is_leaky) AS BIGINT)
+             AS n_decon_dropped,
+           CAST(count(*) FILTER (WHERE is_kept AND NOT is_leaky)
+                AS BIGINT) AS n_final,
+           CAST(sum(tokens) FILTER (WHERE is_kept AND NOT is_leaky)
+                AS BIGINT) AS tokens_final
+    FROM st GROUP BY split, lang
+    """
+
+
+@query("p20_corpus_build_v2", oracle=_p20_oracle())
+def p20_corpus_build_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """P20: corpus build v2 — the MODERN release pipeline composed
+    end-to-end and hash-graded: LSH near-dedup over the whole corpus
+    (c02's win-all-bands one-hop rule, made oracle-portable by the
+    affine family — the hash-graded sibling of the rows-only c02) →
+    c17's deterministic split → p19's decontamination (kept train
+    docs sharing a band signature with any kept EVAL doc are
+    dropped) → the release report per (split, lang): docs in, dedup
+    drops, decontamination drops, final docs and final token budget.
+    c20 is the fingerprint-level build; this is the banded-LSH level
+    a production corpus actually ships with.
+
+    Scale shape: the signature lineage (shingle → digest → 16 affine
+    permutations → 4 band sigs) computes ONCE (lazy localCheckpoint
+    feeds dedup winners, the eval index, and the leak probe — three
+    consumers, one pass); dedup is c02's two-level MIN aggregation
+    (map-side partials absorb hot buckets, the shuffle carries
+    |corpus| signature rows, never pairs); the eval signature index
+    broadcasts for the leak probe exactly as p19; the report is one
+    |splits×langs|-bounded aggregate. Shingle-less docs carry no
+    buckets: kept by definition, never leaky — both engines agree
+    structurally."""
+    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    b = hash_bucket(F.col("doc_id"))
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.when(b < 90, "train").otherwise("eval").alias("split"),
+        F.size(_tokens()).cast("bigint").alias("tokens"),
+        "text",
+    )
+    sigs = _band_sigs(docs, "doc_id").localCheckpoint(eager=False)
+    # c02's two-level MIN: each (band, sig) bucket elects its min doc
+    # map-side; a doc survives iff it won ALL its 4 buckets
+    winners = sigs.groupBy("band", "sig").agg(F.min("doc_id").alias("w"))
+    kept_sig = (
+        winners.groupBy("w")
+        .agg(F.count("*").alias("won"))
+        .filter(F.col("won") == _P17_BANDS)
+        .select(F.col("w").alias("doc_id"))
+    )
+    signed = sigs.select("doc_id").distinct()
+    kept = kept_sig.unionByName(
+        docs.select("doc_id").join(signed, "doc_id", "left_anti")
+    ).withColumn("is_kept", F.lit(1))
+    # the kept set is ~|corpus|-sized — it must NEVER broadcast; only
+    # the eval signature index (benchmark-suite-sized) broadcasts
+    eval_ids = docs.filter(F.col("split") == "eval").select("doc_id")
+    esig = (
+        sigs.join(kept.select("doc_id"), "doc_id", "leftsemi")
+        .join(eval_ids, "doc_id", "leftsemi")
+        .select("band", "sig")
+        .distinct()
+    )
+    train_ids = docs.filter(F.col("split") == "train").select("doc_id")
+    leaky = (
+        sigs.join(kept.select("doc_id"), "doc_id", "leftsemi")
+        .join(train_ids, "doc_id", "leftsemi")
+        .join(F.broadcast(esig), ["band", "sig"], "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_leaky", F.lit(1))
+    )
+    st = (
+        docs.join(kept, "doc_id", "left")
+        .join(leaky, "doc_id", "left")
+        .withColumn("is_kept", F.coalesce(F.col("is_kept"), F.lit(0)) == 1)
+        .withColumn(
+            "is_leaky", F.coalesce(F.col("is_leaky"), F.lit(0)) == 1
+        )
+    )
+    keep_final = F.col("is_kept") & ~F.col("is_leaky")
+    return st.groupBy("split", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs_in"),
+        F.sum((~F.col("is_kept")).cast("bigint")).alias("n_dedup_dropped"),
+        F.sum((F.col("is_kept") & F.col("is_leaky")).cast("bigint")).alias(
+            "n_decon_dropped"
+        ),
+        F.sum(keep_final.cast("bigint")).alias("n_final"),
+        F.sum(F.when(keep_final, F.col("tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_final"),
     )

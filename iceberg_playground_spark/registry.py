@@ -124,9 +124,10 @@ def load_all() -> None:
     ~b31_window_ranking); round 8's window should LEAD with the
     late-round-7 registrations that sit past this round's budget
     (c39_signature_index_merge, p18_streaming_novelty_filter,
-    c40_ivf_adc_rerank, p19_decontaminated_split — all hash-oracle,
-    locally green at sf0.001/0.01/0.1), then the rotation remainder (b32-b66, ~20 entries),
-    then round-8 additions.
+    c40_ivf_adc_rerank, p19_decontaminated_split,
+    p20_corpus_build_v2 — all hash-oracle, locally green at
+    sf0.001/0.01/0.1), then the rotation remainder (b32-b66,
+    ~20 entries), then round-8 additions.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,

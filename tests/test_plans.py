@@ -522,3 +522,14 @@ def test_p19_eval_index_broadcasts_no_cartesian(spark):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_p20_single_sig_lineage_no_corpus_broadcast(spark):
+    # p20: the signature lineage computes once (checkpoint reused by
+    # dedup winners, eval index, leak probe — ExistingRDD scans in the
+    # plan), the eval index broadcasts, and no pair join or corpus
+    # broadcast appears
+    plan = _plan(spark, "p20_corpus_build_v2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "ExistingRDD" in plan  # checkpointed sigs, not recomputed

@@ -176,3 +176,28 @@ def test_p19_counts_partition_and_eval_leaks_nothing(spark):
 
     total = load(spark, SF_CHECK, "documents").count()
     assert sum(r["n_train"] + r["n_eval"] for r in rows) == total
+
+
+# --- p20 corpus build v2 ---------------------------------------------------
+
+
+def test_p20_accounting_is_exact(spark):
+    rows = registry.QUERIES["p20_corpus_build_v2"](
+        spark, SF_CHECK
+    ).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_dedup_dropped"] + r["n_decon_dropped"] + r["n_final"]
+            == r["n_docs_in"]
+        )
+        if r["split"] == "eval":
+            # decontamination only ever drops TRAIN docs
+            assert r["n_decon_dropped"] == 0
+    from iceberg_playground_spark.queries._util import load
+
+    total = load(spark, SF_CHECK, "documents").count()
+    assert sum(r["n_docs_in"] for r in rows) == total
+    # the pipeline actually dropped something at this sf (the corpus
+    # carries near-dups by construction)
+    assert sum(r["n_dedup_dropped"] for r in rows) > 0
