@@ -82,6 +82,10 @@ HEADLINE = [
     # fixed overhead that real batch sizes amortize), which would
     # swamp the cell with no plan signal — b68/b54 keep streaming
     # represented in the headline.
+    # (round-8 headline candidate: p20_corpus_build_v2, the composed
+    # LSH-dedup→split→decontaminate release pipeline, ~2.6 s at sf0.1
+    # — registered after the r7-close column was recorded, so it
+    # enters the headline with its anchor next round.)
     "p17_incremental_lsh_dedup",
     "c39_signature_index_merge",
     "c40_ivf_adc_rerank",
