@@ -950,7 +950,9 @@ def c11_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     exact top-5. Work drops from |base| to |base|·(nprobe/nlist) dot
     products; the label column is the inverted-file cell id. Float
     averaging is accumulation-order-sensitive, so this op is declared
-    rows-only by design (the exact ops c03/c04 carry the oracles)."""
+    rows-only by design (the exact ops c03/c04 carry the oracles;
+    c40_ivf_adc_rerank is the hash-graded IVF composition over a
+    deterministic seed codebook)."""
     e = load(spark, sf, "embeddings")
     pos = e.select(
         "label", F.posexplode("embedding").alias("pos", "v")
