@@ -1125,3 +1125,126 @@ def p20_corpus_build_v2(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# c41 / c42 — mergeable sketches: theta set algebra + KLL quantiles
+# ---------------------------------------------------------------------------
+
+
+@query("c41_theta_overlap")  # rows-only: DataSketches estimates are
+# engine-native (sketch state depends on internal hashing); the exact
+# counts ride alongside and the error contract is pinned in tests.
+def c41_theta_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """C41: cross-slice overlap estimation via THETA sketches — the
+    mergeable SET-ALGEBRA member of the sketch family (c34 HLL counts
+    distincts, c42 KLL ranks values; theta does union/intersection/
+    difference): two ingestion slices with a deliberately overlapping
+    acquisition window (buckets [0,60) and [40,100) — the re-crawl /
+    vendor-refeed shape, ~20% shared docs) are sketched per language
+    on their content fingerprints, and |A ∩ B|, |A ∪ B|, |A \\ B| come
+    from sketch algebra — NO join ever runs. This answers the
+    operational question BEFORE a dedup job is launched ("how much do
+    these feeds overlap?") from KB of sketch state; exact counts
+    computed alongside grade the estimates.
+
+    Scale shape: one scan, map-side sketch partials per (lang, slice)
+    — the exchange carries KB sketch buffers, never fingerprints; the
+    set algebra is per-lang row arithmetic on merged sketches. At
+    100 TB per-shard sketches persist with the data (c34's pattern)
+    and any slice-vs-slice overlap is answerable without rescanning
+    either side."""
+    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    b = hash_bucket(F.col("doc_id"))
+    t = d.select(
+        "lang",
+        F.md5("text").alias("fp"),
+        (b < 60).alias("in_a"),
+        (b >= 40).alias("in_b"),
+    )
+    sk = t.groupBy("lang").agg(
+        F.theta_sketch_agg(F.when(F.col("in_a"), F.col("fp"))).alias(
+            "sk_a"
+        ),
+        F.theta_sketch_agg(F.when(F.col("in_b"), F.col("fp"))).alias(
+            "sk_b"
+        ),
+        F.count_distinct(F.when(F.col("in_a"), F.col("fp"))).alias(
+            "exact_a"
+        ),
+        F.count_distinct(F.when(F.col("in_b"), F.col("fp"))).alias(
+            "exact_b"
+        ),
+        F.count_distinct("fp").alias("exact_union"),
+    )
+    est = lambda c: F.round(F.theta_sketch_estimate(c), 1)  # noqa: E731
+    return sk.select(
+        "lang",
+        est(F.theta_union("sk_a", "sk_b")).alias("est_union"),
+        F.col("exact_union").cast("bigint"),
+        est(F.theta_intersection("sk_a", "sk_b")).alias("est_overlap"),
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+        .cast("bigint")
+        .alias("exact_overlap"),
+        est(F.theta_difference("sk_a", "sk_b")).alias("est_a_only"),
+        (F.col("exact_union") - F.col("exact_b"))
+        .cast("bigint")
+        .alias("exact_a_only"),
+    )
+
+
+@query("c42_kll_quantile_rollup")  # rows-only: KLL sketch state is
+# engine-native; exact quantiles ride alongside, error pinned in tests.
+def c42_kll_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """C42: mergeable QUANTILE rollup via KLL sketches — b64 computes
+    exact percentiles by sorting, b29's approx_percentile computes one
+    estimate and throws its state away; KLL sketches are the 100 TB
+    path: per-language sketches of the token-count distribution
+    aggregate map-side, and the CORPUS row is produced by MERGING the
+    language sketches (kll_merge_agg — no second pass over the data),
+    which is exactly how a fleet rolls per-shard distribution state
+    into global p50/p90/p99 SLO numbers. Exact quantiles computed
+    alongside grade the estimates (rank error ≤ ~1.6% at default k).
+
+    Scale shape: one scan, KB sketch buffers through the exchange,
+    |langs|+1 output rows; the corpus-level merge touches sketches
+    only. Completes the mergeable-sketch family: c34 HLL (distinct),
+    c41 theta (set algebra), c42 KLL (ranks)."""
+    d = load(spark, sf, "documents").select(
+        "lang", F.size(_tokens()).cast("bigint").alias("n_tokens")
+    )
+    per_lang = d.groupBy("lang").agg(
+        F.kll_sketch_agg_bigint("n_tokens").alias("sk"),
+        F.expr(
+            "percentile(n_tokens, array(0.5, 0.9, 0.99))"
+        ).alias("exact_q"),
+        F.count("*").alias("n_docs"),
+    )
+    corpus = per_lang.select(
+        F.lit("__corpus__").alias("lang"),
+        # the merge consumes SKETCHES, not rows — the whole point
+        F.kll_merge_agg_bigint("sk").alias("sk"),
+        F.lit(None).cast("array<double>").alias("exact_q"),
+        F.sum("n_docs").alias("n_docs"),
+    )
+    exact_corpus = d.agg(
+        F.expr("percentile(n_tokens, array(0.5, 0.9, 0.99))").alias(
+            "exact_q"
+        )
+    )
+    corpus = corpus.drop("exact_q").crossJoin(F.broadcast(exact_corpus))
+    out = per_lang.unionByName(corpus.select(per_lang.columns))
+
+    def q(p: float, name: str):
+        return F.kll_sketch_get_quantile_bigint("sk", F.lit(p)).alias(name)
+
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("bigint"),
+        q(0.5, "est_p50"),
+        F.round(F.element_at("exact_q", 1), 1).alias("exact_p50"),
+        q(0.9, "est_p90"),
+        F.round(F.element_at("exact_q", 2), 1).alias("exact_p90"),
+        q(0.99, "est_p99"),
+        F.round(F.element_at("exact_q", 3), 1).alias("exact_p99"),
+    )

@@ -201,3 +201,42 @@ def test_p20_accounting_is_exact(spark):
     # the pipeline actually dropped something at this sf (the corpus
     # carries near-dups by construction)
     assert sum(r["n_dedup_dropped"] for r in rows) > 0
+
+
+# --- c41 / c42 mergeable sketches -----------------------------------------
+
+
+def test_c41_theta_estimates_track_exact(spark):
+    rows = registry.QUERIES["c41_theta_overlap"](spark, SF_CHECK).collect()
+    assert rows
+    saw_overlap = False
+    for r in rows:
+        # the slices overlap by construction (buckets [40,60))
+        saw_overlap |= r["exact_overlap"] > 0
+        for est, exact in (
+            (r["est_union"], r["exact_union"]),
+            (r["est_overlap"], r["exact_overlap"]),
+            (r["est_a_only"], r["exact_a_only"]),
+        ):
+            assert abs(est - exact) <= max(0.05 * exact, 2), r
+    assert saw_overlap
+
+
+def test_c42_kll_ranks_track_exact_and_merge(spark):
+    rows = {
+        r["lang"]: r
+        for r in registry.QUERIES["c42_kll_quantile_rollup"](
+            spark, SF_CHECK
+        ).collect()
+    }
+    assert "__corpus__" in rows  # the merged (not re-scanned) rollup
+    total = sum(r["n_docs"] for k, r in rows.items() if k != "__corpus__")
+    assert rows["__corpus__"]["n_docs"] == total
+    for r in rows.values():
+        for est, exact in (
+            (r["est_p50"], r["exact_p50"]),
+            (r["est_p90"], r["exact_p90"]),
+            (r["est_p99"], r["exact_p99"]),
+        ):
+            # KLL rank error ~1.6% at default k; allow 5% of the value
+            assert abs(est - exact) <= max(0.05 * exact, 2.0), r
