@@ -240,3 +240,33 @@ def test_c42_kll_ranks_track_exact_and_merge(spark):
         ):
             # KLL rank error ~1.6% at default k; allow 5% of the value
             assert abs(est - exact) <= max(0.05 * exact, 2.0), r
+
+
+# --- knn_join LSH path: recall on near-identical probes -------------------
+
+
+def test_knn_lsh_path_recalls_perturbed_copies(spark):
+    # probes = base vectors with one coordinate nudged by 1% — nearly
+    # collinear, so sign-LSH keeps them in their source's buckets with
+    # high probability and the approximate path must place the source
+    # at rank 1 for the vast majority. Deterministic: the perturbation
+    # is arithmetic on the vector itself, no randomness.
+    from pyspark.sql import functions as F
+
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.llm import knn_join
+
+    e = load(spark, SF_CHECK, "embeddings").limit(200)
+    base = e.select(
+        F.col("vec_id").alias("base_id"), F.col("embedding").alias("be")
+    )
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * F.lit(1.01)).otherwise(x),
+        ).alias("pe"),
+    )
+    out = knn_join(base, probes, k=1, brute_max=0, n_probes=200)
+    hits = out.filter("probe_id = base_id").count()
+    assert hits >= 180  # >=90% recall on near-identical probes
