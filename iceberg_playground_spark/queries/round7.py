@@ -32,6 +32,12 @@ near-dedup loop end-to-end.
   release report, the whole modern pipeline in one graded plan (and,
   via the affine family, the hash-graded sibling of rows-only c02's
   banded dedup).
+- c41/c42: the remaining mergeable-sketch members (theta set
+  algebra, KLL quantile rollup) with in-row exact counterparts and
+  pinned error contracts (rows-only: DataSketches state).
+- b132: offline state-store inspection via Spark 4's state data
+  source — checkpointed streaming state read back as a DataFrame and
+  hash-proved equal to the batch semantics it encodes.
 
 All are hash-oracle graded: the LSH trio shares c31's one-base-hash
 affine MinHash family (portable integer arithmetic, unlike c02's
@@ -1248,3 +1254,67 @@ def c42_kll_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
         q(0.99, "est_p99"),
         F.round(F.element_at("exact_q", 3), 1).alias("exact_p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# b132 — state-store offline inspection (Spark 4 state data source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b132_statestore_read",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def b132_statestore_read(spark: SparkSession, sf: str) -> DataFrame:
+    """B132: OFFLINE state-store inspection — Spark 4's state data
+    source reads a streaming query's checkpointed state as an
+    ordinary DataFrame (``format("statestore")``), the debugging/ops
+    surface for every stateful pipeline this repo runs (b51/b52/b68's
+    state, the reference's commit-loop position): "what does the job
+    currently believe?" answered WITHOUT touching the running query.
+    A per-type streaming count drains (availableNow), then the graded
+    result is read back FROM THE CHECKPOINT's state files — not from
+    the sink — and hash-matched against the batch aggregate, proving
+    state contents equal the semantics they encode.
+
+    Scale shape: the state source reads one state file per shuffle
+    partition (parallel, no shuffle); state for a keyed aggregate is
+    |keys| rows however large the stream history. The collect is
+    |event_types|-bounded (b131's literal-result rule) because the
+    scratch checkpoint is deleted before returning."""
+    import shutil
+
+    from iceberg_playground_spark.queries.streaming import (
+        _scratch,
+        _stream_events,
+    )
+
+    ck = _scratch("ips_stream_ssread_")
+    try:
+        ev = _stream_events(spark, sf)
+        agg = ev.groupBy("event_type").count()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = (
+            spark.read.format("statestore")
+            .load(ck)
+            .select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").cast("bigint").alias("n_events"),
+            )
+        )
+        # SIZE GUARD: |event_types| rows — literal result because the
+        # checkpoint dir is removed in finally (b131's rule)
+        rows = state.collect()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_type STRING, n_events BIGINT")
