@@ -142,3 +142,100 @@ def build_assetgen_source():
             return AssetGenStreamReader(self.options)
 
     return AssetGenSource
+
+
+def build_jsondirsink_source():
+    """Construct the ``jsondirsink`` DataSource class — the WRITE side
+    of the Python Data Source API, completing the custom-source story
+    (``assetgen`` reads, this sinks): executors serialize their
+    partitions to JSON-lines temp files and return commit messages;
+    the DRIVER's commit publishes them with a manifest (rename +
+    ``_MANIFEST.json``), abort discards the temp dir — the
+    two-phase write/commit protocol of the reference's decoupled
+    writer fleet + single committer
+    (/root/reference/src/bin/decouple.rs:112-156, 211-299) expressed
+    through the public API. Tasks that receive no rows return an
+    empty message and publish nothing.
+
+    On a real cluster ``path`` must be shared storage (the driver
+    renames what executors wrote) — same contract as every file sink.
+    Classes are closure-local for the cloudpickle by-value rule (see
+    module docstring)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, fn, n):
+            self.fn, self.n = fn, n
+
+    class _JsonDirWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            if not path:
+                raise ValueError("jsondirsink requires option 'path'")
+            self.path = path
+
+        def write(self, iterator):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            fn, n, f = None, 0, None
+            tmp_dir = _os.path.join(self.path, "_tmp")
+            try:
+                for row in iterator:
+                    if f is None:  # lazily: empty tasks publish nothing
+                        _os.makedirs(tmp_dir, exist_ok=True)
+                        fn = f"part-{_uuid.uuid4().hex}.jsonl"
+                        f = open(_os.path.join(tmp_dir, fn), "w")
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            finally:
+                if f is not None:
+                    f.close()
+            return _Msg(fn, n)
+
+        def commit(self, messages):
+            import json as _json
+            import os as _os
+            import shutil as _shutil
+
+            # an all-empty write never created the dir on the driver's
+            # filesystem — the manifest must still publish (files: [])
+            _os.makedirs(self.path, exist_ok=True)
+            files = []
+            for m in messages:
+                if m is None or m.fn is None:
+                    continue
+                _os.replace(
+                    _os.path.join(self.path, "_tmp", m.fn),
+                    _os.path.join(self.path, m.fn),
+                )
+                files.append({"file": m.fn, "rows": m.n})
+            with open(
+                _os.path.join(self.path, "_MANIFEST.json"), "w"
+            ) as fh:
+                _json.dump({"files": files}, fh)
+            _shutil.rmtree(
+                _os.path.join(self.path, "_tmp"), ignore_errors=True
+            )
+
+        def abort(self, messages):
+            import os as _os
+            import shutil as _shutil
+
+            _shutil.rmtree(
+                _os.path.join(self.path, "_tmp"), ignore_errors=True
+            )
+
+    class JsonDirSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsondirsink"
+
+        def writer(self, schema, overwrite: bool):
+            return _JsonDirWriter(self.options.get("path"))
+
+    return JsonDirSink

@@ -38,6 +38,9 @@ near-dedup loop end-to-end.
 - b132: offline state-store inspection via Spark 4's state data
   source — checkpointed streaming state read back as a DataFrame and
   hash-proved equal to the batch semantics it encodes.
+- b133: a custom Python SINK (the Data Source API's write side) with
+  the reference's two-phase writer-fleet/committer protocol, graded
+  by a write→commit→read round trip.
 
 All are hash-oracle graded: the LSH trio shares c31's one-base-hash
 affine MinHash family (portable integer arithmetic, unlike c02's
@@ -1318,3 +1321,62 @@ def b132_statestore_read(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return spark.createDataFrame(rows, "event_type STRING, n_events BIGINT")
+
+
+# ---------------------------------------------------------------------------
+# b133 — Python DataSource WRITER (custom sink, two-phase commit)
+# ---------------------------------------------------------------------------
+
+
+def _register_jsondirsink(spark: SparkSession) -> None:
+    """Register the ``jsondirsink`` Python data source once per session
+    (the b83 registration guard pattern, meta.py:141)."""
+    if getattr(spark, "_jsondirsink_registered", False):
+        return
+    from iceberg_playground_spark.pysource import build_jsondirsink_source
+
+    try:
+        spark.dataSource.register(build_jsondirsink_source())
+    except Exception:
+        pass  # already registered by a parallel caller: fine
+    spark._jsondirsink_registered = True
+
+
+@query(
+    "b133_python_datasource_writer",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def b133_python_datasource_writer(spark: SparkSession, sf: str) -> DataFrame:
+    """B133/A6': a custom Python SINK — the WRITE side of the Data
+    Source API (b83/b84 cover the read side): executors serialize
+    their partitions to JSON-lines files and return commit messages;
+    the driver's commit publishes them atomically behind a manifest
+    (rename + _MANIFEST.json, temp files of failed attempts never
+    visible) — the reference's writer-fleet + single-committer
+    protocol (decouple.rs:112-156, 211-299) through the PUBLIC
+    Python API instead of engine internals. The graded result reads
+    the manifest's files back and hash-matches the input relation —
+    a full write→commit→read round trip.
+
+    Scale shape: writes run one task per partition (the fleet);
+    commit touches filenames only (KB manifest, like tables.py's
+    snapshot commit). The 5-row collect is the b131 literal-result
+    rule (the scratch dir is deleted before returning)."""
+    import json
+    import shutil
+    import tempfile
+
+    _register_jsondirsink(spark)
+    out = tempfile.mkdtemp(prefix="ips_jsink_")
+    try:
+        load(spark, sf, "region").select("r_regionkey", "r_name").write.format(
+            "jsondirsink"
+        ).option("path", out).mode("append").save()
+        with open(os.path.join(out, "_MANIFEST.json")) as fh:
+            man = json.load(fh)
+        paths = [os.path.join(out, f["file"]) for f in man["files"]]
+        df = spark.read.schema("r_regionkey INT, r_name STRING").json(paths)
+        rows = df.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "r_regionkey INT, r_name STRING")

@@ -270,3 +270,39 @@ def test_knn_lsh_path_recalls_perturbed_copies(spark):
     out = knn_join(base, probes, k=1, brute_max=0, n_probes=200)
     hits = out.filter("probe_id = base_id").count()
     assert hits >= 180  # >=90% recall on near-identical probes
+
+
+# --- b133 custom Python sink ----------------------------------------------
+
+
+def test_b133_sink_commit_protocol(spark, tmp_path):
+    # two-phase contract: committed files are exactly the manifest's,
+    # the temp dir is gone after commit, and empty partitions (or an
+    # empty frame) publish nothing
+    import json
+    import os
+
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.round7 import _register_jsondirsink
+    from tests.conftest import SF_CHECK
+
+    _register_jsondirsink(spark)
+    out = str(tmp_path / "sink")
+    r = load(spark, SF_CHECK, "region").select("r_regionkey", "r_name")
+    r.write.format("jsondirsink").option("path", out).mode("append").save()
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    listed = {f["file"] for f in man["files"]}
+    on_disk = {
+        f for f in os.listdir(out) if f != "_MANIFEST.json"
+    }
+    assert listed == on_disk  # no orphans, no missing
+    assert sum(f["rows"] for f in man["files"]) == 5
+    assert "_tmp" not in on_disk
+
+    out2 = str(tmp_path / "empty")
+    r.filter("r_regionkey < 0").write.format("jsondirsink").option(
+        "path", out2
+    ).mode("append").save()
+    man2 = json.load(open(os.path.join(out2, "_MANIFEST.json")))
+    assert man2["files"] == []
+    assert os.listdir(out2) == ["_MANIFEST.json"]
