@@ -230,6 +230,45 @@ def build_jsondirsink_source():
                 _os.path.join(self.path, "_tmp"), ignore_errors=True
             )
 
+    from pyspark.sql.datasource import DataSourceStreamWriter
+
+    class _JsonDirStreamWriter(DataSourceStreamWriter):
+        """Per-EPOCH two-phase commit: same executor write path, but
+        the driver publishes one ``_MANIFEST-<batchId>.json`` per
+        micro-batch — the interval-committed manifest stream of the
+        reference's committer loop (decouple.rs:224-267). A replayed
+        epoch (failure recovery) overwrites its own manifest
+        idempotently; uncommitted temp files are never listed."""
+
+        def __init__(self, path: str):
+            self._w = _JsonDirWriter(path)
+            self.path = path
+
+        def write(self, iterator):
+            return self._w.write(iterator)
+
+        def commit(self, messages, batchId: int):
+            import json as _json
+            import os as _os
+
+            _os.makedirs(self.path, exist_ok=True)
+            files = []
+            for m in messages:
+                if m is None or m.fn is None:
+                    continue
+                _os.replace(
+                    _os.path.join(self.path, "_tmp", m.fn),
+                    _os.path.join(self.path, m.fn),
+                )
+                files.append({"file": m.fn, "rows": m.n})
+            with open(
+                _os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w"
+            ) as fh:
+                _json.dump({"batch": batchId, "files": files}, fh)
+
+        def abort(self, messages, batchId: int):
+            self._w.abort(messages)
+
     class JsonDirSink(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -237,5 +276,8 @@ def build_jsondirsink_source():
 
         def writer(self, schema, overwrite: bool):
             return _JsonDirWriter(self.options.get("path"))
+
+        def streamWriter(self, schema, overwrite: bool):
+            return _JsonDirStreamWriter(self.options.get("path"))
 
     return JsonDirSink

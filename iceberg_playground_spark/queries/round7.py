@@ -38,9 +38,10 @@ near-dedup loop end-to-end.
 - b132: offline state-store inspection via Spark 4's state data
   source — checkpointed streaming state read back as a DataFrame and
   hash-proved equal to the batch semantics it encodes.
-- b133: a custom Python SINK (the Data Source API's write side) with
-  the reference's two-phase writer-fleet/committer protocol, graded
-  by a write→commit→read round trip.
+- b133/b134: a custom Python SINK (the Data Source API's write side,
+  batch + streaming) with the reference's two-phase
+  writer-fleet/committer protocol and per-epoch manifests, graded by
+  write→commit→read round trips.
 
 All are hash-oracle graded: the LSH trio shares c31's one-base-hash
 affine MinHash family (portable integer arithmetic, unlike c02's
@@ -1380,3 +1381,65 @@ def b133_python_datasource_writer(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, "r_regionkey INT, r_name STRING")
+
+
+@query(
+    "b134_python_streaming_sink",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def b134_python_streaming_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """B134/A8': the custom sink under STRUCTURED STREAMING — the
+    fourth quadrant of the Python Data Source story (b83 batch read,
+    b84 stream read, b133 batch write): the event stream drains
+    through ``writeStream.format("jsondirsink")`` and the driver
+    publishes one manifest per epoch (the reference committer's
+    interval-flushed manifest stream, decouple.rs:224-267); replayed
+    epochs overwrite their own manifest idempotently. The graded
+    result reads back ONLY manifest-listed files and aggregates —
+    hash-matching the batch SQL proves exactly-once publication
+    end-to-end.
+
+    Scale shape: executor-parallel epoch writes, KB manifests; the
+    read-back aggregate collapses to |event_types| rows before the
+    scratch dir is deleted (the b131 literal-result rule)."""
+    import glob
+    import json
+    import shutil
+    import tempfile
+
+    from iceberg_playground_spark.queries.streaming import _stream_events
+
+    _register_jsondirsink(spark)
+    out = tempfile.mkdtemp(prefix="ips_jstream_")
+    try:
+        ev = _stream_events(spark, sf).select("event_id", "event_type")
+        q = (
+            ev.writeStream.format("jsondirsink")
+            .option("path", out)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ips_jsck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        paths = []
+        for man in glob.glob(os.path.join(out, "_MANIFEST-*.json")):
+            with open(man) as fh:
+                paths += [
+                    os.path.join(out, f["file"])
+                    for f in json.load(fh)["files"]
+                ]
+        rows = (
+            spark.read.schema("event_id BIGINT, event_type STRING")
+            .json(paths)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_type STRING, n_events BIGINT")
