@@ -306,3 +306,34 @@ def test_b133_sink_commit_protocol(spark, tmp_path):
     man2 = json.load(open(os.path.join(out2, "_MANIFEST.json")))
     assert man2["files"] == []
     assert os.listdir(out2) == ["_MANIFEST.json"]
+
+
+def test_b133_sink_abort_publishes_nothing(spark, tmp_path):
+    # the two-phase protocol's failure half: a write that dies mid-job
+    # must publish NOTHING — no manifest, no visible part files, and
+    # the temp dir reclaimed by abort (the reference committer's
+    # failed-flush contract)
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_playground_spark.queries.round7 import _register_jsondirsink
+
+    _register_jsondirsink(spark)
+    out = str(tmp_path / "abort")
+    df = spark.range(100).select(
+        F.when(
+            F.col("id") == 97, F.expr("raise_error('boom')")
+        )
+        .otherwise(F.col("id").cast("string"))
+        .alias("v")
+    )
+    with pytest.raises(Exception):
+        df.write.format("jsondirsink").option("path", out).mode(
+            "append"
+        ).save()
+    leftover = os.listdir(out) if os.path.exists(out) else []
+    assert "_MANIFEST.json" not in leftover
+    assert not [f for f in leftover if f.endswith(".jsonl")]
+    assert "_tmp" not in leftover
