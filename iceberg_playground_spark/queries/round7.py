@@ -42,6 +42,9 @@ near-dedup loop end-to-end.
   batch + streaming) with the reference's two-phase
   writer-fleet/committer protocol and per-epoch manifests, graded by
   write→commit→read round trips.
+- b135: time-partitioned retention — the partition-aligned
+  delete_range in its production shape, hash-graded INCLUDING the
+  metadata-only planner flag.
 
 All are hash-oracle graded: the LSH trio shares c31's one-base-hash
 affine MinHash family (portable integer arithmetic, unlike c02's
@@ -1443,3 +1446,78 @@ def b134_python_streaming_sink(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, "event_type STRING, n_events BIGINT")
+
+
+# ---------------------------------------------------------------------------
+# b135 — time-partitioned retention delete (metadata-only DROP of old days)
+# ---------------------------------------------------------------------------
+
+_RETENTION_CUTOFF = "2024-01-11"  # drop the first 10 of 30 fixture days
+
+
+@query(
+    "b135_retention_delete",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(1 AS INT) AS metadata_only
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') >= '{_RETENTION_CUTOFF}'
+    GROUP BY day
+    """,
+)
+def b135_retention_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """B135: the #1 operational job on a 100 TB lake — RETENTION: the
+    event table lands day-partitioned, and "drop everything before
+    the cutoff" aligns exactly with partition boundaries, so
+    `delete_range` drops whole files from the snapshot by committed
+    bounds alone: ZERO delete files, ZERO data I/O (b114 proves the
+    mechanism on a demo predicate; this is the production shape it
+    exists for, including the hive-path identity bounds the round-7
+    NULL-partition fix hardened). The graded output is the surviving
+    per-day aggregate plus the planner's own metadata_only flag —
+    hash-matching proves both the data result AND that the plan never
+    degraded to a positional-delete scan (a misaligned predicate
+    would flip the flag and break the match).
+
+    Scale shape: planning walks KB of manifest bounds; dropped days
+    never open; the surviving scan is an ordinary partitioned read.
+    At 100 TB this is the difference between a metadata commit and
+    rewriting a third of the lake."""
+
+    def build(tmp: str) -> tuple:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "events_ret",
+            "event_id BIGINT, day STRING, value_cents BIGINT",
+            partition_by=["day"],
+            drop_if_exists=True,
+        )
+        ev = load(spark, sf, "events").select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias(
+                "value_cents"
+            ),
+        )
+        t.append(ev)
+        _, summary = t.delete_range(
+            "day", "0000-00-00", "2024-01-10"  # everything < cutoff
+        )
+        return t, summary
+
+    t, summary = _built(spark, sf, "b135", build)
+    return (
+        t.read()
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("value_cents").cast("bigint").alias("value_cents"),
+        )
+        .withColumn(
+            "metadata_only",
+            F.lit(int(summary["metadata_only"])).cast("int"),
+        )
+    )

@@ -127,7 +127,8 @@ def load_all() -> None:
     c40_ivf_adc_rerank, p19_decontaminated_split,
     p20_corpus_build_v2 — all hash-oracle, locally green at
     sf0.001/0.01/0.1, plus b132_statestore_read,
-    b133_python_datasource_writer and b134_python_streaming_sink — and the rows-only
+    b133_python_datasource_writer, b134_python_streaming_sink and
+    b135_retention_delete — and the rows-only
     sketch pair c41_theta_overlap / c42_kll_quantile_rollup), then the rotation remainder (b32-b66,
     ~20 entries), then round-8 additions.
     """
