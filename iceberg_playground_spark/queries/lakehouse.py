@@ -52,7 +52,15 @@ def _alive(spark: SparkSession, art: object) -> bool:
     if isinstance(art, str):
         return os.path.exists(art)
     if isinstance(art, tuple):
-        if all(isinstance(n, str) for n in art):  # saved-table names (b60)
+        # An all-strings tuple is saved-table NAMES (b60) only when no
+        # member looks like a filesystem path — p18 caches a tuple of
+        # two tmp-dir paths, and spark.table("/tmp/...") always throws
+        # (slashes are invalid identifiers), which made _alive return
+        # False forever and silently rebuild + leak a tmp dir per call.
+        # Path-looking strings route to the os.path.exists probe.
+        if all(
+            isinstance(n, str) and os.sep not in n for n in art
+        ):  # saved-table names (b60)
             try:
                 for n in art:
                     files = spark.table(n).inputFiles()

@@ -1048,8 +1048,8 @@ def _p20_oracle() -> str:
              AS n_decon_dropped,
            CAST(count(*) FILTER (WHERE is_kept AND NOT is_leaky)
                 AS BIGINT) AS n_final,
-           CAST(sum(tokens) FILTER (WHERE is_kept AND NOT is_leaky)
-                AS BIGINT) AS tokens_final
+           CAST(COALESCE(sum(tokens) FILTER (WHERE is_kept AND NOT is_leaky),
+                         0) AS BIGINT) AS tokens_final
     FROM st GROUP BY split, lang
     """
 

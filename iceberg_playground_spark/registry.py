@@ -36,101 +36,65 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Grading-order contract, round 7. The driver's correctness sweep
+# Grading-order contract, round 8. The driver's correctness sweep
 # grades the FIRST ~50 registered entries and stops, so registration
-# order decides what gets graded. Round 6's sweep graded 50 slots
-# through b117_xml_decode (CORRECTNESS_r06.json: all green), leaving
-# the round-6 tail — b118-b131, p15/p16, c35/c37, c34/c36 — plus the
-# behavior-changed c02/c24 ungraded. Those LEAD the round-7 window
-# (VERDICT r6, item 1), followed by round-7 additions, the p15
-# format-touched entry's neighbors, and the r2 rotation filling the
-# remaining ~25 slots (VERDICT r6, item 2).
-_R6_TAIL = [
-    "b118_observed_metrics",
-    "b119_pipe_sql",
-    "b120_parameterized_sql",
-    "b121_regression_agg",
-    "b122_try_arithmetic",
-    "b123_bitmap_distinct",
-    "b124_locf_fill",
-    "b125_scd2_lookup",
-    "b126_incremental_agg",
-    "b127_group_by_all",
-    "b128_lateral_alias",
-    "b129_ctas_rtas",
-    "b130_join_hints",
-    "b131_cached_scan",
-    "p15_packing_spans",
-    "p16_dataset_card",
-    "c35_temperature_mix",
-    "c37_bigram_lm_score",
-    # rows-only entries: the driver's check for them is the weak
-    # rows-run either way, so they sit after the hash-oracle tail.
-    "c34_hll_rollup",
-    "c36_product_quantization",
-    # behavior-changed in round 5 (transform-lambda arity fix), never
-    # re-graded; rows-only.
-    "c02_minhash_lsh_dedup",
-    "c24_dedup_clusters",
+# order decides what gets graded. Round 7's sweep graded 50 slots
+# (_R6_TAIL 22 + _R7_NEW 2 + the rotation through b31 —
+# CORRECTNESS_r07.json: all green), leaving the 11 late-round-7
+# registrations never driver-graded. Those LEAD the round-8 window
+# (VERDICT r7, "Next round" item 1), then the rotation remainder
+# (b32-b66, ~20 entries, VERDICT r7 item 2), then round-8 additions
+# fill the rest of the budget.
+_R7_UNGRADED = [
+    # hash-oracle entries first — these get the strong check.
+    "c39_signature_index_merge",
+    "c40_ivf_adc_rerank",
+    "p18_streaming_novelty_filter",
+    "p19_decontaminated_split",
+    "p20_corpus_build_v2",
+    "b132_statestore_read",
+    "b133_python_datasource_writer",
+    "b134_python_streaming_sink",
+    "b135_retention_delete",
+    # rows-only sketch pair (engine-native sketch state; error
+    # contracts pinned in tests/test_round7_ops.py).
+    "c41_theta_overlap",
+    "c42_kll_quantile_rollup",
 ]
-# Round-7 additions (VERDICT r6 item 6): registered behind the tail so
-# the tail's grading is never displaced, ahead of the rotation.
-_R7_NEW: list[str] = [
-    "p17_incremental_lsh_dedup",
-    "c38_pq_rerank",
-]
-# r2-era relational pack rotation (VERDICT r6 item 2): b01-b49 carry
-# round-2 grades on round-2 code — byte-stable, but never re-graded on
-# the current session confs (ANSI-mode Spark 4, nanosAsLong). As many
-# as fit after the blocks above rotate through the ~50-slot window
-# (~25 expected).
-_R2_ROTATION = [
-    "b01_parquet_scan", "b03_json_lines_decode", "b04_csv_decode",
-    "b08_projection", "b09_filter_predicates", "b11_case_conditional",
-    "b12_null_handling", "b13_inner_join", "b14_broadcast_join",
-    "b15_outer_join", "b16_semi_anti_join", "b17_cross_join",
-    "b18_range_join", "b19_asof_join", "b20_star_join",
-    "b21_pricing_summary", "b22_count_distinct",
-    "b23_approx_count_distinct", "b24_global_agg", "b25_rollup",
-    "b26_cube", "b27_filtered_agg", "b28_stats_agg", "b29_percentiles",
-    "b30_collect_list", "b31_window_ranking", "b32_window_analytic",
-    "b33_window_running", "b34_window_range_frame",
+# Rotation remainder: b32-b66-band entries still carrying r2-era
+# grades — byte-stable code, but never re-graded under the current
+# session confs (ANSI-mode Spark 4, nanosAsLong).
+_ROTATION_REMAINDER = [
+    "b32_window_analytic", "b33_window_running", "b34_window_range_frame",
     "b35_global_sort_limit", "b36_limit_offset", "b37_topk_per_group",
     "b38_union", "b39_intersect_except", "b40_distinct",
     "b41_string_funcs", "b42_datetime_funcs", "b43_math_funcs",
     "b44_array_funcs", "b45_explode", "b46_map_funcs", "b47_json_funcs",
-    "b48_hash_funcs", "b49_idgen", "b64_exact_percentile",
-    "b66_raw_sql",
+    "b48_hash_funcs", "b49_idgen", "b55_scalar_udf",
+    "b56_pandas_udf_scalar", "b57_grouped_map", "b58_grouped_agg_udf",
+    "b59_map_in_pandas", "b64_exact_percentile", "b66_raw_sql",
 ]
+# Round-8 additions register behind the rotation so the never-graded
+# block is never displaced; appended here as they land.
+_R8_NEW: list[str] = []
 
 
 def load_all() -> None:
-    """Import every query module, then impose the round-7 grading order.
+    """Import every query module, then impose the round-8 grading order.
 
     ORDER IS A CONTRACT, not style (see the block comments above):
     after all modules register, QUERIES/ORACLES are rebuilt so the
-    prefix is _R6_TAIL (the 22 entries round 6's 50-slot sweep never
-    reached: b118-b131 + p15/p16 + c35/c37, then the rows-only
-    c34/c36/c02/c24) + _R7_NEW (this round's additions) + _R2_ROTATION
-    (byte-stable r2 greens re-graded on current session confs — as
-    many as the remaining ~25 slots fit), then every remaining green
-    query in module order.
-    Import order no longer doubles as grading order — the explicit
-    lists do. A name listed but never registered fails loudly here
-    (typo guard).
+    prefix is _R7_UNGRADED (the 11 late-round-7 registrations round
+    7's 50-slot sweep never reached) + _ROTATION_REMAINDER (the last
+    r2-era grades, re-graded on current session confs) + _R8_NEW
+    (this round's additions), then every remaining green query in
+    module order. Import order no longer doubles as grading order —
+    the explicit lists do. A name listed but never registered fails
+    loudly here (typo guard).
 
-    Round-8 note: a hard 50-slot budget this round grades _R6_TAIL
-    (22) + _R7_NEW (2) + the first ~26 of _R2_ROTATION (through
-    ~b31_window_ranking); round 8's window should LEAD with the
-    late-round-7 registrations that sit past this round's budget
-    (c39_signature_index_merge, p18_streaming_novelty_filter,
-    c40_ivf_adc_rerank, p19_decontaminated_split,
-    p20_corpus_build_v2 — all hash-oracle, locally green at
-    sf0.001/0.01/0.1, plus b132_statestore_read,
-    b133_python_datasource_writer, b134_python_streaming_sink and
-    b135_retention_delete — and the rows-only
-    sketch pair c41_theta_overlap / c42_kll_quantile_rollup), then the rotation remainder (b32-b66,
-    ~20 entries), then round-8 additions.
+    Round-9 note: the 11 + 25 + len(_R8_NEW) prefix may exceed a hard
+    50-slot budget; whatever _R8_NEW entries fall past the cut should
+    LEAD round 9's window.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
@@ -152,7 +116,7 @@ def load_all() -> None:
         round7,
     )
 
-    prefix = _R6_TAIL + _R7_NEW + _R2_ROTATION
+    prefix = _R7_UNGRADED + _ROTATION_REMAINDER + _R8_NEW
     missing = [n for n in prefix if n not in QUERIES]
     if missing:
         raise RuntimeError(f"grading-order names not registered: {missing}")

@@ -338,3 +338,38 @@ def test_b133_sink_abort_publishes_nothing(spark, tmp_path):
     leftover = os.listdir(out) if os.path.exists(out) else []
     assert "_MANIFEST.json" not in leftover
     assert not [f for f in leftover if f.endswith(".jsonl")]
+
+
+def test_alive_routes_path_tuples_to_filesystem_probe(spark, tmp_path):
+    # p18 caches (src_dir, idx_dir) — a tuple of two filesystem path
+    # strings. The all-strings branch used to treat any str tuple as
+    # saved-table NAMES and call spark.table("/tmp/..."), which always
+    # throws, so the cache never hit and p18 rebuilt (and leaked a tmp
+    # dir) on every call. Path-looking strings must probe the
+    # filesystem instead.
+    from iceberg_playground_spark.queries.lakehouse import _alive
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    assert _alive(spark, (str(a), str(b)))
+    assert not _alive(spark, (str(a), str(tmp_path / "gone")))
+
+
+def test_p18_demo_warehouse_is_cached_across_calls(spark):
+    # The artifact built on the first call must be REUSED on the
+    # second — same (src, idx) paths back from the cache, no silent
+    # rebuild into a fresh tmp dir.
+    from iceberg_playground_spark.queries import lakehouse as lh
+    from iceberg_playground_spark import registry
+
+    registry.load_all()
+    registry.QUERIES["p18_streaming_novelty_filter"](spark, SF_CHECK).count()
+    key_art = {
+        k: v for k, v in lh._BUILT.items() if k[2] == "p18"
+    }
+    assert key_art, "p18 never populated the build cache"
+    registry.QUERIES["p18_streaming_novelty_filter"](spark, SF_CHECK).count()
+    after = {k: v for k, v in lh._BUILT.items() if k[2] == "p18"}
+    assert after == key_art, "p18 rebuilt its demo warehouse on reuse"
