@@ -76,7 +76,10 @@ _ROTATION_REMAINDER = [
 ]
 # Round-8 additions register behind the rotation so the never-graded
 # block is never displaced; appended here as they land.
-_R8_NEW: list[str] = []
+_R8_NEW: list[str] = [
+    "c43_substring_dedup",
+    "b136_binaryfile_scan",
+]
 
 
 def load_all() -> None:
@@ -114,6 +117,7 @@ def load_all() -> None:
         modern,
         round6,
         round7,
+        round8,
     )
 
     prefix = _R7_UNGRADED + _ROTATION_REMAINDER + _R8_NEW

@@ -533,3 +533,32 @@ def test_p20_single_sig_lineage_no_corpus_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "ExistingRDD" in plan  # checkpointed sigs, not recomputed
+
+
+def test_c43_shuffle_is_digest_only_never_text(spark):
+    # the substring-dedup exchanges must carry (doc_id, pos, digest)
+    # triples only — document text never moves. Two exchanges total
+    # (digest window + doc_id window/agg pair that share partitioning),
+    # and no cartesian/self-join formulation.
+    plan = _plan(spark, "c43_substring_dedup")
+    assert "CartesianProduct" not in plan
+    # text is consumed inside the project that computes digests and
+    # must not appear in any Exchange's output attributes
+    for chunk in plan.split("Exchange ")[1:]:
+        first_line = chunk.splitlines()[0]
+        assert "text" not in first_line
+    # the run-merge window and the final aggregate share the doc_id
+    # partitioning: only the digest exchange + one doc_id exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_b136_decode_is_partition_parallel_over_binaryfile(spark):
+    # the multimodal decode must be the Arrow-batched kernel running
+    # directly over a multi-split binaryFile scan — no repartition-to-1
+    # choke point, no driver-side payload hop.
+    df = registry.QUERIES["b136_binaryfile_scan"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "binaryFile" in plan or "BinaryFile" in plan
+    assert "Exchange" not in plan  # decode chains straight off the scan
+    assert df.rdd.getNumPartitions() > 1  # listing bin-packs, stays parallel
