@@ -82,13 +82,18 @@ HEADLINE = [
     # fixed overhead that real batch sizes amortize), which would
     # swamp the cell with no plan signal — b68/b54 keep streaming
     # represented in the headline.
-    # (round-8 headline candidate: p20_corpus_build_v2, the composed
-    # LSH-dedup→split→decontaminate release pipeline, ~2.6 s at sf0.1
-    # — registered after the r7-close column was recorded, so it
-    # enters the headline with its anchor next round.)
     "p17_incremental_lsh_dedup",
     "c39_signature_index_merge",
     "c40_ivf_adc_rerank",
+    # round-8 entrants (VERDICT r7 item 7): the composed
+    # LSH-dedup→split→decontaminate release pipeline; the
+    # metadata-only retention delete (cell dominated by the
+    # partitioned demo-warehouse build on first run — the delete
+    # itself is a manifest rewrite); and substring-level dedup, whose
+    # digest pipeline is real shuffle work (~|tokens| position rows)
+    "p20_corpus_build_v2",
+    "b135_retention_delete",
+    "c43_substring_dedup",
     # streaming ingest path — the reference's own benchmark subject
     # (bench-kafka.rs stage timers): stream → decode → files → commit
     "b68_tumbling_window",
@@ -120,15 +125,30 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    times: dict[str, float] = {"_session_init": round(init_sec, 3)}
-    total = 0.0
-    for name in names:
+    # Repeat-median protocol (BASELINE.md r8): cells whose first run
+    # lands <= MEDIAN_CUTOFF seconds are JVM-warmup-noise-dominated —
+    # rerun twice and record the 3-run median, so the 2x regression
+    # bar stays meaningful on sub-second cells (r7's b35/c03/b31 drift
+    # was pure noise; all three land under this cutoff). Heavier cells
+    # keep single-run timing: their signal-to-noise is fine and
+    # reruns would double bench wall time.
+    MEDIAN_CUTOFF = 1.0
+
+    def _run(name: str) -> float:
         # construction is inside the timer: streaming queries execute
         # eagerly (availableNow drain) during the call itself
         t = time.perf_counter()
         df = registry.QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t
+        return time.perf_counter() - t
+
+    times: dict[str, float] = {"_session_init": round(init_sec, 3)}
+    total = 0.0
+    for name in names:
+        dt = _run(name)
+        if dt <= MEDIAN_CUTOFF:
+            runs = sorted([dt, _run(name), _run(name)])
+            dt = runs[1]
         times[name] = round(dt, 3)
         total += dt
 

@@ -693,7 +693,9 @@ def c08_simhash(spark: SparkSession, sf: str) -> DataFrame:
     before the explode so the per-occurrence md5 work parallelizes
     even off a single-file (one-split) source (the c31 rule; ~2x at
     sf0.1)."""
-    d = load(spark, sf, "documents").repartition("doc_id")
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
     # Pre-aggregate occurrences per (doc, token-hash) BEFORE the 32-bit
     # explode: votes become freq-weighted (identical sums), md5 runs
@@ -781,7 +783,9 @@ def c09_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     corpus is hash-repartitioned first so the shingling CPU work
     parallelizes even off a single-file (one-split) source (the c31
     rule; measured 3.7x on the first run at sf0.1)."""
-    d = load(spark, sf, "documents").repartition("doc_id")
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     post = d.select(
         "doc_id",
         "lang",
@@ -886,7 +890,9 @@ def c10_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         F.pmod(F.xxhash64("vec_id"), F.lit(_NEARDUP_SALT))
         .cast("int")
         .alias("a_salt"),
-    ).repartition("a_label", "a_salt")
+    ).repartition(
+        spark.sparkContext.defaultParallelism, "a_label", "a_salt"
+    )
     # ^ the explicit exchange makes the salt OPERATIVE even when the
     # build side broadcasts: without it the probe stays on the scan's
     # input splits (a single-file corpus = ONE task doing every

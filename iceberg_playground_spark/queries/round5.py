@@ -478,7 +478,7 @@ def c31_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id", "lang", "n_chars", _shingles(_tokens()).alias("sh")
         )
         .filter(F.size("sh") > 0)
-        .repartition("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .withColumn(
             "ds",
             F.transform(

@@ -120,7 +120,23 @@ def c43_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     array Lee et al. materialize, but built with two shuffles and no
     global sort."""
     k = _C43_K
-    d = load(spark, sf, "documents").select("doc_id", "text")
+    # repartition on doc_id before the digest projection: a one-file
+    # demo corpus is ONE input split, and the md5-per-shingle +
+    # explode pass is the CPU of this query — spread it across cores
+    # first (the c31/c08/c09 single-split lesson, BASELINE.md r5
+    # notes). The partition count is EXPLICIT: the pre-explode input
+    # is tiny (~KB/doc), so AQE would coalesce a keyed-only
+    # repartition back to one partition and re-serialize the whole
+    # pass (measured: 3.2 s -> 2.0 s at sf0.1 with the explicit
+    # count). On a real many-file corpus this exchange is ~free
+    # relative to the pass it parallelizes.
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+    )
     toks = F.split(F.col("text"), " ")
     # filter BEFORE sequence(): sequence(0, n-K) with n < K would
     # generate a DESCENDING range, not an empty one

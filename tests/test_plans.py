@@ -548,8 +548,9 @@ def test_c43_shuffle_is_digest_only_never_text(spark):
         first_line = chunk.splitlines()[0]
         assert "text" not in first_line
     # the run-merge window and the final aggregate share the doc_id
-    # partitioning: only the digest exchange + one doc_id exchange
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # partitioning: the parallelize-the-digest-pass repartition + the
+    # digest exchange + one doc_id exchange, and nothing else
+    assert plan.count("Exchange hashpartitioning") <= 3
 
 
 def test_b136_decode_is_partition_parallel_over_binaryfile(spark):
