@@ -188,7 +188,12 @@ def c02_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Single-pass min-doc representative (one hop); a transitive-closure
     pass (iterate until fixpoint) would chain clusters at scale.
     Engine-native xxhash64 seeds ⇒ no DuckDB oracle (rows-only)."""
-    d = load(spark, sf, "documents")
+    # explicit-count repartition so the shingle+minhash pass
+    # parallelizes off a one-split source (keyed-only would be
+    # AQE-coalesced back to one partition)
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     sh = d.select("doc_id", "lang", _shingles(_tokens()).alias("sh")).filter(
         F.size("sh") > 0
     )

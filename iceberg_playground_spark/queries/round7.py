@@ -963,7 +963,16 @@ def p19_decontaminated_split(spark: SparkSession, sf: str) -> DataFrame:
     formulation would do, an all-pairs train×eval comparison, never
     materializes. Short docs (<3 tokens) carry no signature and can
     never leak (both engines agree via NULL semantics)."""
-    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    # explicit-count repartition before the signature passes (the c43
+    # lesson: one-file corpus = one split, and a keyed-only
+    # repartition would be AQE-coalesced back to one partition)
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+    )
     b = hash_bucket(F.col("doc_id"))
     split = d.withColumn(
         "split", F.when(b < 90, "train").otherwise("eval")
@@ -1077,7 +1086,18 @@ def p20_corpus_build_v2(spark: SparkSession, sf: str) -> DataFrame:
     |splits×langs|-bounded aggregate. Shingle-less docs carry no
     buckets: kept by definition, never leaky — both engines agree
     structurally."""
-    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    # explicit-count repartition before the signature lineage: the
+    # md5-per-shingle + 16-permutation pass is the CPU of this
+    # pipeline, and a one-file demo corpus is ONE input split (a
+    # keyed-only repartition would be AQE-coalesced right back — the
+    # c43 lesson)
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+    )
     b = hash_bucket(F.col("doc_id"))
     docs = d.select(
         "doc_id",

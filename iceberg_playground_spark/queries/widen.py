@@ -85,11 +85,19 @@ def c26_fuzzy_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     of anything corpus-sized. Clean docs ride a left join back onto the
     eval split (map-side after the agg shrinks pairs to ≤|eval| rows).
     """
-    d = load(spark, sf, "documents").select(
-        "doc_id",
-        "lang",
-        _shingles(_tokens()).alias("sh"),
-        _hash_bucket(F.col("doc_id")).alias("bucket"),
+    # explicit-count repartition so the shingling pass parallelizes
+    # off a one-split source (keyed-only would be AQE-coalesced back)
+    d = (
+        load(spark, sf, "documents")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            _shingles(_tokens()).alias("sh"),
+            _hash_bucket(F.col("doc_id")).alias("bucket"),
+        )
     )
     post = (
         d.select(
