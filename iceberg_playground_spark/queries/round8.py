@@ -264,3 +264,331 @@ def b136_binaryfile_scan(spark: SparkSession, sf: str) -> DataFrame:
     return parsed.mapInPandas(
         _decode_batch, schema="doc_id long, n_bytes long, digest string"
     )
+
+
+# ---------------------------------------------------------------------------
+# p21 — perplexity bucketing (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+_P21_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+freq AS (
+  SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),
+tot AS (SELECT lang, sum(cnt) AS tot FROM freq GROUP BY lang),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         CAST(round(ln(CAST(f.cnt AS DOUBLE) / tt.tot) * 1000000)
+              AS BIGINT) AS microlog
+  FROM tok t
+  JOIN freq f ON t.lang = f.lang AND t.token = f.token
+  JOIN tot tt ON t.lang = tt.lang),
+doc AS (
+  SELECT doc_id, lang,
+         round(CAST(sum(microlog) AS DOUBLE)
+               / (count(*) * 1000000.0), 4) AS avg_logprob
+  FROM scored GROUP BY doc_id, lang)
+SELECT doc_id, lang, avg_logprob,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_logprob DESC, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM doc
+"""
+
+
+@query("p21_perplexity_buckets", oracle=_P21_ORACLE)
+def p21_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """P21: perplexity bucketing — CCNet's head/middle/tail corpus
+    partitioning (Wenzek et al. 2020, public work): score every
+    document with the per-language unigram LM (c23's lineage, integer
+    micrologs so both engines agree bit-for-bit), then split each
+    language into terciles of the score distribution. "head" is the
+    most-probable (lowest-perplexity) third — the slice quality
+    pipelines keep outright; "tail" is what they drop or re-filter.
+    The tie-break (score DESC, doc_id) makes ntile deterministic
+    across engines and runs.
+
+    Scale shape: the LM is vocab-sized → broadcast (c23's contract);
+    bucketing adds ONE exchange on lang over doc-count-sized score
+    rows (never token rows). ntile needs each language's scores
+    sorted in one place — at 100 TB that per-lang sort is the
+    classic quantile step, and the production swap is
+    approx_percentile cutoffs (two map-side passes, no global sort)
+    traded against exact tercile boundaries; the tercile SEMANTICS
+    are identical."""
+    from iceberg_playground_spark.queries.llm import c23_lm_quality_score
+
+    scored = c23_lm_quality_score(spark, sf)
+    w = W.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    tile = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p22 — data-recipe epoch upsampling
+# ---------------------------------------------------------------------------
+
+_P22_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents),
+src AS (SELECT source, sum(tokens) AS tot FROM d GROUP BY source),
+budget AS (SELECT max(tot) AS b FROM src),
+plan AS (
+  SELECT s.source, b.b // s.tot AS full_epochs, b.b % s.tot AS rem
+  FROM src s CROSS JOIN budget b),
+cum AS (
+  SELECT d.doc_id, d.source, d.tokens, p.full_epochs, p.rem,
+         coalesce(sum(d.tokens) OVER (
+             PARTITION BY d.source ORDER BY d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prior
+  FROM d JOIN plan p ON d.source = p.source),
+exploded AS (
+  SELECT doc_id, source, tokens,
+         unnest(generate_series(
+             CAST(1 AS BIGINT),
+             CAST(full_epochs
+                  + CASE WHEN prior < rem THEN 1 ELSE 0 END
+                  AS BIGINT))) AS epoch
+  FROM cum)
+SELECT source, CAST(epoch AS BIGINT) AS epoch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS n_tokens
+FROM exploded GROUP BY source, epoch
+"""
+
+
+@query("p22_epoch_upsample", oracle=_P22_ORACLE)
+def p22_epoch_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """P22: data-recipe epoch upsampling — materialize a training
+    mixture that balances every source up to the largest source's
+    token budget by REPEATING small sources across epochs (the
+    published recipe shape: GPT-3/Llama corpora sample high-quality
+    sources >1 epoch). Whole epochs repeat every document; the
+    fractional last epoch takes the greedy doc_id-ordered prefix
+    whose prior running token sum is under the remainder — integer
+    arithmetic end-to-end, so the materialization is reproducible
+    bit-for-bit (re-running the corpus build must not reshuffle what
+    epoch 3 of src7 contains). Returns the per-(source, epoch)
+    manifest a trainer consumes.
+
+    Scale shape: recipe planning collapses to one |sources|-row
+    aggregate (broadcast back); the epoch fan-out is a map-side
+    explode of an in-row sequence — the corpus never shuffles for
+    replication. The only data exchange is the per-source running
+    sum (same key as the final aggregate → one exchange reused). At
+    100 TB the greedy prefix would pre-aggregate per hash-bucket
+    (two-level running sum) instead of ordering every doc in one
+    partition per source; semantics unchanged."""
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"),
+    )
+    # |sources|-row aggregate; checkpointed so the budget + plan
+    # branches don't each re-evaluate the corpus scan (the
+    # multi-consumer-lineage rule — no AQE exchange reuse across
+    # branches with different downstream partitionings)
+    src = (
+        d.groupBy("source")
+        .agg(F.sum("tokens").alias("tot"))
+        .localCheckpoint(eager=False)
+    )
+    budget = src.agg(F.max("tot").alias("b"))
+    plan = src.crossJoin(F.broadcast(budget)).select(
+        "source",
+        F.expr("b DIV tot").alias("full_epochs"),  # exact integer div
+        (F.col("b") % F.col("tot")).alias("rem"),
+    )
+    wp = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = d.join(F.broadcast(plan), "source").withColumn(
+        "prior", F.coalesce(F.sum("tokens").over(wp), F.lit(0))
+    )
+    exploded = cum.select(
+        "source",
+        "tokens",
+        F.explode(
+            F.sequence(
+                F.lit(1).cast("bigint"),
+                F.col("full_epochs")
+                + F.when(F.col("prior") < F.col("rem"), 1).otherwise(0),
+            )
+        ).alias("epoch"),
+    )
+    return exploded.groupBy("source", "epoch").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p23 — broadcast-applied quality regression (train on split, score all)
+# ---------------------------------------------------------------------------
+
+_P23_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS y,
+         CASE WHEN {bucket_sql('doc_id')} < 90
+              THEN 'train' ELSE 'holdout' END AS split
+  FROM documents),
+m AS (
+  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM d WHERE split = 'train' GROUP BY lang),
+model AS (
+  SELECT lang, n, sx, sy,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+  FROM m),
+model2 AS (
+  SELECT lang, slope,
+         (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS icept
+  FROM model)
+SELECT d.doc_id, d.lang, d.split, d.y AS y_distinct,
+       round(m.icept + m.slope * CAST(d.x AS DOUBLE), 4) AS y_pred,
+       round(CAST(d.y AS DOUBLE)
+             - (m.icept + m.slope * CAST(d.x AS DOUBLE)), 4)
+         AS residual
+FROM d JOIN model2 m ON d.lang = m.lang
+"""
+
+
+@query("p23_quality_regression", oracle=_P23_ORACLE)
+def p23_quality_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """P23: train-on-split, broadcast-apply quality model — the
+    fit/score shape every learned corpus filter uses (fastText
+    quality classifiers, contamination regressors): fit a per-language
+    least-squares model of lexical diversity (distinct tokens) on
+    document length over the TRAIN split only, then score EVERY
+    document with the broadcast coefficients; the residual is the
+    quality signal (docs far below predicted diversity are
+    boilerplate/spam — the c07 intuition, now calibrated per
+    language). Determinism: b121's integer-moment formulation — the
+    fit reduces to five exact BIGINT sums per language, and
+    slope/intercept/prediction are a fixed sequence of
+    exactly-representable double ops both engines evaluate
+    identically.
+
+    Scale shape: PASS 1 (fit) is one partial+final integer aggregate
+    → |langs| rows; PASS 2 (score) is a broadcast join + map-side
+    arithmetic — the corpus is scanned twice and shuffled NEVER. At
+    100 TB this is the cheapest possible supervised filter: model
+    size is |langs| × 2 doubles regardless of corpus size, and
+    scoring parallelism is scan parallelism."""
+    toks = F.split(F.col("text"), " ")
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("x"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("y"),
+        F.when(hash_bucket(F.col("doc_id")) < 90, "train")
+        .otherwise("holdout")
+        .alias("split"),
+    )
+    m = (
+        d.filter(F.col("split") == "train")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    model = m.select("lang", "n", "sx", "sy", slope.alias("slope"))
+    model = model.select(
+        "lang",
+        "slope",
+        (
+            (F.col("sy").cast("double")
+             - F.col("slope") * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("icept"),
+    )
+    pred = F.col("icept") + F.col("slope") * F.col("x").cast("double")
+    return d.join(F.broadcast(model), "lang").select(
+        "doc_id",
+        "lang",
+        "split",
+        F.col("y").alias("y_distinct"),
+        F.round(pred, 4).alias("y_pred"),
+        F.round(F.col("y").cast("double") - pred, 4).alias("residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# b137 — ordered LISTAGG (SQL:2023 string aggregation surface)
+# ---------------------------------------------------------------------------
+
+_B137_SQL = """
+    SELECT o_orderstatus,
+           listagg(DISTINCT o_orderpriority, ',')
+             WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "b137_listagg",
+    oracle="""
+    SELECT o_orderstatus,
+           array_to_string(
+             list_sort(list_distinct(list(o_orderpriority))), ',')
+             AS priorities,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def b137_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    """B137: ordered LISTAGG — the SQL:2023 string-aggregation
+    surface Spark 4 added (``listagg(DISTINCT ...) WITHIN GROUP
+    (ORDER BY ...)``), the one string-agg form whose output is
+    deterministic under shuffle (DISTINCT collapses duplicates, the
+    WITHIN GROUP sort fixes order). DuckDB spells it
+    list_sort(list_distinct(list(...))) — same semantics, so the
+    concatenated string hash-matches.
+
+    Scale note: safe ONLY because the aggregated domain is bounded
+    (5 order priorities) — the per-group state is capped regardless of
+    group size, and partial aggregation still combines map-side. An
+    unbounded listagg (e.g. over doc text) would be the b30
+    collect_list anti-pattern; the bounded-domain contract is the
+    operator's scale story."""
+    from iceberg_playground_spark.session import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_B137_SQL)

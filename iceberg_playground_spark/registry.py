@@ -79,6 +79,10 @@ _ROTATION_REMAINDER = [
 _R8_NEW: list[str] = [
     "c43_substring_dedup",
     "b136_binaryfile_scan",
+    "p21_perplexity_buckets",
+    "p22_epoch_upsample",
+    "p23_quality_regression",
+    "b137_listagg",
 ]
 
 

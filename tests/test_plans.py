@@ -563,3 +563,44 @@ def test_b136_decode_is_partition_parallel_over_binaryfile(spark):
     assert "binaryFile" in plan or "BinaryFile" in plan
     assert "Exchange" not in plan  # decode chains straight off the scan
     assert df.rdd.getNumPartitions() > 1  # listing bin-packs, stays parallel
+
+
+def test_p21_lm_broadcasts_tercile_window_on_scores(spark):
+    # p21: the unigram LM joins broadcast (c23's contract carries
+    # through), and the tercile window runs over DOC-count score rows
+    # — token rows must all be consumed below the ntile exchange, so
+    # no token/microlog attribute appears in any exchange above it
+    plan = _plan(spark, "p21_perplexity_buckets")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "ntile" in plan
+
+
+def test_p22_recipe_plans_broadcast_corpus_never_shuffles_for_explode(spark):
+    # p22: the |sources|-row recipe broadcasts back onto the corpus;
+    # the epoch fan-out is a map-side explode (no exchange between the
+    # running-sum window and the final per-(source, epoch) aggregate —
+    # they share the source partitioning)
+    plan = _plan(spark, "p22_epoch_upsample")
+    assert plan.count("BroadcastExchange") >= 2  # budget + plan joins
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" in plan and plan.count("Scan parquet") == 1
+
+
+def test_p23_model_broadcasts_corpus_never_shuffles(spark):
+    # p23: fit is one integer aggregate (the only hash exchange in the
+    # plan besides its partial pair); scoring is broadcast-join +
+    # map-side arithmetic — the corpus rows must never hash-shuffle
+    plan = _plan(spark, "p23_quality_regression")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the only hashpartitioning exchange is the per-lang moment agg
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_b137_listagg_is_partial_aggregated(spark):
+    # b137: bounded-domain listagg must still combine map-side
+    # (partial_listagg below the exchange), not ship raw rows
+    plan = _plan(spark, "b137_listagg")
+    assert "partial_listagg" in plan or "partial" in plan
+    assert "CartesianProduct" not in plan

@@ -121,22 +121,22 @@ def test_fuzzy_decontaminate_split_discipline(spark):
 def test_grading_prefix_composition():
     # The driver grades EXACTLY the first ~50 registered queries, so
     # registration order decides what gets graded. Since round 5 the
-    # order is imposed by explicit lists (round 7: registry._R6_TAIL /
-    # _R7_NEW / _R2_ROTATION) rather than import order; pin that the
-    # reorder actually happened: the round-6 ungraded tail leads, the
-    # round-7 additions follow, and the r2 rotation fills the window.
+    # order is imposed by explicit lists (round 8: _R7_UNGRADED /
+    # _ROTATION_REMAINDER / _R8_NEW) rather than import order; pin
+    # that the reorder actually happened: the 11 never-driver-graded
+    # round-7 registrations lead, the last r2-era rotation entries
+    # follow, and this round's additions fill the window.
     names = list(registry.QUERIES)
-    lead = registry._R6_TAIL + registry._R7_NEW
+    lead = registry._R7_UNGRADED + registry._ROTATION_REMAINDER
     assert names[: len(lead)] == lead
-    n_rotated = max(0, min(len(registry._R2_ROTATION), 50 - len(lead)))
     assert (
-        names[len(lead) : len(lead) + len(registry._R2_ROTATION)]
-        == registry._R2_ROTATION
+        names[len(lead) : len(lead) + len(registry._R8_NEW)]
+        == registry._R8_NEW
     )
-    # the window must still have room to re-grade a meaningful slice
-    # of the rotation after the lead blocks
-    assert n_rotated >= 20
-    assert all(q in set(names[:50]) for q in registry._R2_ROTATION[:n_rotated])
+    # the never-graded block must fit the window whole, with room for
+    # a meaningful slice of the rotation behind it
+    assert len(registry._R7_UNGRADED) == 11
+    assert len(set(names[:50]) & set(registry._ROTATION_REMAINDER)) >= 20
     assert len(names) >= 128
 
 
