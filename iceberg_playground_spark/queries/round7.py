@@ -624,7 +624,9 @@ def _p18_oracle() -> str:
 
 
 @query("p18_streaming_novelty_filter", oracle=_p18_oracle())
-def p18_streaming_novelty_filter(spark: SparkSession, sf: str) -> DataFrame:
+def p18_streaming_novelty_filter(
+    spark: SparkSession, sf: str, files_per_trigger: int = 1
+) -> DataFrame:
     """P18: STREAMING novelty filter — p17's ingest-time near-dedup
     run as a continuous pipeline: incoming documents arrive as a file
     stream (the Kafka-partition analogue, one micro-batch per file),
@@ -679,7 +681,7 @@ def p18_streaming_novelty_filter(spark: SparkSession, sf: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema("doc_id BIGINT, lang STRING, text STRING")
-        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .option("maxFilesPerTrigger", files_per_trigger)  # epochs = 4/this
         .parquet(src)
     )
 

@@ -373,3 +373,27 @@ def test_p18_demo_warehouse_is_cached_across_calls(spark):
     registry.QUERIES["p18_streaming_novelty_filter"](spark, SF_CHECK).count()
     after = {k: v for k, v in lh._BUILT.items() if k[2] == "p18"}
     assert after == key_art, "p18 rebuilt its demo warehouse on reuse"
+
+
+def test_p18_novelty_is_batch_boundary_invariant(spark):
+    # p18's determinism claim: novelty is judged against the STATIC
+    # base index only, so micro-batch boundaries cannot change the
+    # answer — draining 4 one-file epochs and 1 four-file epoch must
+    # produce identical per-lang counts. (This is also the throughput
+    # story: the ~1.2 s/epoch fixed cost — plan compile + commit +
+    # checkpoint — amortizes with batch size while the result stays
+    # bit-identical; sweep at sf0.1: 4 epochs 5.6 s, 2 epochs 3.0 s,
+    # 1 epoch 2.2 s, same rows. BASELINE.md r8 notes.)
+    from iceberg_playground_spark.queries.round7 import (
+        p18_streaming_novelty_filter as p18,
+    )
+
+    fine = sorted(
+        (r["lang"], r["n_novel"])
+        for r in p18(spark, SF_CHECK, files_per_trigger=1).collect()
+    )
+    coarse = sorted(
+        (r["lang"], r["n_novel"])
+        for r in p18(spark, SF_CHECK, files_per_trigger=4).collect()
+    )
+    assert fine == coarse
