@@ -94,6 +94,9 @@ HEADLINE = [
     "p20_corpus_build_v2",
     "b135_retention_delete",
     "c43_substring_dedup",
+    # late-round-8: the ExactSubstr rewrite (c43's report executed —
+    # interval join + per-row JVM strip on top of the digest lineage)
+    "p24_substring_strip",
     # streaming ingest path — the reference's own benchmark subject
     # (bench-kafka.rs stage timers): stream → decode → files → commit
     "b68_tumbling_window",

@@ -44,6 +44,7 @@ from iceberg_playground_spark.queries._util import (
     load,
 )
 from iceberg_playground_spark.queries.lakehouse import _built
+from iceberg_playground_spark.queries.llm import _SH_SQL
 from iceberg_playground_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -95,30 +96,10 @@ FROM runs GROUP BY doc_id, total_tokens
 """
 
 
-@query("c43_substring_dedup", oracle=_C43_ORACLE)
-def c43_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """C43: substring-level exact dedup — per document, the maximal
-    token spans whose {K}-gram shingles occur at least twice anywhere
-    in the corpus (within-document repeats count: a doc that repeats
-    its own boilerplate is duplicated text too, exactly as in Lee et
-    al.'s suffix-array formulation). Two flagged positions merge into
-    one run when their spans overlap or touch (gap <= K). Output per
-    affected document: number of duplicated runs and the duplicated
-    token budget those runs cover — the "how much would ExactSubstr
-    strip" report a corpus owner reads before committing to a rewrite.
-
-    Scale shape: the only data that shuffles is (doc_id, position,
-    16-byte digest) — never text. Stage 1 is scan -> project (shingle
-    digests computed in one JVM pass via transform/slice/md5, no
-    Python); stage 2 is ONE exchange on digest (the occurrence-count
-    window; hot digests are absorbed by the count-only aggregation,
-    and a digest's bucket holds positions, not pairs — no all-pairs
-    path exists); stage 3 is ONE exchange on doc_id (run-merge window
-    + final aggregate share the same partitioning, so Catalyst plans
-    a single sort per doc partition). At 100 TB the position stream
-    is ~|tokens| rows of ~32 bytes — the same order as the suffix
-    array Lee et al. materialize, but built with two shuffles and no
-    global sort."""
+def _flagged_positions(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared c43/p24 lineage: every K-gram start position whose
+    shingle digest occurs >= 2x anywhere in the corpus, as
+    (doc_id, total_tokens, i). The shuffle carries digests only."""
     k = _C43_K
     # repartition on doc_id before the digest projection: a one-file
     # demo corpus is ONE input split, and the md5-per-shingle +
@@ -155,13 +136,41 @@ def c43_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # window formulation, not groupBy+self-join: one digest exchange,
     # one pass over the shingle lineage (the c02 lesson — a semi-join
     # back would re-evaluate the whole scan+transform a second time)
-    flagged = (
+    return (
         pos.withColumn(
             "occ", F.count("*").over(W.partitionBy("dg"))
         )
         .filter(F.col("occ") >= 2)
         .select("doc_id", "total_tokens", "i")
     )
+
+
+@query("c43_substring_dedup", oracle=_C43_ORACLE)
+def c43_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C43: substring-level exact dedup — per document, the maximal
+    token spans whose {K}-gram shingles occur at least twice anywhere
+    in the corpus (within-document repeats count: a doc that repeats
+    its own boilerplate is duplicated text too, exactly as in Lee et
+    al.'s suffix-array formulation). Two flagged positions merge into
+    one run when their spans overlap or touch (gap <= K). Output per
+    affected document: number of duplicated runs and the duplicated
+    token budget those runs cover — the "how much would ExactSubstr
+    strip" report a corpus owner reads before committing to a rewrite.
+
+    Scale shape: the only data that shuffles is (doc_id, position,
+    16-byte digest) — never text. Stage 1 is scan -> project (shingle
+    digests computed in one JVM pass via transform/slice/md5, no
+    Python); stage 2 is ONE exchange on digest (the occurrence-count
+    window; hot digests are absorbed by the count-only aggregation,
+    and a digest's bucket holds positions, not pairs — no all-pairs
+    path exists); stage 3 is ONE exchange on doc_id (run-merge window
+    + final aggregate share the same partitioning, so Catalyst plans
+    a single sort per doc partition). At 100 TB the position stream
+    is ~|tokens| rows of ~32 bytes — the same order as the suffix
+    array Lee et al. materialize, but built with two shuffles and no
+    global sort."""
+    flagged = _flagged_positions(spark, sf)
+    k = _C43_K
     wd = W.partitionBy("doc_id").orderBy("i")
     runs = (
         flagged.withColumn(
@@ -592,3 +601,182 @@ def b137_listagg(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf)
     return spark.sql(_B137_SQL)
+
+
+# ---------------------------------------------------------------------------
+# p24 — ExactSubstr strip (the rewrite c43 reports on)
+# ---------------------------------------------------------------------------
+
+_P24_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+eligible AS (SELECT * FROM base WHERE n_tokens >= {_C43_K}),
+pos AS (
+  SELECT doc_id, i,
+         md5(array_to_string(toks[i + 1 : i + {_C43_K}], ' ')) AS dg
+  FROM eligible,
+       UNNEST(range(0, n_tokens - {_C43_K} + 1)) AS u(i)),
+flagged AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i, count(*) OVER (PARTITION BY dg) AS occ
+    FROM pos)
+  WHERE occ >= 2),
+runs0 AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER w IS NULL
+                OR i - lag(i) OVER w > {_C43_K}
+              THEN 1 ELSE 0 END AS newrun
+  FROM flagged
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+runs1 AS (
+  SELECT doc_id, i,
+         sum(newrun) OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+  FROM runs0),
+runs AS (
+  SELECT doc_id, min(i) AS s, max(i) + {_C43_K} AS e
+  FROM runs1 GROUP BY doc_id, run_id),
+tokpos AS (
+  SELECT b.doc_id, b.n_tokens, u.p, b.toks[u.p + 1] AS tok
+  FROM base b, UNNEST(range(0, b.n_tokens)) AS u(p)),
+marked AS (
+  SELECT tp.doc_id, tp.n_tokens, tp.p, tp.tok,
+         EXISTS (SELECT 1 FROM runs r
+                 WHERE r.doc_id = tp.doc_id
+                   AND tp.p >= r.s AND tp.p < r.e) AS covered
+  FROM tokpos tp)
+SELECT doc_id, n_tokens,
+       CAST(count(*) FILTER (WHERE NOT covered) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE covered) AS BIGINT) AS n_stripped,
+       md5(coalesce(
+         string_agg(tok, ' ' ORDER BY p) FILTER (WHERE NOT covered),
+         '')) AS cleaned_digest
+FROM marked GROUP BY doc_id, n_tokens
+"""
+
+
+@query("p24_substring_strip", oracle=_P24_ORACLE)
+def p24_substring_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """P24: ExactSubstr STRIP — the rewrite c43 only reports on:
+    remove every duplicated run (Lee et al. 2022 drop the repeated
+    span from all but one occurrence; this strips every occurrence —
+    the conservative variant that needs no global occurrence
+    ordering, appropriate when the spans are boilerplate) and emit
+    the cleaned corpus accounting per document: kept/stripped token
+    counts and the md5 digest of the cleaned text (the digest IS the
+    graded payload — proving both engines reconstruct the identical
+    cleaned string, order and all).
+
+    Scale shape: the flagged-position lineage is c43's (digest-only
+    shuffles); runs collapse to a per-doc interval list BOUNDED by
+    n_tokens/K entries, which joins back to the corpus on doc_id —
+    at 100 TB that join is corpus ⋈ tiny (affected docs only) and
+    co-partitions with the corpus's doc_id layout; the strip itself
+    is a per-row JVM array filter (transform + exists over the
+    interval array), no Python, no extra exchange."""
+    k = _C43_K
+    flagged = _flagged_positions(spark, sf)
+    wd = W.partitionBy("doc_id").orderBy("i")
+    runs = (
+        flagged.withColumn(
+            "newrun",
+            F.when(
+                F.lag("i").over(wd).isNull()
+                | (F.col("i") - F.lag("i").over(wd) > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("newrun").over(wd))
+        .groupBy("doc_id", "run_id")
+        .agg(F.min("i").alias("s"), (F.max("i") + k).alias("e"))
+    )
+    intervals = runs.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("ivs")
+    )
+    # explicit-count repartition: the strip (struct-zip + exists per
+    # token, x3 consumers of kept_arr after CollapseProject) is this
+    # query's CPU and the demo corpus is one split; the exchange also
+    # co-partitions the interval join on doc_id
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+    )
+    out = d.join(intervals, "doc_id", "left")
+    kept_arr = F.expr(
+        "transform(filter(transform(split(text, ' '), "
+        "(t, p) -> struct(t AS t, p AS p)), "
+        "x -> ivs IS NULL OR NOT exists(ivs, "
+        "iv -> x.p >= iv.s AND x.p < iv.e)), x -> x.t)"
+    )
+    return out.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+        F.size(kept_arr).cast("bigint").alias("n_kept"),
+        (
+            F.size(F.split(F.col("text"), " ")) - F.size(kept_arr)
+        ).cast("bigint").alias("n_stripped"),
+        F.md5(F.array_join(kept_arr, " ")).alias("cleaned_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c44 — cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+_C44_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source, {_SH_SQL} AS sh FROM documents),
+fp AS (
+  SELECT DISTINCT source,
+         list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fp
+  FROM sh WHERE len(sh) > 0)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fp
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+@query("c44_cross_source_dup_matrix", oracle=_C44_ORACLE)
+def c44_cross_source_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """C44: cross-source duplication matrix — which ingestion feeds
+    duplicate each other: per unordered source pair, how many content
+    fingerprints (c14's min-shingle-digest winnowing representative)
+    appear in BOTH. The matrix a corpus owner reads before choosing
+    dedup priority ("CommonCrawl duplicates most of src12 — dedup
+    those two jointly, the rest independently") and the provenance
+    complement of c20's within-corpus dedup.
+
+    Scale shape: fingerprints are map-side per-row array math (no
+    shuffle); (source, fp) pairs dedup in one exchange on the digest;
+    the self-join groups by fingerprint where each group holds at
+    most |sources| rows — the pair blow-up is bounded by
+    |fp| x |sources|^2 worst-case and the output by |sources|^2,
+    independent of corpus size. No text ever shuffles."""
+    from iceberg_playground_spark.queries.llm import _shingles, _tokens
+
+    d = load(spark, sf, "documents")
+    fs = (
+        d.select(
+            "source",
+            F.array_min(F.transform(_shingles(_tokens()), F.md5)).alias(
+                "fp"
+            ),
+        )
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+    a = fs.select(F.col("source").alias("src_a"), "fp")
+    b = fs.select(F.col("source").alias("src_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_fp"))
+    )

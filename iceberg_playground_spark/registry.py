@@ -83,6 +83,8 @@ _R8_NEW: list[str] = [
     "p22_epoch_upsample",
     "p23_quality_regression",
     "b137_listagg",
+    "p24_substring_strip",
+    "c44_cross_source_dup_matrix",
 ]
 
 

@@ -604,3 +604,31 @@ def test_b137_listagg_is_partial_aggregated(spark):
     plan = _plan(spark, "b137_listagg")
     assert "partial_listagg" in plan or "partial" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_p24_strip_joins_intervals_never_ships_text(spark):
+    # p24: the interval list (bounded per doc) joins back onto the
+    # corpus; the only exchanges are the digest window, the doc_id
+    # run/interval exchanges, and the corpus co-partition — and no
+    # exchange carries the text column except the corpus-side
+    # repartition that parallelizes the strip itself
+    plan = _plan(spark, "p24_substring_strip")
+    assert "CartesianProduct" not in plan
+    # the flagged lineage's digest exchange must not carry text
+    for chunk in plan.split("Exchange ")[1:]:
+        first = chunk.splitlines()[0]
+        if "dg#" in first:
+            assert "text" not in first
+
+
+def test_c44_matrix_is_digest_join_bounded_output(spark):
+    # c44: fingerprints are map-side; the pair join is a digest
+    # equi-join (never cartesian); output bounded by |sources|^2
+    plan = _plan(spark, "c44_cross_source_dup_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    from tests.conftest import SF_CHECK
+    n = registry.QUERIES["c44_cross_source_dup_matrix"](
+        spark, SF_CHECK
+    ).count()
+    assert n <= 20 * 19 / 2
