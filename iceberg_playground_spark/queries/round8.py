@@ -780,3 +780,119 @@ def c44_cross_source_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count("*").cast("bigint").alias("n_shared_fp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# b138 — schema-drift UNION BY NAME
+# ---------------------------------------------------------------------------
+
+_B138_ORACLE = f"""
+WITH u AS (
+  SELECT 'v1' AS gen, event_id, user_id, value
+  FROM events WHERE {bucket_sql('event_id')} < 50
+  UNION ALL BY NAME
+  SELECT 'v2' AS gen, user_id, event_type, event_id
+  FROM events WHERE {bucket_sql('event_id')} >= 50)
+SELECT gen,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT)
+         AS n_null_value,
+       CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT)
+         AS n_null_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM u GROUP BY gen
+"""
+
+
+@query("b138_union_by_name", oracle=_B138_ORACLE)
+def b138_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """B138: schema-drift union — ``unionByName(allowMissingColumns)``,
+    the API that stitches two producer generations into one relation
+    when columns were added, dropped, and REORDERED between them (a
+    positional UNION would silently pair user_id with event_id; the
+    by-name form aligns on names and NULL-fills the gaps — B116's
+    write-side merge-schema contract on the read side). The graded
+    aggregate proves alignment: v2 rows carry NULL value, v1 rows
+    NULL event_type, and per-generation user counts survive the
+    column reorder intact.
+
+    Scale shape: the union is plan-level concatenation — zero
+    shuffle; both branches scan the same source with their own pushed
+    filters and the NULL fill is a map-side projection. The only
+    exchange is the final |generations|-row aggregate."""
+    ev = load(spark, sf, "events")
+    b = hash_bucket(F.col("event_id"))
+    v1 = ev.filter(b < 50).select(
+        F.lit("v1").alias("gen"), "event_id", "user_id", "value"
+    )
+    v2 = ev.filter(b >= 50).select(
+        F.lit("v2").alias("gen"), "user_id", "event_type", "event_id"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("gen").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1))
+        .cast("bigint")
+        .alias("n_null_value"),
+        F.count(F.when(F.col("event_type").isNull(), 1))
+        .cast("bigint")
+        .alias("n_null_type"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# b139 — DataFrame transpose (Spark 4 surface)
+# ---------------------------------------------------------------------------
+
+_B139_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS sum_base_price
+  FROM lineitem GROUP BY l_returnflag)
+SELECT 'sum_qty' AS key,
+       max(CASE WHEN l_returnflag = 'A' THEN sum_qty END) AS A,
+       max(CASE WHEN l_returnflag = 'N' THEN sum_qty END) AS N,
+       max(CASE WHEN l_returnflag = 'R' THEN sum_qty END) AS R
+FROM m
+UNION ALL
+SELECT 'sum_base_price',
+       max(CASE WHEN l_returnflag = 'A' THEN sum_base_price END),
+       max(CASE WHEN l_returnflag = 'N' THEN sum_base_price END),
+       max(CASE WHEN l_returnflag = 'R' THEN sum_base_price END)
+FROM m
+"""
+
+
+@query("b139_transpose", oracle=_B139_ORACLE)
+def b139_transpose(spark: SparkSession, sf: str) -> DataFrame:
+    """B139: DataFrame.transpose — Spark 4's matrix flip (rows <->
+    columns, first column becomes the header), the report-shaping
+    surface analysts reach for after a grouped aggregate ("metrics as
+    rows, groups as columns"). Applied to the flagship aggregate's
+    decimal-exact sums, so the transposed cells hash-match the
+    oracle's conditional-aggregate emulation of the same flip.
+
+    Scale note: transpose is legal ONLY on a frame whose row count is
+    a column-budget (it collects the index values to NAME the output
+    columns — here 3 returnflags); the input aggregate is the
+    scalable part, the flip is a driver-side reshape of a
+    |groups|-row result by construction."""
+    from iceberg_playground_spark.queries._util import dsum
+
+    m = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+        )
+    )
+    return m.transpose()

@@ -85,6 +85,8 @@ _R8_NEW: list[str] = [
     "b137_listagg",
     "p24_substring_strip",
     "c44_cross_source_dup_matrix",
+    "b138_union_by_name",
+    "b139_transpose",
 ]
 
 

@@ -632,3 +632,25 @@ def test_c44_matrix_is_digest_join_bounded_output(spark):
         spark, SF_CHECK
     ).count()
     assert n <= 20 * 19 / 2
+
+
+def test_b138_union_is_planwise_concat_filters_pushed(spark):
+    # b138: union by name is plan concatenation — both generations'
+    # bucket filters evaluate in their own scan stage and the NULL
+    # fill is a projection; the only exchange is the final aggregate
+    plan = _plan(spark, "b138_union_by_name")
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_b139_transpose_is_driver_reshape_of_group_budget(spark):
+    # b139: transpose executes its input eagerly and returns a
+    # LocalTableScan — the flip is a driver-side reshape by
+    # construction, legal only because the input is a |groups|-row
+    # aggregate; pin the shape contract (metrics as rows, one column
+    # per returnflag) so a fact-table transpose can never sneak in
+    plan = _plan(spark, "b139_transpose")
+    assert "LocalTableScan" in plan
+    df = registry.QUERIES["b139_transpose"](spark, SF_CHECK)
+    assert df.columns == ["key", "A", "N", "R"]
+    assert df.count() == 2
