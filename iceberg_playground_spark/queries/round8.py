@@ -896,3 +896,187 @@ def b139_transpose(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return m.transpose()
+
+
+# ---------------------------------------------------------------------------
+# p25 — incremental dataset-card refresh (p16 maintained by deltas)
+# ---------------------------------------------------------------------------
+
+from iceberg_playground_spark.queries.round6 import (  # noqa: E402
+    _CARD_ORACLE as _P25_ORACLE,
+)
+
+
+@query("p25_incremental_card_refresh", oracle=_P25_ORACLE)
+def p25_incremental_card_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """P25: incremental dataset-card refresh — p16's shipped-corpus
+    card kept current by DELTAS instead of recomputation (the b126
+    maintenance move applied to the card's whole metric set): the
+    base corpus (80% bucket) materializes per-split/per-lang counters
+    and per-digest count STATE; an ingest batch (the 20% bucket —
+    p17's delta convention) then refreshes every metric touching only
+    |batch| rows — additive counters outer-merge, and the duplicate
+    masses (exact + fingerprint, the card's non-additive metrics)
+    update by joining the batch's digest counts against the state:
+    delta = max(n_old + m - 1, 0) - max(n_old - 1, 0) per touched
+    digest. Graded by the FULL-recompute oracle (p16's own SQL over
+    base ∪ batch): the hash-match IS the proof that incremental
+    maintenance ≡ rebuild, duplicate tails included.
+
+    Scale shape: the base pass is one scan (state checkpointed — at
+    100 TB it is a lake table c39-style, not recomputed); the refresh
+    scans ONLY the batch, every join is digest-keyed against
+    KB-bounded batch aggregates, and no full-corpus digest histogram
+    is ever rebuilt. NULL digests ride a sentinel so both engines'
+    null-grouping semantics agree."""
+    from iceberg_playground_spark.queries.llm import _shingles
+
+    d = load(spark, sf, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    enriched = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.md5("text").alias("exact_key"),
+        F.coalesce(
+            F.array_min(
+                F.transform(_shingles(F.split("text", " ")), F.md5)
+            ),
+            F.lit(""),  # null-digest sentinel: one group, both engines
+        ).alias("fp"),
+        (bucket >= 80).alias("is_batch"),
+    ).localCheckpoint(eager=False)
+    base = enriched.filter(~F.col("is_batch"))
+    batch = enriched.filter(F.col("is_batch"))
+
+    # ---- base-side STATE (at scale: lake tables, built once) ----
+    st_split = (
+        base.groupBy("split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    st_lang = (
+        base.groupBy("lang")
+        .agg(F.count("*").alias("docs"))
+        .localCheckpoint(eager=False)
+    )
+    st_exact = (
+        base.groupBy("exact_key").agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    st_fp = (
+        base.groupBy("fp").agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+
+    def dup_mass(state):
+        return state.agg(
+            F.coalesce(
+                F.sum(F.greatest(F.col("n") - 1, F.lit(0))), F.lit(0)
+            ).alias("v")
+        )
+
+    # ---- batch deltas (|batch|-row lineage only) ----
+    b_split = batch.groupBy("split").agg(
+        F.count("*").alias("d_docs"), F.sum("n_chars").alias("d_chars")
+    )
+    b_lang = batch.groupBy("lang").agg(F.count("*").alias("d_docs"))
+
+    def dup_delta(state, key):
+        m = batch.groupBy(key).agg(F.count("*").alias("m"))
+        j = m.join(state, key, "left").select(
+            (
+                F.greatest(
+                    F.coalesce(F.col("n"), F.lit(0)) + F.col("m") - 1,
+                    F.lit(0),
+                )
+                - F.greatest(
+                    F.coalesce(F.col("n"), F.lit(0)) - 1, F.lit(0)
+                )
+            ).alias("delta")
+        )
+        return j.agg(F.coalesce(F.sum("delta"), F.lit(0)).alias("v"))
+
+    # ---- refreshed counters: state ⟗ delta (b126's outer-merge) ----
+    split_now = (
+        st_split.join(b_split, "split", "full_outer")
+        .select(
+            "split",
+            (
+                F.coalesce(F.col("docs"), F.lit(0))
+                + F.coalesce(F.col("d_docs"), F.lit(0))
+            ).alias("docs"),
+            (
+                F.coalesce(F.col("chars"), F.lit(0))
+                + F.coalesce(F.col("d_chars"), F.lit(0))
+            ).alias("chars"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lang_now = (
+        st_lang.join(b_lang, "lang", "full_outer")
+        .select(
+            "lang",
+            (
+                F.coalesce(F.col("docs"), F.lit(0))
+                + F.coalesce(F.col("d_docs"), F.lit(0))
+            ).alias("docs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # assemble the long-format card (p16's exact shape)
+    def lit_row(metric, scope, df_val):
+        return df_val.select(
+            F.lit(metric).alias("metric"),
+            F.lit(scope).alias("scope"),
+            F.col("v").cast("bigint").alias("value"),
+        )
+
+    docs_total = split_now.agg(F.sum("docs").alias("v"))
+    langs_total = lang_now.filter(F.col("docs") > 0).agg(
+        F.count("*").alias("v")
+    )
+    exact_total = (
+        dup_mass(st_exact)
+        .withColumnRenamed("v", "b")
+        .crossJoin(dup_delta(st_exact, "exact_key"))
+        .select((F.col("b") + F.col("v")).alias("v"))
+    )
+    fp_total = (
+        dup_mass(st_fp)
+        .withColumnRenamed("v", "b")
+        .crossJoin(dup_delta(st_fp, "fp"))
+        .select((F.col("b") + F.col("v")).alias("v"))
+    )
+    parts = [
+        lit_row("docs", "__corpus__", docs_total),
+        lit_row("langs", "__corpus__", langs_total),
+        lit_row("exact_dup_docs", "__corpus__", exact_total),
+        lit_row("fingerprint_dup_docs", "__corpus__", fp_total),
+        split_now.select(
+            F.lit("docs").alias("metric"),
+            F.col("split").alias("scope"),
+            F.col("docs").cast("bigint").alias("value"),
+        ),
+        split_now.select(
+            F.lit("chars").alias("metric"),
+            F.col("split").alias("scope"),
+            F.col("chars").cast("bigint").alias("value"),
+        ),
+        lang_now.select(
+            F.lit("docs").alias("metric"),
+            F.col("lang").alias("scope"),
+            F.col("docs").cast("bigint").alias("value"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("metric", "scope")

@@ -87,6 +87,7 @@ _R8_NEW: list[str] = [
     "c44_cross_source_dup_matrix",
     "b138_union_by_name",
     "b139_transpose",
+    "p25_incremental_card_refresh",
 ]
 
 

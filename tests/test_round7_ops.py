@@ -397,3 +397,29 @@ def test_p18_novelty_is_batch_boundary_invariant(spark):
         for r in p18(spark, SF_CHECK, files_per_trigger=4).collect()
     )
     assert fine == coarse
+
+
+# --- p25 incremental card refresh ------------------------------------------
+
+
+def test_p25_incremental_card_equals_full_rebuild(spark):
+    # p25's contract: maintaining the card from batch deltas produces
+    # EXACTLY p16's full-recompute card — metric for metric, duplicate
+    # tails included (the b126 maintenance claim at card scope)
+    card = sorted(
+        map(
+            tuple,
+            registry.QUERIES["p16_dataset_card"](
+                spark, SF_CHECK
+            ).collect(),
+        )
+    )
+    inc = sorted(
+        map(
+            tuple,
+            registry.QUERIES["p25_incremental_card_refresh"](
+                spark, SF_CHECK
+            ).collect(),
+        )
+    )
+    assert inc == card
