@@ -1080,3 +1080,135 @@ def p25_incremental_card_refresh(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("metric", "scope")
+
+
+# ---------------------------------------------------------------------------
+# p26 — T5-style span corruption (denoising-objective data op)
+# ---------------------------------------------------------------------------
+
+_P26_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+p1 AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+p2 AS (
+  SELECT *, greatest(1, CAST(floor(n * 0.15 / 3) AS BIGINT)) AS s
+  FROM p1),
+p3 AS (SELECT *, n // s AS seg FROM p2),
+p4 AS (SELECT *, least(3, seg) AS spanlen FROM p3),
+spans AS (
+  SELECT doc_id, u.k,
+         u.k * seg
+         + CASE WHEN seg - spanlen = 0 THEN 0
+                ELSE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                         || ':' || CAST(u.k AS VARCHAR)), 1, 8)
+                     AS BIGINT) % (seg - spanlen + 1)
+           END AS st,
+         spanlen
+  FROM p4, UNNEST(range(0, s)) AS u(k)),
+spans2 AS (SELECT doc_id, k, st, st + spanlen AS en FROM spans),
+pieces AS (
+  SELECT p4.doc_id, u.p,
+         CASE WHEN EXISTS (SELECT 1 FROM spans2 sp
+                           WHERE sp.doc_id = p4.doc_id AND sp.st = u.p)
+              THEN '<extra_id_' || CAST((SELECT sp.k FROM spans2 sp
+                    WHERE sp.doc_id = p4.doc_id AND sp.st = u.p)
+                    AS VARCHAR) || '>'
+              WHEN EXISTS (SELECT 1 FROM spans2 sp
+                           WHERE sp.doc_id = p4.doc_id
+                             AND u.p >= sp.st AND u.p < sp.en)
+              THEN NULL
+              ELSE p4.toks[u.p + 1] END AS piece
+  FROM p4, UNNEST(range(0, n)) AS u(p)),
+masked AS (
+  SELECT doc_id,
+         md5(coalesce(string_agg(piece, ' ' ORDER BY p)
+                      FILTER (WHERE piece IS NOT NULL), ''))
+           AS masked_digest
+  FROM pieces GROUP BY doc_id),
+tgt AS (
+  SELECT s2.doc_id,
+         md5(string_agg('<extra_id_' || CAST(s2.k AS VARCHAR) || '> '
+             || array_to_string(p4.toks[s2.st + 1 : s2.en], ' '),
+             ' ' ORDER BY s2.k)) AS target_digest,
+         CAST(sum(s2.en - s2.st) AS BIGINT) AS n_masked,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM spans2 s2 JOIN p4 ON s2.doc_id = p4.doc_id
+  GROUP BY s2.doc_id)
+SELECT p4.doc_id, p4.n AS n_tokens, tgt.n_spans, tgt.n_masked,
+       masked.masked_digest, tgt.target_digest
+FROM p4
+JOIN masked ON p4.doc_id = masked.doc_id
+JOIN tgt ON p4.doc_id = tgt.doc_id
+"""
+
+
+@query("p26_span_corruption", oracle=_P26_ORACLE)
+def p26_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """P26: T5-style span corruption (Raffel et al. 2020, public
+    work) — the denoising-objective data op: per document, ~15% of
+    tokens masked in mean-length-3 spans, each span replaced by a
+    numbered sentinel in the INPUT and emitted after its sentinel in
+    the TARGET. Spans are placed DETERMINISTICALLY (one per equal
+    segment, offset from md5(doc_id:k) — the repo's engine-neutral
+    hash-randomness stamp), so the same doc always corrupts the same
+    way: reproducible pretraining batches, and both engines rebuild
+    the identical masked/target strings (the graded digests prove
+    it).
+
+    Scale shape: the entire op is ONE scan + map-side JVM array math
+    — zero exchanges of any kind; spans per doc is ~n/20 so the
+    per-row CASE-over-spans work is O(n·s) with tiny s. The
+    index-lambda transform keeps split() evaluated once per
+    expression tree (the _shingles O(n²) trap avoided)."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    step = (
+        d.withColumn("toks", F.split("text", " "))
+        .withColumn("n", F.size("toks").cast("bigint"))
+        .withColumn(
+            "s",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(F.col("n") * 0.15 / 3).cast("bigint"),
+            ),
+        )
+        .withColumn("seg", F.expr("n DIV s"))
+        .withColumn("spanlen", F.least(F.lit(3).cast("bigint"), F.col("seg")))
+    )
+    spans = F.expr(
+        "transform(sequence(0, s - 1), k -> named_struct("
+        "'k', k, "
+        "'st', k * seg + (CASE WHEN seg - spanlen = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+        "CAST(k AS STRING))), 1, 8), 16, 10) % (seg - spanlen + 1) END), "
+        "'en', k * seg + (CASE WHEN seg - spanlen = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+        "CAST(k AS STRING))), 1, 8), 16, 10) % (seg - spanlen + 1) END) "
+        "+ spanlen))"
+    )
+    w = step.withColumn("spans", spans)
+    masked = F.expr(
+        "array_join(filter(transform(toks, (t, p) -> "
+        "CASE WHEN exists(spans, sp -> sp.st = p) "
+        "THEN concat('<extra_id_', CAST(filter(spans, sp -> sp.st = p)[0].k"
+        " AS STRING), '>') "
+        "WHEN exists(spans, sp -> p >= sp.st AND p < sp.en) THEN NULL "
+        "ELSE t END), x -> x IS NOT NULL), ' ')"
+    )
+    target = F.expr(
+        "array_join(transform(spans, sp -> concat('<extra_id_', "
+        "CAST(sp.k AS STRING), '> ', "
+        "array_join(slice(toks, CAST(sp.st + 1 AS INT), "
+        "CAST(sp.en - sp.st AS INT)), ' '))), ' ')"
+    )
+    return w.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.expr(
+            "aggregate(spans, CAST(0 AS BIGINT), "
+            "(acc, sp) -> acc + (sp.en - sp.st))"
+        ).alias("n_masked"),
+        F.md5(masked).alias("masked_digest"),
+        F.md5(target).alias("target_digest"),
+    )

@@ -88,6 +88,7 @@ _R8_NEW: list[str] = [
     "b138_union_by_name",
     "b139_transpose",
     "p25_incremental_card_refresh",
+    "p26_span_corruption",
 ]
 
 

@@ -654,3 +654,12 @@ def test_b139_transpose_is_driver_reshape_of_group_budget(spark):
     df = registry.QUERIES["b139_transpose"](spark, SF_CHECK)
     assert df.columns == ["key", "A", "N", "R"]
     assert df.count() == 2
+
+
+def test_p26_span_corruption_is_pure_map(spark):
+    # p26: one scan, zero exchanges — the denoising transform is
+    # entirely map-side JVM array math; any exchange appearing here
+    # means the span construction started shuffling token rows
+    plan = _plan(spark, "p26_span_corruption")
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
