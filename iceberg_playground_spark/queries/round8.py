@@ -1212,3 +1212,197 @@ def p26_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(masked).alias("masked_digest"),
         F.md5(target).alias("target_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# c45 — ANN recall evaluation (LSH index vs exact brute force)
+# ---------------------------------------------------------------------------
+
+_C45_PROBES = 20
+_C45_K = 10
+_C45_BANDS = 4
+_C45_BITS = 4
+
+
+def _c45_oracle() -> str:
+    from iceberg_playground_spark.queries.round5 import _c29_dot_sql
+
+    nb = _C45_BANDS * _C45_BITS
+    bit_cols = ", ".join(
+        f"CASE WHEN {_c29_dot_sql(j)} >= 0 THEN 1 ELSE 0 END AS bit{j}"
+        for j in range(nb)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT vec_id, {b} AS band, {val} AS bval FROM s".format(
+            b=b,
+            val=" + ".join(
+                f"bit{b * _C45_BITS + r} * {1 << (_C45_BITS - 1 - r)}"
+                for r in range(_C45_BITS)
+            ),
+        )
+        for b in range(_C45_BANDS)
+    )
+    from iceberg_playground_spark.queries.llm import _dot_sql, _norm_sql
+
+    cos = (
+        f"round({_dot_sql('be', 'pe')} "
+        f"/ ({_norm_sql('be')} * {_norm_sql('pe')}), 6)"
+    )
+    return f"""
+    WITH s AS (SELECT vec_id, {bit_cols} FROM embeddings),
+    sig AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS probe_id, b.vec_id AS base_id
+      FROM sig p JOIN sig b ON p.band = b.band AND p.bval = b.bval
+      WHERE p.vec_id < {_C45_PROBES} AND b.vec_id >= {_C45_PROBES}),
+    candn AS (
+      SELECT probe_id, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY probe_id),
+    ann AS (
+      SELECT probe_id, base_id FROM (
+        SELECT c.probe_id, c.base_id,
+               {cos} AS cosine
+        FROM cand c
+        JOIN (SELECT vec_id, embedding AS pe FROM embeddings) p
+          ON p.vec_id = c.probe_id
+        JOIN (SELECT vec_id, embedding AS be FROM embeddings) b
+          ON b.vec_id = c.base_id)
+      QUALIFY row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cosine DESC, base_id)
+              <= {_C45_K}),
+    truth AS (
+      SELECT probe_id, base_id FROM (
+        SELECT p.vec_id AS probe_id, b.vec_id AS base_id,
+               {cos} AS cosine
+        FROM (SELECT vec_id, embedding AS pe FROM embeddings
+              WHERE vec_id < {_C45_PROBES}) p,
+             (SELECT vec_id, embedding AS be FROM embeddings
+              WHERE vec_id >= {_C45_PROBES}) b)
+      QUALIFY row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cosine DESC, base_id)
+              <= {_C45_K})
+    SELECT t.probe_id,
+           coalesce(any_value(cn.n_candidates), 0) AS n_candidates,
+           CAST(count(a.base_id) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS n_true
+    FROM truth t
+    LEFT JOIN ann a ON a.probe_id = t.probe_id AND a.base_id = t.base_id
+    LEFT JOIN candn cn ON cn.probe_id = t.probe_id
+    GROUP BY t.probe_id
+    """
+
+
+@query("c45_ann_recall", oracle=_c45_oracle())
+def c45_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """C45: ANN recall evaluation — the measurement every approximate
+    index must pass before it replaces brute force in a pipeline:
+    for a probe set, compare the hyperplane-LSH index's top-k (c29's
+    16-bit banded signatures → candidate buckets → exact re-rank of
+    candidates only) against the exact brute-force top-k (c03's
+    baseline arm), and report per probe the candidate-set size and
+    recall numerator (true top-k members the index found). Answers
+    "is 4x4-bit banding enough for this corpus, and at what candidate
+    cost" — the engineering tradeoff c29 only describes.
+
+    Scale shape: signatures are map-side (16 fixed-literal dot
+    products per row); candidates form by (band, bval) equi-join —
+    never all-pairs; the exact-truth arm IS probe x corpus by
+    definition (broadcast probes against one base scan — the
+    eval-only arm: at 100 TB you run it over a sampled probe set
+    exactly like this, never over the full corpus); both top-k
+    windows group-limit below their exchange."""
+    from iceberg_playground_spark.queries.llm import _dot, _norm
+    from iceberg_playground_spark.queries.meta import _RP_SIGNS
+
+    e = load(spark, sf, "embeddings")
+    nb = _C45_BANDS * _C45_BITS
+    emb = F.col("embedding")
+    bits = [
+        F.when(
+            _dot(emb, F.array(*[F.lit(s) for s in _RP_SIGNS[j]])) >= 0, 1
+        ).otherwise(0)
+        for j in range(nb)
+    ]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (
+                        bits[b * _C45_BITS + r] * (1 << (_C45_BITS - 1 - r))
+                        for r in range(_C45_BITS)
+                    ),
+                    F.lit(0),
+                ).alias("bval"),
+            )
+            for b in range(_C45_BANDS)
+        ]
+    )
+    sig = e.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    ).localCheckpoint(eager=False)  # one signature pass, two consumers
+    psig = sig.filter(F.col("vec_id") < _C45_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "band", "bval"
+    )
+    bsig = sig.filter(F.col("vec_id") >= _C45_PROBES).select(
+        F.col("vec_id").alias("base_id"), "band", "bval"
+    )
+    cand = (
+        psig.join(bsig, ["band", "bval"])
+        .select("probe_id", "base_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds count + re-rank once
+    )
+    candn = cand.groupBy("probe_id").agg(
+        F.count("*").cast("bigint").alias("n_candidates")
+    )
+    pe = e.filter(F.col("vec_id") < _C45_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    be = e.filter(F.col("vec_id") >= _C45_PROBES).select(
+        F.col("vec_id").alias("base_id"), F.col("embedding").alias("be")
+    )
+    cos = F.round(
+        _dot(F.col("be"), F.col("pe"))
+        / (_norm(F.col("be")) * _norm(F.col("pe"))),
+        6,
+    ).alias("cosine")
+    wk = W.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("base_id")
+    )
+    ann = (
+        cand.join(F.broadcast(pe), "probe_id")
+        .join(be, "base_id")
+        .select("probe_id", "base_id", cos)
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _C45_K)
+        .select("probe_id", "base_id")
+    )
+    truth = (
+        be.crossJoin(F.broadcast(pe))
+        .select("probe_id", "base_id", cos)
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _C45_K)
+        .select("probe_id", "base_id")
+    )
+    return (
+        truth.join(
+            ann.withColumn("hit", F.lit(1)), ["probe_id", "base_id"], "left"
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.count("*").cast("bigint").alias("n_true"),
+        )
+        .join(candn, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            "n_hits",
+            "n_true",
+        )
+    )

@@ -89,6 +89,7 @@ _R8_NEW: list[str] = [
     "b139_transpose",
     "p25_incremental_card_refresh",
     "p26_span_corruption",
+    "c45_ann_recall",
 ]
 
 

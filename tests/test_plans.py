@@ -663,3 +663,14 @@ def test_p26_span_corruption_is_pure_map(spark):
     plan = _plan(spark, "p26_span_corruption")
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_c45_candidates_equi_join_truth_arm_bounded(spark):
+    # c45: the LSH candidate arm must be a (band, bval) equi-join —
+    # the ONLY nested-loop allowed is the exact-truth arm, which is
+    # probe x corpus BY DEFINITION (20 broadcast probes, the eval-only
+    # baseline); a second nested loop means the candidate arm
+    # degenerated to all-pairs
+    plan = _plan(spark, "c45_ann_recall")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
