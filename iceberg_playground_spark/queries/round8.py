@@ -1406,3 +1406,167 @@ def c45_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
             "n_true",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# b140 — SQL scripting (compound statements, Spark 4 procedural surface)
+# ---------------------------------------------------------------------------
+
+_B140_SCRIPT = """
+BEGIN
+  DECLARE cutoff DOUBLE DEFAULT 512000.0;
+  WHILE 2 * (SELECT count(*) FROM orders WHERE o_totalprice >= cutoff)
+        < (SELECT count(*) FROM orders) DO
+    SET cutoff = cutoff / 2;
+  END WHILE;
+  SELECT CAST(cutoff AS DOUBLE) AS cutoff,
+         CAST(count(*) AS BIGINT) AS n_above
+  FROM orders WHERE o_totalprice >= cutoff;
+END
+"""
+
+_B140_ORACLE = """
+WITH ks AS (SELECT unnest(range(0, 40)) AS k),
+tot AS (SELECT count(*) AS t FROM orders),
+cnt AS (
+  SELECT ks.k, 512000.0 / power(2.0, ks.k) AS cutoff,
+         (SELECT count(*) FROM orders
+          WHERE o_totalprice >= 512000.0 / power(2.0, ks.k)) AS n
+  FROM ks),
+sel AS (
+  SELECT min(k) AS k FROM cnt, tot WHERE 2 * cnt.n >= tot.t)
+SELECT CAST(c.cutoff AS DOUBLE) AS cutoff,
+       CAST(c.n AS BIGINT) AS n_above
+FROM cnt c JOIN sel ON c.k = sel.k
+"""
+
+
+@query("b140_sql_scripting", oracle=_B140_ORACLE)
+def b140_sql_scripting(spark: SparkSession, sf: str) -> DataFrame:
+    """B140: SQL scripting — Spark 4's compound-statement surface
+    (BEGIN/DECLARE/SET/WHILE), the procedural layer the reference's
+    bundled SQL service exposes to operators who write control flow
+    in SQL instead of a driver program. The block binary-searches a
+    price cutoff downward (halving — every cutoff is an exact
+    double) until at least half the orders qualify, then returns the
+    cutoff and its population. The oracle replays the loop
+    declaratively (min k over a candidate ladder) — hash-matching
+    proves the procedural and declarative forms agree.
+
+    Scale note: each loop iteration is one full aggregate (here
+    ~log2(price range) = <= 10 passes); the production form caches
+    the scan or pre-aggregates a histogram — the point of the
+    surface item is the CONTROL FLOW contract, not the search
+    algorithm."""
+    from iceberg_playground_spark.session import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_B140_SCRIPT)
+
+
+# ---------------------------------------------------------------------------
+# c46 — classifier evaluation (precision/recall over c12's lang-ID)
+# ---------------------------------------------------------------------------
+
+_C46_ORACLE = """
+WITH t AS (
+  SELECT lang = 'en' AS actual_en,
+         (CAST(len(list_filter(string_split(text, ' '),
+                               x -> x IN ('the', 'a', 'of')))
+               AS DOUBLE)
+          / len(string_split(text, ' '))) >= 0.05 AS pred_en
+  FROM documents),
+m AS (
+  SELECT CAST(count(*) FILTER (WHERE actual_en AND pred_en) AS BIGINT)
+           AS tp,
+         CAST(count(*) FILTER (WHERE NOT actual_en AND pred_en)
+              AS BIGINT) AS fp,
+         CAST(count(*) FILTER (WHERE actual_en AND NOT pred_en)
+              AS BIGINT) AS fn,
+         CAST(count(*) FILTER (WHERE NOT actual_en AND NOT pred_en)
+              AS BIGINT) AS tn
+  FROM t)
+SELECT 'tp' AS metric, tp AS value FROM m
+UNION ALL SELECT 'fp', fp FROM m
+UNION ALL SELECT 'fn', fn FROM m
+UNION ALL SELECT 'tn', tn FROM m
+UNION ALL
+SELECT 'precision_ppm',
+       CAST(round(CAST(tp AS DOUBLE) / (tp + fp) * 1000000) AS BIGINT)
+FROM m
+UNION ALL
+SELECT 'recall_ppm',
+       CAST(round(CAST(tp AS DOUBLE) / (tp + fn) * 1000000) AS BIGINT)
+FROM m
+UNION ALL
+SELECT 'f1_ppm',
+       CAST(round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1000000)
+            AS BIGINT)
+FROM m
+"""
+
+
+@query("c46_classifier_eval", oracle=_C46_ORACLE)
+def c46_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """C46: classifier evaluation — the metric harness a corpus
+    pipeline runs before trusting any learned/heuristic filter (c12's
+    lang-ID here; the same relation evaluates a quality classifier or
+    a contamination detector): confusion counts plus
+    precision/recall/F1 as parts-per-million INTEGERS (one rounded
+    division from exact BIGINT counts — engine-identical, the
+    micro-unit discipline of c23/c35). Long-format (metric, value) so
+    downstream dashboards ingest it like p16's card.
+
+    Scale shape: one scan, one global aggregate of four conditional
+    counts — map-side partials collapse everything before the single
+    exchange; the metric fan-out is arithmetic over one row."""
+    d = load(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    pred_en = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of"))).cast(
+            "double"
+        )
+        / F.size(toks)
+    ) >= 0.05
+    actual_en = F.col("lang") == "en"
+    m = d.select(
+        actual_en.alias("a"), pred_en.alias("p")
+    ).agg(
+        F.count(F.when(F.col("a") & F.col("p"), 1))
+        .cast("bigint")
+        .alias("tp"),
+        F.count(F.when(~F.col("a") & F.col("p"), 1))
+        .cast("bigint")
+        .alias("fp"),
+        F.count(F.when(F.col("a") & ~F.col("p"), 1))
+        .cast("bigint")
+        .alias("fn"),
+        F.count(F.when(~F.col("a") & ~F.col("p"), 1))
+        .cast("bigint")
+        .alias("tn"),
+    ).localCheckpoint(eager=False)  # one scan feeds seven metric rows
+    ppm = lambda num, den: (  # noqa: E731
+        F.round(num.cast("double") / den * 1000000).cast("bigint")
+    )
+    rows = [
+        ("tp", F.col("tp")),
+        ("fp", F.col("fp")),
+        ("fn", F.col("fn")),
+        ("tn", F.col("tn")),
+        ("precision_ppm", ppm(F.col("tp"), F.col("tp") + F.col("fp"))),
+        ("recall_ppm", ppm(F.col("tp"), F.col("tp") + F.col("fn"))),
+        (
+            "f1_ppm",
+            ppm(
+                2 * F.col("tp"),
+                2 * F.col("tp") + F.col("fp") + F.col("fn"),
+            ),
+        ),
+    ]
+    out = None
+    for name, expr in rows:
+        part = m.select(
+            F.lit(name).alias("metric"), expr.alias("value")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -90,6 +90,8 @@ _R8_NEW: list[str] = [
     "p25_incremental_card_refresh",
     "p26_span_corruption",
     "c45_ann_recall",
+    "b140_sql_scripting",
+    "c46_classifier_eval",
 ]
 
 

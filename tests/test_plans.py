@@ -674,3 +674,12 @@ def test_c45_candidates_equi_join_truth_arm_bounded(spark):
     plan = _plan(spark, "c45_ann_recall")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_c46_eval_is_single_scan_single_exchange(spark):
+    # c46: the confusion counts collapse map-side into one global
+    # aggregate; the metric fan-out consumes the checkpointed one-row
+    # result, so only one parquet scan appears
+    plan = _plan(spark, "c46_classifier_eval")
+    assert plan.count("Scan parquet") <= 1
+    assert "CartesianProduct" not in plan
