@@ -313,3 +313,92 @@ def b110_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
     brand so a mismatch localizes to a disjunct."""
     register_views(spark, sf)
     return spark.sql(_Q19_SQL)
+
+
+# --- round 8: the remaining schema-expressible classics --------------------
+
+_Q3_SQL = """
+    SELECT l_orderkey,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(6,4)))
+                AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+_Q6_SQL = """
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * CAST(l_discount AS DECIMAL(5,4)))
+               AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND CAST(l_discount AS DECIMAL(5,4))
+          BETWEEN CAST(0.05 AS DECIMAL(5,4)) AND CAST(0.07 AS DECIMAL(5,4))
+      AND l_quantity < 24
+"""
+
+_Q13_SQL = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("b141_tpch_q3", oracle=_Q3_SQL)
+def b141_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """B141: TPC-H Q3 (shipping priority), same-text-two-engines —
+    the classic urgent-backlog probe: BUILDING-segment orders placed
+    before the cutoff whose lineitems ship after it, top-10 open
+    orders by discounted revenue. (Adapted to this schema: no
+    o_shippriority column exists, so the output carries the grouping
+    keys that do.) Selective filters push to BOTH fact scans; the
+    top-10 lowers to TakeOrderedAndProject; revenue per the B21
+    decimal rule with the (o_orderdate, l_orderkey) tie-break."""
+    register_views(spark, sf)
+    return spark.sql(_Q3_SQL)
+
+
+@query("b142_tpch_q6", oracle=_Q6_SQL)
+def b142_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """B142: TPC-H Q6 (forecasting revenue change), same-text —
+    the pure-scan benchmark: one fact table, three pushable range
+    predicates, one global aggregate; the whole query is a
+    WholeStageCodegen scan-filter-aggregate with no exchange beyond
+    the final partial merge — the cell that measures raw scan
+    throughput. Discount compared in DECIMAL (0.05-0.07 as 2-dp
+    doubles are exact, but the decimal compare keeps the same-text
+    oracle honest under each engine's literal typing)."""
+    register_views(spark, sf)
+    return spark.sql(_Q6_SQL)
+
+
+@query("b143_tpch_q13", oracle=_Q13_SQL)
+def b143_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """B143: TPC-H Q13 (customer order distribution), same-text —
+    the OUTER-join aggregate the rest of the pack lacks: every
+    customer kept (orderless customers count 0 via count(o_orderkey)
+    skipping NULLs), then the distribution of order counts — a
+    two-level aggregate whose first level preserves the left side.
+    (Adapted: no o_comment column, so the classic NOT LIKE filter is
+    dropped.) Shape: one shuffle per aggregate level; the outer join
+    broadcasts nothing at scale (both sides fact-sized) and shuffles
+    on the join key — the c_count histogram is |distinct counts|
+    rows."""
+    register_views(spark, sf)
+    return spark.sql(_Q13_SQL)

@@ -92,6 +92,9 @@ _R8_NEW: list[str] = [
     "c45_ann_recall",
     "b140_sql_scripting",
     "c46_classifier_eval",
+    "b141_tpch_q3",
+    "b142_tpch_q6",
+    "b143_tpch_q13",
 ]
 
 

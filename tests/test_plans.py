@@ -683,3 +683,24 @@ def test_c46_eval_is_single_scan_single_exchange(spark):
     plan = _plan(spark, "c46_classifier_eval")
     assert plan.count("Scan parquet") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_q3_topk_and_pushed_filters(spark):
+    plan = _plan(spark, "b141_tpch_q3")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the segment filter must reach the customer scan
+    assert "PushedFilters" in plan
+
+
+def test_q6_is_pure_scan_aggregate(spark):
+    # Q6: no join anywhere — scan, filter, one global aggregate
+    plan = _plan(spark, "b142_tpch_q6")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_q13_outer_join_preserves_left(spark):
+    plan = _plan(spark, "b143_tpch_q13")
+    assert "LeftOuter" in plan or "left_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
