@@ -1570,3 +1570,133 @@ def c46_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# c47 — Matryoshka truncation fidelity (store fewer dims?)
+# ---------------------------------------------------------------------------
+
+_C47_DIMS = [8, 16, 32]
+_C47_PROBES = 20
+_C47_K = 10
+
+
+def _c47_oracle() -> str:
+    from iceberg_playground_spark.queries.llm import _dot_sql, _norm_sql
+
+    def cos_d(d):
+        a, b = f"list_slice(be, 1, {d})", f"list_slice(pe, 1, {d})"
+        return (
+            f"round({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}), 6)"
+        )
+
+    cos_full = (
+        f"round({_dot_sql('be', 'pe')} "
+        f"/ ({_norm_sql('be')} * {_norm_sql('pe')}), 6)"
+    )
+    trunc_arms = " UNION ALL ".join(
+        f"""SELECT {d} AS dim, probe_id, base_id FROM (
+          SELECT p.vec_id AS probe_id, b.vec_id AS base_id,
+                 {cos_d(d)} AS cosine
+          FROM (SELECT vec_id, embedding AS pe FROM embeddings
+                WHERE vec_id < {_C47_PROBES}) p,
+               (SELECT vec_id, embedding AS be FROM embeddings
+                WHERE vec_id >= {_C47_PROBES}) b)
+        QUALIFY row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, base_id)
+                <= {_C47_K}"""
+        for d in _C47_DIMS
+    )
+    return f"""
+    WITH truth AS (
+      SELECT probe_id, base_id FROM (
+        SELECT p.vec_id AS probe_id, b.vec_id AS base_id,
+               {cos_full} AS cosine
+        FROM (SELECT vec_id, embedding AS pe FROM embeddings
+              WHERE vec_id < {_C47_PROBES}) p,
+             (SELECT vec_id, embedding AS be FROM embeddings
+              WHERE vec_id >= {_C47_PROBES}) b)
+      QUALIFY row_number() OVER (PARTITION BY probe_id
+                                 ORDER BY cosine DESC, base_id)
+              <= {_C47_K}),
+    trunc AS ({trunc_arms})
+    SELECT dims.dim, t.probe_id,
+           CAST(count(tr.base_id) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS n_true
+    FROM truth t
+    CROSS JOIN (SELECT DISTINCT dim FROM trunc) dims
+    LEFT JOIN trunc tr ON tr.dim = dims.dim
+                      AND tr.probe_id = t.probe_id
+                      AND tr.base_id = t.base_id
+    GROUP BY dims.dim, t.probe_id
+    """
+
+
+@query("c47_matryoshka_recall", oracle=_c47_oracle())
+def c47_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """C47: Matryoshka truncation fidelity (Kusupati et al. 2022,
+    public work) — "can we store 16 dims instead of 64?": for each
+    truncation width, rank the corpus by cosine over the PREFIX of
+    the embedding and report how much of the full-dimension top-k
+    survives, per probe. The answer decides the storage/recall
+    tradeoff a 100 TB embedding table actually pays (a 4x dim cut is
+    a 4x scan cut for every downstream ANN pass). Integer hits from
+    rounded-cosine rankings with base_id tie-breaks — deterministic
+    both engines.
+
+    Scale shape: one probe-broadcast scan per width plus the
+    full-width truth arm (all the c03 eval-arm shape: broadcast
+    probes, TakeOrdered-style group-limit per probe, never a base
+    self-join); hits reduce by (dim, probe) — output is
+    |dims| x |probes| rows at any corpus size."""
+    from iceberg_playground_spark.queries.llm import _dot, _norm
+
+    e = load(spark, sf, "embeddings")
+    pe = e.filter(F.col("vec_id") < _C47_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    be = e.filter(F.col("vec_id") >= _C47_PROBES).select(
+        F.col("vec_id").alias("base_id"), F.col("embedding").alias("be")
+    )
+    pairs = be.crossJoin(F.broadcast(pe)).localCheckpoint(
+        eager=False
+    )  # one scan feeds the truth arm + every truncation arm
+
+    def topk(cos_col):
+        wk = W.partitionBy("probe_id").orderBy(
+            F.col("cosine").desc(), F.col("base_id")
+        )
+        return (
+            pairs.select("probe_id", "base_id", cos_col.alias("cosine"))
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= _C47_K)
+            .select("probe_id", "base_id")
+        )
+
+    def cos_prefix(d):
+        a = F.slice(F.col("be"), 1, d) if d else F.col("be")
+        b = F.slice(F.col("pe"), 1, d) if d else F.col("pe")
+        return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+    truth = topk(cos_prefix(None))
+    out = None
+    for d in _C47_DIMS:
+        arm = (
+            truth.join(
+                topk(cos_prefix(d)).withColumn("hit", F.lit(1)),
+                ["probe_id", "base_id"],
+                "left",
+            )
+            .groupBy("probe_id")
+            .agg(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits"),
+                F.count("*").cast("bigint").alias("n_true"),
+            )
+            .select(
+                F.lit(d).alias("dim"), "probe_id", "n_hits", "n_true"
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out

@@ -95,6 +95,7 @@ _R8_NEW: list[str] = [
     "b141_tpch_q3",
     "b142_tpch_q6",
     "b143_tpch_q13",
+    "c47_matryoshka_recall",
 ]
 
 

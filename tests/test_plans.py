@@ -704,3 +704,13 @@ def test_q13_outer_join_preserves_left(spark):
     plan = _plan(spark, "b143_tpch_q13")
     assert "LeftOuter" in plan or "left_outer" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_c47_single_pair_scan_feeds_all_arms(spark):
+    # c47: the probe x base pair frame is checkpointed once and feeds
+    # the truth arm plus every truncation arm — no per-arm corpus
+    # rescan; all rankings are group-limited windows
+    plan = _plan(spark, "c47_matryoshka_recall")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0  # checkpoint replaces scans
+    assert "ExistingRDD" in plan
