@@ -1700,3 +1700,117 @@ def c47_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = arm if out is None else out.unionByName(arm)
     return out
+
+
+# ---------------------------------------------------------------------------
+# p27 — dedup audit sample (eyeball the near-dups before deleting them)
+# ---------------------------------------------------------------------------
+
+
+def _p27_oracle() -> str:
+    from iceberg_playground_spark.queries.round7 import (
+        _DIGEST_SQL,
+        _bands_union_sql,
+        _mh_sql,
+    )
+
+    return f"""
+    WITH sh0 AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    sh AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh0 WHERE len(sh) > 0),
+    ds AS (SELECT doc_id, {_DIGEST_SQL} AS ds FROM sh),
+    mh AS (SELECT doc_id, {_mh_sql()} FROM ds),
+    sig AS (SELECT DISTINCT doc_id, band, sig
+            FROM ({_bands_union_sql('mh', 'doc_id')})),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(count(DISTINCT a.band) AS BIGINT) AS n_shared_bands
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    aud AS (
+      SELECT p.a_id, p.b_id, p.n_shared_bands,
+             round(CAST(len(list_intersect(A.sh, B.sh)) AS DOUBLE)
+                   / (A.n_sh + B.n_sh
+                      - len(list_intersect(A.sh, B.sh))), 6) AS jaccard
+      FROM pairs p
+      JOIN sh A ON A.doc_id = p.a_id
+      JOIN sh B ON B.doc_id = p.b_id)
+    SELECT a_id, b_id, n_shared_bands, jaccard
+    FROM aud ORDER BY jaccard DESC, a_id, b_id LIMIT 20
+    """
+
+
+@query("p27_dedup_audit_sample", oracle=_p27_oracle())
+def p27_dedup_audit_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """P27: dedup audit sample — the QA table a corpus owner reads
+    BEFORE letting an LSH dedup job delete anything: the top-20
+    candidate pairs the banding scheme (p17's portable affine family)
+    actually proposes, each with its band-collision provenance (how
+    many of the 4 bands agreed) and its EXACT 3-gram Jaccard — so a
+    human can spot a banding scheme that fires on non-duplicates (low
+    Jaccard with band hits = tune bands/rows before deleting data).
+    The audit bridges c02/p17 (candidates) and c09 (exact pairs) in
+    one graded relation.
+
+    Scale shape: ONE checkpointed signature pass self-joins on
+    (band, sig) — candidate volume is Σ|bucket|², never all-pairs;
+    the exact-Jaccard verification touches ONLY candidate pairs
+    (joined back to the shingle sets, pair-bounded); top-20 is a
+    group-limit sort of an audit-sized relation."""
+    from iceberg_playground_spark.queries.llm import _shingles, _tokens
+    from iceberg_playground_spark.queries.round7 import _band_sigs
+
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+    )
+    sigs = _band_sigs(d, "doc_id").localCheckpoint(eager=False)
+    a = sigs.select(
+        F.col("doc_id").alias("a_id"), "band", "sig"
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("b_id"), "band", "sig"
+    )
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.countDistinct("band").cast("bigint").alias("n_shared_bands")
+        )
+    )
+    sh = d.select(
+        "doc_id", _shingles(_tokens()).alias("sh")
+    ).filter(F.size("sh") > 0).select(
+        "doc_id", "sh", F.size("sh").alias("n_sh")
+    )
+    A = sh.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sh").alias("a_sh"),
+        F.col("n_sh").alias("a_n"),
+    )
+    B = sh.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sh").alias("b_sh"),
+        F.col("n_sh").alias("b_n"),
+    )
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    return (
+        pairs.join(A, "a_id")
+        .join(B, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared_bands",
+            F.round(
+                inter.cast("double")
+                / (F.col("a_n") + F.col("b_n") - inter),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "a_id", "b_id")
+        .limit(20)
+    )

@@ -714,3 +714,13 @@ def test_c47_single_pair_scan_feeds_all_arms(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 0  # checkpoint replaces scans
     assert "ExistingRDD" in plan
+
+
+def test_p27_audit_candidates_bucketed_never_all_pairs(spark):
+    # p27: pairs come from the (band, sig) self-join of the
+    # checkpointed signature pass — never a cartesian; the exact
+    # Jaccard runs only on the pair-bounded audit relation
+    plan = _plan(spark, "p27_dedup_audit_sample")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
