@@ -1814,3 +1814,138 @@ def p27_dedup_audit_sample(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "a_id", "b_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# c48 — SemDeDup (cluster-then-dedup over embeddings)
+# ---------------------------------------------------------------------------
+
+_C48_CELLS = 16
+_C48_TAU = 0.4
+
+
+def _c48_oracle() -> str:
+    from iceberg_playground_spark.queries.llm import _dot_sql, _norm_sql
+
+    fold = (
+        "list_reduce(list_transform(range(1, len(embedding) + 1), "
+        "i -> (CAST(embedding[i] AS DOUBLE) - CAST(seed[i] AS DOUBLE)) * "
+        "(CAST(embedding[i] AS DOUBLE) - CAST(seed[i] AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+    cos = (
+        f"round({_dot_sql('a.embedding', 'b.embedding')} "
+        f"/ ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6)"
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+             embedding AS seed
+      FROM embeddings QUALIFY j < {_C48_CELLS}),
+    asg AS (
+      SELECT vec_id, (min({{'d2': d2, 'j': j}})).j AS cell
+      FROM (
+        SELECT e.vec_id, s.j, {fold} AS d2
+        FROM embeddings e CROSS JOIN seeds s)
+      GROUP BY vec_id),
+    mem AS (
+      SELECT e.vec_id, e.embedding, asg.cell
+      FROM embeddings e JOIN asg USING (vec_id)),
+    dropped AS (
+      SELECT DISTINCT b.vec_id, b.cell
+      FROM mem a JOIN mem b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos} >= {_C48_TAU})
+    SELECT m.cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dropped
+    FROM mem m LEFT JOIN dropped d
+      ON d.vec_id = m.vec_id AND d.cell = m.cell
+    GROUP BY m.cell
+    """
+
+
+@query("c48_semdedup", oracle=_c48_oracle())
+def c48_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C48: SemDeDup (Abbas et al. 2023, public work) — semantic
+    dedup at corpus scale: cluster the embedding space, then remove
+    near-identical pairs ONLY within each cluster, so the quadratic
+    pair work is Σ|cell|² instead of |corpus|² (the insight that made
+    semantic dedup tractable for LAION/web corpora). Cells are
+    md5-seeded existing vectors (c38/c40's no-Lloyd determinism rule
+    — skipping the float-averaging train step keeps both engines
+    bit-identical); a vector is dropped when a lower-id cellmate sits
+    above the cosine threshold (0.4 here — calibrated to this
+    synthetic corpus, whose max pairwise cosine is ~0.46; production
+    SemDeDup uses ~0.9+ on real embeddings where duplicates exist).
+    Per cell: members and dropped — the dedup-rate report per region
+    of embedding space.
+
+    Scale shape: assignment is a broadcast of {_C48_CELLS} seed rows
+    against one scan (map-side fold per pair, min-struct tie-break);
+    the pair stage self-joins WITHIN cells only (the exchange is on
+    cell; a hot cell is the SemDeDup paper's known skew case — their
+    answer and ours is more cells); output is |cells| rows."""
+    from iceberg_playground_spark.queries.llm import _dbl, _dot, _norm
+
+    e = load(spark, sf, "embeddings")
+    wseed = W.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    seeds = (
+        e.select("vec_id", "embedding")
+        .withColumn("j", F.row_number().over(wseed) - 1)
+        .filter(F.col("j") < _C48_CELLS)
+        .select("j", F.col("embedding").alias("seed"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            _dbl(F.col("embedding")),
+            _dbl(F.col("seed")),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    asg = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vec_id", F.struct(d2.alias("d2"), F.col("j").alias("j")).alias("dj"))
+        .groupBy("vec_id")
+        .agg(F.min("dj").getField("j").alias("cell"))
+    )
+    mem = e.join(asg, "vec_id").select(
+        "vec_id", "embedding", "cell"
+    ).localCheckpoint(eager=False)  # one assignment feeds both join sides
+    a = mem.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ae"),
+    )
+    b = mem.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("be"),
+    )
+    cos = F.round(
+        _dot(F.col("ae"), F.col("be"))
+        / (_norm(F.col("ae")) * _norm(F.col("be"))),
+        6,
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cos >= _C48_TAU)
+        .select("cell", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        mem.join(
+            dropped.withColumn("dr", F.lit(1)), ["cell", "vec_id"], "left"
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum(F.coalesce(F.col("dr"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

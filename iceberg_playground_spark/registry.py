@@ -97,6 +97,7 @@ _R8_NEW: list[str] = [
     "b143_tpch_q13",
     "c47_matryoshka_recall",
     "p27_dedup_audit_sample",
+    "c48_semdedup",
 ]
 
 
@@ -114,11 +115,11 @@ def load_all() -> None:
     loudly here (typo guard).
 
     Round-9 note: the 11 + 25 + len(_R8_NEW) prefix EXCEEDS a hard
-    50-slot budget (36 + 20 = 56): under a 50-slot sweep the last ~6
+    50-slot budget (36 + 21 = 57): under a 50-slot sweep the last ~7
     _R8_NEW entries (around b140_sql_scripting onward — b140, c46,
-    b141-b143, c47, p27) fall past the cut. Whatever the round-8
-    sweep did not reach must LEAD round 9's window, exactly as
-    _R7_UNGRADED leads this one.
+    b141-b143, c47, p27, c48) fall past the cut. Whatever the
+    round-8 sweep did not reach must LEAD round 9's window, exactly
+    as _R7_UNGRADED leads this one.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,

@@ -724,3 +724,15 @@ def test_p27_audit_candidates_bucketed_never_all_pairs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_c48_pairs_confined_to_cells(spark):
+    # c48: the pair join's equi-key is the cell — the quadratic work
+    # is sum(|cell|^2), never |corpus|^2. (The 16-seed broadcast sits
+    # upstream of the checkpointed assignment, so it is not visible in
+    # THIS plan; the graded plan must show the cell-keyed join and no
+    # cartesian anywhere.)
+    plan = _plan(spark, "c48_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell" in plan
