@@ -1949,3 +1949,122 @@ def c48_semdedup(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c49 — dedup cluster-size histogram (iterative CC, hash-graded)
+# ---------------------------------------------------------------------------
+
+
+def _c49_oracle() -> str:
+    from iceberg_playground_spark.queries.round7 import (
+        _DIGEST_SQL,
+        _bands_union_sql,
+        _mh_sql,
+    )
+
+    return f"""
+    WITH RECURSIVE sh0 AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+    ds AS (SELECT doc_id, {_DIGEST_SQL} AS ds FROM sh),
+    mh AS (SELECT doc_id, {_mh_sql()} FROM ds),
+    sig AS (SELECT DISTINCT doc_id, band, sig
+            FROM ({_bands_union_sql('mh', 'doc_id')})),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id <> b.doc_id),
+    nodes AS (SELECT DISTINCT doc_id AS v FROM sig),
+    reach(v, u) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT r.v, p.b FROM reach r JOIN pairs p ON r.u = p.a),
+    rep AS (SELECT v, min(u) AS rep FROM reach GROUP BY v),
+    sizes AS (SELECT rep, count(*) AS csize FROM rep GROUP BY rep)
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY csize
+    """
+
+
+@query("c49_dedup_cluster_histogram", oracle=_c49_oracle())
+def c49_dedup_cluster_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """C49: dedup cluster-size histogram — connected components over
+    the LSH band-collision graph, GRADED: c24 computes the same
+    transitive closure over engine-native xxhash64 (rows-only by
+    necessity); this sibling runs it over p17's portable affine
+    family, and the oracle computes the identical fixpoint
+    DECLARATIVELY (a recursive-CTE closure + min-per-node) — the
+    hash-match proves the distributed iterative algorithm (Pregel-
+    style pointer jumping, rounds double the closed hop distance)
+    reaches exactly the fixpoint the declarative form defines. The
+    histogram (how many dup-clusters of each size) is the number a
+    corpus owner quotes ("duplicate mass lives in k-sized families").
+
+    Scale shape: the collision graph is bucket-bounded (Σ|bucket|²
+    candidate edges, digest-only); each superstep is one self-join of
+    the |docs|-row rep relation; log2(longest chain) rounds. The
+    driver loop controls ROUNDS only (a fixed 8, closing chains to
+    2^8) — no data ever reaches the driver."""
+    from iceberg_playground_spark.queries.round7 import _band_sigs
+
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+    )
+    sigs = _band_sigs(d, "doc_id").localCheckpoint(eager=False)
+    a = sigs.select(F.col("doc_id").alias("a"), "band", "sig")
+    b = sigs.select(F.col("doc_id").alias("b"), "band", "sig")
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rep = (
+        sigs.select(F.col("doc_id").alias("v"))
+        .distinct()
+        .withColumn("rep", F.col("v"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(8):  # closes chains up to length 2^8
+        # neighbor pass: rep(v) <- min(rep(v), min over edges rep(u))
+        nb = (
+            pairs.join(
+                rep.select(F.col("v").alias("b"), F.col("rep").alias("nrep")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("v"))
+            .agg(F.min("nrep").alias("nmin"))
+        )
+        rep = (
+            rep.join(nb, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # pointer jump: rep(v) <- rep(rep(v))
+        rep = (
+            rep.join(
+                rep.select(
+                    F.col("v").alias("rep"), F.col("rep").alias("rep2")
+                ),
+                "rep",
+            )
+            .select("v", F.col("rep2").alias("rep"))
+            .localCheckpoint(eager=False)
+        )
+    sizes = rep.groupBy("rep").agg(F.count("*").alias("csize"))
+    return sizes.groupBy("csize").agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    ).select(
+        F.col("csize").cast("bigint").alias("cluster_size"), "n_clusters"
+    )

@@ -736,3 +736,31 @@ def test_c48_pairs_confined_to_cells(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "cell" in plan
+
+
+def test_c49_fixpoint_matches_c24_on_shared_family_structure(spark):
+    # c49 is the iterative-algorithm class (c24's): supersteps
+    # MATERIALIZE during construction by design (each checkpoint is a
+    # data-parallel stage; the driver sees control flow only), so the
+    # construction-laziness pin does not apply. Pin instead that the
+    # final plan is cartesian-free and the histogram accounts for
+    # every signed doc exactly once.
+    df = registry.QUERIES["c49_dedup_cluster_histogram"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    from iceberg_playground_spark.queries.round7 import _band_sigs
+    from iceberg_playground_spark.queries._util import load
+
+    n_signed = (
+        _band_sigs(
+            load(spark, SF_CHECK, "documents").select("doc_id", "text"),
+            "doc_id",
+        )
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert (
+        sum(r["cluster_size"] * r["n_clusters"] for r in rows) == n_signed
+    )
