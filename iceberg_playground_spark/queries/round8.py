@@ -2068,3 +2068,157 @@ def c49_dedup_cluster_histogram(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.col("csize").cast("bigint").alias("cluster_size"), "n_clusters"
     )
+
+
+# ---------------------------------------------------------------------------
+# p28 — SFT pair construction (prompt/completion split + loss mask)
+# ---------------------------------------------------------------------------
+
+_P28_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+  WHERE len(toks) >= 2),
+cut AS (
+  SELECT doc_id, toks, n,
+         1 + ({bucket_sql('doc_id')} * 37) % (n - 1) AS cutpos
+  FROM base)
+SELECT doc_id, n AS n_tokens,
+       CAST(cutpos AS BIGINT) AS n_prompt,
+       CAST(n - cutpos AS BIGINT) AS n_completion,
+       md5(array_to_string(toks[1 : cutpos], ' ')) AS prompt_digest,
+       md5(array_to_string(toks[cutpos + 1 : n], ' '))
+         AS completion_digest
+FROM cut
+"""
+
+
+@query("p28_sft_pairs", oracle=_P28_ORACLE)
+def p28_sft_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """P28: SFT pair construction — the instruction-tuning data shape:
+    each document splits into a (prompt, completion) pair at a
+    DETERMINISTIC pivot (md5-derived, so re-running the dataset build
+    reproduces identical pairs — the c17 stamp discipline), with the
+    loss-mask accounting a trainer consumes (prompt tokens are
+    context-only, completion tokens carry loss). Both side digests
+    are graded, proving the exact split reconstructs identically in
+    both engines; docs under 2 tokens cannot form a pair and are
+    excluded on both sides.
+
+    Scale shape: pure map — one scan, zero exchanges; the pivot is
+    per-row hash arithmetic, the slices and digests are JVM array
+    ops. At 100 TB this is a free pass over the corpus scan, exactly
+    like c17's split stamping."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("bigint")
+    base = d.filter(F.size(toks) >= 2).select(
+        "doc_id", toks.alias("toks"), n.alias("n")
+    )
+    pivot = 1 + (hash_bucket(F.col("doc_id")) * 37) % (F.col("n") - 1)
+    cut = base.withColumn("pivot", pivot)
+    return cut.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("pivot").cast("bigint").alias("n_prompt"),
+        (F.col("n") - F.col("pivot")).cast("bigint").alias("n_completion"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), 1, F.col("pivot").cast("int")), " ")
+        ).alias("prompt_digest"),
+        F.md5(
+            F.array_join(
+                F.expr("slice(toks, CAST(pivot + 1 AS INT), CAST(n - pivot AS INT))"),
+                " ",
+            )
+        ).alias("completion_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c50 — Zipf audit (corpus token statistics + fitted exponent)
+# ---------------------------------------------------------------------------
+
+_C50_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+ranked AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+  FROM freq),
+logs AS (
+  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM ranked),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM logs)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM freq) AS vocab_size,
+       (SELECT CAST(sum(cnt) AS BIGINT) FROM freq) AS total_tokens,
+       CAST(round(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000)
+         AS BIGINT) AS zipf_slope_ppm
+FROM m
+"""
+
+
+@query("c50_zipf_audit", oracle=_C50_ORACLE)
+def c50_zipf_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """C50: Zipf audit — the corpus-statistics sanity check run on
+    every new data source: vocabulary size, token mass, and the
+    fitted log-log rank/frequency slope (natural text sits near -1;
+    a synthetic or templated source — like this corpus, drawn from a
+    ~31-word vocabulary — shows a shallow slope, which is exactly the
+    anomaly the audit exists to flag). Determinism discipline: ranks
+    are row_number with a token tie-break, both logs are rounded to
+    integer MICROLOGS (c23's rule), and the slope comes from exact
+    integer moments via b121's fixed double formula — bit-identical
+    engines end to end.
+
+    Scale shape: one token explode + vocab-sized aggregate; the
+    regression runs over |vocab| microlog rows (the rank window is a
+    one-exchange sort of vocab-sized data, not corpus-sized); output
+    is ONE row."""
+    d = load(spark, sf, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    freq = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds ranks + totals once
+    )
+    wr = W.orderBy(F.col("cnt").desc(), F.col("token"))
+    logs = freq.select(
+        F.round(F.log(F.row_number().over(wr).cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = logs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    totals = freq.agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+    )
+    return totals.crossJoin(
+        m.select(
+            F.round(slope * 1e6).cast("bigint").alias("zipf_slope_ppm")
+        )
+    )

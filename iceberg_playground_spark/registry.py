@@ -99,6 +99,8 @@ _R8_NEW: list[str] = [
     "p27_dedup_audit_sample",
     "c48_semdedup",
     "c49_dedup_cluster_histogram",
+    "p28_sft_pairs",
+    "c50_zipf_audit",
 ]
 
 
@@ -116,9 +118,9 @@ def load_all() -> None:
     loudly here (typo guard).
 
     Round-9 note: the 11 + 25 + len(_R8_NEW) prefix EXCEEDS a hard
-    50-slot budget (36 + 22 = 58): under a 50-slot sweep the last ~8
+    50-slot budget (36 + 24 = 60): under a 50-slot sweep the last ~10
     _R8_NEW entries (around b140_sql_scripting onward — b140, c46,
-    b141-b143, c47, p27, c48, c49) fall past the cut. Whatever the
+    b141-b143, c47, p27, c48, c49, p28, c50) fall past the cut. Whatever the
     round-8 sweep did not reach must LEAD round 9's window, exactly
     as _R7_UNGRADED leads this one.
     """

@@ -764,3 +764,20 @@ def test_c49_fixpoint_matches_c24_on_shared_family_structure(spark):
     assert (
         sum(r["cluster_size"] * r["n_clusters"] for r in rows) == n_signed
     )
+
+
+def test_p28_sft_pairs_is_pure_map(spark):
+    # p28: split + digests are per-row hash/array math — one scan,
+    # zero exchanges (the c17 stamp discipline)
+    plan = _plan(spark, "p28_sft_pairs")
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_c50_regression_runs_over_vocab_not_corpus(spark):
+    # c50: the rank window and regression consume the checkpointed
+    # |vocab|-row frequency table — corpus-sized token rows must all
+    # collapse in the first aggregate
+    plan = _plan(spark, "c50_zipf_audit")
+    assert "ExistingRDD" in plan  # checkpointed vocab table
+    assert "CartesianProduct" not in plan
