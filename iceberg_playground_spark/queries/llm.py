@@ -359,24 +359,17 @@ def knn_join(
 
     ``n_probes`` skips the sizing count when the caller already knows
     it (c04 passes its literal probe count; a pipeline caller would
-    pass the batch size). When omitted, the optimizer's row-count
-    statistic is consulted first — free when CBO/AQE stats carry one —
-    and only a stat-less plan pays a count() job (VERDICT r7 "What's
-    wrong" #4: that job is a full probe-side scan in the hot path, so
-    callers that know their size should keep passing it)."""
+    pass the batch size). When omitted, an exact count() job sizes the
+    probe side. The optimizer's rowCount() statistic is deliberately
+    NOT consulted (ADVICE r8): it is an ESTIMATE, not a count — a
+    .limit(N) plan reports N even when fewer rows exist, and CBO
+    selectivity guesses are worse — and since this number flips the
+    strategy between exact brute force and approximate LSH, a wrong
+    stat silently degrades exact top-k to approximate (or broadcasts
+    an unexpectedly huge probe side). An exact answer is worth one
+    scan; callers in a hot path should keep passing n_probes."""
     if n_probes is None:
-        try:
-            rc = (
-                probes._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .rowCount()
-            )
-            n_probes = int(str(rc.get())) if rc.isDefined() else None
-        except Exception:
-            n_probes = None
-        if n_probes is None:
-            n_probes = probes.count()
+        n_probes = probes.count()
     cosine = F.round(
         _dot(F.col("be"), F.col("pe"))
         / (_norm(F.col("be")) * _norm(F.col("pe"))),

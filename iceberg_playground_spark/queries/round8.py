@@ -1891,9 +1891,12 @@ def c48_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load(spark, sf, "embeddings")
     wseed = W.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    # j is BIGINT, not the row_number() default int: the cell id rides
+    # through to the graded output, and DuckDB's row_number() is BIGINT
+    # — the repo-wide CAST-to-BIGINT schema contract (ADVICE r8).
     seeds = (
         e.select("vec_id", "embedding")
-        .withColumn("j", F.row_number().over(wseed) - 1)
+        .withColumn("j", (F.row_number().over(wseed) - 1).cast("bigint"))
         .filter(F.col("j") < _C48_CELLS)
         .select("j", F.col("embedding").alias("seed"))
     )

@@ -36,61 +36,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Grading-order contract, round 8. The driver's correctness sweep
+# Grading-order contract, round 9. The driver's correctness sweep
 # grades the FIRST ~50 registered entries and stops, so registration
-# order decides what gets graded. Round 7's sweep graded 50 slots
-# (_R6_TAIL 22 + _R7_NEW 2 + the rotation through b31 —
-# CORRECTNESS_r07.json: all green), leaving the 11 late-round-7
-# registrations never driver-graded. Those LEAD the round-8 window
-# (VERDICT r7, "Next round" item 1), then the rotation remainder
-# (b32-b66, ~20 entries, VERDICT r7 item 2), then round-8 additions
-# fill the rest of the budget.
-_R7_UNGRADED = [
-    # hash-oracle entries first — these get the strong check.
-    "c39_signature_index_merge",
-    "c40_ivf_adc_rerank",
-    "p18_streaming_novelty_filter",
-    "p19_decontaminated_split",
-    "p20_corpus_build_v2",
-    "b132_statestore_read",
-    "b133_python_datasource_writer",
-    "b134_python_streaming_sink",
-    "b135_retention_delete",
-    # rows-only sketch pair (engine-native sketch state; error
-    # contracts pinned in tests/test_round7_ops.py).
-    "c41_theta_overlap",
-    "c42_kll_quantile_rollup",
-]
-# Rotation remainder: b32-b66-band entries still carrying r2-era
-# grades — byte-stable code, but never re-graded under the current
-# session confs (ANSI-mode Spark 4, nanosAsLong).
-_ROTATION_REMAINDER = [
-    "b32_window_analytic", "b33_window_running", "b34_window_range_frame",
-    "b35_global_sort_limit", "b36_limit_offset", "b37_topk_per_group",
-    "b38_union", "b39_intersect_except", "b40_distinct",
-    "b41_string_funcs", "b42_datetime_funcs", "b43_math_funcs",
-    "b44_array_funcs", "b45_explode", "b46_map_funcs", "b47_json_funcs",
-    "b48_hash_funcs", "b49_idgen", "b55_scalar_udf",
-    "b56_pandas_udf_scalar", "b57_grouped_map", "b58_grouped_agg_udf",
-    "b59_map_in_pandas", "b64_exact_percentile", "b66_raw_sql",
-]
-# Round-8 additions register behind the rotation so the never-graded
-# block is never displaced; appended here as they land.
-_R8_NEW: list[str] = [
-    "c43_substring_dedup",
-    "b136_binaryfile_scan",
-    "p21_perplexity_buckets",
-    "p22_epoch_upsample",
-    "p23_quality_regression",
-    "b137_listagg",
-    "p24_substring_strip",
-    "c44_cross_source_dup_matrix",
-    "b138_union_by_name",
-    "b139_transpose",
-    "p25_incremental_card_refresh",
-    "p26_span_corruption",
-    "c45_ann_recall",
-    "b140_sql_scripting",
+# order decides what gets graded. Round 8's sweep graded exactly 50
+# slots ending WITH b140_sql_scripting (CORRECTNESS_r08.json: all
+# green) — so the never-driver-graded set is c46_classifier_eval
+# onward (10 entries; ADVICE r8 corrected round 8's off-by-one note
+# here). Those LEAD round 9's window (VERDICT r8 item 1), then this
+# round's new registrations (never graded either), then the stale-
+# grade rotation: the r3 block, then the r4 block (VERDICT r8 item 3
+# — no grade should go more than ~4 rounds stale). Entries past slot
+# ~50 wait for round 10's rotation.
+_R8_UNGRADED = [
     "c46_classifier_eval",
     "b141_tpch_q3",
     "b142_tpch_q6",
@@ -102,27 +59,56 @@ _R8_NEW: list[str] = [
     "p28_sft_pairs",
     "c50_zipf_audit",
 ]
+# Round-9 additions: never graded, so they ride directly behind the
+# round-8 stragglers; appended here as they land.
+_R9_NEW: list[str] = []
+# Stale-grade rotation, oldest first: the r3 block (last graded round
+# 3), then the r4 block. The driver's budget cuts wherever it cuts;
+# the remainder leads round 10.
+_ROTATION_R9 = [
+    # --- last graded round 3 ---
+    "p01_repetition_filter", "p02_pii_scrub", "p03_chunk_dedup",
+    "p04_curriculum_bins", "p05_domain_rebalance", "p06_token_histogram",
+    "p07_boilerplate_strip", "p08_frame_sample", "b73_salted_join",
+    "b75_grouping_sets", "b76_pivot",
+    # --- last graded round 4 ---
+    "b02_snapshot_scan", "b06_parquet_sink", "b60_bucketed_join",
+    "b61_data_skipping", "c01_exact_dedup", "c03_cosine_topk",
+    "c04_knn_join", "c05_text_analysis", "c06_multimodal_join",
+    "c15_multimodal_decode", "c07_quality_filter", "c08_simhash",
+    "c09_ngram_jaccard", "c10_embedding_near_dup", "c11_ann_ivf",
+    "c12_lang_id", "c13_token_count", "c16_training_pipeline",
+    "c14_fingerprint", "c17_train_split", "c18_stratified_sample",
+    "c19_sequence_packing", "c20_corpus_build", "c21_embedding_quantize",
+    "c22_decontaminate", "c23_lm_quality_score", "c25_tfidf_top_terms",
+    "b62_upsert", "b67_partition_pruning", "b71_orc_roundtrip",
+    "b72_incremental_scan", "b74_schema_evolution", "b68_tumbling_window",
+    "b69_sliding_window", "b70_session_window", "b50_watermark_late_drop",
+    "b51_streaming_dedup", "b52_stateful_per_key", "b53_stream_static_join",
+    "b54_stream_lakehouse_sink", "b63_stream_upsert_sink",
+    "b65_stream_stream_join", "b05_kafka_batch_source",
+    "c26_fuzzy_decontaminate", "p09_chunk_windows", "p10_corpus_shuffle",
+    "b77_unpivot", "b78_correlated_subquery",
+]
 
 
 def load_all() -> None:
-    """Import every query module, then impose the round-8 grading order.
+    """Import every query module, then impose the round-9 grading order.
 
     ORDER IS A CONTRACT, not style (see the block comments above):
     after all modules register, QUERIES/ORACLES are rebuilt so the
-    prefix is _R7_UNGRADED (the 11 late-round-7 registrations round
-    7's 50-slot sweep never reached) + _ROTATION_REMAINDER (the last
-    r2-era grades, re-graded on current session confs) + _R8_NEW
-    (this round's additions), then every remaining green query in
-    module order. Import order no longer doubles as grading order —
-    the explicit lists do. A name listed but never registered fails
-    loudly here (typo guard).
+    prefix is _R8_UNGRADED (the 10 entries round 8's 50-slot sweep
+    never reached — it graded exactly 50 ending with b140) +
+    _R9_NEW (this round's additions) + _ROTATION_R9 (stale grades,
+    oldest first: the r3 block then the r4 block), then every
+    remaining green query in module order. Import order no longer
+    doubles as grading order — the explicit lists do. A name listed
+    but never registered fails loudly here (typo guard).
 
-    Round-9 note: the 11 + 25 + len(_R8_NEW) prefix EXCEEDS a hard
-    50-slot budget (36 + 24 = 60): under a 50-slot sweep the last ~10
-    _R8_NEW entries (around b140_sql_scripting onward — b140, c46,
-    b141-b143, c47, p27, c48, c49, p28, c50) fall past the cut. Whatever the
-    round-8 sweep did not reach must LEAD round 9's window, exactly
-    as _R7_UNGRADED leads this one.
+    Round-10 note: the prefix (10 + len(_R9_NEW) + 59) EXCEEDS a
+    50-slot budget; whatever round 9's sweep does not reach — read
+    CORRECTNESS_r09.json for the actual cut, do not guess — must
+    LEAD round 10's window, exactly as _R8_UNGRADED leads this one.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
@@ -145,7 +131,7 @@ def load_all() -> None:
         round8,
     )
 
-    prefix = _R7_UNGRADED + _ROTATION_REMAINDER + _R8_NEW
+    prefix = _R8_UNGRADED + _R9_NEW + _ROTATION_R9
     missing = [n for n in prefix if n not in QUERIES]
     if missing:
         raise RuntimeError(f"grading-order names not registered: {missing}")

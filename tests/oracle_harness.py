@@ -102,6 +102,20 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
         problems.append(f"columns differ: spark={s_cols} duckdb={d_cols}")
         return problems
 
+    # dtype family+width must agree too — the driver grades schema_match
+    # separately from hash_match, and an int32-vs-int64 drift (Spark
+    # row_number() vs DuckDB BIGINT, the c48 case ADVICE r8 caught) is
+    # invisible to the value comparison below. Datetime unit (ns vs us)
+    # and object-vs-object pass; numeric kind+itemsize must be equal.
+    for c in s_cols:
+        sk, dk = s_pdf[c].dtype, d_pdf[c].dtype
+        s_key = "M" if sk.kind == "M" else (sk.kind, sk.itemsize)
+        d_key = "M" if dk.kind == "M" else (dk.kind, dk.itemsize)
+        if s_key != d_key:
+            problems.append(
+                f"dtype differs on {c}: spark={sk} duckdb={dk}"
+            )
+
     if len(s_pdf) != len(d_pdf):
         problems.append(
             f"row count differs: spark={len(s_pdf)} duckdb={len(d_pdf)}"
