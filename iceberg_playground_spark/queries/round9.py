@@ -1,0 +1,475 @@
+"""Round-9 operators: the three additions VERDICT r8 named (items 2,
+6, 8), each lifting an already-proven capability into a registered,
+hash-graded query.
+
+- b144: CONCURRENT-COMMIT CONFLICT resolution — the reference declares
+  a ``concurrent_writes`` experiment it never shipped
+  (/root/reference/Cargo.toml:53-55; its single-committer design,
+  src/bin/decouple.rs:22-24, exists precisely to dodge this race).
+  Here the race actually runs: four writers stage file sets and commit
+  CONCURRENTLY from four threads through the optimistic CAS
+  (tables.py::_commit — atomic os.link, losers re-read HEAD and
+  replay); then a compaction pinned to a stale base proves the
+  REPLACE-vs-append conflict: the replace must REFUSE (lost update)
+  and re-plan on the new HEAD, never blindly rewrite. Graded on the
+  final table state: every writer's rows present, exact key checksums,
+  exact snapshot count — no lost rows, no double rows.
+- b145: DICTIONARY/RLE LAYOUT AUDIT — the reference's other declared-
+  but-absent bin (``dict-array``, /root/reference/Cargo.toml:44-46:
+  Arrow dictionary-array experiments). The Spark-first re-expression
+  is the report a table owner reads before choosing a sort order:
+  per column, global cardinality, value-adjacency runs in ingest
+  order, and the run count a sort-for-adjacency rewrite would reach.
+  Runs are counted within fixed 64-order EXTENTS (the row-group/
+  dictionary-batch granularity — Arrow dictionaries and parquet RLE
+  pages never span files), so the window is partitioned and the
+  whole audit is shuffle-parallel: no global sort exists in the plan.
+- c51: TOKENIZER APPLY — c32 counts BPE merge-pair statistics but
+  nothing applied a merge table (VERDICT r8 item 8: "the last missing
+  step between corpus stats and model-ready token streams"). A fixed
+  public subword vocabulary (single characters + common English
+  n-gram merges, greedy longest-prefix match, max token length 4 —
+  the WordPiece/BPE-inference shape) is applied per document as ONE
+  JVM expression: nested higher-order functions (transform over
+  words, aggregate over match steps), zero Python, zero exchanges —
+  a pure map over the corpus, graded on per-document token counts
+  and an md5 digest of the exact token-id stream.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from iceberg_playground_spark.queries._util import load
+from iceberg_playground_spark.queries.lakehouse import _built
+from iceberg_playground_spark.registry import query
+from iceberg_playground_spark.tables import CommitConflict, LakeCatalog
+
+# ---------------------------------------------------------------------------
+# b144 — concurrent-commit conflict (racing CAS committers + replace)
+# ---------------------------------------------------------------------------
+
+_B144_WRITERS = 4
+
+_B144_ORACLE = f"""
+WITH w AS (
+  SELECT 'w' || CAST(n_nationkey % {_B144_WRITERS} AS VARCHAR) AS writer,
+         n_nationkey
+  FROM nation
+  UNION ALL
+  SELECT 'late', n_nationkey FROM nation)
+SELECT writer,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       6 AS n_versions
+FROM w GROUP BY writer
+"""
+
+
+@query("b144_concurrent_commit", oracle=_B144_ORACLE)
+def b144_concurrent_commit(spark: SparkSession, sf: str) -> DataFrame:
+    """B144: racing committers + conflict-checked compaction (the
+    reference's declared-but-absent concurrent_writes experiment,
+    Cargo.toml:53-55).
+
+    Act 1 — APPEND race: four writers stage disjoint nation slices,
+    then commit SIMULTANEOUSLY from four threads. The CAS
+    (tables.py::_commit: write-temp + atomic os.link; a loser re-reads
+    HEAD and replays) serializes them into versions 1-4 in whatever
+    order the race lands. Append replay is safe by construction —
+    staged files extend ANY head — so all four must land and no retry
+    may duplicate a file set.
+
+    Act 2 — REPLACE conflict: a compactor reads HEAD (v4) and stages
+    the rewritten file set; BEFORE it commits, a fifth writer's append
+    lands (v5). The compactor's replace is pinned to base=4 and MUST
+    raise CommitConflict — replaying a replace onto v5 would silently
+    erase the late append (the lost-update Iceberg's
+    rewrite_data_files validation rejects). The query REQUIRES the
+    conflict to fire, then re-plans: re-read v5, re-compact, commit v6.
+
+    Graded on the final state: per-writer row counts and key checksums
+    (nothing lost, nothing doubled through 5 appends + 1 conflicted
+    compaction) and the exact snapshot count (6 = 4 raced appends +
+    late append + re-planned replace; the REFUSED replace must not
+    have minted a version)."""
+
+    def build(tmp: str):
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "race", "n_nationkey BIGINT, writer STRING",
+            drop_if_exists=True,
+        )
+        n = load(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("bigint").alias("n_nationkey")
+        )
+        # writers stage first (parallel parquet writes), then RACE the
+        # commits — each thread runs its own footer-bounds job + CAS
+        staged = [
+            t.stage_append(
+                n.filter(F.col("n_nationkey") % _B144_WRITERS == i)
+                .withColumn("writer", F.lit(f"w{i}"))
+            )
+            for i in range(_B144_WRITERS)
+        ]
+        errs: list[Exception] = []
+
+        def commit_one(d: str) -> None:
+            try:
+                t._commit([d], [], {"operation": "append", "race": "b144"})
+            except Exception as ex:  # pragma: no cover - surfaced below
+                errs.append(ex)
+
+        threads = [
+            threading.Thread(target=commit_one, args=(d,)) for d in staged
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        if errs:
+            raise errs[0]
+        if t.current_version() != _B144_WRITERS:
+            raise RuntimeError(
+                f"append race lost rows: HEAD v{t.current_version()}"
+            )
+        # compactor reads its base, stages the rewrite ...
+        base = t.current_version()
+        stale_rewrite = t.stage_append(t.read(version=base))
+        # ... and loses the race: a late append lands first
+        t.append(
+            n.withColumn("writer", F.lit("late")).select(
+                "n_nationkey", "writer"
+            )
+        )
+        # the stale replace MUST refuse — this is the graded contract:
+        # blind replay here would erase the late append's rows, which
+        # the oracle's per-writer checksums would expose
+        try:
+            t._commit(
+                [stale_rewrite],
+                [],
+                {"operation": "compact"},
+                replace=True,
+                base=base,
+            )
+            raise RuntimeError(
+                "stale replace landed — lost-update protection broken"
+            )
+        except CommitConflict:
+            pass
+        # re-plan on the new HEAD: tables.py::compact re-reads and
+        # rewrites v5 (all five appends) into one sorted file set
+        t.compact(sort_by=["writer", "n_nationkey"])
+        return t
+
+    t = _built(spark, sf, "b144", build)
+    return (
+        t.read()
+        .groupBy("writer")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        .withColumn(
+            "n_versions", F.lit(len(t.versions())).cast("int")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# b145 — dictionary/RLE layout audit (runs-per-extent report)
+# ---------------------------------------------------------------------------
+
+# Orders per extent: the adjacency domain within which runs are
+# counted — the row-group / Arrow-dictionary-batch granularity.
+# Encoders never carry a run across this boundary, so neither does
+# the audit, and the window is partitioned (shuffle-parallel) instead
+# of a global sort.
+_B145_EXT = 64
+
+_B145_COLS = ["l_returnflag", "l_linestatus", "l_quantity", "l_suppkey"]
+
+
+def _b145_oracle() -> str:
+    fl = ",\n    ".join(
+        f"CASE WHEN lag({c}) OVER w IS DISTINCT FROM {c} "
+        f"THEN 1 ELSE 0 END AS ch_{c}"
+        for c in _B145_COLS
+    )
+    per_ext = ",\n    ".join(
+        f"sum(ch_{c}) AS r_{c}, count(DISTINCT {c}) AS d_{c}"
+        for c in _B145_COLS
+    )
+    tot = ",\n    ".join(
+        f"sum(r_{c}) AS runs_{c}, sum(d_{c}) AS srt_{c}"
+        for c in _B145_COLS
+    )
+    glob = ", ".join(
+        f"count(DISTINCT {c}) AS g_{c}" for c in _B145_COLS
+    )
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+       CAST(g_{c} AS BIGINT) AS n_distinct,
+       CAST(runs_{c} AS BIGINT) AS ingest_runs,
+       CAST(srt_{c} AS BIGINT) AS sorted_runs,
+       round(CAST(n_rows AS DOUBLE) / runs_{c}, 4) AS avg_run_len,
+       round(CAST(runs_{c} AS DOUBLE) / srt_{c}, 4) AS sort_gain
+FROM tot, gstats"""
+        for c in _B145_COLS
+    )
+    order_tb = ", ".join(_B145_COLS)
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, {", ".join(_B145_COLS)},
+         CAST(floor(l_orderkey / {_B145_EXT}) AS BIGINT) AS ext
+  FROM lineitem),
+fl AS (
+  SELECT ext, {", ".join(_B145_COLS)},
+    {fl}
+  FROM li WINDOW w AS (PARTITION BY ext
+    ORDER BY l_orderkey, l_linenumber, {order_tb})),
+per_ext AS (
+  SELECT ext,
+    {per_ext}
+  FROM fl GROUP BY ext),
+tot AS (
+  SELECT
+    {tot}
+  FROM per_ext),
+gstats AS (
+  SELECT count(*) AS n_rows, {glob} FROM lineitem)
+{branches}
+"""
+
+
+@query("b145_dict_layout_audit", oracle=_b145_oracle())
+def b145_dict_layout_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """B145: dictionary/RLE layout audit — the Spark-first
+    re-expression of the reference's absent ``dict-array`` bin
+    (Cargo.toml:44-46, Arrow dictionary arrays). Per tracked column:
+
+    - n_distinct: global cardinality (dictionary size);
+    - ingest_runs: value-adjacency runs in ingest order, counted
+      within fixed {EXT}-order extents (rows never RLE across a
+      row-group/file boundary, so neither does the audit);
+    - sorted_runs: the run count a sort-for-adjacency rewrite reaches
+      (= per-extent cardinality summed — each distinct value becomes
+      one run inside its extent);
+    - avg_run_len and sort_gain: rows/run today and today's runs per
+      post-sort run — the RLE/dictionary win of committing to a
+      sort order, the number that justifies tables.py::compact's
+      sort_by rewrite (b83/b88's layout moves) before paying it.
+
+    Scale shape: ONE partitioned window (extent-hash exchange, sorted
+    within extents — NO global sort anywhere in the plan) computes
+    the change flags for all four columns in a single pass; the
+    rollups are |extents|-row and 1-row aggregates. At 100 TB the
+    audit costs one shuffle of the projected columns, the same order
+    as writing them once."""
+    ext = F.floor(F.col("l_orderkey") / _B145_EXT).cast("bigint")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", *_B145_COLS
+    ).withColumn("ext", ext)
+    # the synthetic lineitem repeats (l_orderkey, l_linenumber) pairs,
+    # so the ingest order alone is not total — the tracked columns
+    # break ties, which keeps every lag() comparison order-invariant
+    # (tie rows are identical in every compared column) and therefore
+    # engine-independent
+    w = W.partitionBy("ext").orderBy(
+        "l_orderkey", "l_linenumber", *_B145_COLS
+    )
+    fl = li.select(
+        "ext",
+        *_B145_COLS,
+        *[
+            (~F.lag(c).over(w).eqNullSafe(F.col(c)))
+            .cast("bigint")
+            .alias(f"ch_{c}")
+            for c in _B145_COLS
+        ],
+    )
+    per_ext = fl.groupBy("ext").agg(
+        *[F.sum(f"ch_{c}").alias(f"r_{c}") for c in _B145_COLS],
+        *[F.countDistinct(c).alias(f"d_{c}") for c in _B145_COLS],
+    )
+    tot = per_ext.agg(
+        *[F.sum(f"r_{c}").alias(f"runs_{c}") for c in _B145_COLS],
+        *[F.sum(f"d_{c}").alias(f"srt_{c}") for c in _B145_COLS],
+    )
+    glob = li.agg(
+        F.count("*").alias("n_rows"),
+        *[F.countDistinct(c).alias(f"g_{c}") for c in _B145_COLS],
+    )
+    joined = tot.crossJoin(glob)
+    per_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"g_{c}").cast("bigint").alias("n_distinct"),
+                    F.col(f"runs_{c}").cast("bigint").alias("ingest_runs"),
+                    F.col(f"srt_{c}").cast("bigint").alias("sorted_runs"),
+                    F.round(
+                        F.col("n_rows").cast("double") / F.col(f"runs_{c}"),
+                        4,
+                    ).alias("avg_run_len"),
+                    F.round(
+                        F.col(f"runs_{c}").cast("double")
+                        / F.col(f"srt_{c}"),
+                        4,
+                    ).alias("sort_gain"),
+                )
+                for c in _B145_COLS
+            ]
+        )
+    ).alias("r")
+    return joined.select(per_col).select("r.*")
+
+
+b145_dict_layout_audit.__doc__ = b145_dict_layout_audit.__doc__.replace(
+    "{EXT}", str(_B145_EXT)
+)
+
+
+# ---------------------------------------------------------------------------
+# c51 — tokenizer apply (greedy longest-prefix subword match)
+# ---------------------------------------------------------------------------
+
+# Fixed public vocabulary: id 0 is <unk>; single characters cover the
+# corpus alphabet; the multi-char entries are common English n-gram
+# merges (the c32 top-pair shape frozen into a literal so both engines
+# share one table). Greedy longest-prefix match, max token length 4 —
+# BPE/WordPiece inference semantics.
+_C51_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+_C51_MERGES = [
+    "tion", "ment", "the", "and", "ing", "ion", "ent", "er", "re",
+    "on", "at", "en", "ed", "es", "te", "ti", "st", "ar", "nd",
+    "or", "an", "in", "le", "al", "ow", "ta", "ke", "va", "ue",
+    "pa", "ha", "sc", "ba", "wi", "so", "fa",
+]
+_C51_VOCAB: list[tuple[str, int]] = [
+    (ch, i + 1) for i, ch in enumerate(_C51_CHARS)
+] + [
+    (m, len(_C51_CHARS) + 1 + j) for j, m in enumerate(_C51_MERGES)
+]
+_C51_MAXLEN = 4
+
+
+def _c51_spark_map() -> str:
+    """The vocab as a Spark SQL map literal token -> struct(id, len)."""
+    entries = ", ".join(
+        f"'{tok}', named_struct('id', {tid}, 'len', {len(tok)})"
+        for tok, tid in _C51_VOCAB
+    )
+    return f"map({entries})"
+
+
+def _c51_token_expr() -> str:
+    """One JVM expression tokenizing a whole document: words (split on
+    spaces), each consumed by a bounded aggregate loop — per step,
+    greedy longest vocab prefix (4..1), else <unk> consuming one
+    char. No Python, no shuffle: the plan is scan -> project."""
+    vm = _c51_spark_map()
+    tries = ", ".join(
+        f"try_element_at({vm}, substring(acc.rem, 1, {l}))"
+        for l in range(_C51_MAXLEN, 0, -1)
+    )
+    step = f"""
+      named_struct(
+        'rem', substring(acc.rem,
+                coalesce({tries}, named_struct('id', 0, 'len', 1)).len + 1),
+        'ids', array_append(acc.ids,
+                coalesce({tries}, named_struct('id', 0, 'len', 1)).id))
+    """
+    return f"""
+    flatten(transform(
+      filter(split(lower(text), ' '), w -> w <> ''),
+      w -> aggregate(
+        sequence(1, char_length(w)),
+        named_struct('rem', w, 'ids', array_repeat(0, 0)),
+        (acc, step) -> IF(acc.rem = '', acc, {step}),
+        acc -> acc.ids)))
+    """
+
+
+def _c51_oracle() -> str:
+    vocab_values = ", ".join(f"('{t}', {i})" for t, i in _C51_VOCAB)
+    probes = ", ".join(
+        f"substr(t.rem, 1, {l})" for l in range(_C51_MAXLEN, 0, -1)
+    )
+    return f"""
+WITH RECURSIVE vocab(tok, id) AS (VALUES {vocab_values}),
+docs AS (SELECT doc_id, lower(text) AS text FROM documents),
+wt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs),
+words AS (
+  SELECT doc_id, i AS wpos, toks[i] AS word
+  FROM wt, UNNEST(range(1, len(toks) + 1)) AS u(i)
+  WHERE toks[i] <> ''),
+tok(doc_id, wpos, rem, ids, ntok) AS (
+  SELECT doc_id, wpos, word, CAST('' AS VARCHAR), 0 FROM words
+  UNION ALL
+  SELECT t.doc_id, t.wpos, substr(t.rem, m.len + 1),
+         CASE WHEN t.ids = '' THEN CAST(m.id AS VARCHAR)
+              ELSE t.ids || ',' || CAST(m.id AS VARCHAR) END,
+         t.ntok + 1
+  FROM tok t, LATERAL (
+    SELECT id, len FROM (
+      SELECT v.id AS id, length(v.tok) AS len, 1 AS pri
+      FROM vocab v WHERE v.tok IN ({probes})
+      UNION ALL SELECT 0, 1, 2)
+    ORDER BY pri, len DESC LIMIT 1) AS m(id, len)
+  WHERE t.rem <> ''),
+final AS (SELECT doc_id, wpos, ids, ntok FROM tok WHERE rem = '')
+SELECT doc_id,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       md5(string_agg(ids, ',' ORDER BY wpos)) AS ids_digest
+FROM final GROUP BY doc_id
+"""
+
+
+@query("c51_tokenizer_apply", oracle=_c51_oracle())
+def c51_tokenizer_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """C51: apply a subword tokenizer to the corpus — the step between
+    c32's merge-pair statistics and a model-ready token stream
+    (VERDICT r8 item 8). Greedy longest-prefix match against a fixed
+    public vocabulary (single chars + common English n-gram merges,
+    max token length 4; id 0 = <unk> consuming one character) — the
+    BPE/WordPiece inference loop.
+
+    The entire document tokenizes inside ONE JVM expression: transform
+    over the word array, and per word a bounded ``aggregate`` loop
+    (at most |word| steps) that strips the longest matching vocab
+    prefix per step via 4 map probes. Graded per document on the
+    token count and the md5 digest of the exact comma-joined token-id
+    stream — any divergence in a single token id anywhere in the
+    corpus flips the digest.
+
+    Scale shape: a pure map — scan -> project, ZERO exchanges, zero
+    Python (the p26 plan contract; pinned in test_plans). At 100 TB
+    tokenization is embarrassingly parallel and this plan is exactly
+    that: whole-stage-codegen'd expression work on each input split,
+    no data movement at all."""
+    ids = F.expr(_c51_token_expr())
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .select(
+            "doc_id",
+            ids.alias("ids"),
+        )
+        .select(
+            "doc_id",
+            F.size("ids").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform("ids", lambda i: i.cast("string")), ","
+                )
+            ).alias("ids_digest"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

@@ -61,7 +61,11 @@ _R8_UNGRADED = [
 ]
 # Round-9 additions: never graded, so they ride directly behind the
 # round-8 stragglers; appended here as they land.
-_R9_NEW: list[str] = []
+_R9_NEW: list[str] = [
+    "b144_concurrent_commit",
+    "b145_dict_layout_audit",
+    "c51_tokenizer_apply",
+]
 # Stale-grade rotation, oldest first: the r3 block (last graded round
 # 3), then the r4 block. The driver's budget cuts wherever it cuts;
 # the remainder leads round 10.
@@ -129,6 +133,7 @@ def load_all() -> None:
         round6,
         round7,
         round8,
+        round9,
     )
 
     prefix = _R8_UNGRADED + _R9_NEW + _ROTATION_R9
