@@ -101,6 +101,33 @@ HEADLINE = [
     # (bench-kafka.rs stage timers): stream → decode → files → commit
     "b68_tumbling_window",
     "b54_stream_lakehouse_sink",
+    # the streaming novelty filter, timed as a pure drain at the
+    # amortized batch size (see SPLIT_BUILD + _cell)
+    "p18_streaming_novelty_filter",
+    # round-9 entrants: the tokenizer-apply hot path (pure-map JVM
+    # expression over every document — the per-row CPU ceiling of the
+    # corpus pipeline) and the extent-partitioned layout audit (one
+    # windowed pass over lineitem, 4 columns of change flags + three
+    # aggregation levels)
+    "c51_tokenizer_apply",
+    "b145_dict_layout_audit",
+]
+
+# Cells whose first call is dominated by demo-WAREHOUSE construction
+# (bucketed saveAsTable / staged parallel appends), not by the query
+# under test (VERDICT r8 item 5: b61's cell flirted with the 2x bar on
+# tmpdir I/O variance alone). The build is timed ONCE as its own
+# "<name>_demo_build" cell, then the query cell proper times a second
+# invocation that hits the (session, sf) build cache — so the 2x
+# regression bar tests the scan/join plan, not tmpfs throughput.
+SPLIT_BUILD = [
+    "b60_bucketed_join",
+    "b61_data_skipping",
+    # p18's inputs (arrival files + base signature index) build once;
+    # the timed cell is then the pure streaming drain (VERDICT r8
+    # item 7: publish a p18 throughput number at the amortized batch
+    # size — one 4-file epoch — alongside its correctness grade)
+    "p18_streaming_novelty_filter",
 ]
 
 
@@ -122,11 +149,36 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
 
+    def _cell(name: str):
+        """The callable a bench cell times. p18 runs at the amortized
+        batch size (all 4 arrival files in ONE epoch — the r8 sweep's
+        2.15 s configuration) instead of its registry default of one
+        file per epoch, which times 4x the per-epoch fixed cost."""
+        if name == "p18_streaming_novelty_filter":
+            from iceberg_playground_spark.queries.round7 import (
+                p18_streaming_novelty_filter,
+            )
+
+            return lambda: p18_streaming_novelty_filter(
+                spark, sf_dir, files_per_trigger=4
+            )
+        return lambda: registry.QUERIES[name](spark, sf_dir)
+
     # Warm-up: JVM JIT + parquet footer caches, mirroring a long-running
-    # cluster's steady state (one throwaway run of the flagship).
+    # cluster's steady state (one throwaway run of the flagship, plus a
+    # 1-row pass through the c51 tokenizer expression — its analysis/
+    # compile cost is ~8 s once per session and data-size-independent,
+    # so paying it on one literal row keeps the timed cell measuring
+    # tokenization, not Catalyst warm-up).
     registry.QUERIES["b21_pricing_summary"](spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+    from iceberg_playground_spark.queries.round9 import _c51_token_expr
+    from pyspark.sql import functions as F
+
+    spark.createDataFrame(
+        [("warm up the tokenizer",)], "text string"
+    ).select(F.expr(_c51_token_expr())).collect()
 
     # Repeat-median protocol (BASELINE.md r8): cells whose first run
     # lands <= MEDIAN_CUTOFF seconds are JVM-warmup-noise-dominated —
@@ -138,16 +190,22 @@ def main() -> None:
     MEDIAN_CUTOFF = 1.0
 
     def _run(name: str) -> float:
-        # construction is inside the timer: streaming queries execute
-        # eagerly (availableNow drain) during the call itself
+        # construction is inside the timer for non-split cells:
+        # streaming queries execute eagerly (availableNow drain)
+        # during the call itself
         t = time.perf_counter()
-        df = registry.QUERIES[name](spark, sf_dir)
+        df = _cell(name)()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t
 
     times: dict[str, float] = {"_session_init": round(init_sec, 3)}
     total = 0.0
     for name in names:
+        if name in SPLIT_BUILD:
+            # first call pays (and times) the demo-warehouse build as
+            # its own cell; the query cell then re-runs against the
+            # build cache, so it measures the plan under test
+            times[f"{name}_demo_build"] = round(_run(name), 3)
         dt = _run(name)
         if dt <= MEDIAN_CUTOFF:
             runs = sorted([dt, _run(name), _run(name)])

