@@ -121,22 +121,23 @@ def test_fuzzy_decontaminate_split_discipline(spark):
 def test_grading_prefix_composition():
     # The driver grades EXACTLY the first ~50 registered queries, so
     # registration order decides what gets graded. Since round 5 the
-    # order is imposed by explicit lists (round 8: _R7_UNGRADED /
-    # _ROTATION_REMAINDER / _R8_NEW) rather than import order; pin
-    # that the reorder actually happened: the 11 never-driver-graded
-    # round-7 registrations lead, the last r2-era rotation entries
-    # follow, and this round's additions fill the window.
+    # order is imposed by explicit lists (round 9: _R8_UNGRADED /
+    # _R9_NEW / _ROTATION_R9) rather than import order; pin that the
+    # reorder actually happened: the 10 entries round 8's sweep never
+    # reached lead, this round's additions follow (never graded
+    # either), and the stale-grade rotation (oldest first) fills the
+    # window.
     names = list(registry.QUERIES)
-    lead = registry._R7_UNGRADED + registry._ROTATION_REMAINDER
+    lead = registry._R8_UNGRADED + registry._R9_NEW
     assert names[: len(lead)] == lead
     assert (
-        names[len(lead) : len(lead) + len(registry._R8_NEW)]
-        == registry._R8_NEW
+        names[len(lead) : len(lead) + len(registry._ROTATION_R9)]
+        == registry._ROTATION_R9
     )
     # the never-graded block must fit the window whole, with room for
     # a meaningful slice of the rotation behind it
-    assert len(registry._R7_UNGRADED) == 11
-    assert len(set(names[:50]) & set(registry._ROTATION_REMAINDER)) >= 20
+    assert len(registry._R8_UNGRADED) == 10
+    assert len(set(names[:50]) & set(registry._ROTATION_R9)) >= 20
     assert len(names) >= 128
 
 
