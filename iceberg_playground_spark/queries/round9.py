@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from iceberg_playground_spark.queries._util import load
+from iceberg_playground_spark.queries._util import hash_bucket, load
 from iceberg_playground_spark.queries.lakehouse import _built
 from iceberg_playground_spark.registry import query
 from iceberg_playground_spark.tables import CommitConflict, LakeCatalog
@@ -494,3 +494,180 @@ def c51_tokenizer_apply(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", out)
         .filter(F.col("n_tokens") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# c52 — Bloom-filter decontamination (two-phase: bitmap prefilter + exact)
+# ---------------------------------------------------------------------------
+
+# Bloom geometry, sized to DEMONSTRATE false positives at demo scale
+# (~50 eval fingerprints, k*n/m ≈ 0.6 → ~8% fp rate). A production
+# run sizes m for fp ≈ 1e-6; the shapes below are m-independent.
+_C52_M = 256          # bits
+_C52_K = 3            # hash probes per fingerprint
+_C52_W = 32           # bits per bitmap word (1 << 31 stays positive)
+
+
+def _c52_positions_sql(fp: str) -> list[str]:
+    """The K bit positions of a fingerprint, DuckDB form — md5-derived
+    per the hash_bucket cross-engine convention ('0x' cast here,
+    conv(hex) on the Spark side; both read the same 8 hex chars to
+    the same integer, but each engine only accepts its own spelling —
+    Spark's ANSI cast rejects '0x' strings)."""
+    return [
+        f"CAST('0x' || substring(md5({fp} || ':{i}'), 1, 8) AS BIGINT) "
+        f"% {_C52_M}"
+        for i in range(_C52_K)
+    ]
+
+
+def _c52_positions_spark(fp: str) -> list[str]:
+    """The same K positions in Spark SQL spelling (conv hex->dec)."""
+    return [
+        f"CAST(conv(substring(md5({fp} || ':{i}'), 1, 8), 16, 10) "
+        f"AS BIGINT) % {_C52_M}"
+        for i in range(_C52_K)
+    ]
+
+
+def _c52_oracle() -> str:
+    bkt = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+    pos_eval = ", ".join(_c52_positions_sql("fp"))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, md5(text) AS fp, {bkt} AS bkt FROM documents),
+eval_fps AS (SELECT DISTINCT fp FROM docs WHERE bkt >= 90),
+eval_pos AS (
+  SELECT DISTINCT u.p FROM eval_fps, UNNEST([{pos_eval}]) AS u(p)),
+bitmap AS (
+  SELECT CAST(floor(p / {_C52_W}.0) AS BIGINT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % {_C52_W} AS INTEGER)) AS bits
+  FROM eval_pos GROUP BY 1),
+train AS (SELECT doc_id, lang, fp FROM docs WHERE bkt < 90),
+train_pos AS (
+  SELECT doc_id, lang, fp, u.p FROM train, UNNEST([{pos_eval}]) AS u(p)),
+probed AS (
+  SELECT t.doc_id, t.lang, t.fp,
+         bool_and((COALESCE(b.bits, 0)
+                   & (CAST(1 AS BIGINT) << CAST(t.p % {_C52_W} AS INTEGER)))
+                  <> 0) AS flagged
+  FROM train_pos t
+  LEFT JOIN bitmap b ON b.word = CAST(floor(t.p / {_C52_W}.0) AS BIGINT)
+  GROUP BY t.doc_id, t.lang, t.fp),
+truth AS (
+  SELECT p.lang, count(*) AS n_true
+  FROM probed p JOIN eval_fps e ON p.fp = e.fp
+  WHERE p.flagged GROUP BY p.lang)
+SELECT p.lang,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN p.flagged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(COALESCE(max(t.n_true), 0) AS BIGINT) AS n_true_hits,
+       CAST(sum(CASE WHEN p.flagged THEN 1 ELSE 0 END)
+            - COALESCE(max(t.n_true), 0) AS BIGINT) AS n_false_pos
+FROM probed p LEFT JOIN truth t ON p.lang = t.lang
+GROUP BY p.lang
+"""
+
+
+@query("c52_bloom_decontaminate", oracle=_c52_oracle())
+def c52_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """C52: Bloom-filter decontamination — the TWO-PHASE membership
+    shape (Bloom 1970, public work) every 100 TB decontamination job
+    actually runs: the eval set's fingerprints compress into a
+    fixed-size bitmap that BROADCASTS (phase 1: map-side probe over
+    the whole train corpus, zero shuffle, no-false-negative filter),
+    and only the tiny flagged fraction pays the exact semi-join
+    (phase 2: confirm). c22 is the exact-join-everything form; this
+    is what replaces it when the eval set is millions of rows — the
+    bitmap is KBs where the broadcast fingerprint set would be GBs.
+    Per language: train size, bloom-flagged count, exact-confirmed
+    hits, and false positives — the report that says whether m/k are
+    sized right BEFORE trusting the filter. Demo geometry
+    (m={M}, k={K}) deliberately undersized so false positives are
+    visible and graded; everything is md5-derived integer math, so
+    bitmap, flags, and counts hash-match across engines.
+
+    Scale shape: the bitmap build aggregates |eval|*k bit positions
+    into <= m/{W} words (one tiny exchange), then rides a 1-row
+    broadcast; the train scan probes via map-side lambda arithmetic
+    (forall over k positions, no per-row join); the confirm
+    semi-join's left side is ONLY the flagged docs. No train shuffle
+    anywhere."""
+    bkt = hash_bucket(F.col("doc_id"))
+    d = load(spark, sf, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("fp"), bkt.alias("bkt")
+    )
+    eval_fps = d.filter(F.col("bkt") >= 90).select("fp").distinct()
+    # each probe as a precomputed (word, mask) struct — the shift
+    # amount is per-row, which the SQL shiftleft takes but the Python
+    # F.shiftleft (literal-only numBits) does not
+    wm_exprs = [
+        f"named_struct("
+        f"'word', CAST(floor(({e}) / {_C52_W}.0) AS BIGINT), "
+        f"'mask', shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(({e}) % {_C52_W} AS INT)))"
+        for e in _c52_positions_spark("fp")
+    ]
+    probes_arr = F.expr(f"array({', '.join(wm_exprs)})")
+    bitmap = (
+        eval_fps.select(F.explode(probes_arr).alias("wm"))
+        .select("wm.word", "wm.mask")
+        .distinct()
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bmap")
+        )
+    )
+    train = d.filter(F.col("bkt") < 90).select("doc_id", "lang", "fp")
+    probe = F.forall(
+        probes_arr,
+        lambda wm: (
+            F.coalesce(
+                F.try_element_at(F.col("bmap"), wm["word"]),
+                F.lit(0).cast("bigint"),
+            ).bitwiseAND(wm["mask"])
+            != 0
+        ),
+    )
+    tf = train.crossJoin(F.broadcast(bitmap)).withColumn("flagged", probe)
+    truth = (
+        tf.filter("flagged")
+        .join(eval_fps, "fp", "leftsemi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_true"))
+    )
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.sum(F.col("flagged").cast("int"))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .join(truth, "lang", "left")
+        .select(
+            "lang",
+            "n_train",
+            "n_flagged",
+            F.coalesce(F.col("n_true"), F.lit(0))
+            .cast("bigint")
+            .alias("n_true_hits"),
+            (
+                F.col("n_flagged")
+                - F.coalesce(F.col("n_true"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+    )
+
+
+c52_bloom_decontaminate.__doc__ = (
+    c52_bloom_decontaminate.__doc__.replace("{M}", str(_C52_M))
+    .replace("{K}", str(_C52_K))
+    .replace("{W}", str(_C52_W))
+)

@@ -68,6 +68,7 @@ _R9_NEW: list[str] = [
     "b146_tpch_q15",
     "b147_tpch_q17",
     "b148_tpch_q22",
+    "c52_bloom_decontaminate",
 ]
 # Stale-grade rotation, oldest first: the r3 block (last graded round
 # 3), then the r4 block. The driver's budget cuts wherever it cuts;

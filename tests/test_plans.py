@@ -743,6 +743,38 @@ def test_q13_outer_join_preserves_left(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q15_revenue_rollup_scalar_max_broadcasts(spark):
+    # Q15: the per-supplier revenue rollup shuffles once; the scalar
+    # max comes back as a broadcast/subquery result, never a global
+    # sort; supplier joins without a cartesian
+    plan = _plan(spark, "b146_tpch_q15")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan  # shipdate range reaches the scan
+
+
+def test_q17_correlated_scalar_decorrelates_to_aggregate_join(spark):
+    # Q17: the per-part avg subquery must rewrite into an aggregate
+    # joined back to the fact scan — a surviving per-row subquery
+    # would rescan lineitem per row; the join is equi, never nested
+    plan = _plan(spark, "b147_tpch_q17")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # decorrelation leaves exactly the two lineitem scans (fact +
+    # per-part aggregate), not |rows| rescans
+    assert plan.count("Scan parquet") == 3
+
+
+def test_q22_not_exists_decorrelates_to_anti_join(spark):
+    # Q22: NOT EXISTS must lower to a left-anti join on custkey; the
+    # only nested loop is the 1-row balance-threshold broadcast (the
+    # sanctioned tiny-frame crossJoin shape)
+    plan = _plan(spark, "b148_tpch_q22")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_c47_single_pair_scan_feeds_all_arms(spark):
     # c47: the probe x base pair frame is checkpointed once and feeds
     # the truth arm plus every truncation arm — no per-arm corpus

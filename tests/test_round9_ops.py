@@ -208,3 +208,30 @@ def test_c51_token_stream_reconstructs_corpus_lengths(spark):
         "n_chars",
     ).filter(F.col("covered") != F.col("n_chars"))
     assert bad.count() == 0
+
+
+# --- c52 bloom decontamination ----------------------------------------------
+
+
+def test_c52_bloom_has_no_false_negatives(spark):
+    # the Bloom contract: every exact hit MUST be flagged — a false
+    # negative means contamination passes the filter silently
+    rows = registry.QUERIES["c52_bloom_decontaminate"](
+        spark, SF_CHECK
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_true_hits"] <= r["n_flagged"]
+        assert r["n_false_pos"] == r["n_flagged"] - r["n_true_hits"]
+        assert r["n_flagged"] <= r["n_train"]
+
+
+def test_c52_train_probe_is_broadcast_map_side(spark):
+    # phase 1 must be a broadcast of the bitmap row + map-side probe:
+    # no sort-merge join against the train corpus, no cartesian; the
+    # only nested-loop is the sanctioned 1-row bitmap crossJoin
+    df = registry.QUERIES["c52_bloom_decontaminate"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
