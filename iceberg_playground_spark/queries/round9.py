@@ -1,6 +1,8 @@
 """Round-9 operators: the three additions VERDICT r8 named (items 2,
-6, 8), each lifting an already-proven capability into a registered,
-hash-graded query.
+6, 8) plus Bloom-filter decontamination, each lifting an already-
+proven capability into a registered, hash-graded query. (The round's
+other additions, TPC-H Q15/Q17/Q22, live in tpch.py with the rest of
+the same-text pack.)
 
 - b144: CONCURRENT-COMMIT CONFLICT resolution — the reference declares
   a ``concurrent_writes`` experiment it never shipped
@@ -34,6 +36,10 @@ hash-graded query.
   words, aggregate over match steps), zero Python, zero exchanges —
   a pure map over the corpus, graded on per-document token counts
   and an md5 digest of the exact token-id stream.
+- c52: BLOOM-FILTER DECONTAMINATION — the two-phase membership shape
+  (broadcast bitmap prefilter with no false negatives, exact confirm
+  join on the flagged fraction only) that replaces c22's
+  exact-join-everything form when the eval set is millions of rows.
 """
 
 from __future__ import annotations
