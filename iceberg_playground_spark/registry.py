@@ -69,6 +69,13 @@ _R9_NEW: list[str] = [
     "b147_tpch_q17",
     "b148_tpch_q22",
     "c52_bloom_decontaminate",
+    "b149_tpch_q21",
+    "b150_tpch_q9",
+    "b151_tpch_q12",
+    "b152_tpch_q16",
+    "b153_tpch_q2",
+    "b154_tpch_q11",
+    "b155_tpch_q20",
 ]
 # Stale-grade rotation, oldest first: the r3 block (last graded round
 # 3), then the r4 block. The driver's budget cuts wherever it cuts;

@@ -850,3 +850,77 @@ def test_c50_regression_runs_over_vocab_not_corpus(spark):
     plan = _plan(spark, "c50_zipf_audit")
     assert "ExistingRDD" in plan  # checkpointed vocab table
     assert "CartesianProduct" not in plan
+
+
+def test_q21_double_exists_decorrelates_to_semi_plus_anti(spark):
+    # b149: THE self-join workout — EXISTS(other supplier) must lower
+    # to a semi join and NOT EXISTS(other late supplier) to an anti
+    # join, both equi on l_orderkey; a surviving correlated subquery
+    # would rescan lineitem per line. 6 scans = s/l1/o/n + l2 + l3.
+    plan = _plan(spark, "b149_tpch_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 6
+    assert "TakeOrderedAndProject" in plan  # LIMIT 100 never global-sorts
+
+
+def test_q9_five_way_join_broadcasts_dims(spark):
+    # b150: part/supplier/nation broadcast under the fact joins; the
+    # name LIKE filter can't push as a parquet predicate but the scan
+    # still prunes to the joined columns
+    plan = _plan(spark, "b150_tpch_q9")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_q12_case_pivot_single_join(spark):
+    # b151: one orders-lineitem join, both date range predicates
+    # pushed to the lineitem scan, CASE counts inside the aggregate
+    plan = _plan(spark, "b151_tpch_q12")
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_q16_not_in_plans_as_anti_join(spark):
+    # b152: the supplier blacklist NOT IN (key column, null-safe)
+    # must plan as an anti join, and the distinct supplier count
+    # must not cartesian anything
+    plan = _plan(spark, "b152_tpch_q16")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    # b153: the per-part regional-min subquery must rewrite to an
+    # aggregate joined back on p_partkey (the Q17 machinery under a
+    # join tree) — equi joins only, top-100 via TakeOrdered
+    plan = _plan(spark, "b153_tpch_q2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q11_single_pass_window_over_aggregate(spark):
+    # b154: the window-over-aggregate form must evaluate the scoped
+    # relation ONCE (3 scans: lineitem + supplier + nation), with the
+    # global total/count riding a window over |parts| grouped rows —
+    # the scalar-subquery form triples the rollup under CTE inlining
+    plan = _plan(spark, "b154_tpch_q11")
+    assert plan.count("Scan parquet") == 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_q20_nested_in_flattens_to_semi_joins(spark):
+    # b155: IN(subquery with IN(subquery) + correlated scalar agg)
+    # must flatten to a chain of semi joins (3: supplier IN, part IN,
+    # and the partsupp-side correlation) with zero nested loops
+    plan = _plan(spark, "b155_tpch_q20")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
