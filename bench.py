@@ -111,6 +111,12 @@ HEADLINE = [
     # aggregation levels)
     "c51_tokenizer_apply",
     "b145_dict_layout_audit",
+    # late-round-9: the two-phase Bloom decontamination (broadcast
+    # bitmap prefilter + exact confirm join on the flagged fraction)
+    # and TPC-H Q21, the suite's notorious double-correlated
+    # self-join (semi + anti decorrelation over three lineitem arms)
+    "c52_bloom_decontaminate",
+    "b149_tpch_q21",
 ]
 
 # Cells whose first call is dominated by demo-WAREHOUSE construction
@@ -123,6 +129,12 @@ HEADLINE = [
 SPLIT_BUILD = [
     "b60_bucketed_join",
     "b61_data_skipping",
+    # p17's build is ONLY table construction (two appends); the
+    # incremental signature probe — the operator under test — runs
+    # entirely outside it, so the split times exactly the query.
+    # (c39/b135 stay unsplit: their graded operation — the MERGE /
+    # the retention delete — happens INSIDE the build closure.)
+    "p17_incremental_lsh_dedup",
     # p18's inputs (arrival files + base signature index) build once;
     # the timed cell is then the pure streaming drain (VERDICT r8
     # item 7: publish a p18 throughput number at the amortized batch

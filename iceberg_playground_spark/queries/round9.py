@@ -677,3 +677,172 @@ c52_bloom_decontaminate.__doc__ = (
     .replace("{K}", str(_C52_K))
     .replace("{W}", str(_C52_W))
 )
+
+
+# ---------------------------------------------------------------------------
+# c53 — DSIR importance resampling (Xie et al., "Data Selection for
+# Language Models via Importance Resampling", 2023)
+# ---------------------------------------------------------------------------
+
+_C53_B = 256          # hashed feature buckets
+_C53_K = 100          # Gumbel top-k sample size
+_C53_TARGET = "src0"  # the target-distribution source
+
+
+def _c53_oracle() -> str:
+    return f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             CAST('0x' || substring(md5(token), 1, 8) AS BIGINT)
+               % {_C53_B} AS bucket
+      FROM (SELECT doc_id, source,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents)),
+    model AS (
+      SELECT bucket, count(*) AS cnt_raw,
+             sum(CASE WHEN source = '{_C53_TARGET}' THEN 1 ELSE 0 END)
+               AS cnt_tgt
+      FROM feat GROUP BY bucket),
+    deltas AS (
+      SELECT bucket,
+             CAST(round(1000000.0 *
+                    (ln((CAST(cnt_tgt AS DOUBLE) + 1)
+                        / (sum(cnt_tgt) OVER () + {_C53_B}))
+                   - ln((CAST(cnt_raw AS DOUBLE) + 1)
+                        / (sum(cnt_raw) OVER () + {_C53_B}))))
+                  AS BIGINT) AS delta_micro
+      FROM model),
+    wdoc AS (
+      SELECT f.doc_id, f.source,
+             CAST(sum(d.delta_micro) AS BIGINT) AS weight_micro
+      FROM feat f JOIN deltas d ON f.bucket = d.bucket
+      GROUP BY f.doc_id, f.source),
+    keyed AS (
+      SELECT doc_id, source, weight_micro,
+             weight_micro + CAST(round(-1000000.0 * ln(-ln(
+                 (CAST(CAST('0x' ||
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 1000000 AS DOUBLE) + 0.5)
+                 / 1000000.0))) AS BIGINT) AS key_micro
+      FROM wdoc),
+    sel AS (
+      SELECT doc_id, source, weight_micro FROM keyed
+      ORDER BY key_micro DESC, doc_id LIMIT {_C53_K})
+    SELECT s.source,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(count(sel.doc_id) AS BIGINT) AS n_selected,
+           CAST(coalesce(sum(sel.doc_id), 0) AS BIGINT) AS sel_docid_sum,
+           CAST(coalesce(sum(sel.weight_micro), 0) AS BIGINT)
+             AS sel_weight_micro
+    FROM (SELECT source, count(*) AS n_docs FROM documents
+          GROUP BY source) s
+    LEFT JOIN sel ON s.source = sel.source
+    GROUP BY s.source, s.n_docs
+    ORDER BY s.source
+    """
+
+
+@query("c53_dsir_resample", oracle=_c53_oracle())
+def c53_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """C53: DSIR importance resampling (Xie et al. 2023) — the
+    principled version of "train on data that looks like the target":
+    two hashed-unigram LMs (target = one source's docs; raw = the
+    whole corpus) assign every document an importance weight
+    Σ_tokens [ln p_tgt(f) - ln p_raw(f)] over hashed features, and
+    Gumbel-top-k sampling draws the training subset ∝ exp(weight) —
+    closing the selection family: c35 resamples by given temperature,
+    p22 by given recipe, c53 LEARNS the weights from a target. The
+    graded report is per-source: corpus docs, docs selected, a
+    doc_id checksum of the selection, and its total micro-weight.
+    (On real data, target-like sources upsample; this synthetic
+    corpus draws every source from one 31-word distribution, so
+    weights hover near zero and the report instead certifies the
+    machinery — weights, noise, and selection — bit-for-bit.)
+
+    Every arithmetic step is engine-portable by construction:
+    features hash through the md5-prefix family (hash_bucket's
+    discipline), both LMs use +1/(tot+B) Laplace smoothing, each
+    per-token contribution rounds to an INTEGER micro-log (c23's
+    ulp-absorption rule) so the per-doc sum is associative, and the
+    Gumbel noise derives from the md5 of doc_id — u=(h%1e6+0.5)/1e6,
+    g=-ln(-ln(u)) — so "randomness" is deterministic, reproducible,
+    and identical on both engines (the p10 seeded-shuffle rule
+    applied to sampling).
+
+    Scale shape: the model pass is one corpus tokenize → 256-row
+    aggregate (map-side partials); totals ride a window over those
+    256 rows, never a rescan; scoring re-tokenizes the corpus once
+    more against the BROADCAST 256-row delta table (c23's two-scan
+    shape — at 100 TB the model is KBs and both passes are
+    map-side); the top-k lowers to TakeOrderedAndProject
+    (per-partition top-100 + merge, never a global sort); the final
+    report joins the 100-row sample against a |sources|-row rollup.
+    (Ref anchor: extends the reference's delegated query surface the
+    same way c35/p22 do — a Layer-C mandate op, not a reference
+    parity op.)"""
+    d = load(spark, sf, "documents").select("doc_id", "source", "text")
+    tok = d.select(
+        "doc_id", "source",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    feat = tok.select(
+        "doc_id", "source",
+        (F.conv(F.md5(F.col("token")).substr(1, 8), 16, 10).cast("bigint")
+         % _C53_B).alias("bucket"),
+    )
+    model = feat.groupBy("bucket").agg(
+        F.count("*").alias("cnt_raw"),
+        F.sum(
+            F.when(F.col("source") == _C53_TARGET, 1).otherwise(0)
+        ).alias("cnt_tgt"),
+    )
+    w = W.partitionBy()
+    deltas = model.select(
+        "bucket",
+        F.round(
+            1e6
+            * (
+                F.log(
+                    (F.col("cnt_tgt").cast("double") + 1)
+                    / (F.sum("cnt_tgt").over(w) + _C53_B)
+                )
+                - F.log(
+                    (F.col("cnt_raw").cast("double") + 1)
+                    / (F.sum("cnt_raw").over(w) + _C53_B)
+                )
+            )
+        ).cast("bigint").alias("delta_micro"),
+    )
+    wdoc = (
+        feat.join(F.broadcast(deltas), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("delta_micro").cast("bigint").alias("weight_micro"))
+    )
+    u = (
+        (
+            F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10)
+            .cast("bigint") % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1e6
+    keyed = wdoc.withColumn(
+        "key_micro",
+        F.col("weight_micro")
+        + F.round(-1e6 * F.log(-F.log(u))).cast("bigint"),
+    )
+    sel = keyed.orderBy(F.col("key_micro").desc(), "doc_id").limit(_C53_K)
+    src_tot = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        src_tot.join(sel, "source", "left")
+        .groupBy("source", "n_docs")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_selected"),
+            F.coalesce(F.sum("doc_id"), F.lit(0))
+            .cast("bigint").alias("sel_docid_sum"),
+            F.coalesce(F.sum("weight_micro"), F.lit(0))
+            .cast("bigint").alias("sel_weight_micro"),
+        )
+        .orderBy("source")
+    )

@@ -76,6 +76,7 @@ _R9_NEW: list[str] = [
     "b153_tpch_q2",
     "b154_tpch_q11",
     "b155_tpch_q20",
+    "c53_dsir_resample",
 ]
 # Stale-grade rotation, oldest first: the r3 block (last graded round
 # 3), then the r4 block. The driver's budget cuts wherever it cuts;

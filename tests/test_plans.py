@@ -924,3 +924,16 @@ def test_q20_nested_in_flattens_to_semi_joins(spark):
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c53_dsir_two_scan_broadcast_model_topk(spark):
+    # c53: the 256-row delta model must BROADCAST onto the scoring
+    # pass (never shuffle the token stream on bucket); the Gumbel
+    # top-k lowers to TakeOrderedAndProject; 3 corpus scans exactly
+    # (model pass + scoring pass + source rollup), no cartesians
+    plan = _plan(spark, "c53_dsir_resample")
+    assert plan.count("Scan parquet") == 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
