@@ -77,6 +77,10 @@ _R9_NEW: list[str] = [
     "b154_tpch_q11",
     "b155_tpch_q20",
     "c53_dsir_resample",
+    "c54_kmeans_lloyd",
+    "c55_vocab_growth",
+    "c56_length_bucket_batches",
+    "c57_hashed_classifier_apply",
 ]
 # Stale-grade rotation, oldest first: the r3 block (last graded round
 # 3), then the r4 block. The driver's budget cuts wherever it cuts;
@@ -146,6 +150,7 @@ def load_all() -> None:
         round7,
         round8,
         round9,
+        round9b,
     )
 
     prefix = _R8_UNGRADED + _R9_NEW + _ROTATION_R9

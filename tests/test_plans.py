@@ -937,3 +937,48 @@ def test_c53_dsir_two_scan_broadcast_model_topk(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_c54_assignment_pass_is_joinless_map(spark):
+    # c54: the graded (final) pass scores every vector against LITERAL
+    # centroids — one corpus scan, no join anywhere (a join on a
+    # centroid table would shuffle the corpus per iteration; Lloyd's
+    # Spark shape broadcasts k·d ints as an expression instead). The
+    # only exchange is the output sort's rangepartitioning.
+    plan = _plan(spark, "c54_kmeans_lloyd")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_c55_single_token_shuffle_no_cartesian(spark):
+    # c55: the corpus count is a driver-side scalar, NOT a broadcast
+    # 1-row frame — the frame form replicates a nested-loop join into
+    # every downstream branch (6 corpus scans); the token stream
+    # shuffles on its own key for the first-decile min, never
+    # cartesians
+    plan = _plan(spark, "c55_vocab_growth")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") <= 3
+
+
+def test_c56_windows_partition_by_bucket_shard(spark):
+    # c56: batch numbering must run inside (bucket, shard) windows —
+    # a global or bucket-only window serializes batch assembly at
+    # scale; the md5 shard key is the parallelism contract
+    plan = _plan(spark, "c56_length_bucket_batches")
+    assert "hashpartitioning(bucket" in plan
+    assert "shard" in plan.split("hashpartitioning(bucket", 1)[1][:40]
+    assert "CartesianProduct" not in plan
+
+
+def test_c57_scorer_is_pure_map(spark):
+    # c57: the classifier apply is ONE scan + JVM expression — zero
+    # joins, zero aggregation shuffles; only the output sort's
+    # rangepartitioning exchange may appear
+    plan = _plan(spark, "c57_hashed_classifier_apply")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
