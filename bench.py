@@ -117,6 +117,10 @@ HEADLINE = [
     # self-join (semi + anti decorrelation over three lineitem arms)
     "c52_bloom_decontaminate",
     "b149_tpch_q21",
+    # round-9b: the iterative-algorithm representative — 3 Lloyd
+    # passes = 3 corpus scans + 2 bounded centroid collects; the cell
+    # times the whole driver loop, the shape MLlib kmeans pays
+    "c54_kmeans_lloyd",
 ]
 
 # Cells whose first call is dominated by demo-WAREHOUSE construction

@@ -81,6 +81,9 @@ _R9_NEW: list[str] = [
     "c55_vocab_growth",
     "c56_length_bucket_batches",
     "c57_hashed_classifier_apply",
+    "p29_gopher_quality_rules",
+    "c58_countmin_heavy_hitters",
+    "p30_token_budget_fill",
 ]
 # Stale-grade rotation, oldest first: the r3 block (last graded round
 # 3), then the r4 block. The driver's budget cuts wherever it cuts;
@@ -151,6 +154,7 @@ def load_all() -> None:
         round8,
         round9,
         round9b,
+        round9c,
     )
 
     prefix = _R8_UNGRADED + _R9_NEW + _ROTATION_R9

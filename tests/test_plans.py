@@ -982,3 +982,35 @@ def test_c57_scorer_is_pure_map(spark):
     assert "Join" not in plan
     assert "hashpartitioning" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_p29_two_level_aggregate_no_window_exchange(spark):
+    # p29: rule inputs derive from (doc, token) counts — the second
+    # exchange moves per-(doc, distinct-token) rows, strictly smaller
+    # than the token stream; a Window here would mean the top-token
+    # count regressed to the full-width two-exchange form
+    plan = _plan(spark, "p29_gopher_quality_rules")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_c58_sketch_is_bounded_and_probes_broadcast(spark):
+    # c58: the sketch aggregate is 1024 cells max; the top-k exact arm
+    # lowers to TakeOrderedAndProject; the estimate join must
+    # broadcast the 40-row probe side, never shuffle the cells wide
+    plan = _plan(spark, "c58_countmin_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p30_cumsum_window_partitions_by_source(spark):
+    # p30: the prefix-cut cumsum must run per-source (independent
+    # partition-local scans at 100 TB), with the |sources|-row budget
+    # table broadcast onto the doc stream
+    plan = _plan(spark, "p30_token_budget_fill")
+    assert "hashpartitioning(source" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

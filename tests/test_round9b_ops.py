@@ -218,3 +218,159 @@ def test_c57_matches_python_reference_on_sample(spark):
             for t in d["text"].split(" ")
         )
         assert got[d["doc_id"]] == want
+
+
+# --- p29 Gopher rules ---------------------------------------------------
+
+
+def test_p29_flags_vary_and_pass_is_conjunction(spark):
+    rows = registry.QUERIES["p29_gopher_quality_rules"](
+        spark, SF_CHECK
+    ).collect()
+    assert len(rows) == 500
+    for col in ("wc_ok", "mlen_ok", "stop_ok", "topmass_ok"):
+        vals = {r[col] for r in rows}
+        assert vals == {0, 1}, f"{col} carries no signal"
+    for r in rows:
+        assert r["pass"] == (
+            r["wc_ok"] & r["mlen_ok"] & r["stop_ok"] & r["topmass_ok"]
+        )
+
+
+def test_p29_rules_match_python_reference_on_sample(spark):
+    from iceberg_playground_spark.queries.round9c import (
+        _P29_ML_HI10,
+        _P29_ML_LO10,
+        _P29_STOP_MIN,
+        _P29_STOPS,
+        _P29_TOP_PCT10,
+        _P29_WC_HI,
+        _P29_WC_LO,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_CHECK}/documents.parquet")
+        .filter(F.col("doc_id") < 10)
+        .collect()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["p29_gopher_quality_rules"](
+            spark, SF_CHECK
+        )
+        .filter(F.col("doc_id") < 10)
+        .collect()
+    }
+    from collections import Counter
+
+    for d in docs:
+        words = d["text"].split(" ")
+        n, s = len(words), sum(len(w) for w in words)
+        top = Counter(words).most_common(1)[0][1]
+        stops = sum(w in _P29_STOPS for w in words)
+        r = got[d["doc_id"]]
+        assert r["wc_ok"] == int(_P29_WC_LO <= n <= _P29_WC_HI)
+        assert r["mlen_ok"] == int(
+            _P29_ML_LO10 * n <= 10 * s <= _P29_ML_HI10 * n
+        )
+        assert r["stop_ok"] == int(stops >= _P29_STOP_MIN)
+        assert r["topmass_ok"] == int(10 * top < _P29_TOP_PCT10 * n)
+
+
+# --- c58 count-min sketch -----------------------------------------------
+
+
+def test_c58_estimate_dominates_exact_never_under(spark):
+    rows = registry.QUERIES["c58_countmin_heavy_hitters"](
+        spark, SF_CHECK
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # THE count-min guarantee: never an underestimate
+        assert r["cms_est"] >= r["exact_cnt"]
+        assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
+    # undersized demo geometry must make collisions visible
+    assert any(r["overcount"] > 0 for r in rows)
+
+
+def test_c58_estimate_matches_python_cms(spark):
+    import hashlib
+    from collections import Counter
+
+    from iceberg_playground_spark.queries.round9c import _C58_D, _C58_W
+
+    docs = spark.read.parquet(f"{SF_CHECK}/documents.parquet").collect()
+    toks = [t for d in docs for t in d["text"].split(" ")]
+    cms = [Counter() for _ in range(_C58_D)]
+
+    def cell(j, t):
+        return (
+            int(hashlib.md5(f"s{j}:{t}".encode()).hexdigest()[:8], 16)
+            % _C58_W
+        )
+
+    for t in toks:
+        for j in range(_C58_D):
+            cms[j][cell(j, t)] += 1
+    got = registry.QUERIES["c58_countmin_heavy_hitters"](
+        spark, SF_CHECK
+    ).collect()
+    for r in got:
+        want = min(cms[j][cell(j, r["token"])] for j in range(_C58_D))
+        assert r["cms_est"] == want
+
+
+# --- p30 token-budget fill ------------------------------------------------
+
+
+def test_p30_fill_never_overshoots_budget(spark):
+    rows = registry.QUERIES["p30_token_budget_fill"](
+        spark, SF_CHECK
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["tokens_taken"] <= r["budget_tok"]
+        assert 0 < r["docs_taken"]
+        assert 0 < r["fill_micro"] <= 1000000
+
+
+def test_p30_greedy_prefix_is_maximal(spark):
+    # adding the FIRST rejected doc (stamp order) must overshoot —
+    # i.e. the cut is the longest budget-feasible prefix, not merely
+    # a feasible one
+    from iceberg_playground_spark.queries._util import load
+
+    d = (
+        load(spark, SF_CHECK, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+            F.conv(
+                F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10
+            )
+            .cast("bigint")
+            .alias("stamp"),
+        )
+        .collect()
+    )
+    by_src = {}
+    for r in d:
+        by_src.setdefault(r["source"], []).append(r)
+    rows = registry.QUERIES["p30_token_budget_fill"](
+        spark, SF_CHECK
+    ).collect()
+    for r in rows:
+        docs = sorted(
+            by_src[r["source"]], key=lambda x: (x["stamp"], x["doc_id"])
+        )
+        cum = 0
+        taken = 0
+        for x in docs:
+            if cum + x["n_tok"] <= r["budget_tok"]:
+                cum += x["n_tok"]
+                taken += 1
+            else:
+                break
+        assert taken == r["docs_taken"]
+        assert cum == r["tokens_taken"]
