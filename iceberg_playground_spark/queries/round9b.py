@@ -131,19 +131,24 @@ def _c54_assign(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame
     ``cents`` is ascending by cluster id, so array_position's
     first-minimum semantics IS the lowest-id tie-break the oracle's
     ``ORDER BY d, cluster`` row_number encodes.
+
+    The centroid matrix is ONE 2-D literal array with the distance
+    fold written ONCE as a transform lambda — k separate
+    aggregate(zip_with(...64 literals)) expressions triple Catalyst's
+    analyze/compile time (measured 16.8 s vs 5.2 s cold, 4.0 vs 3.3 s
+    warm for the full 3-pass loop at sf0.1) for identical results.
     """
-    dists = F.array(*[
-        F.aggregate(
-            F.zip_with(
-                "q",
-                F.array(*[F.lit(int(v)) for v in vec]),
-                lambda x, y: (x - y) * (x - y),
-            ),
+    cmat = F.array(*[
+        F.array(*[F.lit(int(v)) for v in vec]) for _, vec in cents
+    ])
+    dists = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with("q", c, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
-        )
-        for _, vec in cents
-    ])
+        ),
+    )
     ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
     d = qdf.select("vec_id", "q", dists.alias("dists"), ids.alias("cids"))
     pos = F.array_position(F.col("dists"), F.array_min("dists")).cast("int")
