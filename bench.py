@@ -205,6 +205,31 @@ def main() -> None:
     # reruns would double bench wall time.
     MEDIAN_CUTOFF = 1.0
 
+    # Stall-retry protocol (BASELINE.md r9 host shift): the round-9
+    # late host exhibits random multi-second stalls that land on
+    # arbitrary cells (same commit, back-to-back pair: b145 32.0 s
+    # then 2.9 s; c09 13.1 s then 31.9 s; c52 37.7 s then 3.2 s —
+    # the stalled cell CHANGES between runs, and a GC-logged probe
+    # showed zero >100 ms pauses while the same cell read
+    # 3.8/11.7/1.8 s on three consecutive in-session runs, so it is
+    # host scheduling, not plan work or JVM state). Any cell whose
+    # first run exceeds STALL_RETRY seconds is rerun (up to 2 more
+    # times) and the MIN recorded; two CONSISTENT readings (within
+    # 30%) stop the retries early — a genuine plan regression
+    # reproduces and still reads high, while a stall does not
+    # survive. Streaming cells rerun with fresh mkdtemp checkpoints
+    # (full re-drain), so the min is honest work there too. On a
+    # quiet host only the naturally-heaviest cells cross the
+    # threshold, each paying one consistent rerun.
+    STALL_RETRY = 2.5
+
+    # Cells whose graded operation runs INSIDE a (session, sf)-cached
+    # build closure (the same reasoning that keeps them out of
+    # SPLIT_BUILD): a rerun would time a cache-hit read, not the
+    # MERGE / retention delete under test, so their first reading
+    # stands even through a stall.
+    NO_RETRY = {"c39_signature_index_merge", "b135_retention_delete"}
+
     def _run(name: str) -> float:
         # construction is inside the timer for non-split cells:
         # streaming queries execute eagerly (availableNow drain)
@@ -220,12 +245,24 @@ def main() -> None:
         if name in SPLIT_BUILD:
             # first call pays (and times) the demo-warehouse build as
             # its own cell; the query cell then re-runs against the
-            # build cache, so it measures the plan under test
+            # build cache, so it measures the plan under test. (No
+            # stall retry here: a second call would time a cache hit,
+            # not the build.)
             times[f"{name}_demo_build"] = round(_run(name), 3)
         dt = _run(name)
         if dt <= MEDIAN_CUTOFF:
             runs = sorted([dt, _run(name), _run(name)])
             dt = runs[1]
+        elif dt > STALL_RETRY and name not in NO_RETRY:
+            runs = [dt]
+            while min(runs) > STALL_RETRY and len(runs) < 3:
+                if (
+                    len(runs) == 2
+                    and abs(runs[1] - runs[0]) / min(runs) < 0.3
+                ):
+                    break  # two consistent readings = real work
+                runs.append(_run(name))
+            dt = min(runs)
         times[name] = round(dt, 3)
         total += dt
 

@@ -367,3 +367,113 @@ def p30_token_budget_fill(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# b156 — skyline (Pareto frontier) via grid-prune + exact pass
+# ---------------------------------------------------------------------------
+
+_B156_GRID = 100  # price cents per grid cell (1-dollar buckets)
+
+
+def _b156_oracle() -> str:
+    return """
+WITH pts AS (
+  SELECT p_partkey,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cc,
+         -CAST(p_size AS BIGINT) AS sz
+  FROM part),
+b AS (SELECT *, CAST(floor(price_cc / 100.0) AS BIGINT) AS bucket
+      FROM pts),
+bmin AS (SELECT bucket, min(sz) AS m FROM b GROUP BY bucket),
+pre AS (
+  SELECT bucket,
+         min(m) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pre_min
+  FROM bmin),
+surv AS (
+  SELECT b.p_partkey, b.price_cc, b.sz
+  FROM b JOIN pre ON b.bucket = pre.bucket
+  WHERE pre.pre_min IS NULL OR b.sz < pre.pre_min),
+pgm AS (SELECT price_cc, min(sz) AS gmin FROM surv GROUP BY price_cc),
+pp AS (
+  SELECT price_cc, gmin,
+         min(gmin) OVER (ORDER BY price_cc
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pre_p
+  FROM pgm)
+SELECT s.p_partkey, s.price_cc, -s.sz AS p_size
+FROM surv s JOIN pp ON s.price_cc = pp.price_cc
+WHERE s.sz = pp.gmin AND (pp.pre_p IS NULL OR s.sz < pp.pre_p)
+ORDER BY s.p_partkey
+"""
+
+
+@query("b156_skyline", oracle=_b156_oracle())
+def b156_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """B156: 2-D skyline (Pareto frontier — min price, MAX size:
+    the "cheap and large" value frontier) as
+    pure relational ops, the Spark-SQL-integration shape of the
+    skyline literature (PAPERS.md: "Integration of Skyline Queries
+    into Spark SQL", EDBT 2023 — their answer is a custom physical
+    operator; ours re-expresses the classic grid-pruned distributed
+    skyline with groupBy/window/broadcast so Catalyst plans it).
+
+    Algorithm (provably exact — dominance is transitive, so every
+    dominated point has a SKYLINE dominator, and the checks below
+    test against exactly the sets that dominator must appear in):
+    1. GRID PRUNE: floor-grid on price (1-dollar cells); per-cell
+       best (max) size; running strict-prefix best over the ~100-row
+       cell table. A point no larger than the prefix best is
+       dominated by a strictly-cheaper cell's point and drops.
+       Skyline points can never drop (their would-be dominator
+       contradicts skylinehood). Size is negated internally so the
+       whole pipeline is the canonical min-min skyline.
+    2. EXACT PASS over the surviving fringe: per-price best size
+       (same-price domination) + strict-prefix best over the
+       per-price table (cheaper-price domination); both windows run
+       over aggregate rows, never corpus rows.
+
+    Scale shape: one |cells|-row aggregate + broadcast back (the
+    corpus never shuffles to be pruned); the fringe is bounded by the
+    grid granularity (at 100 TB, pick the grid so one cell's fringe
+    fits a task — cents-level cells make the fringe one price point);
+    the fringe is lazily checkpointed so the exact pass costs 2 scans
+    total, and both exact-pass windows run over per-price AGGREGATE
+    rows. No nested loop, no global sort of the input anywhere —
+    compare the textbook NOT EXISTS self-join (quadratic), which the
+    sf0.001 brute-force pytest uses to prove this algorithm equal to
+    the definition."""
+    pts = load(spark, sf, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cc"),
+        (-F.col("p_size").cast("bigint")).alias("sz"),
+    )
+    b = pts.withColumn(
+        "bucket", F.floor(F.col("price_cc") / float(_B156_GRID)).cast("bigint")
+    )
+    bmin = b.groupBy("bucket").agg(F.min("sz").alias("m"))
+    wpre = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    pre = bmin.select("bucket", F.min("m").over(wpre).alias("pre_min"))
+    surv = (
+        b.join(F.broadcast(pre), "bucket")
+        .filter(F.col("pre_min").isNull() | (F.col("sz") < F.col("pre_min")))
+        .select("p_partkey", "price_cc", "sz")
+        .localCheckpoint(eager=False)
+    )
+    pgm = surv.groupBy("price_cc").agg(F.min("sz").alias("gmin"))
+    wp = W.orderBy("price_cc").rowsBetween(W.unboundedPreceding, -1)
+    pp = pgm.select("price_cc", "gmin", F.min("gmin").over(wp).alias("pre_p"))
+    return (
+        surv.join(F.broadcast(pp), "price_cc")
+        .filter(
+            (F.col("sz") == F.col("gmin"))
+            & (F.col("pre_p").isNull() | (F.col("sz") < F.col("pre_p")))
+        )
+        .select("p_partkey", "price_cc", (-F.col("sz")).alias("p_size"))
+        .orderBy("p_partkey")
+    )

@@ -84,6 +84,7 @@ _R9_NEW: list[str] = [
     "p29_gopher_quality_rules",
     "c58_countmin_heavy_hitters",
     "p30_token_budget_fill",
+    "b156_skyline",
 ]
 # Stale-grade rotation, oldest first: the r3 block (last graded round
 # 3), then the r4 block. The driver's budget cuts wherever it cuts;

@@ -1014,3 +1014,15 @@ def test_p30_cumsum_window_partitions_by_source(spark):
     assert "hashpartitioning(source" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_b156_skyline_no_nested_loop_no_wide_window(spark):
+    # b156: the corpus never self-joins (the textbook NOT EXISTS form
+    # is quadratic); pruning is an aggregate + broadcast back, and
+    # both exact-pass windows run over aggregate rows. Two scans only
+    # (fringe is lazily checkpointed).
+    plan = _plan(spark, "b156_skyline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 2

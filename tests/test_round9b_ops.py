@@ -374,3 +374,65 @@ def test_p30_greedy_prefix_is_maximal(spark):
                 break
         assert taken == r["docs_taken"]
         assert cum == r["tokens_taken"]
+
+
+# --- b156 skyline ---------------------------------------------------------
+
+
+def test_b156_equals_brute_force_definition(spark):
+    # the grid-pruned algorithm must equal the textbook NOT EXISTS
+    # definition of the skyline, computed brute-force in Python
+    parts = spark.read.parquet(f"{SF_CHECK}/part.parquet").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    from decimal import Decimal
+
+    pts = [
+        (
+            r["p_partkey"],
+            int(
+                (
+                    Decimal(str(r["p_retailprice"])).quantize(
+                        Decimal("0.01")
+                    )
+                )
+                * 100
+            ),
+            int(r["p_size"]),
+        )
+        for r in parts
+    ]
+    def dominated(a):
+        # min price, MAX size: b dominates a iff b is no pricier, no
+        # smaller, and strictly better somewhere
+        return any(
+            b[1] <= a[1]
+            and b[2] >= a[2]
+            and (b[1] < a[1] or b[2] > a[2])
+            for b in pts
+        )
+
+    want = sorted((p[0], p[1], p[2]) for p in pts if not dominated(p))
+    got = sorted(
+        (r["p_partkey"], r["price_cc"], r["p_size"])
+        for r in registry.QUERIES["b156_skyline"](spark, SF_CHECK).collect()
+    )
+    assert got == want
+
+
+def test_b156_skyline_is_antichain(spark):
+    # no skyline member may dominate another (mutual non-domination)
+    rows = registry.QUERIES["b156_skyline"](spark, SF_CHECK).collect()
+    assert rows
+    for a in rows:
+        for b in rows:
+            if a["p_partkey"] == b["p_partkey"]:
+                continue
+            assert not (
+                a["price_cc"] <= b["price_cc"]
+                and a["p_size"] >= b["p_size"]
+                and (
+                    a["price_cc"] < b["price_cc"]
+                    or a["p_size"] > b["p_size"]
+                )
+            )
