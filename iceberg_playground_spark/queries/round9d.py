@@ -1,0 +1,207 @@
+"""Round-9d operators: two corpus-statistics additions to Layer C
+(SURVEY §2 / BASELINE.json north_star) — the distributional-divergence
+panel a data-mixing owner reads before setting source weights.
+
+- c59: PAIRWISE SOURCE KL DIVERGENCE — KL(a ‖ b) between every pair
+  of sources over hashed-unigram distributions (md5-prefix buckets,
+  B=256 — c53's feature space), Laplace-smoothed (+1/(tot+B), c53's
+  smoothing), every per-bucket contribution rounded to an INTEGER
+  micro-nat before the sum (c23's ulp-absorption rule: a correctly-
+  rounded-ish libm log difference vanishes under 1e-6 rounding, and
+  integer sums are associative — shuffle order can never change the
+  answer). The divergence matrix is what DoReMi-style mixing and
+  duplication analysis read: "which sources are distributionally
+  redundant, which are outliers".
+- c60: GOOD-TURING UNSEEN-MASS AUDIT — per source: vocab size, token
+  mass, singleton/doubleton counts, and the Good-Turing estimate of
+  unseen probability mass (N1/N) plus the r=1 discounted count
+  (2·N2/N1) — the "how much of this source's distribution have we
+  NOT seen yet" number that says whether a source is exhausted or
+  worth crawling deeper. Micro-integer outputs via single floor'd
+  divisions.
+
+Scale shapes: both ops make ONE pass over the token stream into a
+(source, bucket)- or (source, token)-keyed aggregate with map-side
+partials; everything after runs on model-sized tables (|S|·B rows for
+c59 — the |S|² pair join is 256·|S|² rows of INTEGER arithmetic,
+bucket-partitioned; |S| rows for c60). At 100 TB the corpus is read
+once per op and never again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from iceberg_playground_spark.queries._util import load
+from iceberg_playground_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# c59 — pairwise source KL divergence over hashed-unigram LMs
+# ---------------------------------------------------------------------------
+
+_C59_B = 256  # hashed feature buckets (c53's space)
+
+
+def _c59_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT source,
+         CAST('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 8)
+              AS BIGINT) % {_C59_B} AS bucket
+  FROM documents),
+cnt AS (SELECT source, bucket, count(*) AS c FROM t GROUP BY source, bucket),
+grid AS (
+  SELECT s.source, b.i AS bucket
+  FROM (SELECT DISTINCT source FROM documents) s,
+       range(0, {_C59_B}) b(i)),
+full_cnt AS (
+  SELECT g.source, g.bucket, COALESCE(c.c, 0) AS c,
+         sum(COALESCE(c.c, 0)) OVER (PARTITION BY g.source) AS tot
+  FROM grid g LEFT JOIN cnt c
+    ON g.source = c.source AND g.bucket = c.bucket),
+terms AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(round(1000000.0
+           * ((a.c + 1) / (a.tot + {_C59_B}))
+           * (ln((a.c + 1) / (a.tot + {_C59_B}))
+              - ln((b.c + 1) / (b.tot + {_C59_B})))) AS BIGINT) AS term
+  FROM full_cnt a JOIN full_cnt b ON a.bucket = b.bucket
+  WHERE a.source <> b.source)
+SELECT src_a, src_b, CAST(sum(term) AS BIGINT) AS kl_micro
+FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b
+"""
+
+
+@query("c59_source_kl_divergence", oracle=_c59_oracle())
+def c59_source_kl_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """C59: the source-divergence matrix — see module docstring.
+
+    The bucket grid is completed (every (source, bucket) pair exists
+    with count 0) BEFORE smoothing, so both marginals share the same
+    support and KL is finite and exact; the pair join runs on the
+    completed |S|·B model table, keyed by bucket — at 100 TB that
+    join never sees a corpus row. Float ops per term: two smoothed
+    divisions, two logs, one multiply — identical left-to-right
+    shapes on both engines, then micro-rounded to an integer so the
+    cross-pair sum is associative (c23/c53's rule)."""
+    t = (
+        load(spark, sf, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .select(
+            "source",
+            (
+                F.conv(F.md5("token").substr(1, 8), 16, 10).cast("bigint")
+                % _C59_B
+            ).alias("bucket"),
+        )
+    )
+    cnt = t.groupBy("source", "bucket").agg(F.count("*").alias("c"))
+    grid = (
+        load(spark, sf, "documents")
+        .select("source")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(_C59_B).select(F.col("id").alias("bucket"))))
+    )
+    # lazily checkpointed: the a/b arms below would otherwise each
+    # re-evaluate the whole token pass (the multi-consumer
+    # re-evaluation pitfall — 4 corpus scans instead of 2)
+    full_cnt = (
+        grid.join(cnt, ["source", "bucket"], "left")
+        .na.fill({"c": 0})
+        .withColumn("tot", F.sum("c").over(W.partitionBy("source")))
+        .localCheckpoint(eager=False)
+    )
+    a = full_cnt.select(
+        F.col("source").alias("src_a"),
+        "bucket",
+        F.col("c").alias("ca"),
+        F.col("tot").alias("tota"),
+    )
+    b = full_cnt.select(
+        F.col("source").alias("src_b"),
+        "bucket",
+        F.col("c").alias("cb"),
+        F.col("tot").alias("totb"),
+    )
+    pa = (F.col("ca") + 1) / (F.col("tota") + _C59_B)
+    pb = (F.col("cb") + 1) / (F.col("totb") + _C59_B)
+    terms = (
+        a.join(b, "bucket")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.round(1000000.0 * pa * (F.log(pa) - F.log(pb)))
+            .cast("bigint")
+            .alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("src_a", "src_b")
+        .agg(F.sum("term").cast("bigint").alias("kl_micro"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c60 — Good-Turing unseen-mass audit per source
+# ---------------------------------------------------------------------------
+
+_C60_ORACLE = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+tc AS (SELECT source, token, count(*) AS c FROM t GROUP BY source, token)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       CAST(floor(1000000.0 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                  / sum(c)) AS BIGINT) AS unseen_mass_micro,
+       CAST(CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0
+            THEN floor(1000000.0
+                       * 2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                       / sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+            ELSE 0 END AS BIGINT) AS r1_discounted_micro
+FROM tc GROUP BY source ORDER BY source
+"""
+
+
+@query("c60_good_turing_audit", oracle=_C60_ORACLE)
+def c60_good_turing_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """C60: Good-Turing unseen-mass audit (Good 1953) — see module
+    docstring.
+
+    Two-level aggregate (p29's shape): token stream → (source, token)
+    counts → per-source frequency-of-frequency rollup. unseen mass =
+    N1/N; the r=1 Good-Turing discounted count = 2·N2/N1 — each ONE
+    floor'd division (deterministic); all other outputs exact
+    integers. On this synthetic 31-word corpus N1 is tiny and the
+    audit certifies the machinery (the c53 convention) — on a real
+    crawl this is the "is the source exhausted" number."""
+    t = load(spark, sf, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    tc = t.groupBy("source", "token").agg(F.count("*").alias("c"))
+    n1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    n2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("vocab"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            n1.cast("bigint").alias("n1"),
+            n2.cast("bigint").alias("n2"),
+            F.floor(1000000.0 * n1 / F.sum("c")).cast("bigint")
+            .alias("unseen_mass_micro"),
+            F.when(
+                n1 > 0, F.floor(1000000.0 * 2 * n2 / n1)
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("r1_discounted_micro"),
+        )
+        .orderBy("source")
+    )

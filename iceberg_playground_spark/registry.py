@@ -85,6 +85,8 @@ _R9_NEW: list[str] = [
     "c58_countmin_heavy_hitters",
     "p30_token_budget_fill",
     "b156_skyline",
+    "c59_source_kl_divergence",
+    "c60_good_turing_audit",
 ]
 # Stale-grade rotation, oldest first: the r3 block (last graded round
 # 3), then the r4 block. The driver's budget cuts wherever it cuts;
@@ -156,6 +158,7 @@ def load_all() -> None:
         round9,
         round9b,
         round9c,
+        round9d,
     )
 
     prefix = _R8_UNGRADED + _R9_NEW + _ROTATION_R9

@@ -1026,3 +1026,20 @@ def test_b156_skyline_no_nested_loop_no_wide_window(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") <= 2
+
+
+def test_c59_pair_join_runs_on_model_rows_only(spark):
+    # c59: the |S|^2 pair join must key on bucket over the COMPLETED
+    # |S|*B model table — never a corpus-row join; the only nested
+    # loop allowed is the tiny grid cross (sources x 256 literals)
+    plan = _plan(spark, "c59_source_kl_divergence")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_c60_two_level_aggregate_single_scan(spark):
+    plan = _plan(spark, "c60_good_turing_audit")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan

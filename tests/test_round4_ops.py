@@ -135,9 +135,11 @@ def test_grading_prefix_composition():
         == registry._ROTATION_R9
     )
     # the never-graded block must fit the window whole, with room for
-    # a meaningful slice of the rotation behind it
+    # a slice of the rotation behind it (round-9's 25 new
+    # registrations shrink that slice — never-graded correctly
+    # outranks stale-graded, so the rotation tail waits for round 10)
     assert len(registry._R8_UNGRADED) == 10
-    assert len(set(names[:50]) & set(registry._ROTATION_R9)) >= 20
+    assert len(set(names[:50]) & set(registry._ROTATION_R9)) >= 10
     assert len(names) >= 128
 
 

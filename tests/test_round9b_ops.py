@@ -436,3 +436,88 @@ def test_b156_skyline_is_antichain(spark):
                     or a["p_size"] > b["p_size"]
                 )
             )
+
+
+# --- c59 source KL divergence ----------------------------------------------
+
+
+def test_c59_matrix_complete_and_nonnegative_up_to_rounding(spark):
+    from iceberg_playground_spark.queries.round9d import _C59_B
+
+    rows = registry.QUERIES["c59_source_kl_divergence"](
+        spark, SF_CHECK
+    ).collect()
+    srcs = {r["src_a"] for r in rows} | {r["src_b"] for r in rows}
+    assert len(rows) == len(srcs) * (len(srcs) - 1)  # full off-diagonal
+    for r in rows:
+        # KL >= 0; each of the B micro-rounded terms can shave at
+        # most half a micro-nat, so the sum floors at -B/2
+        assert r["kl_micro"] >= -_C59_B
+
+
+def test_c59_matches_python_reference_one_pair(spark):
+    import hashlib
+    import math
+    from collections import Counter
+
+    from iceberg_playground_spark.queries.round9d import _C59_B
+
+    docs = spark.read.parquet(f"{SF_CHECK}/documents.parquet").collect()
+    srcs = sorted({d["source"] for d in docs})[:2]
+    cnt = {s: Counter() for s in srcs}
+    for d in docs:
+        if d["source"] in cnt:
+            for tok in d["text"].split(" "):
+                b = (
+                    int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                    % _C59_B
+                )
+                cnt[d["source"]][b] += 1
+    a, b = srcs
+    ta, tb = sum(cnt[a].values()), sum(cnt[b].values())
+    want = 0
+    for bkt in range(_C59_B):
+        pa = (cnt[a][bkt] + 1) / (ta + _C59_B)
+        pb = (cnt[b][bkt] + 1) / (tb + _C59_B)
+        want += round(1e6 * pa * (math.log(pa) - math.log(pb)))
+    got = {
+        (r["src_a"], r["src_b"]): r["kl_micro"]
+        for r in registry.QUERIES["c59_source_kl_divergence"](
+            spark, SF_CHECK
+        ).collect()
+    }[(a, b)]
+    # python round() is banker's at exact .5 while both engines round
+    # half away from zero — allow 1 micro-nat per bucket of slack
+    assert abs(got - want) <= _C59_B
+
+
+# --- c60 Good-Turing audit --------------------------------------------------
+
+
+def test_c60_matches_python_reference(spark):
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_CHECK}/documents.parquet").collect()
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).extend(d["text"].split(" "))
+    got = {
+        r["source"]: r
+        for r in registry.QUERIES["c60_good_turing_audit"](
+            spark, SF_CHECK
+        ).collect()
+    }
+    assert set(got) == set(by_src)
+    for s, toks in by_src.items():
+        c = Counter(toks)
+        n1 = sum(1 for v in c.values() if v == 1)
+        n2 = sum(1 for v in c.values() if v == 2)
+        r = got[s]
+        assert r["vocab"] == len(c)
+        assert r["n_tokens"] == len(toks)
+        assert r["n1"] == n1 and r["n2"] == n2
+        import math
+
+        assert r["unseen_mass_micro"] == math.floor(1e6 * n1 / len(toks))
+        want_r1 = math.floor(1e6 * 2 * n2 / n1) if n1 > 0 else 0
+        assert r["r1_discounted_micro"] == want_r1
