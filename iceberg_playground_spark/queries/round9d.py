@@ -1,6 +1,7 @@
-"""Round-9d operators: two corpus-statistics additions to Layer C
-(SURVEY §2 / BASELINE.json north_star) — the distributional-divergence
-panel a data-mixing owner reads before setting source weights.
+"""Round-9d operators: the corpus-statistics panel additions to
+Layer C (SURVEY §2 / BASELINE.json north_star) — the distributional
+diagnostics a data-mixing owner reads before setting source weights,
+plus the per-document information-theoretic quality signal.
 
 - c59: PAIRWISE SOURCE KL DIVERGENCE — KL(a ‖ b) between every pair
   of sources over hashed-unigram distributions (md5-prefix buckets,
@@ -19,8 +20,14 @@ panel a data-mixing owner reads before setting source weights.
   NOT seen yet" number that says whether a source is exhausted or
   worth crawling deeper. Micro-integer outputs via single floor'd
   divisions.
+- c61: WITHIN-DOCUMENT TOKEN ENTROPY — Shannon entropy of each doc's
+  own token distribution plus entropy efficiency (H / ln V): the
+  information-theoretic repetition/gibberish signal (low entropy =
+  copy-paste loops; near-zero efficiency = one token dominating) —
+  the quality cut the C4/RefinedWeb lineage applies alongside rule
+  filters (p29) and n-gram repetition (p01).
 
-Scale shapes: both ops make ONE pass over the token stream into a
+Scale shapes: all ops make ONE pass over the token stream into a
 (source, bucket)- or (source, token)-keyed aggregate with map-side
 partials; everything after runs on model-sized tables (|S|·B rows for
 c59 — the |S|² pair join is 256·|S|² rows of INTEGER arithmetic,
@@ -205,3 +212,92 @@ def c60_good_turing_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# c61 — within-document token entropy (gibberish/repetition signal)
+# ---------------------------------------------------------------------------
+
+_C61_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tc AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY doc_id, token),
+g0 AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM tc),
+g1 AS (
+  SELECT doc_id, n,
+         CAST(round(-1000000.0 * c * ln(c / CAST(n AS DOUBLE)))
+              AS BIGINT) AS term
+  FROM g0),
+g AS (
+  SELECT doc_id, max(n) AS n, sum(term) AS h_num_micro,
+         count(*) AS vocab
+  FROM g1 GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tok,
+       CAST(vocab AS BIGINT) AS vocab,
+       CAST(floor(CAST(h_num_micro AS DOUBLE) / n) AS BIGINT)
+         AS entropy_micro,
+       CAST(CASE WHEN vocab = 1 THEN 0
+                 ELSE floor(1000000.0 * floor(CAST(h_num_micro AS DOUBLE)
+                                              / n)
+                            / round(1000000.0 * ln(CAST(vocab AS DOUBLE))))
+            END AS BIGINT) AS efficiency_micro
+FROM g ORDER BY doc_id
+"""
+
+
+@query("c61_token_entropy", oracle=_C61_ORACLE)
+def c61_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """C61: within-document Shannon token entropy + entropy
+    efficiency (H / ln V) — the gibberish-vs-repetition quality
+    signal (low entropy = copy-paste loops, near-zero efficiency =
+    one token dominating; complements p01's n-gram repetition filter
+    with the information-theoretic form the C4/RefinedWeb lineage
+    filters on).
+
+    Determinism: each (doc, token) term -c·ln(c/n) rounds to an
+    integer micro-nat BEFORE the per-doc sum (c23's ulp rule; the
+    count window and the term ride the SAME (doc, token) aggregate),
+    so per-doc entropy = floor(Σterms / n) is exact integer
+    arithmetic after one floor'd division; efficiency divides by the
+    micro-rounded ln(vocab). Scale shape: p29's two-level aggregate —
+    token stream → (doc, token) counts (map-side partials) → doc
+    rollup; the n-for-normalization rides a window OVER THE COUNTS
+    TABLE (model-sized rows), never a second corpus pass; single
+    scan, plan-pinned."""
+    t = load(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tc = t.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    n_win = F.sum("c").over(W.partitionBy("doc_id"))
+    terms = tc.withColumn("n", n_win).withColumn(
+        "term",
+        F.round(
+            -1000000.0
+            * F.col("c")
+            * F.log(F.col("c") / F.col("n").cast("double"))
+        ).cast("bigint"),
+    )
+    g = terms.groupBy("doc_id").agg(
+        F.max("n").alias("n"),
+        F.sum("term").alias("h_num_micro"),
+        F.count("*").alias("vocab"),
+    )
+    entropy = F.floor(F.col("h_num_micro").cast("double") / F.col("n"))
+    return g.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tok"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        entropy.cast("bigint").alias("entropy_micro"),
+        F.when(F.col("vocab") == 1, 0)
+        .otherwise(
+            F.floor(
+                1000000.0
+                * entropy
+                / F.round(1000000.0 * F.log(F.col("vocab").cast("double")))
+            )
+        )
+        .cast("bigint")
+        .alias("efficiency_micro"),
+    ).orderBy("doc_id")

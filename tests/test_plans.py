@@ -1043,3 +1043,12 @@ def test_c60_two_level_aggregate_single_scan(spark):
     assert plan.count("Scan parquet") == 1
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_c61_entropy_normalization_rides_counts_table(spark):
+    # c61: the per-doc total must come from a window over the
+    # (doc, token) COUNTS table, never a second corpus aggregate
+    # joined back — one scan, no join
+    plan = _plan(spark, "c61_token_entropy")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

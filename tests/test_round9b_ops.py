@@ -521,3 +521,45 @@ def test_c60_matches_python_reference(spark):
         assert r["unseen_mass_micro"] == math.floor(1e6 * n1 / len(toks))
         want_r1 = math.floor(1e6 * 2 * n2 / n1) if n1 > 0 else 0
         assert r["r1_discounted_micro"] == want_r1
+
+
+# --- c61 token entropy --------------------------------------------------
+
+
+def test_c61_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    docs = (
+        spark.read.parquet(f"{SF_CHECK}/documents.parquet")
+        .filter(F.col("doc_id") < 20)
+        .collect()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["c61_token_entropy"](spark, SF_CHECK)
+        .filter(F.col("doc_id") < 20)
+        .collect()
+    }
+    for d in docs:
+        toks = d["text"].split(" ")
+        c = Counter(toks)
+        n = len(toks)
+        h_num = sum(
+            round(-1e6 * v * math.log(v / n)) for v in c.values()
+        )
+        r = got[d["doc_id"]]
+        assert r["n_tok"] == n and r["vocab"] == len(c)
+        # python round() is banker's at exact .5; allow 1 micro slack
+        # per distinct token on the summed numerator
+        assert abs(r["entropy_micro"] - math.floor(h_num / n)) <= len(c)
+
+
+def test_c61_entropy_bounded_by_log_vocab(spark):
+    rows = registry.QUERIES["c61_token_entropy"](spark, SF_CHECK).collect()
+    import math
+
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r["entropy_micro"] <= 1e6 * math.log(r["vocab"]) + 1e3
+        assert 0 <= r["efficiency_micro"] <= 1000000 + 1000
