@@ -132,10 +132,15 @@ def load_all() -> None:
     doubles as grading order — the explicit lists do. A name listed
     but never registered fails loudly here (typo guard).
 
-    Round-10 note: the prefix (10 + len(_R9_NEW) + 59) EXCEEDS a
-    50-slot budget; whatever round 9's sweep does not reach — read
-    CORRECTNESS_r09.json for the actual cut, do not guess — must
-    LEAD round 10's window, exactly as _R8_UNGRADED leads this one.
+    Round-10 note: the never-graded prefix is now 36 entries
+    (_R8_UNGRADED 10 + _R9_NEW 26), leaving ~14 slots of a 50-slot
+    sweep for the rotation — so if round 9's sweep grades exactly 50,
+    the cut lands ~14 entries into _ROTATION_R9 (after
+    p08_frame_sample, before b73_salted_join). READ
+    CORRECTNESS_r09.json for the actual cut, do not guess: whatever
+    it did not reach (the rotation remainder — there should be no
+    ungraded b/c/p-new entries left if all 36 graded) must LEAD
+    round 10's window, exactly as _R8_UNGRADED leads this one.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
