@@ -563,3 +563,48 @@ def test_c61_entropy_bounded_by_log_vocab(spark):
     for r in rows:
         assert 0 <= r["entropy_micro"] <= 1e6 * math.log(r["vocab"]) + 1e3
         assert 0 <= r["efficiency_micro"] <= 1000000 + 1000
+
+
+def test_b156_skyline_property_random_points(spark, tmp_path):
+    # the grid-prune + exact-pass algorithm must equal the brute-force
+    # definition on ARBITRARY point sets, not just the shipped part
+    # table — duplicates, single-bucket pile-ups, ties on both dims
+    import random
+
+    rng = random.Random(42)
+    for case in range(4):
+        n = [1, 7, 120, 400][case]
+        rows = [
+            (
+                i,
+                # cluster prices to stress same-bucket and same-price
+                # ties; case 2 piles everything into ONE grid bucket
+                900.0 + (rng.randrange(0, 100) if case != 2 else 0)
+                + rng.randrange(0, 100) / 100.0,
+                rng.randrange(1, 51),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "p_partkey long, p_retailprice double, p_size int"
+        ).withColumn("p_name", F.lit("x")).withColumn(
+            "p_brand", F.lit("x")
+        ).withColumn("p_type", F.lit("x"))
+        d = str(tmp_path / f"case{case}")
+        df.coalesce(1).write.parquet(f"{d}/part.parquet")
+        got = sorted(
+            (r["p_partkey"], r["price_cc"], r["p_size"])
+            for r in registry.QUERIES["b156_skyline"](spark, d).collect()
+        )
+        pts = [(k, round(p * 100), s) for k, p, s in rows]
+        want = sorted(
+            a
+            for a in pts
+            if not any(
+                b[1] <= a[1]
+                and b[2] >= a[2]
+                and (b[1] < a[1] or b[2] > a[2])
+                for b in pts
+            )
+        )
+        assert got == want, f"case {case}: {got} != {want}"
