@@ -147,6 +147,68 @@ SPLIT_BUILD = [
 ]
 
 
+
+# --- Measurement protocol (unit-tested in tests/test_bench_protocol.py) ---
+
+# Repeat-median (BASELINE.md r8): cells whose first run lands <=
+# MEDIAN_CUTOFF seconds are JVM-warmup-noise-dominated — rerun twice
+# and record the 3-run median, so the 2x regression bar stays
+# meaningful on sub-second cells (r7's b35/c03/b31 drift was pure
+# noise; all three land under this cutoff).
+MEDIAN_CUTOFF = 1.0
+
+# Stall-retry (BASELINE.md r9 host shift): the round-9 late host
+# exhibits random multi-second stalls that land on arbitrary cells
+# (same commit, back-to-back pair: b145 32.0 s then 2.9 s; c09 13.1 s
+# then 31.9 s; c52 37.7 s then 3.2 s — the stalled cell CHANGES
+# between runs, and a GC-logged probe showed zero >100 ms pauses while
+# the same cell read 3.8/11.7/1.8 s on three consecutive in-session
+# runs, so it is host scheduling, not plan work or JVM state). Any
+# cell whose first run exceeds STALL_RETRY seconds is rerun (up to 2
+# more times) and the MIN recorded; two CONSISTENT readings (within
+# 30%) stop the retries early — a genuine plan regression reproduces
+# and still reads high, while a stall does not survive. Streaming
+# cells rerun with fresh mkdtemp checkpoints (full re-drain), so the
+# min is honest work there too. Known limitation: two same-magnitude
+# stalls in a row read as "consistent" and stand — the cross-run
+# minimum rule in BASELINE.md covers that case.
+STALL_RETRY = 2.5
+
+# Cells whose graded operation runs INSIDE a (session, sf)-cached
+# build closure (the same reasoning that keeps them out of
+# SPLIT_BUILD): a rerun would time a cache-hit read, not the MERGE /
+# retention delete under test, so their first reading stands even
+# through a stall.
+NO_RETRY = {"c39_signature_index_merge", "b135_retention_delete"}
+
+
+def measured_seconds(
+    run,
+    *,
+    median_cutoff: float = MEDIAN_CUTOFF,
+    stall_retry: float = STALL_RETRY,
+    retryable: bool = True,
+) -> float:
+    """Time one bench cell under the repeat-median + stall-retry
+    protocol. ``run`` executes the cell once and returns its wall
+    seconds; it is called 1-3 times depending on what the readings
+    show (see the constants above for the full rationale)."""
+    dt = run()
+    if dt <= median_cutoff:
+        return sorted([dt, run(), run()])[1]
+    if dt > stall_retry and retryable:
+        runs = [dt]
+        while min(runs) > stall_retry and len(runs) < 3:
+            if (
+                len(runs) == 2
+                and abs(runs[1] - runs[0]) / min(runs) < 0.3
+            ):
+                break  # two consistent readings = real work
+            runs.append(run())
+        dt = min(runs)
+    return dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -196,40 +258,6 @@ def main() -> None:
         [("warm up the tokenizer",)], "text string"
     ).select(F.expr(_c51_token_expr())).collect()
 
-    # Repeat-median protocol (BASELINE.md r8): cells whose first run
-    # lands <= MEDIAN_CUTOFF seconds are JVM-warmup-noise-dominated —
-    # rerun twice and record the 3-run median, so the 2x regression
-    # bar stays meaningful on sub-second cells (r7's b35/c03/b31 drift
-    # was pure noise; all three land under this cutoff). Heavier cells
-    # keep single-run timing: their signal-to-noise is fine and
-    # reruns would double bench wall time.
-    MEDIAN_CUTOFF = 1.0
-
-    # Stall-retry protocol (BASELINE.md r9 host shift): the round-9
-    # late host exhibits random multi-second stalls that land on
-    # arbitrary cells (same commit, back-to-back pair: b145 32.0 s
-    # then 2.9 s; c09 13.1 s then 31.9 s; c52 37.7 s then 3.2 s —
-    # the stalled cell CHANGES between runs, and a GC-logged probe
-    # showed zero >100 ms pauses while the same cell read
-    # 3.8/11.7/1.8 s on three consecutive in-session runs, so it is
-    # host scheduling, not plan work or JVM state). Any cell whose
-    # first run exceeds STALL_RETRY seconds is rerun (up to 2 more
-    # times) and the MIN recorded; two CONSISTENT readings (within
-    # 30%) stop the retries early — a genuine plan regression
-    # reproduces and still reads high, while a stall does not
-    # survive. Streaming cells rerun with fresh mkdtemp checkpoints
-    # (full re-drain), so the min is honest work there too. On a
-    # quiet host only the naturally-heaviest cells cross the
-    # threshold, each paying one consistent rerun.
-    STALL_RETRY = 2.5
-
-    # Cells whose graded operation runs INSIDE a (session, sf)-cached
-    # build closure (the same reasoning that keeps them out of
-    # SPLIT_BUILD): a rerun would time a cache-hit read, not the
-    # MERGE / retention delete under test, so their first reading
-    # stands even through a stall.
-    NO_RETRY = {"c39_signature_index_merge", "b135_retention_delete"}
-
     def _run(name: str) -> float:
         # construction is inside the timer for non-split cells:
         # streaming queries execute eagerly (availableNow drain)
@@ -249,20 +277,9 @@ def main() -> None:
             # stall retry here: a second call would time a cache hit,
             # not the build.)
             times[f"{name}_demo_build"] = round(_run(name), 3)
-        dt = _run(name)
-        if dt <= MEDIAN_CUTOFF:
-            runs = sorted([dt, _run(name), _run(name)])
-            dt = runs[1]
-        elif dt > STALL_RETRY and name not in NO_RETRY:
-            runs = [dt]
-            while min(runs) > STALL_RETRY and len(runs) < 3:
-                if (
-                    len(runs) == 2
-                    and abs(runs[1] - runs[0]) / min(runs) < 0.3
-                ):
-                    break  # two consistent readings = real work
-                runs.append(_run(name))
-            dt = min(runs)
+        dt = measured_seconds(
+            lambda: _run(name), retryable=name not in NO_RETRY
+        )
         times[name] = round(dt, 3)
         total += dt
 
