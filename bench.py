@@ -147,7 +147,6 @@ SPLIT_BUILD = [
 ]
 
 
-
 # --- Measurement protocol (unit-tested in tests/test_bench_protocol.py) ---
 
 # Repeat-median (BASELINE.md r8): cells whose first run lands <=
