@@ -26,6 +26,11 @@ plus the per-document information-theoretic quality signal.
   copy-paste loops; near-zero efficiency = one token dominating) —
   the quality cut the C4/RefinedWeb lineage applies alongside rule
   filters (p29) and n-gram repetition (p01).
+- p31: N-GRAM LEAKAGE AUDIT — the GPT-3-appendix contamination
+  measurement: per language, the fraction of test documents and test
+  shingle mass shared with train. The prevention ops (p19/c22/c52)
+  remove contamination; p31 is the number an eval-integrity report
+  publishes afterwards.
 
 Scale shapes: all ops make ONE pass over the token stream into a
 (source, bucket)- or (source, token)-keyed aggregate with map-side
@@ -301,3 +306,164 @@ def c61_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("efficiency_micro"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p31 — n-gram leakage audit across the train/test split
+# ---------------------------------------------------------------------------
+
+_P31_TEST_FROM = 90  # md5 stamp >= 90 -> test (c17's split convention)
+
+
+def _p31_digest_sql(sh: str) -> str:
+    return f"CAST('0x' || substring(md5({sh}), 1, 8) AS BIGINT)"
+
+
+_P31_SH_SQL = """list_distinct(list_transform(
+      range(1, len(string_split(text, ' ')) - 2),
+      i -> string_split(text, ' ')[i] || ' ' ||
+           string_split(text, ' ')[i+1] || ' ' ||
+           string_split(text, ' ')[i+2] || ' ' ||
+           string_split(text, ' ')[i+3]))"""
+
+
+def _p31_shingles(toks):
+    """w=4 shingles, llm._shingles' zip shape widened one slot."""
+    n = F.size(toks)
+    z = F.arrays_zip(
+        F.slice(toks, 1, n - 3).alias("a"),
+        F.slice(toks, 2, n - 3).alias("b"),
+        F.slice(toks, 3, n - 3).alias("c"),
+        F.slice(toks, 4, n - 3).alias("d"),
+    )
+    grams = F.transform(
+        z, lambda t: F.concat_ws(" ", t["a"], t["b"], t["c"], t["d"])
+    )
+    return F.array_distinct(F.when(n >= 4, grams).otherwise(F.array()))
+
+
+def _p31_oracle() -> str:
+    from iceberg_playground_spark.queries._util import bucket_sql
+
+    _SH_SQL = _P31_SH_SQL
+    bkt = bucket_sql("doc_id")
+    return f"""
+WITH d AS (SELECT doc_id, lang, text, {bkt} AS bkt FROM documents),
+tr_sh AS (
+  SELECT DISTINCT {_p31_digest_sql('sh')} AS dg
+  FROM (SELECT unnest({_SH_SQL}) AS sh FROM d WHERE bkt < {_P31_TEST_FROM})),
+te_sh AS (
+  SELECT doc_id, lang, {_p31_digest_sql('sh')} AS dg
+  FROM (SELECT doc_id, lang, unnest({_SH_SQL}) AS sh
+        FROM d WHERE bkt >= {_P31_TEST_FROM})),
+hits AS (
+  SELECT t.doc_id, t.lang,
+         CASE WHEN tr.dg IS NULL THEN 0 ELSE 1 END AS hit
+  FROM te_sh t LEFT JOIN tr_sh tr ON t.dg = tr.dg),
+per_doc AS (
+  SELECT doc_id, lang, count(*) AS n_sh, sum(hit) AS n_dirty
+  FROM hits GROUP BY doc_id, lang),
+docs AS (
+  SELECT lang, count(*) AS n_test_docs
+  FROM d WHERE bkt >= {_P31_TEST_FROM} GROUP BY lang)
+SELECT docs.lang,
+       CAST(docs.n_test_docs AS BIGINT) AS n_test_docs,
+       CAST(COALESCE(sum(CASE WHEN n_dirty > 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_dirty_docs,
+       CAST(COALESCE(sum(n_sh), 0) AS BIGINT) AS test_shingles,
+       CAST(COALESCE(sum(n_dirty), 0) AS BIGINT) AS dirty_shingles,
+       CAST(floor(1000000.0 * COALESCE(sum(n_dirty), 0)
+                  / COALESCE(sum(n_sh), 1)) AS BIGINT) AS overlap_micro
+FROM docs LEFT JOIN per_doc ON docs.lang = per_doc.lang
+GROUP BY docs.lang, docs.n_test_docs ORDER BY docs.lang
+"""
+
+
+@query("p31_ngram_leakage_audit", oracle=_p31_oracle())
+def p31_ngram_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """P31: post-hoc n-gram contamination audit across the train/test
+    split — the GPT-3-appendix leakage measurement (shared-n-gram
+    rate between eval and training data) that p19/c22/c52 PREVENT and
+    this op MEASURES: per language, how many test documents share at
+    least one shingle with train, and what fraction of test shingle
+    mass is contaminated. w=4 shingles here, scaled to the 31-word
+    synthetic vocabulary (real audits use 8-13-grams; w=3 saturates
+    this corpus at ~99.9% and w=8 reads empty — w=4 lands at the
+    background-collision floor a real audit subtracts) — the c48/c53
+    calibration convention. The kernel is llm.py's _shingles zip
+    shape widened one slot, so the audit measures the same
+    shingle-granularity family the dedup ops operate on.
+
+    Scale shape: shingles digest to BIGINTs BEFORE the join (c43's
+    digests-only discipline — shingle text never shuffles); the train
+    side collapses to a DISTINCT digest set (map-side partials); the
+    test-vs-train probe is one digest equi-join; per-doc and per-lang
+    rollups run on count rows. Three corpus scans (train shingles,
+    test shingles, per-lang doc counts), no cartesian."""
+    from iceberg_playground_spark.queries._util import hash_bucket
+
+    _shingles = _p31_shingles
+    d = load(spark, sf, "documents").select(
+        "doc_id", "lang", "text", hash_bucket(F.col("doc_id")).alias("bkt")
+    )
+    toks = F.split("text", " ")
+
+    def digests(df: DataFrame, *keep: str) -> DataFrame:
+        return df.select(
+            *keep, F.explode(_shingles(toks)).alias("sh")
+        ).select(
+            *keep,
+            F.conv(F.md5("sh").substr(1, 8), 16, 10)
+            .cast("bigint")
+            .alias("dg"),
+        )
+
+    tr_sh = digests(d.filter(F.col("bkt") < _P31_TEST_FROM)).distinct()
+    te_sh = digests(
+        d.filter(F.col("bkt") >= _P31_TEST_FROM), "doc_id", "lang"
+    )
+    hits = te_sh.join(
+        tr_sh.withColumn("hit", F.lit(1)), "dg", "left"
+    ).na.fill({"hit": 0})
+    per_doc = hits.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_sh"), F.sum("hit").alias("n_dirty")
+    )
+    docs = (
+        d.filter(F.col("bkt") >= _P31_TEST_FROM)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_test_docs"))
+    )
+    return (
+        docs.join(per_doc, "lang", "left")
+        .groupBy("lang", "n_test_docs")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("n_dirty") > 0, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_dirty_docs"),
+            F.coalesce(F.sum("n_sh"), F.lit(0))
+            .cast("bigint")
+            .alias("test_shingles"),
+            F.coalesce(F.sum("n_dirty"), F.lit(0))
+            .cast("bigint")
+            .alias("dirty_shingles"),
+            F.floor(
+                1000000.0
+                * F.coalesce(F.sum("n_dirty"), F.lit(0))
+                / F.coalesce(F.sum("n_sh"), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("overlap_micro"),
+        )
+        .select(
+            "lang",
+            F.col("n_test_docs").cast("bigint").alias("n_test_docs"),
+            "n_dirty_docs",
+            "test_shingles",
+            "dirty_shingles",
+            "overlap_micro",
+        )
+        .orderBy("lang")
+    )

@@ -1052,3 +1052,13 @@ def test_c61_entropy_normalization_rides_counts_table(spark):
     plan = _plan(spark, "c61_token_entropy")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_p31_probe_join_is_digest_only(spark):
+    # p31: shingle STRINGS never shuffle — the train set collapses to
+    # distinct BIGINT digests and the probe is one digest equi-join
+    # (c43's discipline); no cartesian, three corpus scans
+    plan = _plan(spark, "p31_ngram_leakage_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") <= 3

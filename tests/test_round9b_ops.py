@@ -608,3 +608,59 @@ def test_b156_skyline_property_random_points(spark, tmp_path):
             )
         )
         assert got == want, f"case {case}: {got} != {want}"
+
+
+# --- p31 n-gram leakage audit -----------------------------------------------
+
+
+def test_p31_matches_python_reference(spark):
+    from iceberg_playground_spark.queries._util import hash_bucket
+    from iceberg_playground_spark.queries.round9d import _P31_TEST_FROM
+
+    docs = spark.read.parquet(f"{SF_CHECK}/documents.parquet").select(
+        "doc_id", "lang", "text",
+        hash_bucket(F.col("doc_id")).alias("bkt"),
+    ).collect()
+
+    def sh4(text):
+        t = text.split(" ")
+        return {
+            " ".join(t[i : i + 4]) for i in range(len(t) - 3)
+        } if len(t) >= 4 else set()
+
+    train = set()
+    for d in docs:
+        if d["bkt"] < _P31_TEST_FROM:
+            train |= sh4(d["text"])
+    want = {}
+    for d in docs:
+        if d["bkt"] >= _P31_TEST_FROM:
+            s = sh4(d["text"])
+            dirty = len(s & train)
+            w = want.setdefault(d["lang"], [0, 0, 0, 0])
+            w[0] += 1
+            w[1] += 1 if dirty else 0
+            w[2] += len(s)
+            w[3] += dirty
+    got = {
+        r["lang"]: r
+        for r in registry.QUERIES["p31_ngram_leakage_audit"](
+            spark, SF_CHECK
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for lang, (n, nd, ts, ds) in want.items():
+        r = got[lang]
+        assert (r["n_test_docs"], r["n_dirty_docs"]) == (n, nd)
+        assert (r["test_shingles"], r["dirty_shingles"]) == (ts, ds)
+
+
+def test_p31_overlap_is_partial_not_degenerate(spark):
+    # w=4 must land between the w=3 saturation (everything dirty) and
+    # the w=8 void (nothing dirty) — the audit only means something
+    # if both clean and dirty test shingles exist
+    rows = registry.QUERIES["p31_ngram_leakage_audit"](
+        spark, SF_CHECK
+    ).collect()
+    assert sum(r["dirty_shingles"] for r in rows) > 0
+    assert any(r["dirty_shingles"] < r["test_shingles"] for r in rows)
