@@ -181,6 +181,23 @@ STALL_RETRY = 2.5
 NO_RETRY = {"c39_signature_index_merge", "b135_retention_delete"}
 
 
+def host_probe_seconds() -> float:
+    """Time a fixed single-core Python workload (~0.4 s on a quiet
+    host). Recorded at the start AND end of the run as _host_probe_*
+    cells (excluded from the total, like _session_init): when a
+    driver run lands in one of this host's multi-minute degraded
+    phases (BASELINE.md "Round-9 LATE HOST SHIFT"), the probe pair
+    reads 2-10x nominal and says so in the JSON itself — the reader
+    can tell a slow HOST from a slow PLAN without rerunning."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    if acc < 0:  # keep the loop un-eliminable
+        print(acc)
+    return time.perf_counter() - t0
+
+
 def measured_seconds(
     run,
     *,
@@ -267,6 +284,7 @@ def main() -> None:
         return time.perf_counter() - t
 
     times: dict[str, float] = {"_session_init": round(init_sec, 3)}
+    times["_host_probe_start"] = round(host_probe_seconds(), 3)
     total = 0.0
     for name in names:
         if name in SPLIT_BUILD:
@@ -282,6 +300,7 @@ def main() -> None:
         times[name] = round(dt, 3)
         total += dt
 
+    times["_host_probe_end"] = round(host_probe_seconds(), 3)
     print(
         json.dumps(
             {
