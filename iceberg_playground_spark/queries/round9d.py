@@ -31,6 +31,10 @@ plus the per-document information-theoretic quality signal.
   shingle mass shared with train. The prevention ops (p19/c22/c52)
   remove contamination; p31 is the number an eval-integrity report
   publishes afterwards.
+- c62: CONTAINMENT DETECTION — Broder's asymmetric C(A→B) =
+  |sh(A)∩sh(B)|/|sh(A)|, the quote/subset detector resemblance
+  (Jaccard/MinHash) misses when B is much larger than A; exact over
+  the c09 inverted-index discipline with a df cap.
 
 Scale shapes: all ops make ONE pass over the token stream into a
 (source, bucket)- or (source, token)-keyed aggregate with map-side
@@ -466,4 +470,98 @@ def p31_ngram_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
             "overlap_micro",
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c62 — containment detection (Broder's asymmetric measure)
+# ---------------------------------------------------------------------------
+
+_C62_DF_CAP = 32  # drop shingles hotter than this from the index
+_C62_MIN_MICRO = 500_000  # report pairs with containment >= 50%
+
+
+def _c62_oracle() -> str:
+    from iceberg_playground_spark.queries.llm import _SH_SQL
+
+    dg = "CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT)"
+    return f"""
+WITH t AS (SELECT doc_id, {_SH_SQL} AS shs FROM documents),
+e AS (SELECT doc_id, {dg} AS dg
+      FROM (SELECT doc_id, unnest(shs) AS sh FROM t)),
+df AS (SELECT dg, count(*) AS d FROM e GROUP BY dg),
+kept AS (SELECT e.doc_id, e.dg FROM e JOIN df ON e.dg = df.dg
+         WHERE df.d <= {_C62_DF_CAP}),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM kept a JOIN kept b ON a.dg = b.dg AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+sz AS (SELECT doc_id, len(shs) AS a_sh FROM t)
+SELECT p.a_id, p.b_id,
+       CAST(p.inter AS BIGINT) AS inter,
+       CAST(sz.a_sh AS BIGINT) AS a_sh,
+       CAST(floor(1000000.0 * p.inter / sz.a_sh) AS BIGINT)
+         AS contain_micro
+FROM pairs p JOIN sz ON p.a_id = sz.doc_id
+WHERE floor(1000000.0 * p.inter / sz.a_sh) >= {_C62_MIN_MICRO}
+ORDER BY p.a_id, p.b_id
+"""
+
+
+@query("c62_containment_detect", oracle=_c62_oracle())
+def c62_containment_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """C62: shingle containment detection — Broder (1997)'s ASYMMETRIC
+    measure C(A→B) = |sh(A)∩sh(B)| / |sh(A)|, the quote/subset
+    detector the dedup family still lacked: resemblance (c09's
+    Jaccard, c31's MinHash) misses "B embeds all of A" whenever B is
+    much larger, which is exactly the quotes/boilerplate-reuse case a
+    corpus audit needs. Reports every ordered pair with ≥50%
+    containment of the A side (trigram shingles — llm.py's kernel).
+
+    Scale shape: c09's inverted-index discipline — shingles digest to
+    BIGINTs (text never shuffles), the postings self-join is bounded
+    by Σ df² with hot shingles dropped at df ≤ {_C62_DF_CAP}
+    (standard containment-index practice: a shingle shared by
+    everyone identifies nothing, and rare shingles carry the
+    signal — the cap makes the pair stage's cost a TUNABLE, not a
+    corpus-size consequence); the one division lands in a floor'd
+    micro at the output boundary."""
+    from iceberg_playground_spark.queries.llm import _shingles
+
+    t = load(spark, sf, "documents").select(
+        "doc_id", _shingles(F.split("text", " ")).alias("shs")
+    )
+    e = t.select(
+        "doc_id", F.explode("shs").alias("sh")
+    ).select(
+        "doc_id",
+        F.conv(F.md5("sh").substr(1, 8), 16, 10).cast("bigint").alias("dg"),
+    )
+    df_tbl = e.groupBy("dg").agg(F.count("*").alias("d"))
+    kept = (
+        e.join(df_tbl, "dg")
+        .filter(F.col("d") <= _C62_DF_CAP)
+        .select("doc_id", "dg")
+    )
+    a = kept.select(F.col("doc_id").alias("a_id"), "dg")
+    b = kept.select(F.col("doc_id").alias("b_id"), "dg")
+    pairs = (
+        a.join(b, "dg")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz = t.select("doc_id", F.size("shs").alias("a_sh"))
+    contain = F.floor(1000000.0 * F.col("inter") / F.col("a_sh"))
+    return (
+        pairs.join(sz, pairs["a_id"] == sz["doc_id"])
+        .select(
+            "a_id",
+            "b_id",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("a_sh").cast("bigint").alias("a_sh"),
+            contain.cast("bigint").alias("contain_micro"),
+        )
+        .filter(F.col("contain_micro") >= _C62_MIN_MICRO)
+        .orderBy("a_id", "b_id")
     )

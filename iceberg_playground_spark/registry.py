@@ -89,6 +89,7 @@ _R9_NEW: list[str] = [
     "c60_good_turing_audit",
     "c61_token_entropy",
     "p31_ngram_leakage_audit",
+    "c62_containment_detect",
 ]
 # Stale-grade rotation, oldest first: the r3 block (last graded round
 # 3), then the r4 block. The driver's budget cuts wherever it cuts;

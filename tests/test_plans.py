@@ -1062,3 +1062,12 @@ def test_p31_probe_join_is_digest_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan parquet") <= 3
+
+
+def test_c62_pair_stage_is_digest_equi_join(spark):
+    # c62: the postings self-join must be a digest equi-join with the
+    # df cap applied BEFORE pairing (sigma df^2 bound) — no cartesian,
+    # no nested loop, shingle strings never shuffle
+    plan = _plan(spark, "c62_containment_detect")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

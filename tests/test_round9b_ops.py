@@ -664,3 +664,74 @@ def test_p31_overlap_is_partial_not_degenerate(spark):
     ).collect()
     assert sum(r["dirty_shingles"] for r in rows) > 0
     assert any(r["dirty_shingles"] < r["test_shingles"] for r in rows)
+
+
+# --- c62 containment detection ----------------------------------------------
+
+
+def test_c62_containment_matches_python_brute_force(spark):
+    # exact containment over digested trigram shingles, brute-forced
+    # in Python with the same df cap — the inverted-index join must
+    # find exactly the definition's pairs
+    import hashlib
+    from collections import Counter
+
+    from iceberg_playground_spark.queries.round9d import (
+        _C62_DF_CAP,
+        _C62_MIN_MICRO,
+    )
+
+    docs = spark.read.parquet(f"{SF_CHECK}/documents.parquet").collect()
+
+    def shingles(text):
+        t = text.split(" ")
+        return {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        } if len(t) >= 3 else set()
+
+    def dg(sh):
+        return int(hashlib.md5(sh.encode()).hexdigest()[:8], 16)
+
+    sh = {d["doc_id"]: {dg(s) for s in shingles(d["text"])} for d in docs}
+    df = Counter(g for s in sh.values() for g in s)
+    kept = {k: {g for g in v if df[g] <= _C62_DF_CAP} for k, v in sh.items()}
+    import math
+
+    want = set()
+    for a, sa in kept.items():
+        if not sh[a]:
+            continue
+        for b, sb in kept.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter and math.floor(
+                1e6 * inter / len(sh[a])
+            ) >= _C62_MIN_MICRO:
+                want.add((a, b, inter, len(sh[a])))
+    got = {
+        (r["a_id"], r["b_id"], r["inter"], r["a_sh"])
+        for r in registry.QUERIES["c62_containment_detect"](
+            spark, SF_CHECK
+        ).collect()
+    }
+    assert got == want
+
+
+def test_c62_bounds_and_per_side_normalization(spark):
+    # containment is normalized per SIDE: inter <= a_sh, micro in
+    # (0, 1e6], and the two directions of a mutual pair carry their
+    # OWN denominators (this corpus' planted dups make most >=50%
+    # pairs mutual, so one-sided pairs cannot be asserted here)
+    rows = registry.QUERIES["c62_containment_detect"](
+        spark, SF_CHECK
+    ).collect()
+    assert rows
+    by_pair = {(r["a_id"], r["b_id"]): r for r in rows}
+    for r in rows:
+        assert 0 < r["inter"] <= r["a_sh"]
+        assert 0 < r["contain_micro"] <= 1_000_000
+        rev = by_pair.get((r["b_id"], r["a_id"]))
+        if rev is not None:
+            # same intersection, each side's own shingle count
+            assert rev["inter"] == r["inter"]
