@@ -210,9 +210,14 @@ def measured_seconds(
     seconds; it is called 1-3 times depending on what the readings
     show (see the constants above for the full rationale)."""
     dt = run()
+    if not retryable:
+        # NO_RETRY cells run inside a (session, sf)-cached build; ANY
+        # rerun — stall-retry OR repeat-median — would time a cache
+        # hit, so the first reading stands unconditionally (ADVICE r9).
+        return dt
     if dt <= median_cutoff:
         return sorted([dt, run(), run()])[1]
-    if dt > stall_retry and retryable:
+    if dt > stall_retry:
         runs = [dt]
         while min(runs) > stall_retry and len(runs) < 3:
             if (

@@ -14,10 +14,11 @@ exact-integer determinism discipline.
   an engine boundary.
 - c58: COUNT-MIN SKETCH HEAVY HITTERS — completes the sketch family
   (c34 HLL / c41 theta / c42 KLL are rows-only engine-native; c58 is
-  the first HASH-GRADED sketch): 4 md5-salted hash rows × 256 cells,
-  the classic CMS overestimate guarantee (est ≥ exact, graded
-  per-token) demonstrated against exact counts for the top-10
-  tokens. The sketch is a 1024-cell mergeable aggregate — the whole
+  the first HASH-GRADED sketch): 2 md5-salted hash rows × 8 cells
+  (deliberately undersized so collisions are VISIBLE), the classic
+  CMS overestimate guarantee (est ≥ exact, graded per-token)
+  demonstrated against exact counts for the top-10 tokens. The
+  sketch is a 16-cell mergeable aggregate — the whole
   point at 100 TB: sketch size is independent of corpus size,
   map-side partials do the compression, and only cell totals ever
   shuffle.
@@ -180,17 +181,19 @@ def c58_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """C58: count-min sketch (Cormode & Muthukrishnan 2005) heavy
     hitters — see module docstring.
 
-    The sketch is the {_C58_D}×{_C58_W}-cell aggregate: every token
-    instance maps to {_C58_D} (row, cell) pairs via md5-salted hashes
+    The sketch is the 2×8-cell aggregate (_C58_D rows × _C58_W
+    cells, deliberately undersized so collisions show): every token
+    instance maps to 2 (row, cell) pairs via md5-salted hashes
     (deterministic — the reason this sketch can be HASH-graded while
     c34/c41/c42's engine-native sketches are rows-only), cells
     count-aggregate with map-side partials, and the estimate for a
     token is min over rows of its cell counts — ≥ exact by
     construction, with the overcount graded per token. Scale shape:
-    corpus → 1024 cells (mergeable, shard-and-merge friendly); the
-    top-{_C58_TOPK} exact arm lowers to TakeOrderedAndProject; the
-    estimate join is {_C58_TOPK}·{_C58_D} rows against 1024 — both
-    sides broadcast-sized regardless of corpus size."""
+    corpus → 16 cells (mergeable, shard-and-merge friendly; a
+    production sketch widens _C58_W without changing the plan); the
+    top-10 exact arm lowers to TakeOrderedAndProject; the estimate
+    join is 10·2 probe rows against 16 cells — both sides
+    broadcast-sized regardless of corpus size."""
     t = load(spark, sf, "documents").select(
         F.explode(F.split("text", " ")).alias("token")
     )

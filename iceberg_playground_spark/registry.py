@@ -36,72 +36,29 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Grading-order contract, round 9. The driver's correctness sweep
+# Grading-order contract, round 10. The driver's correctness sweep
 # grades the FIRST ~50 registered entries and stops, so registration
-# order decides what gets graded. Round 8's sweep graded exactly 50
-# slots ending WITH b140_sql_scripting (CORRECTNESS_r08.json: all
-# green) — so the never-driver-graded set is c46_classifier_eval
-# onward (10 entries; ADVICE r8 corrected round 8's off-by-one note
-# here). Those LEAD round 9's window (VERDICT r8 item 1), then this
-# round's new registrations (never graded either), then the stale-
-# grade rotation: the r3 block, then the r4 block (VERDICT r8 item 3
-# — no grade should go more than ~4 rounds stale). Entries past slot
-# ~50 wait for round 10's rotation.
-_R8_UNGRADED = [
-    "c46_classifier_eval",
-    "b141_tpch_q3",
-    "b142_tpch_q6",
-    "b143_tpch_q13",
-    "c47_matryoshka_recall",
-    "p27_dedup_audit_sample",
-    "c48_semdedup",
-    "c49_dedup_cluster_histogram",
-    "p28_sft_pairs",
-    "c50_zipf_audit",
+# order decides what gets graded. Round 9's sweep graded exactly 50
+# slots (CORRECTNESS_r09.json, all green): the 38 never-graded
+# entries (10 r8 stragglers + 28 r9 additions) plus the first 12
+# rotation entries, cutting AFTER b02_snapshot_scan. So round 10's
+# window is: this round's new lead registrations (never graded),
+# then the 47-entry rotation remainder — the whole r4-stale block
+# (VERDICT r9 item 1: "no grade older than round 6" when it clears).
+# The lead list is kept SHORT (3) on purpose: 3 + 47 = 50, so a
+# 50-slot sweep retires every stale grade in one round. Additional
+# round-10 registrations go in _R10_NEW_TAIL — never graded, they
+# outrank freshly-regraded entries and lead round 11's window.
+_R10_NEW_LEAD: list[str] = [
+    "c63_bpe_merge_learn",
+    "b157_cherrypick_snapshot",
+    "p32_leakage_safe_split",
 ]
-# Round-9 additions: never graded, so they ride directly behind the
-# round-8 stragglers; appended here as they land.
-_R9_NEW: list[str] = [
-    "b144_concurrent_commit",
-    "b145_dict_layout_audit",
-    "c51_tokenizer_apply",
-    "b146_tpch_q15",
-    "b147_tpch_q17",
-    "b148_tpch_q22",
-    "c52_bloom_decontaminate",
-    "b149_tpch_q21",
-    "b150_tpch_q9",
-    "b151_tpch_q12",
-    "b152_tpch_q16",
-    "b153_tpch_q2",
-    "b154_tpch_q11",
-    "b155_tpch_q20",
-    "c53_dsir_resample",
-    "c54_kmeans_lloyd",
-    "c55_vocab_growth",
-    "c56_length_bucket_batches",
-    "c57_hashed_classifier_apply",
-    "p29_gopher_quality_rules",
-    "c58_countmin_heavy_hitters",
-    "p30_token_budget_fill",
-    "b156_skyline",
-    "c59_source_kl_divergence",
-    "c60_good_turing_audit",
-    "c61_token_entropy",
-    "p31_ngram_leakage_audit",
-    "c62_containment_detect",
-]
-# Stale-grade rotation, oldest first: the r3 block (last graded round
-# 3), then the r4 block. The driver's budget cuts wherever it cuts;
-# the remainder leads round 10.
-_ROTATION_R9 = [
-    # --- last graded round 3 ---
-    "p01_repetition_filter", "p02_pii_scrub", "p03_chunk_dedup",
-    "p04_curriculum_bins", "p05_domain_rebalance", "p06_token_histogram",
-    "p07_boilerplate_strip", "p08_frame_sample", "b73_salted_join",
-    "b75_grouping_sets", "b76_pivot",
-    # --- last graded round 4 ---
-    "b02_snapshot_scan", "b06_parquet_sink", "b60_bucketed_join",
+# Rotation remainder: the 47 entries round 9's sweep did not reach
+# (CORRECTNESS_r09.json cut after b02_snapshot_scan) — all carry
+# round-4 grades, oldest in the registry.
+_ROTATION_R10 = [
+    "b06_parquet_sink", "b60_bucketed_join",
     "b61_data_skipping", "c01_exact_dedup", "c03_cosine_topk",
     "c04_knn_join", "c05_text_analysis", "c06_multimodal_join",
     "c15_multimodal_decode", "c07_quality_filter", "c08_simhash",
@@ -119,30 +76,31 @@ _ROTATION_R9 = [
     "c26_fuzzy_decontaminate", "p09_chunk_windows", "p10_corpus_shuffle",
     "b77_unpivot", "b78_correlated_subquery",
 ]
+# Round-10 additions beyond the lead trio: never graded, so they
+# outrank everything freshly regraded and LEAD round 11's window
+# (exactly as _R8_UNGRADED led round 9's). Appended as they land.
+_R10_NEW_TAIL: list[str] = []
 
 
 def load_all() -> None:
-    """Import every query module, then impose the round-9 grading order.
+    """Import every query module, then impose the round-10 grading order.
 
     ORDER IS A CONTRACT, not style (see the block comments above):
     after all modules register, QUERIES/ORACLES are rebuilt so the
-    prefix is _R8_UNGRADED (the 10 entries round 8's 50-slot sweep
-    never reached — it graded exactly 50 ending with b140) +
-    _R9_NEW (this round's additions) + _ROTATION_R9 (stale grades,
-    oldest first: the r3 block then the r4 block), then every
-    remaining green query in module order. Import order no longer
-    doubles as grading order — the explicit lists do. A name listed
-    but never registered fails loudly here (typo guard).
+    prefix is _R10_NEW_LEAD (3 new ops, never graded) +
+    _ROTATION_R10 (the 47 r4-stale entries round 9's sweep did not
+    reach) + _R10_NEW_TAIL (further round-10 additions, graded round
+    11), then every remaining green query in module order. Import
+    order does not double as grading order — the explicit lists do.
+    A name listed but never registered fails loudly here (typo
+    guard).
 
-    Round-10 note: the never-graded prefix is now 36 entries
-    (_R8_UNGRADED 10 + _R9_NEW 26), leaving ~14 slots of a 50-slot
-    sweep for the rotation — so if round 9's sweep grades exactly 50,
-    the cut lands ~14 entries into _ROTATION_R9 (after
-    p08_frame_sample, before b73_salted_join). READ
-    CORRECTNESS_r09.json for the actual cut, do not guess: whatever
-    it did not reach (the rotation remainder — there should be no
-    ungraded b/c/p-new entries left if all 36 graded) must LEAD
-    round 10's window, exactly as _R8_UNGRADED leads this one.
+    Round-11 note: READ CORRECTNESS_r10.json for the actual cut, do
+    not guess. If the sweep grades exactly 50, the cut lands at the
+    end of _ROTATION_R10 (3 + 47 = 50) and round 11 leads with
+    _R10_NEW_TAIL; any rotation entries the sweep did not reach come
+    first instead. After this round the oldest remaining grades are
+    round 6 (the b79-b117 blocks) — they are the round-11 rotation.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
@@ -167,9 +125,10 @@ def load_all() -> None:
         round9b,
         round9c,
         round9d,
+        round10,
     )
 
-    prefix = _R8_UNGRADED + _R9_NEW + _ROTATION_R9
+    prefix = _R10_NEW_LEAD + _ROTATION_R10 + _R10_NEW_TAIL
     missing = [n for n in prefix if n not in QUERIES]
     if missing:
         raise RuntimeError(f"grading-order names not registered: {missing}")

@@ -1384,6 +1384,78 @@ class LakeTable:
             return head + 1
         raise CommitConflict(f"rollback lost 5 races in {self.root}")
 
+    def cherrypick_snapshot(self, version: int) -> int:
+        """Iceberg's ``cherrypick_snapshot``: re-apply ONE snapshot's
+        delta (the files it added relative to ITS OWN parent) on top of
+        the current HEAD as a fresh commit, without replaying anything
+        else from that lineage. The canonical use is post-rollback
+        recovery: rollback(v_good) un-publishes v_good+1..HEAD, then
+        cherry-picking re-lands exactly the snapshots worth keeping.
+
+        Refusals mirror Iceberg's (which supports appends and dynamic
+        overwrites only — SnapshotManager.cherrypick validates the
+        operation type and fails anything whose replay could overwrite
+        concurrent data):
+
+        - REPLACE snapshots (compaction/RTAS): their "delta" is a full
+          file-set swap relative to a base HEAD no longer current —
+          replaying it would erase everything committed since
+          (the same lost-update rule as _commit's ``base`` pin).
+        - delete-bearing snapshots: an equality/position delete masks
+          files STRICTLY OLDER than its sequence; re-stamped at a new
+          sequence it would mask rows it never saw.
+        - already-present deltas: any delta file already in HEAD's
+          file list means the snapshot (or a prior cherry-pick of it)
+          is live — replaying would double-count its rows.
+
+        All three raise CommitConflict. Pure metadata on the happy
+        path: the staged dirs are linked into the new snapshot; no
+        data file is read or written (bounds recompute distributively
+        in _commit, footers only)."""
+        snap = self.snapshot(version)  # raises if unknown/expired
+        if version == 0:
+            raise ValueError("cannot cherry-pick the empty snapshot v0")
+        parent = self.snapshot(snap.get("parent", 0))
+        parent_paths = {e["path"] for e in parent["data_files"]}
+        snap_paths = {e["path"] for e in snap["data_files"]}
+        if not parent_paths <= snap_paths:
+            raise CommitConflict(
+                f"cherry-pick v{version}: snapshot is a REPLACE "
+                f"(drops {len(parent_paths - snap_paths)} parent "
+                "file(s)); replaying it would erase later commits — "
+                "re-run the rewrite against the current HEAD instead"
+            )
+        if len(snap["delete_files"]) != len(parent["delete_files"]):
+            raise CommitConflict(
+                f"cherry-pick v{version}: snapshot carries delete "
+                "files; a delete re-stamped at a new sequence would "
+                "mask rows it never saw — re-run the delete instead"
+            )
+        delta = [
+            e["path"] for e in snap["data_files"]
+            if e["path"] not in parent_paths
+        ]
+        head_paths = {
+            e["path"]
+            for e in self.snapshot(self.current_version())["data_files"]
+        }
+        dupes = [p for p in delta if p in head_paths]
+        if dupes:
+            raise CommitConflict(
+                f"cherry-pick v{version}: {len(dupes)} delta file(s) "
+                "already present at HEAD (snapshot is live or was "
+                "already cherry-picked); replaying would double rows"
+            )
+        return self._commit(
+            delta,
+            [],
+            {
+                "operation": "cherry-pick",
+                "source": version,
+                "added": len(delta),
+            },
+        )
+
     def _zvalue(self, df: DataFrame, cols: list[str], bits: int = 16):
         """Z-order key: min-max normalize each column to a ``bits``-wide
         integer rank, then interleave the bits. Files cut along z-order

@@ -74,6 +74,16 @@ def test_no_retry_cell_keeps_first_reading():
     assert len(run.calls) == 1
 
 
+def test_no_retry_cell_skips_repeat_median_too():
+    # ADVICE r9: a NO_RETRY cell whose first reading lands under
+    # MEDIAN_CUTOFF must NOT be rerun for the median either — the
+    # rerun would time a cache-hit read of the (session, sf)-cached
+    # build, exactly what NO_RETRY exists to prevent.
+    run = _seq(0.4, 0.1, 0.1)
+    assert measured_seconds(run, retryable=False) == 0.4
+    assert len(run.calls) == 1
+
+
 def test_protocol_constants_are_the_documented_ones():
     assert MEDIAN_CUTOFF == 1.0
     assert STALL_RETRY == 2.5

@@ -996,9 +996,10 @@ def test_p29_two_level_aggregate_no_window_exchange(spark):
 
 
 def test_c58_sketch_is_bounded_and_probes_broadcast(spark):
-    # c58: the sketch aggregate is 1024 cells max; the top-k exact arm
-    # lowers to TakeOrderedAndProject; the estimate join must
-    # broadcast the 40-row probe side, never shuffle the cells wide
+    # c58: the sketch aggregate is 16 cells max (2 rows x 8); the
+    # top-k exact arm lowers to TakeOrderedAndProject; the estimate
+    # join must broadcast the 20-row (10 tokens x 2 rows) probe side,
+    # never shuffle the cells wide
     plan = _plan(spark, "c58_countmin_heavy_hitters")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
@@ -1071,3 +1072,47 @@ def test_c62_pair_stage_is_digest_equi_join(spark):
     plan = _plan(spark, "c62_containment_detect")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c63_superstep_stages_are_bounded(spark):
+    # c63: the per-step argmax must lower to TakeOrderedAndProject
+    # (1-row driver state, never a wide sort) and the merge
+    # application must be a joinless pure map — the 100 TB contract
+    # is one pair aggregate + O(1) collect per superstep
+    from pyspark.sql import functions as F
+
+    from iceberg_playground_spark.queries.round10 import (
+        _c63_fold, _c63_pairs,
+    )
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    words = (
+        spark.read.parquet(f"{SF_CHECK}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("seq", F.rtrim(F.regexp_replace("word", "(.)", "$1 ")))
+    )
+    argmax = (
+        _c63_pairs(words).orderBy(F.col("tot").desc(), "pair").limit(1)
+    )
+    p = argmax._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
+    fold = words.withColumn("seq", _c63_fold("t", "h"))
+    p = fold._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    # only the word-table build's own aggregate exchange — the fold
+    # itself adds none
+    assert p.count("Exchange") <= 1
+
+
+def test_p32_split_assignment_partitions_by_fingerprint(spark):
+    # p32: one hash exchange on the content fingerprint serves the
+    # representative window; the 1-row leak count broadcasts onto the
+    # 3-row summary (never a cartesian on data); no sort-merge join
+    plan = _plan(spark, "p32_leakage_safe_split")
+    assert "hashpartitioning(fp" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

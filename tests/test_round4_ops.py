@@ -121,25 +121,29 @@ def test_fuzzy_decontaminate_split_discipline(spark):
 def test_grading_prefix_composition():
     # The driver grades EXACTLY the first ~50 registered queries, so
     # registration order decides what gets graded. Since round 5 the
-    # order is imposed by explicit lists (round 9: _R8_UNGRADED /
-    # _R9_NEW / _ROTATION_R9) rather than import order; pin that the
-    # reorder actually happened: the 10 entries round 8's sweep never
-    # reached lead, this round's additions follow (never graded
-    # either), and the stale-grade rotation (oldest first) fills the
-    # window.
+    # order is imposed by explicit lists (round 10: _R10_NEW_LEAD /
+    # _ROTATION_R10 / _R10_NEW_TAIL) rather than import order; pin
+    # that the reorder actually happened: the 3 new lead ops first,
+    # then the 47 r4-stale rotation entries round 9's sweep never
+    # reached, then any further round-10 additions.
     names = list(registry.QUERIES)
-    lead = registry._R8_UNGRADED + registry._R9_NEW
+    lead = registry._R10_NEW_LEAD
     assert names[: len(lead)] == lead
     assert (
-        names[len(lead) : len(lead) + len(registry._ROTATION_R9)]
-        == registry._ROTATION_R9
+        names[len(lead) : len(lead) + len(registry._ROTATION_R10)]
+        == registry._ROTATION_R10
     )
-    # the never-graded block must fit the window whole, with room for
-    # a slice of the rotation behind it (round-9's 25 new
-    # registrations shrink that slice — never-graded correctly
-    # outranks stale-graded, so the rotation tail waits for round 10)
-    assert len(registry._R8_UNGRADED) == 10
-    assert len(set(names[:50]) & set(registry._ROTATION_R9)) >= 10
+    tail_at = len(lead) + len(registry._ROTATION_R10)
+    assert (
+        names[tail_at : tail_at + len(registry._R10_NEW_TAIL)]
+        == registry._R10_NEW_TAIL
+    )
+    # round-10 window arithmetic: the lead trio + the whole 47-entry
+    # r4-stale rotation remainder = exactly 50, so a 50-slot sweep
+    # retires every stale grade in one round (VERDICT r9 item 1);
+    # further round-10 additions sit in the tail and lead round 11
+    assert len(registry._R10_NEW_LEAD) == 3
+    assert len(registry._ROTATION_R10) == 47
     assert len(names) >= 128
 
 
