@@ -121,6 +121,19 @@ HEADLINE = [
     # passes = 3 corpus scans + 2 bounded centroid collects; the cell
     # times the whole driver loop, the shape MLlib kmeans pays
     "c54_kmeans_lloyd",
+    # round-10 entrants (VERDICT r9 item 3: the heaviest unbenched
+    # round-9 plans): the df-capped postings self-join of containment
+    # detection, the 2-scan DSIR scorer + Gumbel top-k, the
+    # grid-pruned skyline, and the completed-grid source-KL pair join
+    "c62_containment_detect",
+    "c53_dsir_resample",
+    "b156_skyline",
+    "c59_source_kl_divergence",
+    # round-10 additions: the BPE trainer's 6-superstep driver loop
+    # (12 bounded jobs over the checkpointed word table) and the
+    # fingerprint-window split with its leak-audit regroup
+    "c63_bpe_merge_learn",
+    "p32_leakage_safe_split",
 ]
 
 # Cells whose first call is dominated by demo-WAREHOUSE construction

@@ -79,7 +79,12 @@ _ROTATION_R10 = [
 # Round-10 additions beyond the lead trio: never graded, so they
 # outrank everything freshly regraded and LEAD round 11's window
 # (exactly as _R8_UNGRADED led round 9's). Appended as they land.
-_R10_NEW_TAIL: list[str] = []
+_R10_NEW_TAIL: list[str] = [
+    "c64_tokenizer_fertility",
+    "c65_bigram_perplexity",
+    "c66_embedding_outliers",
+    "p33_epoch_budget_report",
+]
 
 
 def load_all() -> None:
@@ -126,6 +131,7 @@ def load_all() -> None:
         round9c,
         round9d,
         round10,
+        round10b,
     )
 
     prefix = _R10_NEW_LEAD + _ROTATION_R10 + _R10_NEW_TAIL

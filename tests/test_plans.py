@@ -1116,3 +1116,39 @@ def test_p32_split_assignment_partitions_by_fingerprint(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_c64_fertility_is_single_scan_no_join(spark):
+    # c64: the tokenizer expression runs inside the per-doc projection
+    # (pure map) and the only exchange is the |langs|-key aggregate
+    plan = _plan(spark, "c64_tokenizer_fertility")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_c65_model_broadcasts_into_score_join(spark):
+    # c65: the B^2-bounded model side must broadcast; the corpus-sized
+    # bigram stream never sort-merges or cartesians
+    plan = _plan(spark, "c65_bigram_perplexity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_c66_centroids_broadcast_and_topk_pushes_group_limit(spark):
+    # c66: the |labels|-row centroid table broadcasts into the
+    # distance map; the per-label top-5 pushes its group limit below
+    # the exchange instead of ranking whole partitions
+    plan = _plan(spark, "c66_embedding_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_p33_math_runs_on_the_cell_table(spark):
+    # p33: one corpus aggregate to |cells| rows; no join anywhere —
+    # the window sums run over the cell table
+    plan = _plan(spark, "p33_epoch_budget_report")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
