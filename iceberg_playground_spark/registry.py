@@ -84,6 +84,9 @@ _R10_NEW_TAIL: list[str] = [
     "c65_bigram_perplexity",
     "c66_embedding_outliers",
     "p33_epoch_budget_report",
+    "b158_partitions_metadata",
+    "c67_triplet_mining",
+    "p34_release_report_v3",
 ]
 
 
@@ -132,6 +135,7 @@ def load_all() -> None:
         round9d,
         round10,
         round10b,
+        round10c,
     )
 
     prefix = _R10_NEW_LEAD + _ROTATION_R10 + _R10_NEW_TAIL

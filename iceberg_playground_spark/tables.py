@@ -1639,6 +1639,43 @@ class LakeTable:
             "file_name STRING, seq INT, n_rows BIGINT, n_bounded_cols INT",
         )
 
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """The ``partitions`` METADATA TABLE (Iceberg's
+        ``t.partitions``): one row per live identity-partition value —
+        hive-style partition path, live file count, record count.
+        Like ``files()`` this is answered entirely from snapshot
+        metadata (partition values ride the staged file paths; record
+        counts are the committed per-file stats): zero data files are
+        opened, so a 100 TB table answers "which partitions exist and
+        how big are they" — the input to retention, compaction and
+        skew decisions — from KB of JSON. A file committed before
+        per-file record counts were recorded reports its partition's
+        ``n_rows`` as NULL (unknown, never 0 — Iceberg's rule).
+        An unpartitioned table reports one '' partition row (its
+        whole file set), mirroring Iceberg's single-record answer."""
+        v = self.current_version() if version is None else version
+        agg: dict[str, list] = {}
+        for e in self.snapshot(v)["data_files"]:
+            per_rows = e.get("rows", {})
+            for fn in e.get("bounds", {}):
+                comps = [
+                    c for c in fn.split(os.sep)[:-1] if "=" in c
+                ]
+                key = os.sep.join(comps)
+                a = agg.setdefault(key, [0, 0, True])
+                a[0] += 1
+                if fn in per_rows:
+                    a[1] += int(per_rows[fn])
+                else:
+                    a[2] = False
+        rows = [
+            (k, int(f), int(r) if known else None)
+            for k, (f, r, known) in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "partition STRING, n_files BIGINT, n_rows BIGINT"
+        )
+
     def metadata_count(self, version: int | None = None) -> int | None:
         """Metadata-only row count: sum the per-file record counts from
         the snapshot — the optimization behind Iceberg answering

@@ -1152,3 +1152,23 @@ def test_p33_math_runs_on_the_cell_table(spark):
     plan = _plan(spark, "p33_epoch_budget_report")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_c67_anchor_side_broadcasts_and_topk_pushes(spark):
+    # c67: the 10-row anchor table is the ONLY join (broadcast nested
+    # loop — the sanctioned bounded eval-arm shape); per-(anchor,
+    # same) bests push their group limit; never a cartesian on data
+    plan = _plan(spark, "c67_triplet_mining")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_p34_one_fp_exchange_serves_both_windows(spark):
+    # p34: the cluster-representative and passing-survivor windows
+    # must share ONE fp exchange (same partitioning), and the corpus
+    # text never shuffles — only doc-keyed stat rows
+    plan = _plan(spark, "p34_release_report_v3")
+    assert plan.count("hashpartitioning(fp") == 1
+    assert "CartesianProduct" not in plan
