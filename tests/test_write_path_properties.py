@@ -176,6 +176,97 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
 
 
 # ---------------------------------------------------------------------------
+# cherry-pick under rollback/compaction churn vs an exact file-token
+# model: the delta rule, the refusals, and the row multiset must all
+# agree with plain-Python bookkeeping of which abstract file sets each
+# version added (appends are the only delta-bearing ops here; deletes
+# are excluded on purpose — their delete-file refusal is a unit test,
+# while THIS fuzzes the subset/already-present logic across rollbacks)
+# ---------------------------------------------------------------------------
+
+_ck_ops = st.lists(
+    st.one_of(
+        st.lists(
+            st.tuples(st.sampled_from(_NAMES), st.integers(0, 3)),
+            min_size=1, max_size=2,
+        ).map(lambda rows: ("append", rows)),
+        st.just(("compact", None)),
+        st.integers(0, 7).map(lambda i: ("rollback", i)),
+        st.integers(0, 7).map(lambda i: ("pick", i)),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=_MAX_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ck_ops)
+def test_cherrypick_sequences_match_file_token_model(
+    spark, tmp_path_factory, ops
+):
+    from iceberg_playground_spark.tables import CommitConflict
+
+    wh = str(tmp_path_factory.mktemp("ck_wh"))
+    cat = LakeCatalog(spark, wh)
+    t = cat.create_table("p", "ck", DDL, drop_if_exists=True)
+
+    # model: files[v] = frozenset of tokens live at v; rows[token] =
+    # the row list an append-token carries; parent chain is linear
+    files: dict[int, frozenset] = {0: frozenset()}
+    rows: dict[str, list] = {}
+    parent: dict[int, int] = {}
+
+    def head():
+        return max(files)
+
+    for op, arg in ops:
+        h = head()
+        if op == "append":
+            v = t.append(spark.createDataFrame(arg, t.ddl))
+            tok = f"a{v}"
+            rows[tok] = list(arg)
+            parent[v] = h
+            files[v] = files[h] | {tok}
+        elif op == "compact":
+            v = t.compact()
+            tok = f"c{v}"
+            rows[tok] = [r for f in sorted(files[h]) for r in rows[f]]
+            parent[v] = h
+            files[v] = frozenset({tok})
+        elif op == "rollback":
+            tgt = arg % (h + 1)
+            v = t.rollback(tgt)
+            parent[v] = h
+            files[v] = files[tgt]
+        else:  # pick
+            tgt = arg % (h + 1)
+            if tgt == 0:
+                try:
+                    t.cherrypick_snapshot(0)
+                    raise AssertionError("picked v0")
+                except ValueError:
+                    continue
+            snap_f, par_f = files[tgt], files[parent[tgt]]
+            delta = snap_f - par_f
+            legal = par_f <= snap_f and not (delta & files[h])
+            try:
+                v = t.cherrypick_snapshot(tgt)
+                assert legal, f"pick v{tgt} landed but model says refuse"
+                parent[v] = h
+                files[v] = files[h] | delta
+            except CommitConflict:
+                assert not legal, f"pick v{tgt} refused but model says ok"
+                assert t.current_version() == h  # no version minted
+    want = sorted(r for f in sorted(files[head()]) for r in rows[f])
+    got = sorted((r["name"], r["count"]) for r in t.read().collect())
+    assert got == [tuple(r) for r in want]
+
+
+# ---------------------------------------------------------------------------
 # strict JSON decode vs a plain-Python model of the reference's rules
 # (kafka-bench.rs:261-334: missing required => violation; present but
 # wrong-typed => null, no violation; unparseable => violation)
