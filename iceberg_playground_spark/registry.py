@@ -87,6 +87,7 @@ _R10_NEW_TAIL: list[str] = [
     "b158_partitions_metadata",
     "c67_triplet_mining",
     "p34_release_report_v3",
+    "c68_perceptron_train",
 ]
 
 
@@ -136,6 +137,7 @@ def load_all() -> None:
         round10,
         round10b,
         round10c,
+        round10d,
     )
 
     prefix = _R10_NEW_LEAD + _ROTATION_R10 + _R10_NEW_TAIL
