@@ -12,12 +12,19 @@
   vectors, checksummed) hash-matches an unrolled declarative oracle:
   the fixed-point trick that made c54's Lloyd and c63's BPE trainer
   gradeable, now for a learning loop with data-dependent updates.
+- c69: PMI COLLOCATIONS — the phrase-mining pass (Mikolov et al.
+  2013's phrase rule; the classic collocation measure): adjacent
+  bigrams above a count floor scored by pointwise mutual
+  information in integer micro-nats, top-20 with marginal counts.
+  One fixed float sequence per bigram-model row; corpus totals are
+  driver scalars from the model tables (no extra corpus scan).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from iceberg_playground_spark.queries._util import load
 from iceberg_playground_spark.registry import query
@@ -166,3 +173,135 @@ def c68_perceptron_train(spark: SparkSession, sf: str) -> DataFrame:
         "epoch INT, n_errors BIGINT, w_checksum BIGINT, w_abs BIGINT, "
         "w_nnz BIGINT",
     ).orderBy("epoch")
+
+
+# ---------------------------------------------------------------------------
+# c69 — PMI collocations (phrase mining over adjacent bigrams)
+# ---------------------------------------------------------------------------
+
+_C69_MIN_CNT = 5  # count floor (Mikolov et al. 2013's phrase rule)
+_C69_TOPK = 20
+
+_C69_ORACLE = f"""
+WITH tok AS (
+  SELECT string_split(text, ' ') AS toks FROM documents),
+uni AS (
+  SELECT token, count(*) AS c1 FROM (
+    SELECT unnest(toks) AS token FROM tok) GROUP BY token),
+bg AS (
+  SELECT a, b, count(*) AS c2 FROM (
+    SELECT toks[i] AS a, toks[i+1] AS b
+    FROM tok, UNNEST(range(1, len(toks))) AS u(i)) GROUP BY a, b),
+n AS (
+  SELECT (SELECT sum(c1) FROM uni) AS n_tok,
+         (SELECT sum(c2) FROM bg) AS n_pair),
+scored AS (
+  SELECT g.a || ' ' || g.b AS pair, g.c2,
+         ua.c1 AS c_a, ub.c1 AS c_b,
+         CAST(round(1000000.0 * ln(
+             (CAST(g.c2 AS DOUBLE) * n.n_tok * n.n_tok)
+             / (CAST(n.n_pair AS DOUBLE) * ua.c1 * ub.c1)))
+           AS BIGINT) AS pmi_micro
+  FROM bg g
+  JOIN uni ua ON g.a = ua.token
+  JOIN uni ub ON g.b = ub.token
+  CROSS JOIN n
+  WHERE g.c2 >= {_C69_MIN_CNT})
+SELECT pair, CAST(c2 AS BIGINT) AS pair_count,
+       CAST(c_a AS BIGINT) AS left_count,
+       CAST(c_b AS BIGINT) AS right_count, pmi_micro,
+       CAST(row_number() OVER (ORDER BY pmi_micro DESC, pair) AS INT)
+         AS pmi_rank
+FROM scored ORDER BY pmi_micro DESC, pair LIMIT {_C69_TOPK}
+"""
+
+
+@query("c69_pmi_collocations", oracle=_C69_ORACLE)
+def c69_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """C69: pointwise-mutual-information collocations — the phrase
+    detector every word2vec-era pipeline runs before tokenizer
+    training (Mikolov et al. 2013's phrase pass; also the classic
+    corpus-linguistics collocation measure): for adjacent bigrams
+    above a count floor, PMI = ln(P(a,b) / (P(a)·P(b))), top-20.
+    High PMI = the words co-occur far above chance — a phrase worth a
+    single token (and exactly what c63's merge learner tends to merge
+    first, from statistics rather than a significance measure).
+
+    Determinism: ONE float expression per surviving bigram-MODEL row
+    (fixed multiply/divide/ln/round sequence, identical operand order
+    in both engines — the c53 rule), everything else integer. The
+    corpus totals (token mass, pair mass) are two driver-side scalars
+    aggregated from the MODEL tables (the c55 bounded-collect rule —
+    no extra corpus scan, no 1-row broadcast frame replicating a
+    nested loop into every branch).
+
+    Scale shape: 2 corpus scans (unigram aggregate, bigram aggregate
+    — both with map-side partials); the PMI joins run on MODEL rows
+    only (bigram vocab keyed by token — AQE broadcasts the unigram
+    side when it fits, shuffles model rows when it does not; never
+    corpus rows); the count floor prunes before the joins; the top-20
+    lowers to TakeOrderedAndProject (plan-pinned)."""
+    d = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    # vocab-sized model table, consumed three times (total, left join
+    # arm, right join arm) — checkpoint so the corpus scans once for it
+    uni = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=False)
+    )
+    n = F.size(toks)
+    z = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("a"),
+        F.slice(toks, 2, n - 1).alias("b"),
+    )
+    bg_all = (
+        d.select(
+            F.explode(
+                F.when(n >= 2, z).otherwise(
+                    F.array().cast(
+                        "array<struct<a:string,b:string>>"
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    # both corpus totals come from the MODEL tables (no third scan)
+    n_tok = uni.agg(F.sum("c1")).collect()[0][0]
+    n_pair = bg_all.agg(F.sum("c2")).collect()[0][0]
+    bg = bg_all.filter(F.col("c2") >= _C69_MIN_CNT)
+    ua = uni.select(F.col("token").alias("a"), F.col("c1").alias("c_a"))
+    ub = uni.select(F.col("token").alias("b"), F.col("c1").alias("c_b"))
+    pmi = F.round(
+        1000000.0
+        * F.log(
+            (F.col("c2").cast("double") * float(n_tok) * float(n_tok))
+            / (
+                float(n_pair)
+                * F.col("c_a").cast("double")
+                * F.col("c_b").cast("double")
+            )
+        )
+    ).cast("bigint")
+    scored = (
+        bg.join(ua, "a")
+        .join(ub, "b")
+        .select(
+            F.concat_ws(" ", "a", "b").alias("pair"),
+            F.col("c2").cast("bigint").alias("pair_count"),
+            F.col("c_a").cast("bigint").alias("left_count"),
+            F.col("c_b").cast("bigint").alias("right_count"),
+            pmi.alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "pair")
+        .limit(_C69_TOPK)
+    )
+    w = W.orderBy(F.col("pmi_micro").desc(), "pair")
+    return scored.withColumn(
+        "pmi_rank", F.row_number().over(w).cast("int")
+    )

@@ -88,6 +88,7 @@ _R10_NEW_TAIL: list[str] = [
     "c67_triplet_mining",
     "p34_release_report_v3",
     "c68_perceptron_train",
+    "c69_pmi_collocations",
 ]
 
 

@@ -1172,3 +1172,12 @@ def test_p34_one_fp_exchange_serves_both_windows(spark):
     plan = _plan(spark, "p34_release_report_v3")
     assert plan.count("hashpartitioning(fp") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_c69_topk_lowers_and_model_joins_never_touch_corpus(spark):
+    # c69: the top-20 must lower to TakeOrderedAndProject and the PMI
+    # joins run on checkpointed MODEL rows (no cartesian; at most 2
+    # corpus scans feed the two model aggregates)
+    plan = _plan(spark, "c69_pmi_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -107,3 +107,71 @@ def test_c68_scoring_pass_is_joinless(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert scored.head()["score"] == 6  # w[3]=3 times cnt=2
+
+
+# --- c69 PMI collocations ------------------------------------------------------
+
+
+def test_c69_matches_independent_python_pmi(spark):
+    import collections
+    import math
+
+    from iceberg_playground_spark.queries.round10d import (
+        _C69_MIN_CNT, _C69_TOPK,
+    )
+
+    uni: collections.Counter = collections.Counter()
+    bg: collections.Counter = collections.Counter()
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        toks = r["text"].split(" ")
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    n_tok, n_pair = sum(uni.values()), sum(bg.values())
+    scored = []
+    for (a, b), c2 in bg.items():
+        if c2 < _C69_MIN_CNT:
+            continue
+        pmi = round(
+            1e6 * math.log(
+                (float(c2) * n_tok * n_tok)
+                / (float(n_pair) * uni[a] * uni[b])
+            )
+        )
+        scored.append((-pmi, f"{a} {b}", c2, uni[a], uni[b]))
+    want = [
+        (pair, c2, ca, cb, -negp, rank)
+        for rank, (negp, pair, c2, ca, cb) in enumerate(
+            sorted(scored)[:_C69_TOPK], start=1
+        )
+    ]
+    got = [
+        (
+            r["pair"], r["pair_count"], r["left_count"],
+            r["right_count"], r["pmi_micro"], r["pmi_rank"],
+        )
+        for r in registry.QUERIES["c69_pmi_collocations"](
+            spark, SF_SMOKE
+        ).orderBy("pmi_rank").collect()
+    ]
+    assert got == want
+
+
+def test_c69_count_floor_holds(spark):
+    from iceberg_playground_spark.queries.round10d import _C69_MIN_CNT
+
+    rows = registry.QUERIES["c69_pmi_collocations"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    assert all(r["pair_count"] >= _C69_MIN_CNT for r in rows)
+    # PMI is symmetric in scale: counts in the output must be the real
+    # marginals (each >= the pair count)
+    assert all(
+        r["left_count"] >= r["pair_count"]
+        and r["right_count"] >= r["pair_count"]
+        for r in rows
+    )
