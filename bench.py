@@ -134,6 +134,16 @@ HEADLINE = [
     # fingerprint-window split with its leak-audit regroup
     "c63_bpe_merge_learn",
     "p32_leakage_safe_split",
+    # round-10 tail entrants with real plan work: the bigram-LM
+    # score join (2 scans + broadcast model), the 10-anchor triplet
+    # sweep over all vectors, the composed quality-gated release
+    # pipeline, the 3-epoch perceptron driver loop, and the PMI
+    # model joins
+    "c65_bigram_perplexity",
+    "c67_triplet_mining",
+    "p34_release_report_v3",
+    "c68_perceptron_train",
+    "c69_pmi_collocations",
 ]
 
 # Cells whose first call is dominated by demo-WAREHOUSE construction
