@@ -18,6 +18,12 @@
   information in integer micro-nats, top-20 with marginal counts.
   One fixed float sequence per bigram-model row; corpus totals are
   driver scalars from the model tables (no extra corpus scan).
+- p35: BUDGET REBALANCE — the fix a mixture owner applies after
+  p33's >4-epoch flags: epoch-capped water-filling (capped cells
+  keep exactly 4x their mass; freed budget re-spreads over uncapped
+  cells by weight, three fixed rounds). All allocations are EXACT
+  BIGINT division — the R·w products pass 2^53, where a double
+  divide can differ by 1 ulp between engines.
 """
 
 from __future__ import annotations
@@ -305,3 +311,175 @@ def c69_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     return scored.withColumn(
         "pmi_rank", F.row_number().over(w).cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# p35 — budget rebalance (epoch-capped water-filling over mixture cells)
+# ---------------------------------------------------------------------------
+
+_P35_MULT = 2  # total budget = 2x corpus (p33's plan)
+_P35_CAP_EPOCHS = 4  # the Muennighoff et al. 2023 replay bound
+_P35_ROUNDS = 3  # fixed water-filling rounds (both engines unroll 3)
+
+
+def _p35_round_sql(k: int) -> str:
+    """One water-filling round: capped cells keep their cap; the
+    remaining budget spreads over uncapped cells by weight with EXACT
+    integer division (R·w may exceed 2^53 — a double divide here can
+    land 1 ulp apart across engines, so no float touches it)."""
+    p = k - 1
+    return (
+        f"r{k} AS ("
+        f"  SELECT source, lang, cell_tok, w_micro, cap_tok, naive_tok,"
+        f"    capped{p} OR (CASE WHEN sum(CASE WHEN capped{p} THEN 0"
+        f"            ELSE w_micro END) OVER () > 0"
+        f"        THEN ((t_budget - sum(CASE WHEN capped{p} THEN cap_tok"
+        f"                ELSE 0 END) OVER ()) * w_micro)"
+        f"             // (sum(CASE WHEN capped{p} THEN 0 ELSE w_micro END)"
+        f"                OVER ())"
+        f"        ELSE cap_tok END) > cap_tok AS capped{k},"
+        f"    CASE WHEN capped{p} THEN alloc{p}"
+        f"         WHEN sum(CASE WHEN capped{p} THEN 0 ELSE w_micro END)"
+        f"              OVER () > 0"
+        f"         THEN least(cap_tok,"
+        f"           ((t_budget - sum(CASE WHEN capped{p} THEN cap_tok"
+        f"               ELSE 0 END) OVER ()) * w_micro)"
+        f"           // (sum(CASE WHEN capped{p} THEN 0 ELSE w_micro END)"
+        f"              OVER ()))"
+        f"         ELSE cap_tok END AS alloc{k},"
+        f"    t_budget"
+        f"  FROM r{p})"
+    )
+
+
+def _p35_oracle() -> str:
+    rounds = ",\n".join(
+        _p35_round_sql(k) for k in range(1, _P35_ROUNDS + 1)
+    )
+    n = _P35_ROUNDS
+    return f"""
+WITH cell AS (
+  SELECT source, lang, sum(len(string_split(text, ' '))) AS cell_tok
+  FROM documents GROUP BY source, lang),
+r0 AS (
+  SELECT source, lang, CAST(cell_tok AS BIGINT) AS cell_tok,
+         CAST(floor(sqrt(CAST(cell_tok AS DOUBLE)) * 1000000) AS BIGINT)
+           AS w_micro,
+         CAST({_P35_CAP_EPOCHS} * cell_tok AS BIGINT) AS cap_tok,
+         CAST(((CAST({_P35_MULT} AS BIGINT) * sum(cell_tok) OVER ())
+               * CAST(floor(sqrt(CAST(cell_tok AS DOUBLE)) * 1000000)
+                      AS BIGINT))
+              // sum(CAST(floor(sqrt(CAST(cell_tok AS DOUBLE)) * 1000000)
+                          AS BIGINT)) OVER () AS BIGINT) AS naive_tok,
+         FALSE AS capped0, CAST(0 AS BIGINT) AS alloc0,
+         CAST({_P35_MULT} AS BIGINT) * sum(cell_tok) OVER () AS t_budget
+  FROM cell),
+{rounds}
+SELECT source, lang, cell_tok, w_micro, cap_tok, naive_tok,
+       CAST(alloc{n} AS BIGINT) AS final_tok,
+       capped{n} AS capped,
+       CAST((1000000 * alloc{n}) // cell_tok AS BIGINT)
+         AS final_epochs_micro
+FROM r{n} ORDER BY source, lang
+"""
+
+
+@query("p35_budget_rebalance", oracle=_p35_oracle())
+def p35_budget_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """P35: epoch-capped water-filling — the FIX a mixture owner
+    applies after reading p33's >4-epoch flags: cells whose
+    temperature-weighted allocation would replay past the cap keep
+    exactly cap_tok = 4x their natural mass, and the freed budget
+    re-spreads over the uncapped cells by weight; three fixed rounds
+    (re-spreading can push new cells over the cap — classic
+    water-filling). p33 DIAGNOSES over-replay; p35 produces the
+    allocation a training run can actually use.
+
+    Determinism: the weight sqrt is the only float op; every
+    allocation is EXACT BIGINT arithmetic — R·w products reach ~1e16
+    (past 2^53, where a double divide can differ by 1 ulp between
+    engines), so the division is integer DIV on both sides, guarded
+    against an all-capped round. Both engines unroll the same 3
+    rounds.
+
+    Scale shape: ONE corpus aggregate to |cells| rows; each round is
+    pure window arithmetic over the cell table (global windows on a
+    |sources·langs|-row frame — KB at any corpus size)."""
+    wall = W.partitionBy()
+    cells = (
+        load(spark, sf, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint").alias("cell_tok")
+        )
+        .withColumn(
+            "w_micro",
+            F.floor(
+                F.sqrt(F.col("cell_tok").cast("double")) * 1000000
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "cap_tok", (F.lit(_P35_CAP_EPOCHS) * F.col("cell_tok"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "t_budget",
+            (F.lit(_P35_MULT).cast("bigint")
+             * F.sum("cell_tok").over(wall)).cast("bigint"),
+        )
+        .withColumn(
+            "naive_tok",
+            F.expr(
+                "CAST((t_budget * w_micro) DIV "
+                "(sum(w_micro) OVER ()) AS BIGINT)"
+            ),
+        )
+        .withColumn("capped", F.lit(False))
+        .withColumn("alloc", F.lit(0).cast("bigint"))
+    )
+    cur = cells
+    for _ in range(_P35_ROUNDS):
+        free_w = F.sum(
+            F.when(F.col("capped"), F.lit(0)).otherwise(F.col("w_micro"))
+        ).over(wall)
+        used = F.sum(
+            F.when(F.col("capped"), F.col("cap_tok")).otherwise(F.lit(0))
+        ).over(wall)
+        cur = (
+            cur.withColumn("_free_w", free_w)
+            .withColumn("_rem", F.col("t_budget") - used)
+            .withColumn(
+                "_share",
+                F.when(
+                    F.col("_free_w") > 0,
+                    F.expr(
+                        "CAST((_rem * w_micro) DIV _free_w AS BIGINT)"
+                    ),
+                ).otherwise(F.col("cap_tok")),
+            )
+            .withColumn(
+                "alloc",
+                F.when(F.col("capped"), F.col("alloc")).otherwise(
+                    F.least("cap_tok", "_share")
+                ),
+            )
+            .withColumn(
+                "capped",
+                F.col("capped") | (F.col("_share") > F.col("cap_tok")),
+            )
+            .drop("_free_w", "_rem", "_share")
+        )
+    return cur.select(
+        "source",
+        "lang",
+        "cell_tok",
+        "w_micro",
+        "cap_tok",
+        "naive_tok",
+        F.col("alloc").cast("bigint").alias("final_tok"),
+        "capped",
+        F.expr("CAST((1000000 * alloc) DIV cell_tok AS BIGINT)").alias(
+            "final_epochs_micro"
+        ),
+    ).orderBy("source", "lang")

@@ -89,6 +89,7 @@ _R10_NEW_TAIL: list[str] = [
     "p34_release_report_v3",
     "c68_perceptron_train",
     "c69_pmi_collocations",
+    "p35_budget_rebalance",
 ]
 
 

@@ -1181,3 +1181,11 @@ def test_c69_topk_lowers_and_model_joins_never_touch_corpus(spark):
     plan = _plan(spark, "c69_pmi_collocations")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_p35_rounds_are_cell_table_window_math(spark):
+    # p35: one corpus aggregate to |cells| rows; every water-filling
+    # round is window arithmetic over the cell table — no join exists
+    plan = _plan(spark, "p35_budget_rebalance")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

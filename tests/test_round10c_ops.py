@@ -54,6 +54,30 @@ def test_b158_unpartitioned_table_reports_one_row(spark, tmp_path):
     assert rows[0]["n_rows"] == 7
 
 
+def test_b158_null_partition_reports_under_hive_sentinel(spark, tmp_path):
+    # NULL partition values land in the __HIVE_DEFAULT_PARTITION__
+    # directory; the partitions table must report them as their own
+    # partition (Iceberg reports a null partition record the same way)
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table(
+        "demo", "np", "k BIGINT, g STRING",
+        drop_if_exists=True, partition_by=["g"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None)], "k BIGINT, g STRING"
+        ).repartition("g")
+    )
+    got = {
+        r["partition"]: (r["n_files"], r["n_rows"])
+        for r in t.partitions().collect()
+    }
+    assert got == {
+        "g=__HIVE_DEFAULT_PARTITION__": (1, 2),
+        "g=a": (1, 1),
+    }
+
+
 def test_b158_partition_drop_is_metadata_only_and_reflected(spark):
     registry.QUERIES["b158_partitions_metadata"](spark, SF_CHECK)
     from iceberg_playground_spark.queries.lakehouse import _BUILT

@@ -175,3 +175,59 @@ def test_c69_count_floor_holds(spark):
         and r["right_count"] >= r["pair_count"]
         for r in rows
     )
+
+
+# --- p35 budget rebalance --------------------------------------------------------
+
+
+def test_p35_matches_independent_waterfill(spark):
+    import collections
+    import math
+
+    from iceberg_playground_spark.queries.round10d import (
+        _P35_CAP_EPOCHS, _P35_MULT, _P35_ROUNDS,
+    )
+
+    cells: collections.Counter = collections.Counter()
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "lang", "text")
+        .collect()
+    ):
+        cells[(r["source"], r["lang"])] += len(r["text"].split(" "))
+    w = {k: math.floor(math.sqrt(float(v)) * 1e6) for k, v in cells.items()}
+    cap = {k: _P35_CAP_EPOCHS * v for k, v in cells.items()}
+    budget = _P35_MULT * sum(cells.values())
+    capped = {k: False for k in cells}
+    alloc = {k: 0 for k in cells}
+    for _ in range(_P35_ROUNDS):
+        free_w = sum(w[k] for k in cells if not capped[k])
+        rem = budget - sum(cap[k] for k in cells if capped[k])
+        for k in cells:
+            if capped[k]:
+                continue
+            share = (rem * w[k]) // free_w if free_w > 0 else cap[k]
+            alloc[k] = min(cap[k], share)
+            if share > cap[k]:
+                capped[k] = True
+    out = {
+        (r["source"], r["lang"]): r
+        for r in registry.QUERIES["p35_budget_rebalance"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(out) == set(cells)
+    for k, row in out.items():
+        assert row["final_tok"] == alloc[k]
+        assert row["capped"] == capped[k]
+        assert row["cap_tok"] == cap[k]
+        assert row["final_tok"] <= row["cap_tok"]
+        assert row["final_epochs_micro"] <= _P35_CAP_EPOCHS * 1_000_000
+    # the rebalance never over-spends the plan
+    assert sum(r["final_tok"] for r in out.values()) <= budget
+    # and the freed budget actually moved: on this corpus some cells
+    # cap, and every capped cell sits exactly at its cap
+    if any(r["capped"] for r in out.values()):
+        for r in out.values():
+            if r["capped"]:
+                assert r["final_tok"] == r["cap_tok"]
