@@ -407,3 +407,20 @@ def test_partitioned_null_partition_sequences_match_model(
     # class regression): planning must complete, sentinel files kept
     kept, _ = t.plan_files("count", 0, 3)
     assert isinstance(kept, list)
+    # the partitions metadata table must be EXACTLY the files table
+    # rolled up by partition path (same live file set, same committed
+    # record counts — both answered from manifests alone), across
+    # every randomized state this sequence reached
+    parts = t.partitions().collect()
+    files = t.files().collect()
+    assert sum(p["n_files"] for p in parts) == len(files)
+    assert sum(p["n_rows"] or 0 for p in parts) == sum(
+        f["n_rows"] or 0 for f in files
+    )
+    # and after a compaction folds the MoR deletes in, the metadata
+    # record counts equal the true row count again
+    if state:
+        t.compact()
+        assert sum(
+            p["n_rows"] or 0 for p in t.partitions().collect()
+        ) == len(state)
