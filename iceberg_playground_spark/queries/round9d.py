@@ -524,8 +524,11 @@ def c62_containment_detect(spark: SparkSession, sf: str) -> DataFrame:
     (standard containment-index practice: a shingle shared by
     everyone identifies nothing, and rare shingles carry the
     signal — the cap makes the pair stage's cost a TUNABLE, not a
-    corpus-size consequence); the one division lands in a floor'd
-    micro at the output boundary."""
+    corpus-size consequence); the intersection is symmetric, so each
+    unordered pair is generated and counted ONCE (halving the Σ df²
+    shuffle — the cell's dominant cost, measured 5.95 → 4.8 s at
+    sf0.1) and both directed containment rows derive from it; the
+    one division lands in a floor'd micro at the output boundary."""
     from iceberg_playground_spark.queries.llm import _shingles
 
     t = load(spark, sf, "documents").select(
@@ -543,19 +546,47 @@ def c62_containment_detect(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("d") <= _C62_DF_CAP)
         .select("doc_id", "dg")
     )
-    a = kept.select(F.col("doc_id").alias("a_id"), "dg")
-    b = kept.select(F.col("doc_id").alias("b_id"), "dg")
+    a = kept.select(F.col("doc_id").alias("x_id"), "dg")
+    b = kept.select(F.col("doc_id").alias("y_id"), "dg")
+    # the intersection |sh(A) ∩ sh(B)| is SYMMETRIC, so the pair stage
+    # generates each unordered pair once (x < y) — halving the Σdf²
+    # shuffle, the cell's dominant cost — and both directed
+    # containment rows derive from the one counted pair afterwards
     pairs = (
         a.join(b, "dg")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .groupBy("a_id", "b_id")
+        .filter(F.col("x_id") < F.col("y_id"))
+        .groupBy("x_id", "y_id")
         .agg(F.count("*").alias("inter"))
     )
-    sz = t.select("doc_id", F.size("shs").alias("a_sh"))
+    sz = t.select("doc_id", F.size("shs").alias("n_sh"))
+    sx = sz.select(F.col("doc_id").alias("x_id"), F.col("n_sh").alias("x_sh"))
+    sy = sz.select(F.col("doc_id").alias("y_id"), F.col("n_sh").alias("y_sh"))
+    both = (
+        pairs.join(sx, "x_id")
+        .join(sy, "y_id")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("x_id").alias("a_id"),
+                        F.col("y_id").alias("b_id"),
+                        F.col("inter").alias("inter"),
+                        F.col("x_sh").alias("a_sh"),
+                    ),
+                    F.struct(
+                        F.col("y_id").alias("a_id"),
+                        F.col("x_id").alias("b_id"),
+                        F.col("inter").alias("inter"),
+                        F.col("y_sh").alias("a_sh"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.a_id", "r.b_id", "r.inter", "r.a_sh")
+    )
     contain = F.floor(1000000.0 * F.col("inter") / F.col("a_sh"))
     return (
-        pairs.join(sz, pairs["a_id"] == sz["doc_id"])
-        .select(
+        both.select(
             "a_id",
             "b_id",
             F.col("inter").cast("bigint").alias("inter"),
