@@ -147,7 +147,7 @@ FROM ranked GROUP BY anchor_id, anchor_label ORDER BY anchor_id
 @query("c67_triplet_mining", oracle=_C67_ORACLE)
 def c67_triplet_mining(spark: SparkSession, sf: str) -> DataFrame:
     """C67: (anchor, positive, hard negative) triplet assembly — see
-    module docstring. Anchors are the first {10} vec_ids (c54's
+    module docstring. Anchors are the first 10 vec_ids (c54's
     deterministic-seed rule); positives/negatives tie-break on vec_id.
 
     Scale shape: the anchor side is BOUNDED (10 rows) and broadcasts;
@@ -226,6 +226,10 @@ def _p34_oracle() -> str:
         _P29_WC_HI,
         _P29_WC_LO,
     )
+    from iceberg_playground_spark.queries.round10 import (
+        _P32_TRAIN,
+        _P32_VAL,
+    )
 
     split_bucket = bucket_sql("'p32:' || CAST(rep AS VARCHAR)")
     return f"""
@@ -259,8 +263,8 @@ s AS (
   FROM d JOIN flags f ON d.doc_id = f.doc_id),
 labeled AS (
   SELECT *,
-    CASE WHEN {split_bucket} < 80 THEN 'train'
-         WHEN {split_bucket} < 90 THEN 'validation'
+    CASE WHEN {split_bucket} < {_P32_TRAIN} THEN 'train'
+         WHEN {split_bucket} < {_P32_VAL} THEN 'validation'
          ELSE 'test' END AS split,
     CASE WHEN NOT pass THEN 'quality_drop'
          WHEN doc_id <> canon THEN 'dup_drop'
@@ -300,6 +304,10 @@ def p34_release_report_v3(spark: SparkSession, sf: str) -> DataFrame:
     from iceberg_playground_spark.queries.round9c import (
         p29_gopher_quality_rules,
     )
+    from iceberg_playground_spark.queries.round10 import (
+        _P32_TRAIN,
+        _P32_VAL,
+    )
 
     flags = p29_gopher_quality_rules(spark, sf).select(
         "doc_id", (F.col("pass") == 1).alias("pass")
@@ -329,8 +337,8 @@ def p34_release_report_v3(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn(
             "split",
-            F.when(F.col("bucket") < 80, "train")
-            .when(F.col("bucket") < 90, "validation")
+            F.when(F.col("bucket") < _P32_TRAIN, "train")
+            .when(F.col("bucket") < _P32_VAL, "validation")
             .otherwise("test"),
         )
         .withColumn(

@@ -1425,7 +1425,13 @@ class LakeTable:
                 "file(s)); replaying it would erase later commits — "
                 "re-run the rewrite against the current HEAD instead"
             )
-        if len(snap["delete_files"]) != len(parent["delete_files"]):
+        # Compare the delete-file SETS (entry JSON + sequence), not
+        # just counts: an equal-count swap must refuse too (ADVICE
+        # r10 — no current op produces one, but the contract is "the
+        # snapshot added no delete content", not "the ledger grew").
+        snap_dels = {(e["seq"], e["entry"]) for e in snap["delete_files"]}
+        parent_dels = {(e["seq"], e["entry"]) for e in parent["delete_files"]}
+        if snap_dels != parent_dels:
             raise CommitConflict(
                 f"cherry-pick v{version}: snapshot carries delete "
                 "files; a delete re-stamped at a new sequence would "
