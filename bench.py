@@ -203,6 +203,120 @@ STALL_RETRY = 2.5
 # through a stall.
 NO_RETRY = {"c39_signature_index_merge", "b135_retention_delete"}
 
+# --- Whole-run degraded-phase guard (VERDICT r10 item 3) ---
+#
+# Round 10's driver bench landed inside one of this host's documented
+# multi-minute degraded phases: six cells read 2.2-3.0x their anchors
+# with QUIET probes and zero code changes behind them, and the
+# per-cell stall-retry could not save them (two same-magnitude stalls
+# read as consistent; c39 is NO_RETRY). The guard catches that shape
+# at RUN level: if >= GUARD_MIN_CELLS anchored cells exceed
+# GUARD_FACTOR x their same-host anchor while both host probes read
+# quiet (< PROBE_QUIET — i.e. the degradation is the stealth kind the
+# probes cannot see), the whole sweep reruns ONCE and the run with
+# the smaller headline total is recorded. Both totals and the
+# triggering cells go in the JSON either way.
+#
+# Anchor values: BASELINE.md "r10 anchor (new host)" column — run 4
+# of the probe-verified clean pair at round-10 HEAD. Query cells only
+# (demo-build cells are tmpfs-I/O-variance-prone and excluded, same
+# as their exclusion from the headline total).
+ANCHOR_SECONDS = {
+    "b21_pricing_summary": 1.46,
+    "b13_inner_join": 1.84,
+    "b20_star_join": 2.26,
+    "b19_asof_join": 0.49,
+    "b31_window_ranking": 0.38,
+    "b35_global_sort_limit": 0.20,
+    "b03_json_lines_decode": 0.44,
+    "c01_exact_dedup": 0.29,
+    "c02_minhash_lsh_dedup": 2.14,
+    "c03_cosine_topk": 0.50,
+    "c05_text_analysis": 0.57,
+    "c16_training_pipeline": 1.18,
+    "c20_corpus_build": 1.44,
+    "c08_simhash": 1.95,
+    "c09_ngram_jaccard": 2.03,
+    "c10_embedding_near_dup": 1.69,
+    "p03_chunk_dedup": 0.59,
+    "p07_boilerplate_strip": 0.84,
+    "c26_fuzzy_decontaminate": 2.27,
+    "p09_chunk_windows": 0.26,
+    "p10_corpus_shuffle": 0.28,
+    "c31_minhash_estimate": 2.66,
+    "c29_hyperplane_lsh": 1.83,
+    "c32_bpe_pair_stats": 1.44,
+    "c33_canonical_selection": 2.30,
+    "b60_bucketed_join": 0.24,
+    "b61_data_skipping": 0.18,
+    "b68_tumbling_window": 2.20,
+    "b54_stream_lakehouse_sink": 1.44,
+    "b97_tpch_q5": 1.88,
+    "b107_tpch_q8": 1.35,
+    "c35_temperature_mix": 0.71,
+    "p17_incremental_lsh_dedup": 1.91,
+    "c39_signature_index_merge": 3.64,
+    "c40_ivf_adc_rerank": 1.91,
+    "p20_corpus_build_v2": 2.14,
+    "b135_retention_delete": 1.43,
+    "c43_substring_dedup": 2.30,
+    "p24_substring_strip": 2.12,
+    "c51_tokenizer_apply": 0.54,
+    "b145_dict_layout_audit": 2.23,
+    "c52_bloom_decontaminate": 1.23,
+    "b149_tpch_q21": 2.04,
+    "p18_streaming_novelty_filter": 2.00,
+    "c54_kmeans_lloyd": 3.06,
+    "c62_containment_detect": 5.95,
+    "c53_dsir_resample": 1.75,
+    "b156_skyline": 0.61,
+    "c59_source_kl_divergence": 1.51,
+    "c63_bpe_merge_learn": 2.34,
+    "p32_leakage_safe_split": 0.42,
+    "c65_bigram_perplexity": 2.37,
+    "c67_triplet_mining": 0.69,
+    "p34_release_report_v3": 1.12,
+    "c68_perceptron_train": 2.80,
+    "c69_pmi_collocations": 0.76,
+}
+GUARD_FACTOR = 2.0
+GUARD_MIN_CELLS = 4
+PROBE_QUIET = 0.6  # nominal host probe ~0.44 s on a quiet host
+
+
+def cells_over_anchor(
+    times: dict[str, float],
+    anchors: dict[str, float] = ANCHOR_SECONDS,
+    factor: float = GUARD_FACTOR,
+) -> list[str]:
+    """Anchored query cells reading above factor x their anchor."""
+    return [
+        n
+        for n, anchor in anchors.items()
+        if n in times and times[n] > factor * anchor
+    ]
+
+
+def should_rerun_sweep(
+    times: dict[str, float],
+    anchors: dict[str, float] = ANCHOR_SECONDS,
+    *,
+    factor: float = GUARD_FACTOR,
+    min_cells: int = GUARD_MIN_CELLS,
+    probe_quiet: float = PROBE_QUIET,
+) -> bool:
+    """True when the run shows the stealth-degraded-phase signature:
+    many anchored cells far over anchor while the probes read quiet
+    (a LOUD probe already marks the run as degraded in the JSON; the
+    guard exists for the phase the probes cannot see)."""
+    probes = [
+        times.get("_host_probe_start"),
+        times.get("_host_probe_end"),
+    ]
+    if any(p is None or p >= probe_quiet for p in probes):
+        return False
+    return len(cells_over_anchor(times, anchors, factor)) >= min_cells
+
 
 def host_probe_seconds() -> float:
     """Time a fixed single-core Python workload (~0.4 s on a quiet
@@ -221,25 +335,28 @@ def host_probe_seconds() -> float:
     return time.perf_counter() - t0
 
 
-def measured_seconds(
+def measured_seconds_ex(
     run,
     *,
     median_cutoff: float = MEDIAN_CUTOFF,
     stall_retry: float = STALL_RETRY,
     retryable: bool = True,
-) -> float:
+) -> tuple[float, int]:
     """Time one bench cell under the repeat-median + stall-retry
     protocol. ``run`` executes the cell once and returns its wall
     seconds; it is called 1-3 times depending on what the readings
-    show (see the constants above for the full rationale)."""
+    show (see the constants above for the full rationale). Returns
+    ``(recorded_seconds, n_runs)`` — the run count lands in the bench
+    JSON so a reader can tell a 1-shot reading from a reproduced
+    minimum (VERDICT r10 item 3)."""
     dt = run()
     if not retryable:
         # NO_RETRY cells run inside a (session, sf)-cached build; ANY
         # rerun — stall-retry OR repeat-median — would time a cache
         # hit, so the first reading stands unconditionally (ADVICE r9).
-        return dt
+        return dt, 1
     if dt <= median_cutoff:
-        return sorted([dt, run(), run()])[1]
+        return sorted([dt, run(), run()])[1], 3
     if dt > stall_retry:
         runs = [dt]
         while min(runs) > stall_retry and len(runs) < 3:
@@ -249,8 +366,13 @@ def measured_seconds(
             ):
                 break  # two consistent readings = real work
             runs.append(run())
-        dt = min(runs)
-    return dt
+        return min(runs), len(runs)
+    return dt, 1
+
+
+def measured_seconds(run, **kwargs) -> float:
+    """Back-compat wrapper: the recorded seconds alone."""
+    return measured_seconds_ex(run, **kwargs)[0]
 
 
 def main() -> None:
@@ -311,24 +433,75 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t
 
-    times: dict[str, float] = {"_session_init": round(init_sec, 3)}
-    times["_host_probe_start"] = round(host_probe_seconds(), 3)
-    total = 0.0
-    for name in names:
-        if name in SPLIT_BUILD:
-            # first call pays (and times) the demo-warehouse build as
-            # its own cell; the query cell then re-runs against the
-            # build cache, so it measures the plan under test. (No
-            # stall retry here: a second call would time a cache hit,
-            # not the build.)
-            times[f"{name}_demo_build"] = round(_run(name), 3)
-        dt = measured_seconds(
-            lambda: _run(name), retryable=name not in NO_RETRY
-        )
-        times[name] = round(dt, 3)
-        total += dt
+    def sweep() -> tuple[dict[str, float], dict[str, int], list[str], float]:
+        """One full pass over the headline cells. Returns (times,
+        per-cell run counts, NO_RETRY cells whose single reading
+        exceeded the stall threshold, headline total)."""
+        times: dict[str, float] = {"_session_init": round(init_sec, 3)}
+        times["_host_probe_start"] = round(host_probe_seconds(), 3)
+        cell_runs: dict[str, int] = {}
+        stalled_no_retry: list[str] = []
+        total = 0.0
+        for name in names:
+            if name in SPLIT_BUILD:
+                # first call pays (and times) the demo-warehouse build
+                # as its own cell; the query cell then re-runs against
+                # the build cache, so it measures the plan under test.
+                # (No stall retry here: a second call would time a
+                # cache hit, not the build.)
+                times[f"{name}_demo_build"] = round(_run(name), 3)
+            dt, n_runs = measured_seconds_ex(
+                lambda: _run(name), retryable=name not in NO_RETRY
+            )
+            if name in NO_RETRY and dt > GUARD_FACTOR * ANCHOR_SECONDS.get(
+                name, STALL_RETRY
+            ):
+                # ADVICE r10: a stall-suspect NO_RETRY reading stands
+                # by design (a rerun would time a cache hit) — flag it
+                # in the JSON so the protocol can discard the run
+                # instead of trusting probes alone. Stall-suspect =
+                # over 2x the cell's own anchor (c39's HONEST reading
+                # is 3.64 s, already past the generic 2.5 s bar).
+                stalled_no_retry.append(name)
+            times[name] = round(dt, 3)
+            cell_runs[name] = n_runs
+            total += dt
+        times["_host_probe_end"] = round(host_probe_seconds(), 3)
+        return times, cell_runs, stalled_no_retry, total
 
-    times["_host_probe_end"] = round(host_probe_seconds(), 3)
+    times, cell_runs, stalled_no_retry, total = sweep()
+    # The anchor column was cut at sf0.1 (the driver's scale); at
+    # other sf the comparison is meaningless — small-sf cells are
+    # dominated by fixed plan-compile floors and false-trip the 2x
+    # bar, so the guard only arms at the anchor scale.
+    anchors_apply = sf is not None and abs(sf - 0.1) < 1e-9
+    guard = {
+        "fired": False,
+        "anchors_apply": anchors_apply,
+        "cells_over_anchor": cells_over_anchor(times) if anchors_apply else [],
+        "stalled_no_retry": stalled_no_retry,
+    }
+    if anchors_apply and should_rerun_sweep(times):
+        # Stealth degraded phase (many cells far over anchor, quiet
+        # probes): one whole-sweep retry; keep the run with the
+        # smaller headline total. Both totals are recorded.
+        print(
+            f"degraded-run guard: {guard['cells_over_anchor']} over "
+            f"{GUARD_FACTOR}x anchor, rerunning sweep once",
+            file=sys.stderr,
+        )
+        guard["fired"] = True
+        guard["first_total"] = round(total, 3)
+        t2, cr2, snr2, total2 = sweep()
+        if total2 < total:
+            times, cell_runs, stalled_no_retry, total = t2, cr2, snr2, total2
+            guard["kept"] = "rerun"
+            guard["cells_over_anchor"] = cells_over_anchor(times)
+            guard["stalled_no_retry"] = stalled_no_retry
+        else:
+            guard["kept"] = "first"
+            guard["rerun_total"] = round(total2, 3)
+
     print(
         json.dumps(
             {
@@ -337,6 +510,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "cell_runs": cell_runs,
+                "guard": guard,
             }
         )
     )

@@ -7,7 +7,20 @@ so a future edit cannot silently change what a recorded cell means.
 
 from __future__ import annotations
 
-from bench import MEDIAN_CUTOFF, NO_RETRY, STALL_RETRY, measured_seconds
+from bench import (
+    ANCHOR_SECONDS,
+    GUARD_FACTOR,
+    GUARD_MIN_CELLS,
+    HEADLINE,
+    MEDIAN_CUTOFF,
+    NO_RETRY,
+    PROBE_QUIET,
+    STALL_RETRY,
+    cells_over_anchor,
+    measured_seconds,
+    measured_seconds_ex,
+    should_rerun_sweep,
+)
 
 
 def _seq(*values):
@@ -88,3 +101,77 @@ def test_protocol_constants_are_the_documented_ones():
     assert MEDIAN_CUTOFF == 1.0
     assert STALL_RETRY == 2.5
     assert NO_RETRY == {"c39_signature_index_merge", "b135_retention_delete"}
+
+
+# --- run-count reporting + whole-run degraded guard (VERDICT r10 #3) ---
+
+
+def test_run_counts_are_reported_per_branch():
+    # the JSON's cell_runs field distinguishes a 1-shot reading from a
+    # reproduced minimum: median path = 3, midrange = 1, recovered
+    # stall = 3, consistent heavy pair = 2, NO_RETRY = 1
+    assert measured_seconds_ex(_seq(0.2, 0.9, 0.4)) == (0.4, 3)
+    assert measured_seconds_ex(_seq(1.7)) == (1.7, 1)
+    assert measured_seconds_ex(_seq(25.0, 3.1, 3.0)) == (3.0, 3)
+    assert measured_seconds_ex(_seq(4.2, 4.0)) == (4.0, 2)
+    assert measured_seconds_ex(_seq(30.0), retryable=False) == (30.0, 1)
+
+
+def _fixture_times(n_over: int, probe: float) -> dict[str, float]:
+    """A synthetic sweep: every anchored cell at its anchor, except
+    the first n_over cells stalled to 2.5x anchor (the round-10
+    driver-run signature: degraded phase, quiet probes)."""
+    anchored = sorted(ANCHOR_SECONDS)
+    times = {n: ANCHOR_SECONDS[n] for n in anchored}
+    for n in anchored[:n_over]:
+        times[n] = ANCHOR_SECONDS[n] * 2.5
+    times["_host_probe_start"] = probe
+    times["_host_probe_end"] = probe
+    return times
+
+
+def test_guard_fires_on_stealth_degraded_run():
+    # >= GUARD_MIN_CELLS over 2x anchor + quiet probes = the exact
+    # shape that contaminated BENCH_r10.json — rerun
+    times = _fixture_times(GUARD_MIN_CELLS, probe=0.45)
+    over = cells_over_anchor(times)
+    assert len(over) == GUARD_MIN_CELLS
+    assert should_rerun_sweep(times)
+
+
+def test_guard_ignores_runs_the_probes_already_flag():
+    # a LOUD probe marks the run as degraded in the JSON itself; the
+    # guard exists only for the stealth phase
+    times = _fixture_times(GUARD_MIN_CELLS + 3, probe=1.2)
+    assert not should_rerun_sweep(times)
+
+
+def test_guard_needs_min_cells():
+    # one or two stalled cells are what the per-cell retry handles;
+    # the whole-run guard needs the broad signature
+    times = _fixture_times(GUARD_MIN_CELLS - 1, probe=0.45)
+    assert not should_rerun_sweep(times)
+
+
+def test_guard_quiet_run_at_anchor_does_not_fire():
+    times = _fixture_times(0, probe=0.45)
+    assert cells_over_anchor(times) == []
+    assert not should_rerun_sweep(times)
+
+
+def test_guard_requires_both_probes_present():
+    # a missing probe cell (malformed run) must not silently pass as
+    # "quiet"
+    times = _fixture_times(GUARD_MIN_CELLS, probe=0.45)
+    del times["_host_probe_end"]
+    assert not should_rerun_sweep(times)
+
+
+def test_anchor_table_matches_headline_set():
+    # every anchored cell is a real headline cell (no orphaned
+    # anchors after a rename), and the guard constants are the
+    # documented ones
+    assert set(ANCHOR_SECONDS) <= set(HEADLINE)
+    assert GUARD_FACTOR == 2.0
+    assert GUARD_MIN_CELLS == 4
+    assert PROBE_QUIET == 0.6
