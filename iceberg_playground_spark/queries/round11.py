@@ -1,0 +1,448 @@
+"""Round-11 operators: the ANN family's train step plus the streaming
+release pipeline (VERDICT r10 items 5 and 6).
+
+- c70: K-MEANS++ SEEDING (IVF index BUILD) — the missing middle of
+  the embedding family's train→apply→eval arc: c54 runs Lloyd from
+  FIXED seeds and c11/c40 probe a PREBUILT IVF structure; c70 builds
+  the index — it LEARNS the seed set with the classic k-means++ D²
+  rule (Arthur & Vassilvitskii, "k-means++: The Advantages of
+  Careful Seeding", SODA 2007). Each of the k-1 supersteps scores
+  every vector by its exact integer squared distance to the nearest
+  chosen seed and draws the next seed ∝ D² — the draw is the
+  Gumbel-max trick over deterministic md5 noise (c53's D²-sampling
+  idiom: key = round(1e6·ln D²) + round(-1e6·ln(-ln u)), u from
+  md5), so "randomness" is reproducible and engine-portable. Graded
+  on the FULL final cell assignment (vec_id, cell_id = seed vec_id,
+  exact sq distance) under c54's fixed-point contract — one seed
+  drawn differently anywhere in the chain changes the hash.
+
+  Scale shape: every superstep is ONE stateless pure-map scan (the
+  min-distance over the ≤k chosen seeds folds into a single JVM
+  expression against a literal centroid matrix — recomputing the
+  k-term min beats carrying a corpus-sized running-min column, which
+  would need a checkpoint per step) + ONE 1-row
+  TakeOrderedAndProject argmax collect; driver state is k·d ints.
+  k-1 scans total, zero joins, zero shuffles — the c63/c68
+  bounded-superstep discipline applied to ANN. At 100 TB each
+  superstep is a map-only pass; the k-means|| oversampling variant
+  (Bahmani et al., VLDB 2012) drops in by drawing top-l per step
+  from the SAME keyed scores instead of top-1.
+
+- p36: STREAMING RELEASE PIPELINE — p34's quality-gated release
+  (Gopher gate → dedup survivor selection → leakage-safe split →
+  per-(split, lang) rollup) run as continuous ingest, the reference's
+  whole point (decouple.rs's writer fleet; consume→decode→write→
+  commit, src/bin/bench-kafka.rs:66-173): documents arrive as an
+  ascending-doc_id file stream, each availableNow micro-batch gates
+  its docs, probes-and-MERGEs a fingerprint-cluster state index
+  (rep = cluster-min doc_id, canon = cluster-min PASSING doc_id),
+  stamps the p32 split from the cluster rep, and appends per-epoch
+  report rows. Because arrival files are doc_id-ordered, a cluster's
+  rep/canon are FIXED by the first batch that sees it — later
+  batches cannot lower the min — so every epoch's rows are final
+  when written and the drained totals hash-match batch p34 on the
+  same input (the b63/p18 stream-batch parity convention; the
+  oracle IS p34's oracle).
+
+  Scale shape: per-epoch work is |batch| flag rows (p29's two-level
+  aggregate on the batch) + one fp-keyed probe join against the
+  state index + a |splits·langs|-key rollup append; the state index
+  is |clusters| rows keyed by fp (the c39 MERGE shape — at 100 TB
+  the epoch delta upserts into the index without rewriting untouched
+  partitions; the demo materializes the next-epoch index to an
+  epoch-suffixed dir, which is the same exchange). Corpus text never
+  crosses an epoch boundary; cross-batch state is exactly the
+  cluster index.
+
+(Ref anchor: both extend the reference's delegated query surface the
+same way llm.py's c-family does — Layer-C/P mandate ops, not
+reference parity ops; the reference's own surface is complete per
+SURVEY §2.)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from iceberg_playground_spark.queries._util import hash_bucket, load
+from iceberg_playground_spark.queries.lakehouse import _built
+from iceberg_playground_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# c70 — k-means++ seeding (the IVF index BUILD / train step)
+# ---------------------------------------------------------------------------
+
+_C70_K = 8  # cells to seed (matches c54's k and c11/c40's IVF lists)
+_C70_DIM = 64
+_C70_SCALE = 1000  # c54's fixed-point grid: v = floor(x * 1000)
+
+
+def _c70_noise_sql(t: int) -> str:
+    """Deterministic Gumbel noise for draw ``t`` in micro-units
+    (DuckDB side): u = (md5-prefix % 1e6 + 0.5)/1e6, g = -ln(-ln u).
+    Exactly c53's construction, tagged per superstep."""
+    u = (
+        f"(CAST(CAST('0x' || substring(md5('c70:{t}:' || "
+        f"CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 "
+        f"AS DOUBLE) + 0.5) / 1000000.0"
+    )
+    return f"CAST(round(-1000000.0 * ln(-ln({u}))) AS BIGINT)"
+
+
+def _c70_oracle() -> str:
+    """The k-1 D²-draws unrolled as materialized CTEs (c63's rule),
+    then the final assignment under c54's tie-break (ORDER BY d,
+    cluster == lowest seed id wins).
+
+    The running min-distance column is INCREMENTAL: step t computes
+    each vector's distance to the ONE seed picked at step t-1 and
+    LEASTs it into m — exact BIGINTs, so the fold equals the
+    min-over-all-seeds the Spark side recomputes. (The naive
+    re-derive — q self-joined on dim with the seed set filtered by
+    an IN — leaves DuckDB a |q|² dim-join when the semi-join doesn't
+    push below the MATERIALIZED barrier: ~520 s at sf0.1 vs ~2 s for
+    this form.)"""
+    steps = []
+    for t in range(1, _C70_K):
+        key = (
+            f"CAST(round(1000000.0 * ln(CAST(m AS DOUBLE))) AS BIGINT) "
+            f"+ {_c70_noise_sql(t)}"
+        )
+        # MATERIALIZED throughout (c63's rule): each step references
+        # the previous one — inlined CTEs re-expand the whole chain
+        # at every reference, which is exponential in k
+        step = f"""
+p{t} AS MATERIALIZED (
+  SELECT vec_id FROM m{t} WHERE m > 0
+  ORDER BY {key} DESC, vec_id LIMIT 1),
+seeds{t + 1} AS MATERIALIZED (
+  SELECT sid FROM seeds{t} UNION ALL SELECT vec_id FROM p{t})"""
+        if t + 1 < _C70_K:  # the last draw needs no further minima
+            step += f""",
+m{t + 1} AS MATERIALIZED (
+  SELECT nd.vec_id, CASE WHEN m.m < nd.d THEN m.m ELSE nd.d END AS m
+  FROM (SELECT a.vec_id, sum((a.v - b.v) * (a.v - b.v)) AS d
+        FROM q a
+        JOIN p{t} p ON true
+        JOIN q b ON b.vec_id = p.vec_id AND b.dim = a.dim
+        GROUP BY a.vec_id) nd
+  JOIN m{t} m ON m.vec_id = nd.vec_id)"""
+        steps.append(step)
+    chain = ",".join(steps)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_C70_SCALE}) AS BIGINT)
+           AS v
+  FROM embeddings, range(1, {_C70_DIM + 1}) t(i)),
+seeds1 AS MATERIALIZED (SELECT 0 AS sid),
+m1 AS MATERIALIZED (
+  SELECT a.vec_id, sum((a.v - b.v) * (a.v - b.v)) AS m
+  FROM q a JOIN q b ON b.vec_id = 0 AND b.dim = a.dim
+  GROUP BY a.vec_id),{chain},
+cent AS MATERIALIZED (
+  SELECT s.sid AS cluster, q.dim, q.v
+  FROM seeds{_C70_K} s JOIN q ON q.vec_id = s.sid),
+fdist AS (
+  SELECT a.vec_id, c.cluster, sum((a.v - c.v) * (a.v - c.v)) AS d
+  FROM q a JOIN cent c ON a.dim = c.dim
+  GROUP BY a.vec_id, c.cluster),
+ranked AS (
+  SELECT vec_id, cluster, d, row_number() OVER
+    (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM fdist)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cell_id,
+       CAST(d AS BIGINT) AS sq_dist
+FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def _c70_noise_micro(t: int):
+    """Spark twin of _c70_noise_sql."""
+    u = (
+        (
+            F.conv(
+                F.md5(
+                    F.concat(
+                        F.lit(f"c70:{t}:"), F.col("vec_id").cast("string")
+                    )
+                ).substr(1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1e6
+    return F.round(-1e6 * F.log(-F.log(u))).cast("bigint")
+
+
+def _c70_min_d2(cents: list[tuple[int, list[int]]]):
+    """Exact BIGINT min squared distance to the chosen seed set, as
+    ONE JVM expression over a literal centroid matrix (the c54 rule:
+    one transform lambda, never k separate aggregates)."""
+    cmat = F.array(
+        *[F.array(*[F.lit(int(v)) for v in vec]) for _, vec in cents]
+    )
+    dists = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with("q", c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.array_min(dists)
+
+
+@query("c70_kmeanspp_seed", oracle=_c70_oracle())
+def c70_kmeanspp_seed(spark: SparkSession, sf: str) -> DataFrame:
+    """C70: k-means++ seeding / IVF index build — see module
+    docstring. Seed 0 = vec_id 0 (the c54 deterministic-seed rule);
+    each later seed is the Gumbel-max D² draw over all vectors at
+    m > 0 (exact duplicates of a chosen seed can never be drawn —
+    ln 0 is the oracle's filter too). Graded on the full final
+    assignment: (vec_id, cell_id, sq_dist)."""
+    from iceberg_playground_spark.queries.round9b import (
+        _c54_assign,
+        _c54_quantized,
+    )
+
+    qdf = _c54_quantized(spark, sf)
+    r0 = qdf.filter(F.col("vec_id") == 0).collect()[0]
+    seeds: list[tuple[int, list[int]]] = [(0, [int(v) for v in r0["q"]])]
+    for t in range(1, _C70_K):
+        # one stateless scan: min-d2 to the seeds so far + draw key
+        key = (
+            F.round(1e6 * F.log(F.col("m").cast("double"))).cast("bigint")
+            + _c70_noise_micro(t)
+        ).alias("key")
+        pick = (
+            qdf.select("vec_id", "q", _c70_min_d2(seeds).alias("m"))
+            .filter(F.col("m") > 0)
+            .select("vec_id", "q", key)
+            .orderBy(F.col("key").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )  # 1-row TakeOrderedAndProject argmax (the c63 collect rule)
+        seeds.append((int(pick["vec_id"]), [int(v) for v in pick["q"]]))
+    # ascending seed ids => _c54_assign's first-minimum IS the
+    # oracle's ORDER BY d, cluster tie-break
+    assigned = _c54_assign(qdf, sorted(seeds))
+    return assigned.select(
+        "vec_id",
+        F.col("cluster_id").alias("cell_id"),
+        "sq_dist",
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# p36 — streaming release pipeline (p34 as continuous ingest)
+# ---------------------------------------------------------------------------
+
+_P36_EPOCHS = 4
+
+
+def _p36_oracle() -> str:
+    """The oracle IS p34's oracle: the drained streaming totals must
+    hash-match the batch release report on the same input — the
+    stream/batch parity contract (b63/p18 convention), here made
+    checkable because ascending-doc_id arrival fixes every cluster's
+    rep/canon at first sight."""
+    from iceberg_playground_spark.queries.round10c import _p34_oracle
+
+    return _p34_oracle()
+
+
+@query("p36_streaming_release_report", oracle=_p36_oracle())
+def p36_streaming_release_report(spark: SparkSession, sf: str) -> DataFrame:
+    """P36: the streaming release pipeline — see module docstring.
+
+    Arrival = 4 doc_id-range quartile files with strictly ascending
+    mtimes (FileStreamSource processes files in mtime order, so
+    micro-batches arrive in doc_id order — the ingest-ordinal
+    contract c17/p10 rely on, now load-bearing: it is what makes a
+    cluster's rep/canon FINAL the first time any member is seen).
+    Per epoch: Gopher-gate the batch (p29's exact expression tree via
+    _gopher_flags), probe the fp-cluster state index, decide each
+    doc's fate (quality_drop / dup_drop / kept), stamp the p32 split
+    from the cluster rep, append the epoch's (split, lang) rollup
+    rows, and merge the batch's cluster minima into the next state
+    index. The returned frame is the drained sum over epoch rows —
+    identical to batch p34 by construction."""
+    from iceberg_playground_spark.queries.round9c import _gopher_flags
+    from iceberg_playground_spark.queries.round10 import (
+        _P32_TRAIN,
+        _P32_VAL,
+    )
+    from iceberg_playground_spark.queries.streaming import _scratch
+
+    def build(tmp: str) -> str:
+        d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+        n = d.count()
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src, exist_ok=True)
+        now = int(os.stat(tmp).st_mtime)
+        for i in range(_P36_EPOCHS):
+            part_dir = os.path.join(tmp, f"stage_{i}")
+            (
+                d.filter(
+                    F.floor(F.col("doc_id") * _P36_EPOCHS / F.lit(n)) == i
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            part = next(
+                f
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and f.startswith("part-")
+            )
+            dst = os.path.join(src, f"arrival_{i}.parquet")
+            shutil.copyfile(os.path.join(part_dir, part), dst)
+            # ascending mtimes pin the batch order (10 s apart — far
+            # beyond filesystem timestamp granularity)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        return src
+
+    src = _built(spark, sf, "p36", build)
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, lang STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    work = _scratch("ips_stream_release_")
+    idx_schema = "fp STRING, rep BIGINT, canon BIGINT"
+    reports = os.path.join(work, "reports")
+    holder = {"idx_path": None}
+    try:
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            flags = _gopher_flags(
+                batch_df.select("doc_id", "text")
+            ).select("doc_id", (F.col("pass") == 1).alias("pass"))
+            d = batch_df.select(
+                "doc_id",
+                "lang",
+                F.md5("text").alias("fp"),
+                F.size(F.split("text", " ")).cast("bigint").alias("ntok"),
+            ).join(flags, "doc_id")
+            wfp = W.partitionBy("fp")
+            b = d.withColumn("brep", F.min("doc_id").over(wfp)).withColumn(
+                "bcanon",
+                F.min(F.when(F.col("pass"), F.col("doc_id"))).over(wfp),
+            )
+            if holder["idx_path"] is None:
+                idx = spark.createDataFrame([], idx_schema)
+            else:
+                idx = spark.read.parquet(holder["idx_path"])
+            j = b.join(idx, "fp", "left")
+            # F.least skips nulls: an unseen cluster's state minima
+            # are null and the batch minima win; ascending arrival
+            # means state minima can only ever tighten downward here
+            s = (
+                j.withColumn("rep_eff", F.least("rep", "brep"))
+                .withColumn("canon_eff", F.least("canon", "bcanon"))
+                .withColumn(
+                    "bucket",
+                    hash_bucket(
+                        F.concat(
+                            F.lit("p32:"), F.col("rep_eff").cast("string")
+                        )
+                    ),
+                )
+                .withColumn(
+                    "split",
+                    F.when(F.col("bucket") < _P32_TRAIN, "train")
+                    .when(F.col("bucket") < _P32_VAL, "validation")
+                    .otherwise("test"),
+                )
+                .withColumn(
+                    "fate",
+                    F.when(~F.col("pass"), "quality_drop")
+                    .when(
+                        F.col("doc_id") != F.col("canon_eff"), "dup_drop"
+                    )
+                    .otherwise("kept"),
+                )
+            )
+            (
+                s.groupBy("split", "lang")
+                .agg(
+                    F.count("*").cast("bigint").alias("docs_in"),
+                    F.sum(
+                        F.when(F.col("fate") == "quality_drop", 1).otherwise(0)
+                    ).cast("bigint").alias("quality_drops"),
+                    F.sum(
+                        F.when(F.col("fate") == "dup_drop", 1).otherwise(0)
+                    ).cast("bigint").alias("dup_drops"),
+                    F.sum(
+                        F.when(F.col("fate") == "kept", 1).otherwise(0)
+                    ).cast("bigint").alias("kept_docs"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("fate") == "kept", F.col("ntok"))),
+                        F.lit(0),
+                    ).cast("bigint").alias("kept_tokens"),
+                )
+                .withColumn("epoch", F.lit(int(epoch_id)).cast("bigint"))
+                .write.mode("append")
+                .parquet(reports)
+            )
+            # merge the batch's cluster minima into the state index
+            # (epoch-suffixed dir = the demo's stand-in for the c39
+            # MERGE upsert; same exchange, no read/write overlap)
+            new_idx = (
+                idx.unionByName(
+                    b.groupBy("fp").agg(
+                        F.min("brep").alias("rep"),
+                        F.min("bcanon").alias("canon"),
+                    )
+                )
+                .groupBy("fp")
+                .agg(
+                    F.min("rep").alias("rep"),
+                    F.min("canon").alias("canon"),
+                )
+            )
+            nxt = os.path.join(work, f"state_{epoch_id}")
+            new_idx.write.mode("overwrite").parquet(nxt)
+            holder["idx_path"] = nxt
+
+        q = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", _scratch("ips_stream_relck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # SIZE GUARD: |splits·langs|-row rollup only, collected
+        # because the scratch dirs are deleted in finally (p18's
+        # literal-result rule)
+        rows = (
+            spark.read.parquet(reports)
+            .groupBy("split", "lang")
+            .agg(
+                F.sum("docs_in").cast("bigint").alias("docs_in"),
+                F.sum("quality_drops").cast("bigint").alias("quality_drops"),
+                F.sum("dup_drops").cast("bigint").alias("dup_drops"),
+                F.sum("kept_docs").cast("bigint").alias("kept_docs"),
+                F.sum("kept_tokens").cast("bigint").alias("kept_tokens"),
+            )
+            .orderBy("split", "lang")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "split STRING, lang STRING, docs_in BIGINT, quality_drops BIGINT,"
+        " dup_drops BIGINT, kept_docs BIGINT, kept_tokens BIGINT",
+    )

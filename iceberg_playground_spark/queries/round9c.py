@@ -100,7 +100,17 @@ def p29_gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
     per-(doc, distinct-token) rows, strictly smaller than the token
     stream. Every threshold compares integers (cross-multiplied
     ratios), so the flags are bit-identical on both engines."""
-    t = load(spark, sf, "documents").select(
+    return _gopher_flags(
+        load(spark, sf, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+def _gopher_flags(docs: DataFrame) -> DataFrame:
+    """The Gopher rule bundle over ANY (doc_id, text) frame — p29's
+    body, factored out so p36's micro-batches gate with the IDENTICAL
+    expression tree (the flags are per-doc, hence batch-local, so
+    stream/batch parity is structural)."""
+    t = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
     g0 = t.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
@@ -131,7 +141,7 @@ def p29_gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
         flag(stop_ok).alias("stop_ok"),
         flag(topmass_ok).alias("topmass_ok"),
         flag(wc_ok & mlen_ok & stop_ok & topmass_ok).alias("pass"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

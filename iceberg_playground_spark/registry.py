@@ -84,7 +84,10 @@ _ROTATION_R11 = [
 # Round-11 additions: never graded, they outrank everything freshly
 # regraded and LEAD round 12's window (exactly as _R10_NEW_TAIL led
 # round 11's). Appended as they land.
-_R11_NEW_TAIL: list[str] = []
+_R11_NEW_TAIL: list[str] = [
+    "c70_kmeanspp_seed",
+    "p36_streaming_release_report",
+]
 
 
 def load_all() -> None:
@@ -133,6 +136,7 @@ def load_all() -> None:
         round10b,
         round10c,
         round10d,
+        round11,
     )
 
     prefix = _R11_LEAD + _ROTATION_R11 + _R11_NEW_TAIL

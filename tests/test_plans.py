@@ -1189,3 +1189,44 @@ def test_p35_rounds_are_cell_table_window_math(spark):
     plan = _plan(spark, "p35_budget_rebalance")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_c70_superstep_pick_is_joinless_topk(spark):
+    # c70: each D² draw must be ONE stateless map over the corpus
+    # (min-distance folded against a LITERAL seed matrix, the c54
+    # rule) ending in a 1-row TakeOrderedAndProject — a join against
+    # a seed table would shuffle the corpus once per superstep
+    from pyspark.sql import functions as F
+
+    from iceberg_playground_spark.queries.round11 import (
+        _c70_min_d2,
+        _c70_noise_micro,
+    )
+    from iceberg_playground_spark.queries.round9b import _c54_quantized
+
+    qdf = _c54_quantized(spark, SF_CHECK)
+    key = (
+        F.round(1e6 * F.log(F.col("m").cast("double"))).cast("bigint")
+        + _c70_noise_micro(1)
+    ).alias("key")
+    pick = (
+        qdf.select("vec_id", "q", _c70_min_d2([(0, [0] * 64)]).alias("m"))
+        .filter(F.col("m") > 0)
+        .select("vec_id", "q", key)
+        .orderBy(F.col("key").desc(), "vec_id")
+        .limit(1)
+    )
+    plan = pick._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_c70_final_assignment_is_joinless_map(spark):
+    # c70: the graded assignment inherits c54's shape — one corpus
+    # scan against the literal learned centroids, no join, no hash
+    # exchange (driver state across the whole train step is k·d ints)
+    plan = _plan(spark, "c70_kmeanspp_seed")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
