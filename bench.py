@@ -144,6 +144,15 @@ HEADLINE = [
     "p34_release_report_v3",
     "c68_perceptron_train",
     "c69_pmi_collocations",
+    # round-11 entrant: the k-means++ index build — 7 D²-draw
+    # supersteps, each a full corpus scan + 1-row argmax collect (the
+    # train-step driver loop, c54/c63's shape applied to ANN). p36
+    # (streaming release) is graded for correctness but not benched,
+    # same rationale as p18: its availableNow drain pays the
+    # per-epoch plan-compile floor 4x plus per-epoch state-index
+    # parquet round-trips — pure fixed overhead at demo scale that
+    # real batch sizes amortize, no plan signal.
+    "c70_kmeanspp_seed",
 ]
 
 # Cells whose first call is dominated by demo-WAREHOUSE construction
@@ -278,6 +287,8 @@ ANCHOR_SECONDS = {
     "p34_release_report_v3": 1.12,
     "c68_perceptron_train": 2.80,
     "c69_pmi_collocations": 0.76,
+    # round-11 (clean pair at r11 HEAD, minimum of 5.07/4.87)
+    "c70_kmeanspp_seed": 4.87,
 }
 GUARD_FACTOR = 2.0
 GUARD_MIN_CELLS = 4
