@@ -54,8 +54,18 @@ release pipeline (VERDICT r10 items 5 and 6).
   crosses an epoch boundary; cross-batch state is exactly the
   cluster index.
 
-(Ref anchor: both extend the reference's delegated query surface the
-same way llm.py's c-family does — Layer-C/P mandate ops, not
+- c71: IVF INDEX MAINTENANCE / DRIFT AUDIT — the operational step
+  between c70's build and c11/c40's probes: as new vectors arrive
+  after the coarse quantizer was trained, per-cell centroid drift
+  (exact BIGINT under c54's fixed-point contract, floor'd means on
+  the base-only vs full populations) decides which cells need
+  re-training. One corpus scan: joinless literal-matrix assignment +
+  a single |k|-key aggregate of conditional per-dim sums; the drift
+  fold runs on k rows. The per-cell sums are mergeable state — a
+  p36-style micro-batch arrival MERGEs them incrementally at 100 TB.
+
+(Ref anchor: all three extend the reference's delegated query surface
+the same way llm.py's c-family does — Layer-C/P mandate ops, not
 reference parity ops; the reference's own surface is complete per
 SURVEY §2.)
 """
@@ -239,6 +249,157 @@ def c70_kmeanspp_seed(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cluster_id").alias("cell_id"),
         "sq_dist",
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# c71 — IVF index maintenance / centroid-drift audit
+# ---------------------------------------------------------------------------
+
+_C71_K = 8
+_C71_DIM = 64
+_C71_SCALE = 1000  # c54's fixed-point grid
+# Re-train bar: drift_sq > 12000 ≈ the centroid moving ~13.7 grid
+# steps rms across 64 dims. On this corpus it splits the cells 4/4 at
+# sf0.01 and 5/3 at sf0.001, and clears everything at sf0.1 — drift
+# shrinks as populations grow (means stabilize), which is exactly the
+# signal the audit exists to read.
+_C71_DRIFT_SQ = 12000
+
+
+def _c71_oracle() -> str:
+    """Assignment + conditional per-(cell, dim) sums, floor'd means
+    on both the base-only and base+delta populations, drift folded
+    per cell."""
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+q AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_C71_SCALE}) AS BIGINT)
+           AS v,
+         vec_id >= (SELECT n // 2 FROM n) AS is_new
+  FROM embeddings, UNNEST(range(1, {_C71_DIM} + 1)) AS u(i)),
+cent0 AS (
+  SELECT vec_id AS cell, i, v FROM q WHERE vec_id < {_C71_K}),
+d AS (
+  SELECT a.vec_id, c.cell, sum((a.v - c.v) * (a.v - c.v)) AS d
+  FROM q a JOIN cent0 c ON a.i = c.i
+  GROUP BY a.vec_id, c.cell),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM d) WHERE rn = 1),
+cd AS (
+  SELECT asg.cell, q.i,
+         count(*) FILTER (WHERE NOT q.is_new) AS n_base,
+         count(*) FILTER (WHERE q.is_new) AS n_new,
+         sum(q.v) FILTER (WHERE NOT q.is_new) AS s_base,
+         sum(q.v) AS s_all
+  FROM q JOIN asg ON q.vec_id = asg.vec_id
+  GROUP BY asg.cell, q.i),
+drift AS (
+  SELECT cell,
+         max(n_base) AS n_base, max(n_new) AS n_new,
+         sum((CAST(floor(CAST(s_base AS DOUBLE) / n_base) AS BIGINT)
+              - CAST(floor(CAST(s_all AS DOUBLE) / (n_base + n_new))
+                     AS BIGINT))
+             * (CAST(floor(CAST(s_base AS DOUBLE) / n_base) AS BIGINT)
+                - CAST(floor(CAST(s_all AS DOUBLE) / (n_base + n_new))
+                       AS BIGINT))) AS drift_sq
+  FROM cd GROUP BY cell)
+SELECT CAST(cell AS BIGINT) AS cell_id,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(drift_sq AS BIGINT) AS drift_sq,
+       CAST(CASE WHEN drift_sq > {_C71_DRIFT_SQ} THEN 1 ELSE 0 END AS INT)
+         AS retrain
+FROM drift ORDER BY cell_id
+"""
+
+
+@query("c71_ivf_index_drift", oracle=_c71_oracle())
+def c71_ivf_index_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """C71: IVF index maintenance — the drift audit that decides when
+    the coarse quantizer needs re-training (the operational step
+    between c70's BUILD and c11/c40's PROBES; FAISS ships the same
+    check as index_factory re-train heuristics). The deployed index
+    was built when only the BASE half of the corpus existed (cells =
+    the first k base vectors, c54's deterministic-seed rule); the
+    newer half is the post-build arrival set. Every vector assigns to
+    its nearest cell; per cell the audit reports base/new populations
+    and the exact squared drift between the floor'd base-only
+    centroid and the floor'd full-population centroid, flagging cells
+    whose drift exceeds the re-train bar.
+
+    Scale shape: ONE corpus scan — assignment is a joinless map
+    against the k·d literal seed matrix (the c54 rule) and the
+    per-cell stats are a single |k|-key aggregate (2 counts + 2·d
+    conditional sums, all map-side partials); the drift fold then
+    runs on k rows. No join, no window, nothing corpus-sized past
+    the aggregate. At 100 TB the delta would arrive via p36-style
+    micro-batches and these sums are exactly the mergeable state an
+    incremental audit MERGEs per epoch (the c39 shape)."""
+    from iceberg_playground_spark.queries.round9b import (
+        _c54_assign,
+        _c54_quantized,
+    )
+
+    qdf = _c54_quantized(spark, sf)
+    cut = qdf.count() // 2
+    seeds = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in qdf.filter(F.col("vec_id") < _C71_K).collect()
+    )
+    assigned = _c54_assign(qdf, seeds).select(
+        "q",
+        F.col("cluster_id").alias("cell_id"),
+        (F.col("vec_id") >= cut).alias("is_new"),
+    )
+    base = F.when(~F.col("is_new"), F.lit(1)).otherwise(F.lit(0))
+    aggs = [
+        F.sum(base).cast("bigint").alias("n_base"),
+        F.sum(1 - base).cast("bigint").alias("n_new"),
+    ]
+    for i in range(_C71_DIM):
+        aggs.append(
+            F.sum(F.when(~F.col("is_new"), F.col("q")[i]).otherwise(0))
+            .cast("bigint")
+            .alias(f"sb{i}")
+        )
+        aggs.append(F.sum(F.col("q")[i]).cast("bigint").alias(f"sa{i}"))
+    cells = assigned.groupBy("cell_id").agg(*aggs)
+    old_c = F.array(*[
+        F.floor(F.col(f"sb{i}").cast("double") / F.col("n_base"))
+        .cast("bigint")
+        for i in range(_C71_DIM)
+    ])
+    new_c = F.array(*[
+        F.floor(
+            F.col(f"sa{i}").cast("double")
+            / (F.col("n_base") + F.col("n_new"))
+        ).cast("bigint")
+        for i in range(_C71_DIM)
+    ])
+    drift = F.aggregate(
+        F.zip_with(old_c, new_c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cells.select(
+            "cell_id",
+            "n_base",
+            "n_new",
+            drift.alias("drift_sq"),
+        )
+        .withColumn(
+            "retrain",
+            F.when(F.col("drift_sq") > _C71_DRIFT_SQ, 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+        .orderBy("cell_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -87,6 +87,7 @@ _ROTATION_R11 = [
 _R11_NEW_TAIL: list[str] = [
     "c70_kmeanspp_seed",
     "p36_streaming_release_report",
+    "c71_ivf_index_drift",
 ]
 
 

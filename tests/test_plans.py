@@ -1230,3 +1230,14 @@ def test_c70_final_assignment_is_joinless_map(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_c71_audit_is_one_scan_one_aggregate(spark):
+    # c71: assignment must stay a joinless map against the literal
+    # seed matrix and the per-cell stats ONE |k|-key aggregate with
+    # map-side partials — no join, no window, no second corpus pass
+    plan = _plan(spark, "c71_ivf_index_drift")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan

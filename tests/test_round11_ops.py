@@ -1,9 +1,10 @@
-"""Round-11 operator semantics: k-means++ seeding (c70) and the
-streaming release pipeline (p36). Oracle parity is covered by
-test_correctness's registry-wide parametrization; these pin the
-invariants an oracle diff alone would not localize — the full D²-draw
-chain against an independent Python reference, and p36's stream/batch
-parity against p34 on the same corpus."""
+"""Round-11 operator semantics: k-means++ seeding (c70), the
+streaming release pipeline (p36), and the IVF drift audit (c71).
+Oracle parity is covered by test_correctness's registry-wide
+parametrization; these pin the invariants an oracle diff alone would
+not localize — the full D²-draw chain and the per-cell drift math
+against independent Python references, and p36's stream/batch parity
+against p34 on the same corpus."""
 
 from __future__ import annotations
 
@@ -147,3 +148,69 @@ def test_p36_accounts_for_every_document(spark):
             == r["docs_in"]
         )
         assert (r["kept_tokens"] > 0) == (r["kept_docs"] > 0)
+
+
+# --- c71 IVF index drift audit -----------------------------------------------
+
+
+def _py_ivf_drift(sf_dir: str, k: int = 8, scale: int = 1000):
+    """Independent reference: assignment to the first-k seeds, per-cell
+    conditional sums, floor'd means, exact drift."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    q = {
+        int(vid): [int(math.floor(float(x) * scale)) for x in emb]
+        for vid, emb in rows
+    }
+    cut = len(q) // 2
+    seeds = {c: q[c] for c in range(k)}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cells = {c: {"nb": 0, "nn": 0, "sb": [0] * 64, "sa": [0] * 64}
+             for c in range(k)}
+    for vid, vec in q.items():
+        cell = min(sorted(seeds), key=lambda c: (d2(vec, seeds[c]), c))
+        st = cells[cell]
+        is_new = vid >= cut
+        st["nn" if is_new else "nb"] += 1
+        for i, v in enumerate(vec):
+            st["sa"][i] += v
+            if not is_new:
+                st["sb"][i] += v
+    out = {}
+    for c, st in cells.items():
+        old = [int(math.floor(s / st["nb"])) for s in st["sb"]]
+        new = [
+            int(math.floor(s / (st["nb"] + st["nn"]))) for s in st["sa"]
+        ]
+        out[c] = (
+            st["nb"],
+            st["nn"],
+            sum((o - n) * (o - n) for o, n in zip(old, new)),
+        )
+    return out
+
+
+def test_c71_matches_python_drift_audit(spark):
+    ref = _py_ivf_drift(SF_SMOKE)
+    got = {
+        r["cell_id"]: (r["n_base"], r["n_new"], r["drift_sq"], r["retrain"])
+        for r in registry.QUERIES["c71_ivf_index_drift"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for c, (nb, nn, drift) in ref.items():
+        gnb, gnn, gdrift, flag = got[c]
+        assert (gnb, gnn, gdrift) == (nb, nn, drift)
+        assert flag == (1 if drift > 12000 else 0)
+    # the audit accounts for every vector exactly once
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert sum(nb + nn for nb, nn, _, _ in got.values()) == n
