@@ -82,6 +82,7 @@ from pyspark.sql.window import Window as W
 from iceberg_playground_spark.queries._util import hash_bucket, load
 from iceberg_playground_spark.queries.lakehouse import _built
 from iceberg_playground_spark.registry import query
+from iceberg_playground_spark.tables import LakeCatalog
 
 # ---------------------------------------------------------------------------
 # c70 — k-means++ seeding (the IVF index BUILD / train step)
@@ -399,6 +400,92 @@ def c71_ivf_index_drift(spark: SparkSession, sf: str) -> DataFrame:
             .cast("int"),
         )
         .orderBy("cell_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b159 — refs metadata table
+# ---------------------------------------------------------------------------
+
+_B159_ORACLE = """
+WITH c0 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 = 0),
+c1 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 = 1),
+c2 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 = 2),
+cf AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F')
+SELECT 'audit-v1' AS ref_name, 'tag' AS ref_type,
+       CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS n_appends,
+       CAST((SELECT n FROM c0) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'main', 'branch', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+       CAST((SELECT n FROM c0) + (SELECT n FROM c1)
+            + (SELECT n FROM cf) AS BIGINT)
+UNION ALL
+SELECT 'wip', 'branch', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+       CAST((SELECT n FROM c0) + (SELECT n FROM c1)
+            + (SELECT n FROM c2) AS BIGINT)
+ORDER BY ref_name
+"""
+
+
+@query("b159_refs_metadata", oracle=_B159_ORACLE)
+def b159_refs_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """B159: the ``refs`` metadata table — Iceberg's ``t.refs``,
+    completing the metadata-table family (b79 snapshots, b92 files,
+    b158 partitions): one row per named ref — main (a BRANCH at HEAD,
+    Iceberg's convention), each tag, each branch with its fork base
+    and staged-append count (see tables.py::refs). The graded relation
+    adds each ref's visible row count: main and tag counts come from
+    ``metadata_count`` (committed per-file stats — zero data I/O, the
+    b92/b158 rule); the branch count must scan its view
+    (``read_branch``) because branch entries stage without committed
+    stats — exactly Iceberg's rule that absent stats mean unknown,
+    never guessed.
+
+    Demo lineage: append v1 (keys ≡0 mod 3) → tag ``audit-v1`` →
+    append v2 (≡1) → branch ``wip`` forked at v2 + one branch append
+    (≡2) → main append v3 (status F). The refs table is 3 bounded
+    rows; the one data scan is the branch count."""
+
+    def build(tmp: str):
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "orders_refs",
+            "o_orderkey BIGINT, o_orderstatus STRING",
+            drop_if_exists=True,
+        )
+        o = load(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderstatus",
+        )
+        t.append(o.filter(F.col("o_orderkey") % 3 == 0))
+        t.create_tag("audit-v1", version=1)
+        t.append(o.filter(F.col("o_orderkey") % 3 == 1))
+        t.create_branch("wip", version=2)
+        t.append_to_branch("wip", o.filter(F.col("o_orderkey") % 3 == 2))
+        t.append(o.filter(F.col("o_orderstatus") == "F"))
+        return t
+
+    t = _built(spark, sf, "b159", build)
+    counts = {}
+    for r in t.refs().collect():
+        if r["ref_type"] == "tag" or r["ref_name"] == "main":
+            counts[r["ref_name"]] = t.metadata_count(int(r["version"]))
+        else:
+            counts[r["ref_name"]] = t.read_branch(r["ref_name"]).count()
+    rows = [
+        (
+            r["ref_name"],
+            r["ref_type"],
+            int(r["version"]),
+            int(r["n_appends"]),
+            int(counts[r["ref_name"]]),
+        )
+        for r in t.refs().collect()
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "ref_name STRING, ref_type STRING, version BIGINT,"
+        " n_appends BIGINT, n_rows BIGINT",
     )
 
 

@@ -88,6 +88,7 @@ _R11_NEW_TAIL: list[str] = [
     "c70_kmeanspp_seed",
     "p36_streaming_release_report",
     "c71_ivf_index_drift",
+    "b159_refs_metadata",
 ]
 
 

@@ -1682,6 +1682,28 @@ class LakeTable:
             rows, "partition STRING, n_files BIGINT, n_rows BIGINT"
         )
 
+    def refs(self) -> DataFrame:
+        """The ``refs`` METADATA TABLE (Iceberg's ``t.refs``): one row
+        per named ref — ``main`` (a BRANCH at HEAD, Iceberg's
+        convention), every tag (immutable version pin), every branch
+        (fork base + its staged append count). Answered from one
+        directory listing per ref class; zero snapshots or data files
+        are opened. This is the relation a release manager reads
+        before expire_snapshots (tags PIN versions against expiry)
+        and before fast_forward (how far has a branch diverged)."""
+        rows = [("main", "branch", int(self.current_version()), 0)]
+        for name, v in sorted(self.tags().items()):
+            rows.append((name, "tag", int(v), 0))
+        for name, info in sorted(self.branches().items()):
+            rows.append(
+                (name, "branch", int(info["base"]), int(info["n_appends"]))
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "ref_name STRING, ref_type STRING, version BIGINT,"
+            " n_appends BIGINT",
+        )
+
     def metadata_count(self, version: int | None = None) -> int | None:
         """Metadata-only row count: sum the per-file record counts from
         the snapshot — the optimization behind Iceberg answering

@@ -214,3 +214,36 @@ def test_c71_matches_python_drift_audit(spark):
         f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/embeddings.parquet')"
     ).fetchone()[0]
     assert sum(nb + nn for nb, nn, _, _ in got.values()) == n
+
+
+# --- b159 refs metadata table ------------------------------------------------
+
+
+def test_b159_refs_tracks_ref_lifecycle(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("demo", "refs_t", "k BIGINT", drop_if_exists=True)
+    t.append(spark.range(5).selectExpr("id AS k"))
+
+    def snap():
+        return {
+            r["ref_name"]: (r["ref_type"], r["version"], r["n_appends"])
+            for r in t.refs().collect()
+        }
+
+    # a fresh table exposes exactly main, as a BRANCH at HEAD
+    assert snap() == {"main": ("branch", 1, 0)}
+    t.create_tag("rel")
+    t.append(spark.range(3).selectExpr("id AS k"))
+    # the tag PINNED version 1 while main moved on
+    assert snap() == {"main": ("branch", 2, 0), "rel": ("tag", 1, 0)}
+    t.create_branch("wip")
+    t.append_to_branch("wip", spark.range(2).selectExpr("id AS k"))
+    t.append_to_branch("wip", spark.range(2).selectExpr("id AS k"))
+    assert snap()["wip"] == ("branch", 2, 2)
+    # branch state is ref-local: main and the tag are untouched
+    assert snap()["main"] == ("branch", 2, 0)
+    t.drop_branch("wip")
+    t.drop_tag("rel")
+    assert snap() == {"main": ("branch", 2, 0)}
