@@ -64,10 +64,21 @@ release pipeline (VERDICT r10 items 5 and 6).
   fold runs on k rows. The per-cell sums are mergeable state — a
   p36-style micro-batch arrival MERGEs them incrementally at 100 TB.
 
-(Ref anchor: all three extend the reference's delegated query surface
-the same way llm.py's c-family does — Layer-C/P mandate ops, not
-reference parity ops; the reference's own surface is complete per
-SURVEY §2.)
+- b159: REFS METADATA TABLE — Iceberg's ``t.refs`` (main/tags/
+  branches + per-ref visible row counts), completing the
+  metadata-table family; see tables.py::refs.
+
+- p37: MIXTURE SCHEDULE — p35's allocation turned into the
+  deterministic stride-interleaved batch order a training loop
+  consumes (batch j of a b-batch cell at position (2j-1)/(2b)), so
+  every schedule prefix holds each source at its allocated
+  proportion ±1 batch. Completes the budgeting arc p33 (diagnose) →
+  p35 (rebalance) → p37 (order).
+
+(Ref anchor: the c/p ops extend the reference's delegated query
+surface the same way llm.py's c-family does — Layer-C/P mandate ops,
+not reference parity ops; b159 extends the tables.py lakehouse core.
+The reference's own surface is complete per SURVEY §2.)
 """
 
 from __future__ import annotations
@@ -487,6 +498,104 @@ def b159_refs_metadata(spark: SparkSession, sf: str) -> DataFrame:
         "ref_name STRING, ref_type STRING, version BIGINT,"
         " n_appends BIGINT, n_rows BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# p37 — mixture schedule (the batch order a training run consumes)
+# ---------------------------------------------------------------------------
+
+# Tokens per training batch. Sized against the demo corpus (~100
+# (source, lang) cells sharing 28k-270k tokens): 128 gives every
+# healthy cell a multi-batch presence (schedules of ~360/~360/~4100
+# steps at sf0.001/0.01/0.1) while sub-batch cells still exercise the
+# drop-out rule.
+_P37_BATCH_TOK = 128
+
+
+def _p37_oracle() -> str:
+    """p35's unrolled water-filling chain, then batches per cell and
+    the stride interleave."""
+    from iceberg_playground_spark.queries.round10d import (
+        _P35_ROUNDS,
+        _p35_oracle,
+    )
+
+    base = _p35_oracle()
+    # keep p35's WITH chain, swap its final SELECT for the schedule
+    chain = base[: base.rindex("SELECT")]
+    n = _P35_ROUNDS
+    return f"""{chain.rstrip()},
+sched AS (
+  SELECT source, lang,
+         CAST(alloc{n} // {_P37_BATCH_TOK} AS BIGINT) AS n_batches
+  FROM r{n} WHERE alloc{n} // {_P37_BATCH_TOK} > 0),
+srows AS (
+  SELECT source, lang, u.j AS batch_idx,
+         ((2 * u.j - 1) * 1000000000) // (2 * n_batches) AS key_micro
+  FROM sched, UNNEST(range(1, n_batches + 1)) AS u(j))
+SELECT CAST(row_number() OVER (ORDER BY key_micro, source, lang)
+            AS BIGINT) AS step,
+       source, lang, CAST(batch_idx AS BIGINT) AS batch_idx,
+       CAST(key_micro AS BIGINT) AS key_micro
+FROM srows ORDER BY step
+"""
+
+
+@query("p37_mixture_schedule", oracle=_p37_oracle())
+def p37_mixture_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """P37: the mixture SCHEDULE — the artifact a training loop
+    actually consumes, completing the budgeting arc (p33 diagnoses
+    over-replay, p35 fixes the allocation, p37 orders the batches):
+    each cell's p35 allocation becomes final_tok DIV batch_size
+    batches, and batch j of a b-batch cell lands at the stride
+    position (2j-1)/(2b) — the classic deterministic stride
+    interleave (lottery/stride scheduling; the same spacing
+    DoReMi-style mixture loaders use), so every prefix of the
+    schedule holds each source at its allocated proportion ±1 batch
+    (no source ever fronts or starves). Cells too small to fill one
+    batch drop out (their tokens are the rounding remainder a real
+    loader carries over). Every position key is exact integer
+    arithmetic; the global step is a row_number over (key, cell).
+
+    Scale shape: ONE corpus aggregate to |cells| rows (p35's plan),
+    then sequence-explode to |batches| rows — the schedule, at any
+    corpus size, is budget/batch_size rows (KB per million tokens of
+    budget); the one exchange past the cell table is the global
+    step-order sort, which is the deliverable itself. Nothing
+    corpus-sized survives the first aggregate."""
+    from iceberg_playground_spark.queries.round10d import (
+        p35_budget_rebalance,
+    )
+
+    alloc = p35_budget_rebalance(spark, sf).select(
+        "source",
+        "lang",
+        F.expr(f"CAST(final_tok DIV {_P37_BATCH_TOK} AS BIGINT)")
+        .alias("n_batches"),
+    ).filter(F.col("n_batches") > 0)
+    rows = alloc.select(
+        "source",
+        "lang",
+        "n_batches",
+        F.explode(F.sequence(F.lit(1), F.col("n_batches")))
+        .alias("batch_idx"),
+    ).select(
+        "source",
+        "lang",
+        F.col("batch_idx").cast("bigint").alias("batch_idx"),
+        F.expr(
+            f"CAST(((2 * batch_idx - 1) * 1000000000) DIV "
+            f"(2 * n_batches) AS BIGINT)"
+        ).alias("key_micro"),
+    )
+    w = W.orderBy("key_micro", "source", "lang")
+    return rows.select(
+        F.row_number().over(w).cast("bigint").alias("step"),
+        "source",
+        "lang",
+        "batch_idx",
+        "key_micro",
+    ).orderBy("step")
 
 
 # ---------------------------------------------------------------------------

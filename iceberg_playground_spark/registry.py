@@ -89,6 +89,7 @@ _R11_NEW_TAIL: list[str] = [
     "p36_streaming_release_report",
     "c71_ivf_index_drift",
     "b159_refs_metadata",
+    "p37_mixture_schedule",
 ]
 
 

@@ -1241,3 +1241,14 @@ def test_c71_audit_is_one_scan_one_aggregate(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_p37_schedule_is_cell_table_explode(spark):
+    # p37: one corpus scan collapses to the cell table (p35's plan);
+    # the schedule is a sequence-explode of cell rows — no join, no
+    # second corpus pass; the only exchange past the cell aggregate
+    # is the deliverable's global step order
+    plan = _plan(spark, "p37_mixture_schedule")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Generate explode" in plan

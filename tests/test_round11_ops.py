@@ -247,3 +247,54 @@ def test_b159_refs_tracks_ref_lifecycle(spark, tmp_path):
     t.drop_branch("wip")
     t.drop_tag("rel")
     assert snap() == {"main": ("branch", 2, 0)}
+
+
+# --- p37 mixture schedule ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def p37_rows(spark):
+    return registry.QUERIES["p37_mixture_schedule"](
+        spark, SF_SMOKE
+    ).collect()
+
+
+def test_p37_stride_schedule_matches_reference(spark, p37_rows):
+    # independent scheduler over p35's (separately verified)
+    # allocation: batches per cell, stride keys, global order
+    alloc = registry.QUERIES["p35_budget_rebalance"](
+        spark, SF_SMOKE
+    ).collect()
+    ref = []
+    for r in alloc:
+        b = r["final_tok"] // 128
+        for j in range(1, b + 1):
+            key = ((2 * j - 1) * 1_000_000_000) // (2 * b)
+            ref.append((key, r["source"], r["lang"], j))
+    ref.sort()
+    got = [(r["key_micro"], r["source"], r["lang"], r["batch_idx"])
+           for r in sorted(p37_rows, key=lambda r: r["step"])]
+    assert got == ref
+    assert [r["step"] for r in sorted(p37_rows, key=lambda r: r["step"])] \
+        == list(range(1, len(ref) + 1))
+
+
+def test_p37_every_prefix_holds_proportions(p37_rows):
+    # the point of the stride interleave: any prefix of the schedule
+    # contains each cell's batches in proportion to its allocation,
+    # within one batch — no source fronts or starves
+    total = {}
+    for r in p37_rows:
+        total[(r["source"], r["lang"])] = (
+            total.get((r["source"], r["lang"]), 0) + 1
+        )
+    n = len(p37_rows)
+    seen = {c: 0 for c in total}
+    for i, r in enumerate(sorted(p37_rows, key=lambda r: r["step"]), 1):
+        seen[(r["source"], r["lang"])] += 1
+        if i % 50 == 0:  # sample prefixes
+            for c, b in total.items():
+                expected = b * i / n
+                assert abs(seen[c] - expected) <= 1.0 + 1e-9, (
+                    c, i, seen[c], expected
+                )
