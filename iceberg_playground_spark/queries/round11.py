@@ -68,6 +68,11 @@ release pipeline (VERDICT r10 items 5 and 6).
   branches + per-ref visible row counts), completing the
   metadata-table family; see tables.py::refs.
 
+- b160: HISTORY METADATA TABLE — Iceberg's ``t.history`` with the
+  is_current_ancestor audit column: logical lineage follows rollback
+  targets, so abandoned commits are flagged while staying
+  time-travelable; see tables.py::history.
+
 - p37: MIXTURE SCHEDULE — p35's allocation turned into the
   deterministic stride-interleaved batch order a training loop
   consumes (batch j of a b-batch cell at position (2j-1)/(2b)), so
@@ -497,6 +502,85 @@ def b159_refs_metadata(spark: SparkSession, sf: str) -> DataFrame:
         sorted(rows),
         "ref_name STRING, ref_type STRING, version BIGINT,"
         " n_appends BIGINT, n_rows BIGINT",
+    )
+
+
+# ---------------------------------------------------------------------------
+# b160 — history metadata table (snapshot lineage + ancestry audit)
+# ---------------------------------------------------------------------------
+
+_B160_ORACLE = """
+WITH c0 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 4 = 0),
+c1 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 4 = 1),
+c2 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 4 = 2),
+cf AS (SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F')
+SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS parent,
+       'append' AS operation, TRUE AS is_current_ancestor,
+       CAST((SELECT n FROM c0) AS BIGINT) AS n_rows
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'append', TRUE,
+       CAST((SELECT n FROM c0) + (SELECT n FROM c1) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'append', FALSE,
+       CAST((SELECT n FROM c0) + (SELECT n FROM c1)
+            + (SELECT n FROM c2) AS BIGINT)
+UNION ALL
+SELECT CAST(4 AS BIGINT), CAST(3 AS BIGINT), 'rollback', TRUE,
+       CAST((SELECT n FROM c0) + (SELECT n FROM c1) AS BIGINT)
+UNION ALL
+SELECT CAST(5 AS BIGINT), CAST(4 AS BIGINT), 'append', TRUE,
+       CAST((SELECT n FROM c0) + (SELECT n FROM c1)
+            + (SELECT n FROM cf) AS BIGINT)
+ORDER BY version
+"""
+
+
+@query("b160_history_metadata", oracle=_B160_ORACLE)
+def b160_history_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """B160: the ``history`` metadata table — Iceberg's ``t.history``
+    with its load-bearing ``is_current_ancestor`` column (see
+    tables.py::history): after an incident the audit reads exactly
+    this relation to tell RESTORED history from ABANDONED history.
+    Demo lineage: append v1 (keys ≡0 mod 4) → append v2 (≡1) →
+    append v3 (≡2, the bad commit) → rollback to v2 (v4) → append v5
+    (status F, recovery continues). The logical lineage walks
+    5 → 4 → (rollback target) 2 → 1, so v3 — still time-travelable —
+    is flagged NOT an ancestor. Each row adds the version's visible
+    row count from ``metadata_count`` (committed per-file stats —
+    zero data I/O; the whole relation is snapshot-JSON headers)."""
+
+    def build(tmp: str):
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo", "orders_hist",
+            "o_orderkey BIGINT, o_orderstatus STRING",
+            drop_if_exists=True,
+        )
+        o = load(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderstatus",
+        )
+        for i in range(3):
+            t.append(o.filter(F.col("o_orderkey") % 4 == i))
+        t.rollback(2)
+        t.append(o.filter(F.col("o_orderstatus") == "F"))
+        return t
+
+    t = _built(spark, sf, "b160", build)
+    rows = [
+        (
+            int(r["version"]),
+            int(r["parent"]),
+            r["operation"],
+            bool(r["is_current_ancestor"]),
+            int(t.metadata_count(int(r["version"]))),
+        )
+        for r in t.history().collect()
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "version BIGINT, parent BIGINT, operation STRING,"
+        " is_current_ancestor BOOLEAN, n_rows BIGINT",
     )
 
 

@@ -90,6 +90,7 @@ _R11_NEW_TAIL: list[str] = [
     "c71_ivf_index_drift",
     "b159_refs_metadata",
     "p37_mixture_schedule",
+    "b160_history_metadata",
 ]
 
 

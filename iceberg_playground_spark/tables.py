@@ -1704,6 +1704,44 @@ class LakeTable:
             " n_appends BIGINT",
         )
 
+    def history(self) -> DataFrame:
+        """The ``history`` METADATA TABLE (Iceberg's ``t.history``):
+        one row per live snapshot — version, commit parent, operation,
+        and ``is_current_ancestor``, the post-incident audit column.
+        Commit parents are append-only-linear here, but the LOGICAL
+        lineage follows what each commit did to table state: a
+        rollback's state-parent is the snapshot it restored (Iceberg
+        rewires the snapshot log the same way), so the versions it
+        skipped over are NOT ancestors of current state — they remain
+        time-travelable evidence, and this column is how an audit
+        tells restored history from abandoned history. Metadata-only:
+        the walk reads snapshot JSON headers, no data I/O."""
+        anc: set[int] = set()
+        v = self.current_version()
+        while v > 0:
+            anc.add(v)
+            s = self.snapshot(v)
+            if s["summary"].get("operation") == "rollback":
+                v = int(s["summary"]["to"])
+            else:
+                v = int(s.get("parent", 0))
+        rows = []
+        for ver in self.versions():
+            s = self.snapshot(ver)
+            rows.append(
+                (
+                    int(ver),
+                    int(s.get("parent", 0)),
+                    str(s["summary"].get("operation", "")),
+                    ver in anc,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version BIGINT, parent BIGINT, operation STRING,"
+            " is_current_ancestor BOOLEAN",
+        )
+
     def metadata_count(self, version: int | None = None) -> int | None:
         """Metadata-only row count: sum the per-file record counts from
         the snapshot — the optimization behind Iceberg answering

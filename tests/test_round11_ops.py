@@ -298,3 +298,33 @@ def test_p37_every_prefix_holds_proportions(p37_rows):
                 assert abs(seen[c] - expected) <= 1.0 + 1e-9, (
                     c, i, seen[c], expected
                 )
+
+
+# --- b160 history metadata table ----------------------------------------
+
+
+def test_b160_history_ancestry_follows_rollbacks(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("demo", "hist_t", "k BIGINT", drop_if_exists=True)
+    for _ in range(3):
+        t.append(spark.range(2).selectExpr("id AS k"))  # v1 v2 v3
+    t.rollback(1)                                       # v4 (state = v1)
+    t.append(spark.range(1).selectExpr("id AS k"))      # v5
+    t.rollback(2)                                       # v6 (state = v2)
+
+    h = {r["version"]: r for r in t.history().collect()}
+    assert set(h) == {1, 2, 3, 4, 5, 6}
+    # commit parents stay linear
+    assert all(h[v]["parent"] == v - 1 for v in h)
+    # logical lineage: 6 → (rollback to) 2 → 1; everything the two
+    # rollbacks skipped over (3, 4, 5) is abandoned history
+    anc = {v for v in h if h[v]["is_current_ancestor"]}
+    assert anc == {1, 2, 6}
+    assert h[6]["operation"] == "rollback"
+    assert h[3]["operation"] == "append"
+    # abandoned versions stay time-travelable (the audit's evidence)
+    assert t.read(version=5).count() == 3
+    # and the restored state is v2's
+    assert t.read().count() == 4
