@@ -73,6 +73,11 @@ release pipeline (VERDICT r10 items 5 and 6).
   targets, so abandoned commits are flagged while staying
   time-travelable; see tables.py::history.
 
+- c72: LEARNED-IVF RECALL EVAL — the eval step closing the ANN arc
+  (c70 trains, c71 audits drift, c72 measures what the index buys):
+  nprobe-restricted search vs exact brute top-k per probe, the same
+  eval c45 runs against the LSH index.
+
 - p37: MIXTURE SCHEDULE — p35's allocation turned into the
   deterministic stride-interleaved batch order a training loop
   consumes (batch j of a b-batch cell at position (2j-1)/(2b)), so
@@ -121,10 +126,10 @@ def _c70_noise_sql(t: int) -> str:
     return f"CAST(round(-1000000.0 * ln(-ln({u}))) AS BIGINT)"
 
 
-def _c70_oracle() -> str:
+def _c70_chain() -> str:
     """The k-1 D²-draws unrolled as materialized CTEs (c63's rule),
-    then the final assignment under c54's tie-break (ORDER BY d,
-    cluster == lowest seed id wins).
+    up through the learned centroid table ``cent`` — shared by c70's
+    assignment grade and c72's recall eval.
 
     The running min-distance column is INCREMENTAL: step t computes
     each vector's distance to the ONE seed picked at step t-1 and
@@ -175,14 +180,19 @@ m1 AS MATERIALIZED (
 cent AS MATERIALIZED (
   SELECT s.sid AS cluster, q.dim, q.v
   FROM seeds{_C70_K} s JOIN q ON q.vec_id = s.sid),
-fdist AS (
+fdist AS MATERIALIZED (
   SELECT a.vec_id, c.cluster, sum((a.v - c.v) * (a.v - c.v)) AS d
   FROM q a JOIN cent c ON a.dim = c.dim
   GROUP BY a.vec_id, c.cluster),
-ranked AS (
+ranked AS MATERIALIZED (
   SELECT vec_id, cluster, d, row_number() OVER
     (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-  FROM fdist)
+  FROM fdist)"""
+
+
+def _c70_oracle() -> str:
+    """c70's grade: the full final assignment off the shared chain."""
+    return f"""{_c70_chain()}
 SELECT vec_id, CAST(cluster AS BIGINT) AS cell_id,
        CAST(d AS BIGINT) AS sq_dist
 FROM ranked WHERE rn = 1 ORDER BY vec_id
@@ -227,18 +237,15 @@ def _c70_min_d2(cents: list[tuple[int, list[int]]]):
     return F.array_min(dists)
 
 
-@query("c70_kmeanspp_seed", oracle=_c70_oracle())
-def c70_kmeanspp_seed(spark: SparkSession, sf: str) -> DataFrame:
-    """C70: k-means++ seeding / IVF index build — see module
-    docstring. Seed 0 = vec_id 0 (the c54 deterministic-seed rule);
-    each later seed is the Gumbel-max D² draw over all vectors at
-    m > 0 (exact duplicates of a chosen seed can never be drawn —
-    ln 0 is the oracle's filter too). Graded on the full final
-    assignment: (vec_id, cell_id, sq_dist)."""
-    from iceberg_playground_spark.queries.round9b import (
-        _c54_assign,
-        _c54_quantized,
-    )
+def _c70_train(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """The k-means++ train loop: returns (quantized corpus frame,
+    learned seed list sorted by seed vec_id). Seed 0 = vec_id 0 (the
+    c54 deterministic-seed rule); each later seed is the Gumbel-max
+    D² draw over all vectors at m > 0 (exact duplicates of a chosen
+    seed can never be drawn — ln 0 is the oracle's filter too)."""
+    from iceberg_playground_spark.queries.round9b import _c54_quantized
 
     qdf = _c54_quantized(spark, sf)
     r0 = qdf.filter(F.col("vec_id") == 0).collect()[0]
@@ -258,14 +265,183 @@ def c70_kmeanspp_seed(spark: SparkSession, sf: str) -> DataFrame:
             .collect()[0]
         )  # 1-row TakeOrderedAndProject argmax (the c63 collect rule)
         seeds.append((int(pick["vec_id"]), [int(v) for v in pick["q"]]))
+    return qdf, sorted(seeds)
+
+
+@query("c70_kmeanspp_seed", oracle=_c70_oracle())
+def c70_kmeanspp_seed(spark: SparkSession, sf: str) -> DataFrame:
+    """C70: k-means++ seeding / IVF index build — see module
+    docstring and _c70_train. Graded on the full final assignment:
+    (vec_id, cell_id, sq_dist)."""
+    from iceberg_playground_spark.queries.round9b import _c54_assign
+
+    qdf, seeds = _c70_train(spark, sf)
     # ascending seed ids => _c54_assign's first-minimum IS the
     # oracle's ORDER BY d, cluster tie-break
-    assigned = _c54_assign(qdf, sorted(seeds))
+    assigned = _c54_assign(qdf, seeds)
     return assigned.select(
         "vec_id",
         F.col("cluster_id").alias("cell_id"),
         "sq_dist",
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# c72 — recall eval of the LEARNED IVF index (train → probe → eval)
+# ---------------------------------------------------------------------------
+
+_C72_PROBES = 10
+_C72_TOPK = 10
+_C72_NPROBE = 2
+
+
+def _c72_oracle() -> str:
+    """c70's shared chain (the learned index), then the search eval:
+    probe→cell ranking, cell-restricted candidates, exact top-k both
+    ways, per-probe hit count."""
+    return f"""{_c70_chain()},
+asg AS MATERIALIZED (
+  SELECT vec_id, cluster AS cell FROM ranked WHERE rn = 1),
+pd AS MATERIALIZED (
+  SELECT p.vec_id AS probe_id, a.vec_id, sum((a.v - p.v) * (a.v - p.v))
+           AS d
+  FROM q a JOIN q p ON p.vec_id < {_C72_PROBES} AND a.dim = p.dim
+  WHERE a.vec_id <> p.vec_id
+  GROUP BY p.vec_id, a.vec_id),
+pcell AS MATERIALIZED (
+  SELECT probe_id, cell FROM (
+    SELECT p.vec_id AS probe_id, c.cluster AS cell,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY sum((p.v - c.v) * (p.v - c.v)), c.cluster) AS crn
+    FROM q p JOIN cent c ON p.dim = c.dim
+    WHERE p.vec_id < {_C72_PROBES}
+    GROUP BY p.vec_id, c.cluster) WHERE crn <= {_C72_NPROBE}),
+brute AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (PARTITION BY probe_id ORDER BY d, vec_id)
+             AS rn
+    FROM pd) WHERE rn <= {_C72_TOPK}),
+cand AS MATERIALIZED (
+  SELECT pd.probe_id, pd.vec_id, pd.d
+  FROM pd JOIN asg ON pd.vec_id = asg.vec_id
+  JOIN pcell ON pcell.probe_id = pd.probe_id AND pcell.cell = asg.cell),
+ivf AS MATERIALIZED (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (PARTITION BY probe_id ORDER BY d, vec_id)
+             AS rn
+    FROM cand) WHERE rn <= {_C72_TOPK})
+SELECT c.probe_id,
+       CAST(count(*) AS BIGINT) AS cand_n,
+       CAST((SELECT count(*) FROM ivf i JOIN brute b
+             ON i.probe_id = b.probe_id AND i.vec_id = b.vec_id
+             WHERE i.probe_id = c.probe_id) AS BIGINT) AS hits,
+       CAST(((SELECT count(*) FROM ivf i JOIN brute b
+              ON i.probe_id = b.probe_id AND i.vec_id = b.vec_id
+              WHERE i.probe_id = c.probe_id) * 1000000)
+            // {_C72_TOPK} AS BIGINT) AS recall_micro
+FROM cand c GROUP BY c.probe_id ORDER BY c.probe_id
+"""
+
+
+@query("c72_learned_ivf_recall", oracle=_c72_oracle())
+def c72_learned_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """C72: recall eval of the LEARNED index — closing the ANN arc
+    c70 opened (c70 TRAINS the coarse quantizer, c71 audits its
+    drift, c72 measures what the index actually buys): for each of
+    the first 10 probe vectors, search restricted to the nprobe=2
+    nearest learned cells vs the exact brute-force top-10 (both exact
+    integer distances, ties to lowest vec_id), reporting candidate
+    count and recall@10. c45 runs the same eval against the
+    hyperplane-LSH index; c72 grades the k-means++ one — together
+    they answer WHICH index family this corpus should deploy.
+
+    Scale shape: the train loop is c70's (k-1 bounded supersteps);
+    the eval arm is the sanctioned c67 shape — probes are BOUNDED
+    (10 rows, broadcast, their nprobe cells resolved driver-side
+    against the k·d literal seed matrix), the candidate pass is
+    |probes|·N map work off ONE corpus scan, top-k rides ranking
+    windows with pushed group limits, and the final intersection
+    joins two ≤100-row top-k sets."""
+    from iceberg_playground_spark.queries.round9b import _c54_assign
+
+    qdf, seeds = _c70_train(spark, sf)
+    asg = _c54_assign(qdf, seeds).select(
+        "vec_id", "q", F.col("cluster_id").alias("cell")
+    )
+    # probes are bounded: resolve each probe's nprobe cells exactly,
+    # driver-side (the same ≤k-term integer min the oracle ranks)
+    probes = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in qdf.filter(F.col("vec_id") < _C72_PROBES).collect()
+    )
+    cells_of = {
+        pid: [
+            cid
+            for _, cid in sorted(
+                (
+                    sum((a - b) * (a - b) for a, b in zip(pvec, svec)),
+                    cid,
+                )
+                for cid, svec in seeds
+            )[:_C72_NPROBE]
+        ]
+        for pid, pvec in probes
+    }
+    pframe = spark.createDataFrame(
+        [
+            (pid, pvec, cells_of[pid])
+            for pid, pvec in probes
+        ],
+        "probe_id BIGINT, pq ARRAY<BIGINT>, pcells ARRAY<BIGINT>",
+    )
+    pairs = (
+        asg.crossJoin(F.broadcast(pframe))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.array_contains("pcells", F.col("cell")).alias("in_cells"),
+            F.aggregate(
+                F.zip_with("q", "pq", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+    )
+    wp = W.partitionBy("probe_id").orderBy("d", "vec_id")
+    brute = (
+        pairs.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _C72_TOPK)
+        .select("probe_id", "vec_id")
+    )
+    cand = pairs.filter(F.col("in_cells"))
+    ivf = (
+        cand.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _C72_TOPK)
+        .select("probe_id", "vec_id")
+    )
+    hits = (
+        ivf.join(F.broadcast(brute), ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    return (
+        cand.groupBy("probe_id")
+        .agg(F.count("*").cast("bigint").alias("cand_n"))
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            "cand_n",
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            F.expr(
+                f"CAST((coalesce(hits, 0) * 1000000) DIV {_C72_TOPK} "
+                f"AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+        .orderBy("probe_id")
+    )
 
 
 # ---------------------------------------------------------------------------

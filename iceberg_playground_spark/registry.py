@@ -91,6 +91,7 @@ _R11_NEW_TAIL: list[str] = [
     "b159_refs_metadata",
     "p37_mixture_schedule",
     "b160_history_metadata",
+    "c72_learned_ivf_recall",
 ]
 
 

@@ -1252,3 +1252,13 @@ def test_p37_schedule_is_cell_table_explode(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "Generate explode" in plan
+
+
+def test_c72_eval_arm_is_bounded_broadcast(spark):
+    # c72: the probe side must BROADCAST (10 bounded rows — the c67
+    # sanctioned nested-loop shape); candidates never re-scan the
+    # corpus (one scan feeds assignment + pair sweep) and the final
+    # intersection joins two <=100-row top-k sets
+    plan = _plan(spark, "c72_learned_ivf_recall")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -328,3 +328,55 @@ def test_b160_history_ancestry_follows_rollbacks(spark, tmp_path):
     assert t.read(version=5).count() == 3
     # and the restored state is v2's
     assert t.read().count() == 4
+
+
+# --- c72 learned-IVF recall eval ------------------------------------------
+
+
+def test_c72_matches_python_ivf_search(spark):
+    # independent reference reusing the (independently verified)
+    # reference k-means++ trainer: probe -> nprobe cells -> candidate
+    # top-k vs brute top-k, all exact integers
+    seeds, assign = _py_kmeanspp(SF_SMOKE)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    q = {
+        int(vid): [int(math.floor(float(x) * 1000)) for x in emb]
+        for vid, emb in rows
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    ref = {}
+    for pid in range(10):
+        pv = q[pid]
+        cells = [
+            c for _, c in sorted(
+                (d2(pv, q[s]), s) for s in sorted(seeds)
+            )[:2]
+        ]
+        others = [(d2(pv, q[v]), v) for v in q if v != pid]
+        brute = {v for _, v in sorted(others)[:10]}
+        cand = [
+            (d, v) for d, v in others if assign[v][0] in cells
+        ]
+        ivf = {v for _, v in sorted(cand)[:10]}
+        ref[pid] = (len(cand), len(ivf & brute))
+    got = {
+        r["probe_id"]: (r["cand_n"], r["hits"], r["recall_micro"])
+        for r in registry.QUERIES["c72_learned_ivf_recall"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for pid, (cand_n, hits) in ref.items():
+        assert got[pid] == (cand_n, hits, hits * 1_000_000 // 10)
+    # the eval is discriminating on this corpus: candidates are a
+    # strict subset of the corpus and recall is not vacuously 0
+    n = len(q)
+    assert all(c < n - 1 for c, _, _ in got.values())
+    assert any(h > 0 for _, h, _ in got.values())
