@@ -153,6 +153,14 @@ HEADLINE = [
     # parquet round-trips — pure fixed overhead at demo scale that
     # real batch sizes amortize, no plan signal.
     "c70_kmeanspp_seed",
+    # round-11 tail entrants with real plan work: the drift audit's
+    # 130-aggregate cell pass and the recall eval's probe sweep (which
+    # re-runs the c70 train loop before its |probes|·N candidate
+    # pass). b159/b160/p37 are graded but unbenched: metadata-table
+    # listings and a cell-table explode, all sub-2 s fixed cost with
+    # no plan signal at any corpus size.
+    "c71_ivf_index_drift",
+    "c72_learned_ivf_recall",
 ]
 
 # Cells whose first call is dominated by demo-WAREHOUSE construction
@@ -287,8 +295,10 @@ ANCHOR_SECONDS = {
     "p34_release_report_v3": 1.12,
     "c68_perceptron_train": 2.80,
     "c69_pmi_collocations": 0.76,
-    # round-11 (clean pair at r11 HEAD, minimum of 5.07/4.87)
+    # round-11 (clean pairs at r11 HEAD; pair minimums)
     "c70_kmeanspp_seed": 4.87,
+    "c71_ivf_index_drift": 3.38,
+    "c72_learned_ivf_recall": 5.26,
 }
 GUARD_FACTOR = 2.0
 GUARD_MIN_CELLS = 4
