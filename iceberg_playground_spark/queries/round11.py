@@ -78,6 +78,12 @@ release pipeline (VERDICT r10 items 5 and 6).
   nprobe-restricted search vs exact brute top-k per probe, the same
   eval c45 runs against the LSH index.
 
+- p38: STREAMING DRIFT AUDIT — c71 as continuous ingest: per-epoch
+  partial per-cell sums merged by addition reproduce the batch audit
+  hash-identically with NO ordering contract (integer sums are
+  associative + commutative) — the mergeable-state proof of c71's
+  scale story.
+
 - p37: MIXTURE SCHEDULE — p35's allocation turned into the
   deterministic stride-interleaved batch order a training loop
   consumes (batch j of a b-batch cell at position (2j-1)/(2b)), so
@@ -592,6 +598,188 @@ def c71_ivf_index_drift(spark: SparkSession, sf: str) -> DataFrame:
             .cast("int"),
         )
         .orderBy("cell_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p38 — streaming drift audit (c71's mergeable state, proven)
+# ---------------------------------------------------------------------------
+
+_P38_EPOCHS = 4
+
+
+@query("p38_streaming_drift_audit", oracle=_c71_oracle())
+def p38_streaming_drift_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """P38: c71's drift audit as CONTINUOUS ingest — the proof of
+    c71's scale claim that its per-cell stats are MERGEABLE state:
+    vectors arrive as 4 vec_id-quartile micro-batches (availableNow);
+    each batch assigns its vectors against the deployed quantizer's
+    literal seed matrix (the same k·d ints — no batch ever sees
+    another batch's data) and appends its PARTIAL per-cell sums
+    (2 counts + 2·d conditional sums) to a state table; the final
+    audit merges the ≤ epochs·k partial rows by plain addition and
+    computes drift exactly as batch c71 does. Counts and sums are
+    exact BIGINTs and addition is associative, so the drained result
+    is hash-IDENTICAL to batch c71 on the same corpus REGARDLESS of
+    arrival order — the oracle IS c71's oracle (the b63/p36 parity
+    convention, here needing no ordering contract at all).
+
+    Scale shape: per-epoch work is one joinless assignment map over
+    the batch + a |k|-key aggregate; cross-batch state is k rows per
+    epoch of integer sums (the mergeable-sketch property every
+    distributed OLAP partial aggregate relies on); the final merge
+    aggregates epochs·k rows. Corpus vectors never cross an epoch
+    boundary."""
+    from iceberg_playground_spark.queries.round9b import _c54_assign
+    from iceberg_playground_spark.queries.streaming import _scratch
+
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    cut = n // 2
+    seeds = sorted(
+        (
+            int(r["vec_id"]),
+            [
+                int(v)
+                for v in r["q"]
+            ],
+        )
+        for r in e.filter(F.col("vec_id") < _C71_K)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _C71_SCALE)
+                .cast("bigint"),
+            ).alias("q"),
+        )
+        .collect()
+    )
+
+    def build(tmp: str) -> str:
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src, exist_ok=True)
+        now = int(os.stat(tmp).st_mtime)
+        for i in range(_P38_EPOCHS):
+            part_dir = os.path.join(tmp, f"stage_{i}")
+            (
+                e.filter(
+                    F.floor(F.col("vec_id") * _P38_EPOCHS / F.lit(n)) == i
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            part = next(
+                f
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and f.startswith("part-")
+            )
+            dst = os.path.join(src, f"arrival_{i}.parquet")
+            shutil.copyfile(os.path.join(part_dir, part), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        return src
+
+    src = _built(spark, sf, "p38", build)
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = _scratch("ips_stream_drift_")
+    state = os.path.join(work, "state")
+    try:
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            qb = batch_df.select(
+                "vec_id",
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * _C71_SCALE)
+                    .cast("bigint"),
+                ).alias("q"),
+            )
+            assigned = _c54_assign(qb, seeds).select(
+                "q",
+                F.col("cluster_id").alias("cell_id"),
+                (F.col("vec_id") >= cut).alias("is_new"),
+            )
+            base = F.when(~F.col("is_new"), F.lit(1)).otherwise(F.lit(0))
+            aggs = [
+                F.sum(base).cast("bigint").alias("n_base"),
+                F.sum(1 - base).cast("bigint").alias("n_new"),
+            ]
+            for i in range(_C71_DIM):
+                aggs.append(
+                    F.sum(
+                        F.when(~F.col("is_new"), F.col("q")[i]).otherwise(0)
+                    ).cast("bigint").alias(f"sb{i}")
+                )
+                aggs.append(
+                    F.sum(F.col("q")[i]).cast("bigint").alias(f"sa{i}")
+                )
+            assigned.groupBy("cell_id").agg(*aggs).write.mode(
+                "append"
+            ).parquet(state)
+
+        q = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", _scratch("ips_stream_driftck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        merged = spark.read.parquet(state).groupBy("cell_id").agg(
+            F.sum("n_base").cast("bigint").alias("n_base"),
+            F.sum("n_new").cast("bigint").alias("n_new"),
+            *[
+                F.sum(c).cast("bigint").alias(c)
+                for i in range(_C71_DIM)
+                for c in (f"sb{i}", f"sa{i}")
+            ],
+        )
+        old_c = F.array(*[
+            F.floor(F.col(f"sb{i}").cast("double") / F.col("n_base"))
+            .cast("bigint")
+            for i in range(_C71_DIM)
+        ])
+        new_c = F.array(*[
+            F.floor(
+                F.col(f"sa{i}").cast("double")
+                / (F.col("n_base") + F.col("n_new"))
+            ).cast("bigint")
+            for i in range(_C71_DIM)
+        ])
+        drift = F.aggregate(
+            F.zip_with(old_c, new_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        # SIZE GUARD: k rows, collected because the scratch state dir
+        # is deleted in finally (p18's literal-result rule)
+        rows = (
+            merged.select(
+                "cell_id",
+                "n_base",
+                "n_new",
+                drift.alias("drift_sq"),
+            )
+            .withColumn(
+                "retrain",
+                F.when(F.col("drift_sq") > _C71_DRIFT_SQ, 1)
+                .otherwise(0)
+                .cast("int"),
+            )
+            .orderBy("cell_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "cell_id BIGINT, n_base BIGINT, n_new BIGINT, drift_sq BIGINT,"
+        " retrain INT",
     )
 
 

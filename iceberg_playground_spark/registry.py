@@ -92,6 +92,7 @@ _R11_NEW_TAIL: list[str] = [
     "p37_mixture_schedule",
     "b160_history_metadata",
     "c72_learned_ivf_recall",
+    "p38_streaming_drift_audit",
 ]
 
 

@@ -380,3 +380,26 @@ def test_c72_matches_python_ivf_search(spark):
     n = len(q)
     assert all(c < n - 1 for c, _, _ in got.values())
     assert any(h > 0 for _, h, _ in got.values())
+
+
+# --- p38 streaming drift audit ---------------------------------------------
+
+
+def test_p38_merged_partials_match_batch_c71(spark):
+    # THE contract: per-epoch partial sums merged by addition
+    # reproduce the single-pass batch audit exactly — the mergeable-
+    # state property c71's scale story claims; no ordering contract
+    # is even needed (integer sums are associative+commutative)
+    stream = {
+        tuple(r)
+        for r in registry.QUERIES["p38_streaming_drift_audit"](
+            spark, SF_CHECK
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in registry.QUERIES["c71_ivf_index_drift"](
+            spark, SF_CHECK
+        ).collect()
+    }
+    assert stream == batch and len(stream) == 8
