@@ -1,10 +1,13 @@
 """Round-11 operator semantics: k-means++ seeding (c70), the
-streaming release pipeline (p36), and the IVF drift audit (c71).
-Oracle parity is covered by test_correctness's registry-wide
-parametrization; these pin the invariants an oracle diff alone would
-not localize — the full D²-draw chain and the per-cell drift math
-against independent Python references, and p36's stream/batch parity
-against p34 on the same corpus."""
+streaming release pipeline (p36), the IVF drift audit (c71) and its
+streaming counterpart (p38), the refs/history metadata tables
+(b159/b160), the mixture schedule (p37), and the learned-IVF recall
+eval (c72). Oracle parity is covered by test_correctness's
+registry-wide parametrization; these pin the invariants an oracle
+diff alone would not localize — the full D²-draw chain, the drift
+math, and the IVF search against independent Python references;
+stream/batch parity (p36↔p34, p38↔c71); schedule prefix
+proportionality; and the ref/ancestry lifecycles."""
 
 from __future__ import annotations
 
