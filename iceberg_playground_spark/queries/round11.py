@@ -84,6 +84,12 @@ release pipeline (VERDICT r10 items 5 and 6).
   associative + commutative) — the mergeable-state proof of c71's
   scale story.
 
+- c73: CLASSIFIER CALIBRATION CURVE — the reliability diagram for
+  c57's hashed score against the target-source label, fixed-width
+  histogram bins by design (quantile binning's global ntile is the
+  100 TB anti-shape); completes the classifier family c68 train →
+  c57 apply → c46 eval → c73 calibrate.
+
 - p37: MIXTURE SCHEDULE — p35's allocation turned into the
   deterministic stride-interleaved batch order a training loop
   consumes (batch j of a b-batch cell at position (2j-1)/(2b)), so
@@ -598,6 +604,107 @@ def c71_ivf_index_drift(spark: SparkSession, sf: str) -> DataFrame:
             .cast("int"),
         )
         .orderBy("cell_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c73 — classifier calibration curve (reliability diagram)
+# ---------------------------------------------------------------------------
+
+_C73_BIN_CC = 50  # score-bin width in centi-units
+_C73_TARGET = "src0"  # the c53/c68 target-source label convention
+
+_C73_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(list_reduce(
+           list_prepend(0, list_transform(
+             string_split(text, ' '),
+             t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)
+                  % 1024 % 197 - 98)),
+           (a, b) -> a + b) AS BIGINT) AS s,
+         CASE WHEN source = '{_C73_TARGET}' THEN 1 ELSE 0 END AS y
+  FROM documents),
+binned AS (
+  SELECT (s - ((s % {_C73_BIN_CC}) + {_C73_BIN_CC}) % {_C73_BIN_CC})
+           / {_C73_BIN_CC} AS bin,
+         s, y
+  FROM scored)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(bin * {_C73_BIN_CC} AS BIGINT) AS score_lo_cc,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(sum(s) AS BIGINT) AS sum_score_cc,
+       CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS pos_rate_micro
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+@query("c73_classifier_calibration", oracle=_C73_ORACLE)
+def c73_classifier_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """C73: the calibration curve / reliability diagram — the
+    classifier family's last acceptance artifact (c68 TRAINS, c57
+    APPLIES, c46 EVALUATES point metrics; c73 answers "can I trust
+    the SCORE as a probability, and where do I put the quality
+    threshold?"): c57's hashed linear score against the c53/c68
+    target-source label, bucketed into fixed-width score bins — per
+    bin, population, positive count, exact score mass, and the
+    empirical positive rate in integer micros. A monotone
+    pos_rate_micro across bins is what "the score ranks quality" means
+    operationally; the bin where it crosses the base rate is the
+    filtering threshold a pipeline owner picks.
+
+    Binning is FIXED-WIDTH (histogram binning), not decile (quantile
+    binning), by design: fixed bins are a PURE MAP + a |bins|-key
+    aggregate (bins are bounded by weight range x doc length, not
+    corpus size), while an exact global ntile moves every row through
+    ONE partition — the classic 100 TB anti-shape. Negative-safe
+    flooring uses the pmod identity ((s%w)+w)%w on BOTH engines
+    (truncated % each side; integer DIV on negatives differs between
+    engines, the p35 lesson's sharp edge)."""
+    weights = F.transform(
+        F.split("text", " "),
+        lambda t: F.conv(F.md5(t).substr(1, 8), 16, 10).cast("bigint")
+        % 1024
+        % 197
+        - 98,
+    )
+    score = F.aggregate(
+        weights, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    d = load(spark, sf, "documents").select(
+        score.alias("s"),
+        F.when(F.col("source") == _C73_TARGET, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    binned = d.withColumn(
+        "bin",
+        F.expr(
+            f"CAST((s - ((s % {_C73_BIN_CC}) + {_C73_BIN_CC})"
+            f" % {_C73_BIN_CC}) / {_C73_BIN_CC} AS BIGINT)"
+        ),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum("s").cast("bigint").alias("sum_score_cc"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * _C73_BIN_CC).cast("bigint")
+            .alias("score_lo_cc"),
+            "n",
+            "n_pos",
+            "sum_score_cc",
+            F.expr("CAST((1000000 * n_pos) DIV n AS BIGINT)").alias(
+                "pos_rate_micro"
+            ),
+        )
+        .orderBy("bin")
     )
 
 

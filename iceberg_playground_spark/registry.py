@@ -93,6 +93,7 @@ _R11_NEW_TAIL: list[str] = [
     "b160_history_metadata",
     "c72_learned_ivf_recall",
     "p38_streaming_drift_audit",
+    "c73_classifier_calibration",
 ]
 
 

@@ -1262,3 +1262,13 @@ def test_c72_eval_arm_is_bounded_broadcast(spark):
     plan = _plan(spark, "c72_learned_ivf_recall")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_c73_calibration_is_pure_map_one_aggregate(spark):
+    # c73: fixed-width binning must stay a pure map + one |bins|-key
+    # aggregate — no window (quantile binning's global ntile would
+    # single-partition the corpus), no join, one scan
+    plan = _plan(spark, "c73_classifier_calibration")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan

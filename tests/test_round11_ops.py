@@ -406,3 +406,43 @@ def test_p38_merged_partials_match_batch_c71(spark):
         ).collect()
     }
     assert stream == batch and len(stream) == 8
+
+
+# --- c73 classifier calibration curve ---------------------------------------
+
+
+def test_c73_matches_python_calibration(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source, text FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    bins = {}
+    for _, source, text in rows:
+        s = sum(
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1024 % 197
+            - 98
+            for t in text.split(" ")
+        )
+        y = 1 if source == "src0" else 0
+        b = (s - ((s % 50) + 50) % 50) // 50
+        st = bins.setdefault(b, [0, 0, 0])
+        st[0] += 1
+        st[1] += y
+        st[2] += s
+    got = {
+        r["bin"]: (
+            r["score_lo_cc"], r["n"], r["n_pos"], r["sum_score_cc"],
+            r["pos_rate_micro"],
+        )
+        for r in registry.QUERIES["c73_classifier_calibration"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(bins)
+    for b, (n, npos, ssum) in bins.items():
+        assert got[b] == (b * 50, n, npos, ssum, 1_000_000 * npos // n)
+    # negative bins exist (scores straddle 0), so the pmod floor is
+    # actually exercised; rates stay within [0, 1e6]
+    assert any(b < 0 for b in got) and any(b >= 0 for b in got)
+    assert all(0 <= v[4] <= 1_000_000 for v in got.values())
