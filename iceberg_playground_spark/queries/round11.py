@@ -471,6 +471,59 @@ _C71_SCALE = 1000  # c54's fixed-point grid
 _C71_DRIFT_SQ = 12000
 
 
+def _c71_stat_aggs() -> list:
+    """The audit's per-cell aggregate columns over an assigned frame
+    carrying (q, is_new): base/new counts + conditional per-dim sums.
+    ONE definition shared by batch c71 and streaming p38 — the two
+    must stay bit-identical for their shared oracle."""
+    base = F.when(~F.col("is_new"), F.lit(1)).otherwise(F.lit(0))
+    aggs = [
+        F.sum(base).cast("bigint").alias("n_base"),
+        F.sum(1 - base).cast("bigint").alias("n_new"),
+    ]
+    for i in range(_C71_DIM):
+        aggs.append(
+            F.sum(F.when(~F.col("is_new"), F.col("q")[i]).otherwise(0))
+            .cast("bigint")
+            .alias(f"sb{i}")
+        )
+        aggs.append(F.sum(F.col("q")[i]).cast("bigint").alias(f"sa{i}"))
+    return aggs
+
+
+def _c71_report(cells: DataFrame) -> DataFrame:
+    """Drift + retrain flag over a frame of per-cell stat columns
+    (cell_id, n_base, n_new, sb*/sa*) — floor'd base-only vs
+    full-population centroids, exact BIGINT fold."""
+    old_c = F.array(*[
+        F.floor(F.col(f"sb{i}").cast("double") / F.col("n_base"))
+        .cast("bigint")
+        for i in range(_C71_DIM)
+    ])
+    new_c = F.array(*[
+        F.floor(
+            F.col(f"sa{i}").cast("double")
+            / (F.col("n_base") + F.col("n_new"))
+        ).cast("bigint")
+        for i in range(_C71_DIM)
+    ])
+    drift = F.aggregate(
+        F.zip_with(old_c, new_c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cells.select("cell_id", "n_base", "n_new", drift.alias("drift_sq"))
+        .withColumn(
+            "retrain",
+            F.when(F.col("drift_sq") > _C71_DRIFT_SQ, 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+        .orderBy("cell_id")
+    )
+
+
 def _c71_oracle() -> str:
     """Assignment + conditional per-(cell, dim) sums, floor'd means
     on both the base-only and base+delta populations, drift folded
@@ -560,51 +613,7 @@ def c71_ivf_index_drift(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cluster_id").alias("cell_id"),
         (F.col("vec_id") >= cut).alias("is_new"),
     )
-    base = F.when(~F.col("is_new"), F.lit(1)).otherwise(F.lit(0))
-    aggs = [
-        F.sum(base).cast("bigint").alias("n_base"),
-        F.sum(1 - base).cast("bigint").alias("n_new"),
-    ]
-    for i in range(_C71_DIM):
-        aggs.append(
-            F.sum(F.when(~F.col("is_new"), F.col("q")[i]).otherwise(0))
-            .cast("bigint")
-            .alias(f"sb{i}")
-        )
-        aggs.append(F.sum(F.col("q")[i]).cast("bigint").alias(f"sa{i}"))
-    cells = assigned.groupBy("cell_id").agg(*aggs)
-    old_c = F.array(*[
-        F.floor(F.col(f"sb{i}").cast("double") / F.col("n_base"))
-        .cast("bigint")
-        for i in range(_C71_DIM)
-    ])
-    new_c = F.array(*[
-        F.floor(
-            F.col(f"sa{i}").cast("double")
-            / (F.col("n_base") + F.col("n_new"))
-        ).cast("bigint")
-        for i in range(_C71_DIM)
-    ])
-    drift = F.aggregate(
-        F.zip_with(old_c, new_c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        cells.select(
-            "cell_id",
-            "n_base",
-            "n_new",
-            drift.alias("drift_sq"),
-        )
-        .withColumn(
-            "retrain",
-            F.when(F.col("drift_sq") > _C71_DRIFT_SQ, 1)
-            .otherwise(0)
-            .cast("int"),
-        )
-        .orderBy("cell_id")
-    )
+    return _c71_report(assigned.groupBy("cell_id").agg(*_c71_stat_aggs()))
 
 
 # ---------------------------------------------------------------------------
@@ -811,21 +820,10 @@ def p38_streaming_drift_audit(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("cluster_id").alias("cell_id"),
                 (F.col("vec_id") >= cut).alias("is_new"),
             )
-            base = F.when(~F.col("is_new"), F.lit(1)).otherwise(F.lit(0))
-            aggs = [
-                F.sum(base).cast("bigint").alias("n_base"),
-                F.sum(1 - base).cast("bigint").alias("n_new"),
-            ]
-            for i in range(_C71_DIM):
-                aggs.append(
-                    F.sum(
-                        F.when(~F.col("is_new"), F.col("q")[i]).otherwise(0)
-                    ).cast("bigint").alias(f"sb{i}")
-                )
-                aggs.append(
-                    F.sum(F.col("q")[i]).cast("bigint").alias(f"sa{i}")
-                )
-            assigned.groupBy("cell_id").agg(*aggs).write.mode(
+            # the SAME aggregate definition as batch c71 (shared
+            # helper): the partials this epoch appends are exactly
+            # the rows the batch pass would have produced for it
+            assigned.groupBy("cell_id").agg(*_c71_stat_aggs()).write.mode(
                 "append"
             ).parquet(state)
 
@@ -846,41 +844,10 @@ def p38_streaming_drift_audit(spark: SparkSession, sf: str) -> DataFrame:
                 for c in (f"sb{i}", f"sa{i}")
             ],
         )
-        old_c = F.array(*[
-            F.floor(F.col(f"sb{i}").cast("double") / F.col("n_base"))
-            .cast("bigint")
-            for i in range(_C71_DIM)
-        ])
-        new_c = F.array(*[
-            F.floor(
-                F.col(f"sa{i}").cast("double")
-                / (F.col("n_base") + F.col("n_new"))
-            ).cast("bigint")
-            for i in range(_C71_DIM)
-        ])
-        drift = F.aggregate(
-            F.zip_with(old_c, new_c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
         # SIZE GUARD: k rows, collected because the scratch state dir
-        # is deleted in finally (p18's literal-result rule)
-        rows = (
-            merged.select(
-                "cell_id",
-                "n_base",
-                "n_new",
-                drift.alias("drift_sq"),
-            )
-            .withColumn(
-                "retrain",
-                F.when(F.col("drift_sq") > _C71_DRIFT_SQ, 1)
-                .otherwise(0)
-                .cast("int"),
-            )
-            .orderBy("cell_id")
-            .collect()
-        )
+        # is deleted in finally (p18's literal-result rule); the
+        # drift math is c71's shared helper — parity by construction
+        rows = _c71_report(merged).collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
@@ -953,22 +920,21 @@ def b159_refs_metadata(spark: SparkSession, sf: str) -> DataFrame:
         return t
 
     t = _built(spark, sf, "b159", build)
-    counts = {}
-    for r in t.refs().collect():
+    rows = []
+    for r in t.refs().collect():  # |refs| bounded rows, one listing
         if r["ref_type"] == "tag" or r["ref_name"] == "main":
-            counts[r["ref_name"]] = t.metadata_count(int(r["version"]))
+            n_rows = t.metadata_count(int(r["version"]))
         else:
-            counts[r["ref_name"]] = t.read_branch(r["ref_name"]).count()
-    rows = [
-        (
-            r["ref_name"],
-            r["ref_type"],
-            int(r["version"]),
-            int(r["n_appends"]),
-            int(counts[r["ref_name"]]),
+            n_rows = t.read_branch(r["ref_name"]).count()
+        rows.append(
+            (
+                r["ref_name"],
+                r["ref_type"],
+                int(r["version"]),
+                int(r["n_appends"]),
+                int(n_rows),
+            )
         )
-        for r in t.refs().collect()
-    ]
     return spark.createDataFrame(
         sorted(rows),
         "ref_name STRING, ref_type STRING, version BIGINT,"

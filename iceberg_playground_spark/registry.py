@@ -112,9 +112,11 @@ def load_all() -> None:
     Round-12 note: READ CORRECTNESS_r11.json for the actual cut, do
     not guess. If the sweep grades exactly 50, the cut lands after
     the 40th _ROTATION_R11 entry (10 + 40 = 50) and round 12's
-    rotation leads with the last 10 r6 entries (b110..b117 block)
-    followed by the round-7-stale block; _R11_NEW_TAIL entries (never
-    graded) outrank all of that and go first.
+    rotation leads with the last 10 r6 entries — _ROTATION_R11[40:],
+    i.e. b108_tpch_q14 through b117_xml_decode; derive the list by
+    slicing, never by retyping ids — followed by the round-7-stale
+    block; _R11_NEW_TAIL entries (never graded) outrank all of that
+    and go first.
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,

@@ -1715,10 +1715,17 @@ class LakeTable:
         skipped over are NOT ancestors of current state — they remain
         time-travelable evidence, and this column is how an audit
         tells restored history from abandoned history. Metadata-only:
-        the walk reads snapshot JSON headers, no data I/O."""
+        the walk reads snapshot JSON headers, no data I/O.
+
+        The walk stops at the first EXPIRED ancestor (absent from the
+        snapshot log): expire_snapshots may have reclaimed any prefix
+        of the lineage, and Iceberg's history table likewise only
+        reports snapshots that still exist — reading an expired
+        version must not crash the audit of the live ones."""
+        live = set(self.versions())
         anc: set[int] = set()
         v = self.current_version()
-        while v > 0:
+        while v > 0 and v in live:
             anc.add(v)
             s = self.snapshot(v)
             if s["summary"].get("operation") == "rollback":
@@ -1726,7 +1733,7 @@ class LakeTable:
             else:
                 v = int(s.get("parent", 0))
         rows = []
-        for ver in self.versions():
+        for ver in sorted(live):
             s = self.snapshot(ver)
             rows.append(
                 (

@@ -446,3 +446,20 @@ def test_c73_matches_python_calibration(spark):
     # actually exercised; rates stay within [0, 1e6]
     assert any(b < 0 for b in got) and any(b >= 0 for b in got)
     assert all(0 <= v[4] <= 1_000_000 for v in got.values())
+
+
+def test_b160_history_survives_expired_ancestors(spark, tmp_path):
+    # expire_snapshots may reclaim any prefix of the lineage; the
+    # ancestry walk must stop at the first expired version instead of
+    # crashing the audit of the live ones (Iceberg's history table
+    # likewise only reports snapshots that still exist)
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("demo", "hist_e", "k BIGINT", drop_if_exists=True)
+    for _ in range(3):
+        t.append(spark.range(2).selectExpr("id AS k"))
+    t.expire_snapshots(keep_last=1, orphan_older_than_s=0)
+    h = {r["version"]: r for r in t.history().collect()}
+    assert set(h) == {3}
+    assert h[3]["is_current_ancestor"]
