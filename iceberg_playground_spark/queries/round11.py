@@ -90,6 +90,10 @@ release pipeline (VERDICT r10 items 5 and 6).
   100 TB anti-shape); completes the classifier family c68 train →
   c57 apply → c46 eval → c73 calibrate.
 
+- p39: RELEASE DATACARD — the stats sheet a release ships
+  (datasheets-for-datasets), a pure rollup of p34's report to
+  (stat, value) rows, so card and report can never disagree.
+
 - p37: MIXTURE SCHEDULE — p35's allocation turned into the
   deterministic stride-interleaved batch order a training loop
   consumes (batch j of a b-batch cell at position (2j-1)/(2b)), so
@@ -614,6 +618,107 @@ def c71_ivf_index_drift(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("vec_id") >= cut).alias("is_new"),
     )
     return _c71_report(assigned.groupBy("cell_id").agg(*_c71_stat_aggs()))
+
+
+# ---------------------------------------------------------------------------
+# p39 — release datacard (the stats sheet shipped with a dataset)
+# ---------------------------------------------------------------------------
+
+
+def _p39_oracle() -> str:
+    """p34's per-(split, lang) report wrapped as a CTE, rolled up into
+    the datacard's (stat, value) rows — every value a BIGINT count or
+    an integer-DIV micro rate."""
+    from iceberg_playground_spark.queries.round10c import _p34_oracle
+
+    return f"""
+WITH card AS ({_p34_oracle()})
+SELECT stat, CAST(value AS BIGINT) AS value FROM (
+  SELECT 'docs_total' AS stat, sum(docs_in) AS value FROM card
+  UNION ALL SELECT 'docs_kept', sum(kept_docs) FROM card
+  UNION ALL SELECT 'tokens_kept', sum(kept_tokens) FROM card
+  UNION ALL SELECT 'quality_drops', sum(quality_drops) FROM card
+  UNION ALL SELECT 'dup_drops', sum(dup_drops) FROM card
+  UNION ALL SELECT 'langs_released',
+    count(DISTINCT CASE WHEN kept_docs > 0 THEN lang END) FROM card
+  UNION ALL SELECT 'kept_rate_micro',
+    (1000000 * sum(kept_docs)) // sum(docs_in) FROM card
+  UNION ALL SELECT 'quality_drop_rate_micro',
+    (1000000 * sum(quality_drops)) // sum(docs_in) FROM card
+  UNION ALL SELECT 'dup_drop_rate_micro',
+    (1000000 * sum(dup_drops)) // sum(docs_in) FROM card
+  UNION ALL SELECT 'train_docs_kept',
+    sum(CASE WHEN split = 'train' THEN kept_docs ELSE 0 END) FROM card
+  UNION ALL SELECT 'validation_docs_kept',
+    sum(CASE WHEN split = 'validation' THEN kept_docs ELSE 0 END)
+    FROM card
+  UNION ALL SELECT 'test_docs_kept',
+    sum(CASE WHEN split = 'test' THEN kept_docs ELSE 0 END) FROM card
+) ORDER BY stat
+"""
+
+
+@query("p39_release_datacard", oracle=_p39_oracle())
+def p39_release_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    """P39: the release DATACARD — the one-page stats sheet a dataset
+    release actually ships (datasheets-for-datasets practice: Gebru
+    et al. 2021; every HF dataset card's numbers section): corpus in,
+    kept docs/tokens, drop accounting by cause, languages released,
+    per-split kept counts, and the kept/drop rates in integer micros
+    — all rolled up from p34's per-(split, lang) release report, so
+    the card can NEVER disagree with the report it summarizes (the
+    p32/p34 same-stamp discipline one level up).
+
+    Scale shape: p34's plan produces the |splits·langs| report; the
+    card is a single aggregate over those ≤|splits·langs| rows plus a
+    stack to (stat, value) — nothing corpus-sized is touched beyond
+    p34's own exchanges; rates are exact integer DIV on BIGINT
+    counts."""
+    from iceberg_playground_spark.queries.round10c import (
+        p34_release_report_v3,
+    )
+
+    card = p34_release_report_v3(spark, sf)
+    agg = card.agg(
+        F.sum("docs_in").cast("bigint").alias("docs_total"),
+        F.sum("kept_docs").cast("bigint").alias("docs_kept"),
+        F.sum("kept_tokens").cast("bigint").alias("tokens_kept"),
+        F.sum("quality_drops").cast("bigint").alias("quality_drops"),
+        F.sum("dup_drops").cast("bigint").alias("dup_drops"),
+        F.count_distinct(
+            F.when(F.col("kept_docs") > 0, F.col("lang"))
+        ).cast("bigint").alias("langs_released"),
+        *[
+            F.sum(
+                F.when(F.col("split") == s, F.col("kept_docs")).otherwise(0)
+            ).cast("bigint").alias(f"{s}_docs_kept")
+            for s in ("train", "validation", "test")
+        ],
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(12,"
+            " 'docs_total', docs_total,"
+            " 'docs_kept', docs_kept,"
+            " 'tokens_kept', tokens_kept,"
+            " 'quality_drops', quality_drops,"
+            " 'dup_drops', dup_drops,"
+            " 'langs_released', langs_released,"
+            " 'kept_rate_micro',"
+            "   (1000000 * docs_kept) DIV docs_total,"
+            " 'quality_drop_rate_micro',"
+            "   (1000000 * quality_drops) DIV docs_total,"
+            " 'dup_drop_rate_micro',"
+            "   (1000000 * dup_drops) DIV docs_total,"
+            " 'train_docs_kept', train_docs_kept,"
+            " 'validation_docs_kept', validation_docs_kept,"
+            " 'test_docs_kept', test_docs_kept"
+            ") AS (stat, value)"
+        )
+    )
+    return stacked.select(
+        "stat", F.col("value").cast("bigint").alias("value")
+    ).orderBy("stat")
 
 
 # ---------------------------------------------------------------------------

@@ -94,6 +94,7 @@ _R11_NEW_TAIL: list[str] = [
     "c72_learned_ivf_recall",
     "p38_streaming_drift_audit",
     "c73_classifier_calibration",
+    "p39_release_datacard",
 ]
 
 

@@ -463,3 +463,41 @@ def test_b160_history_survives_expired_ancestors(spark, tmp_path):
     h = {r["version"]: r for r in t.history().collect()}
     assert set(h) == {3}
     assert h[3]["is_current_ancestor"]
+
+
+# --- p39 release datacard ----------------------------------------------------
+
+
+def test_p39_card_agrees_with_the_report_it_summarizes(spark):
+    # the card can never disagree with p34 (it is a pure rollup) —
+    # recompute every stat from the report and compare exactly
+    report = registry.QUERIES["p34_release_report_v3"](
+        spark, SF_SMOKE
+    ).collect()
+    card = {
+        r["stat"]: r["value"]
+        for r in registry.QUERIES["p39_release_datacard"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    total = sum(r["docs_in"] for r in report)
+    kept = sum(r["kept_docs"] for r in report)
+    qd = sum(r["quality_drops"] for r in report)
+    dd = sum(r["dup_drops"] for r in report)
+    assert card["docs_total"] == total
+    assert card["docs_kept"] == kept
+    assert card["tokens_kept"] == sum(r["kept_tokens"] for r in report)
+    assert card["quality_drops"] == qd and card["dup_drops"] == dd
+    assert card["langs_released"] == len(
+        {r["lang"] for r in report if r["kept_docs"] > 0}
+    )
+    assert card["kept_rate_micro"] == 1_000_000 * kept // total
+    assert card["quality_drop_rate_micro"] == 1_000_000 * qd // total
+    assert card["dup_drop_rate_micro"] == 1_000_000 * dd // total
+    for s in ("train", "validation", "test"):
+        assert card[f"{s}_docs_kept"] == sum(
+            r["kept_docs"] for r in report if r["split"] == s
+        )
+    # accounting closes: kept + drops = total, rates partition 1e6 ±2
+    assert kept + qd + dd == total
+    assert len(card) == 12
