@@ -36,55 +36,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Grading-order contract, round 11. The driver's correctness sweep
-# grades the FIRST ~50 registered entries and stops, so registration
-# order decides what gets graded. Round 10's sweep graded exactly 50
-# slots (CORRECTNESS_r10.json, all green): the 3-entry lead trio plus
-# the entire 47-entry r4-stale rotation — the cut landed exactly at
-# the rotation's end, so after round 10 no grade is older than round
-# 6 and the 10 _R10_NEW_TAIL entries are the only never-graded ops.
-# Round 11's window therefore is: those 10 (never graded, lead), then
-# the 50-entry round-6-stale rotation (every query whose latest grade
-# is CORRECTNESS_r06.json, oldest block in the registry, in r6 grade
-# order). 10 + 40 = 50, so a 50-slot sweep cuts after the 40th
-# rotation entry; the last 10 r6 entries roll to round 12's rotation.
-_R11_LEAD: list[str] = [
-    "c64_tokenizer_fertility",
-    "c65_bigram_perplexity",
-    "c66_embedding_outliers",
-    "p33_epoch_budget_report",
-    "b158_partitions_metadata",
-    "c67_triplet_mining",
-    "p34_release_report_v3",
-    "c68_perceptron_train",
-    "c69_pmi_collocations",
-    "p35_budget_rebalance",
-]
-# Round-11 rotation: the 50 entries whose latest driver grade is
-# round 6 (computed from CORRECTNESS_r06..r10.json; r6 grade order).
-_ROTATION_R11 = [
-    "b79_snapshot_metadata", "b82_compaction_rollup",
-    "b83_python_datasource", "b84_streaming_datasource",
-    "c27_random_projection", "b85_asset_pipeline", "b86_snapshot_tags",
-    "p11_quality_matrix", "c28_edit_distance_dups", "b80_gap_fill",
-    "b81_sessionize", "b87_changelog_scan", "b88_zorder_skipping",
-    "b89_partition_evolution", "c29_hyperplane_lsh", "c30_group_sample",
-    "c31_minhash_estimate", "p12_split_drift", "b90_wap_branch",
-    "b91_snapshot_expiration", "b92_files_metadata", "b93_metadata_count",
-    "c32_bpe_pair_stats", "c33_canonical_selection", "p13_cluster_histogram",
-    "b95_stream_outer_join", "b94_rollback", "b96_conditional_merge",
-    "b97_tpch_q5", "b98_tpch_q10", "b99_tpch_q4", "p14_ingest_dedup_report",
-    "b100_variant_shred", "b101_rle_udtf", "b102_lateral_topk",
-    "b103_timestamp_travel", "b104_position_delete", "b105_rename_column",
-    "b106_tpch_q7", "b107_tpch_q8", "b108_tpch_q14", "b109_tpch_q18",
-    "b110_tpch_q19", "b111_recursive_cte", "b112_sql_udf",
-    "b113_widen_column", "b114_metadata_delete", "b115_drop_column",
-    "b116_schema_drift", "b117_xml_decode",
-]
-# Round-11 additions: never graded, they outrank everything freshly
-# regraded and LEAD round 12's window (exactly as _R10_NEW_TAIL led
-# round 11's). Appended as they land.
-_R11_NEW_TAIL: list[str] = [
+# Grading-order contract, round 12 — now DERIVED, not retyped.
+# The driver's correctness sweep grades the FIRST ~50 registered
+# entries and stops, so registration order decides what gets graded.
+# Through round 11 the order was maintained as hand-rolled explicit
+# lists; that recurrently broke the suite at each round close (ADVICE
+# r11 item 1) because the lists encoded a snapshot of the committed
+# CORRECTNESS_r*.json records instead of reading them. From round 12
+# the ROTATION is computed from those records at load time: every
+# graded query, oldest latest-grade first, ties broken by position in
+# that round's record (= that round's grade order). Only two things
+# stay explicit, because they cannot be derived from grades alone:
+#
+#   _R12_LEAD — last round's never-graded additions (they outrank the
+#       rotation; verbatim the r11 tail, per VERDICT r11 item 1). An
+#       entry that HAS a grade (i.e. CORRECTNESS_r12.json landed) is
+#       auto-dropped from the lead and re-enters via the rotation.
+#   _R12_NEW_TAIL — THIS round's additions, appended as they land.
+#       They sit at the very end (outside the ~50 window) and become
+#       the next round's lead seed.
+#
+# Roll procedure at each round close (one loud tripwire in
+# tests/test_registry_contract.py fires when CORRECTNESS_r12.json
+# lands): _R13_LEAD = _R12_NEW_TAIL verbatim, empty the tail, bump
+# _NEW_TAIL_ROUND. Everything else re-derives.
+_R12_LEAD: list[str] = [
     "c70_kmeanspp_seed",
     "p36_streaming_release_report",
     "c71_ivf_index_drift",
@@ -96,28 +72,60 @@ _R11_NEW_TAIL: list[str] = [
     "c73_classifier_calibration",
     "p39_release_datacard",
 ]
+# The round whose CORRECTNESS record has NOT landed yet; the tail
+# below collects that round's additions.
+_NEW_TAIL_ROUND = 12
+_R12_NEW_TAIL: list[str] = []
+
+# Populated by load_all() for introspection/tests: the derived
+# rotation (graded queries, stalest first) and the full imposed order.
+GRADING_ROTATION: list[str] = []
+GRADING_ORDER: list[str] = []
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def latest_grades() -> dict[str, tuple[int, int]]:
+    """name -> (latest driver-graded round, position in that record).
+
+    Reads the committed CORRECTNESS_r*.json records at the repo root —
+    the same ground truth the contract tests derive from, so the
+    grading order can never drift from what the driver actually did.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    latest: dict[str, tuple[int, int]] = {}
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            for pos, name in enumerate(json.load(f)):
+                if name not in latest or rnd >= latest[name][0]:
+                    latest[name] = (rnd, pos)
+    return latest
 
 
 def load_all() -> None:
-    """Import every query module, then impose the round-11 grading order.
+    """Import every query module, then impose the derived grading order.
 
     ORDER IS A CONTRACT, not style (see the block comments above):
     after all modules register, QUERIES/ORACLES are rebuilt so the
-    prefix is _R11_LEAD (the 10 round-10 tail ops, never graded) +
-    _ROTATION_R11 (the 50 entries whose latest grade is round 6) +
-    _R11_NEW_TAIL (round-11 additions, graded round 12), then every
-    remaining green query in module order. Import order does not
-    double as grading order — the explicit lists do. A name listed
-    but never registered fails loudly here (typo guard).
-
-    Round-12 note: READ CORRECTNESS_r11.json for the actual cut, do
-    not guess. If the sweep grades exactly 50, the cut lands after
-    the 40th _ROTATION_R11 entry (10 + 40 = 50) and round 12's
-    rotation leads with the last 10 r6 entries — _ROTATION_R11[40:],
-    i.e. b108_tpch_q14 through b117_xml_decode; derive the list by
-    slicing, never by retyping ids — followed by the round-7-stale
-    block; _R11_NEW_TAIL entries (never graded) outrank all of that
-    and go first.
+    prefix is _R12_LEAD (last round's never-graded additions, minus
+    any that meanwhile received a grade) + the DERIVED rotation
+    (every graded query, stalest latest-grade first, ties broken by
+    grade order within that round's record) + _R12_NEW_TAIL (this
+    round's additions, graded next round). Import order does not
+    double as grading order. Loud failures here: a lead/tail name
+    that never registered (typo guard), and a registered query that
+    is neither graded nor in the lead/tail (a new op someone forgot
+    to append to _R12_NEW_TAIL — it would silently displace the
+    window otherwise).
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
         streaming,
@@ -149,11 +157,32 @@ def load_all() -> None:
         round11,
     )
 
-    prefix = _R11_LEAD + _ROTATION_R11 + _R11_NEW_TAIL
-    missing = [n for n in prefix if n not in QUERIES]
+    explicit = _R12_LEAD + _R12_NEW_TAIL
+    missing = [n for n in explicit if n not in QUERIES]
     if missing:
         raise RuntimeError(f"grading-order names not registered: {missing}")
-    order = prefix + [n for n in QUERIES if n not in set(prefix)]
+    graded = latest_grades()
+    lead = [n for n in _R12_LEAD if n not in graded]
+    tail = set(_R12_NEW_TAIL)
+    # Lead entries that meanwhile received a grade re-enter here, so
+    # the rotation is simply "every graded query, stalest first".
+    rotation = sorted(
+        (n for n in QUERIES if n in graded and n not in tail),
+        key=lambda n: graded[n],
+    )
+    stray = [
+        n
+        for n in QUERIES
+        if n not in graded and n not in set(lead) and n not in tail
+    ]
+    if stray:
+        raise RuntimeError(
+            "never-graded queries missing from _R12_LEAD/_R12_NEW_TAIL "
+            f"(append them to the tail): {stray}"
+        )
+    order = lead + rotation + _R12_NEW_TAIL
+    GRADING_ROTATION[:] = rotation
+    GRADING_ORDER[:] = order
     for d in (QUERIES, ORACLES):
         reordered = {n: d[n] for n in order if n in d}
         d.clear()

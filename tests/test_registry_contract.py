@@ -1,30 +1,28 @@
-"""Self-maintaining grading-order contract checks (VERDICT r10 item 8).
+"""Self-maintaining grading-order contract checks (VERDICT r10 item 8,
+rebuilt per ADVICE r11 item 1).
 
-The registry's explicit prefix lists (_R11_LEAD / _ROTATION_R11 /
-_R11_NEW_TAIL) ARE the driver grading order, so a stale or
-overlapping list silently mis-aims the ~50-slot correctness window.
-Instead of predicting counts in prose (the failure mode that recurred
-in round 9's ADVICE note), these tests derive the ground truth from
-the CORRECTNESS_r*.json records committed at the repo root:
+The registry now DERIVES the rotation from the committed
+CORRECTNESS_r*.json records at load time (registry.latest_grades),
+so the old failure mode — hand-rolled lists going stale the moment a
+new round's record lands — is structurally gone. What remains
+explicit, and therefore checked here, are the two small seed lists:
 
-- the lists are disjoint and every name is actually registered;
-- every _R11_LEAD entry has NEVER been driver-graded;
-- every _ROTATION_R11 entry's LATEST grade is exactly the stale round
-  the rotation claims to retire (round 6);
-- no registered-and-previously-graded query is older than the
-  rotation's target round (i.e. the rotation has no omissions).
+- ``_R12_LEAD`` (last round's never-graded additions) must contain
+  only never-graded ops — a graded entry is harmless (load_all drops
+  it into the rotation) but means the list should be pruned;
+- ``_R12_NEW_TAIL`` (this round's additions) must be never-graded and
+  sit at the very end of the imposed order;
+- the single ROLL TRIPWIRE: once ``CORRECTNESS_r{_NEW_TAIL_ROUND}.json``
+  lands, ``test_roll_the_tail`` fails with the exact roll procedure,
+  and nothing else in the suite goes red.
 
-When a new round's CORRECTNESS JSON lands and the lists roll forward
-(e.g. to _R12_*), update _LEAD/_ROTATION/_STALE_ROUND below — the
-assertions then re-derive everything else.
+Everything about the rotation itself (stalest-first, complete, no
+orphans) is asserted against the same ground truth the registry reads.
 """
 
 from __future__ import annotations
 
-import glob
-import json
 import os
-import re
 
 from iceberg_playground_spark import registry
 
@@ -32,77 +30,78 @@ registry.load_all()
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_LEAD = registry._R11_LEAD
-_ROTATION = registry._ROTATION_R11
-_TAIL = registry._R11_NEW_TAIL
-# The stale round this rotation retires (see registry.py block
-# comment): after round 10's sweep the oldest surviving grades are
-# round 6.
-_STALE_ROUND = 6
+
+def test_roll_the_tail():
+    rnd = registry._NEW_TAIL_ROUND
+    record = os.path.join(_ROOT, f"CORRECTNESS_r{rnd:02d}.json")
+    assert not os.path.exists(record), (
+        f"CORRECTNESS_r{rnd:02d}.json landed — roll the grading seeds: "
+        f"set _R{rnd + 1}_LEAD = _R{rnd}_NEW_TAIL verbatim, empty the "
+        f"tail, bump _NEW_TAIL_ROUND to {rnd + 1}, and rename the "
+        f"registry attributes + this test's references. The rotation "
+        f"re-derives itself; nothing else changes."
+    )
 
 
-def _latest_grades() -> dict[str, int]:
-    """name -> latest round with a driver CORRECTNESS entry."""
-    latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
-        with open(path) as f:
-            for name in json.load(f):
-                latest[name] = max(latest.get(name, 0), rnd)
-    return latest
-
-
-def test_prefix_lists_disjoint_and_registered():
-    combined = _LEAD + _ROTATION + _TAIL
-    assert len(combined) == len(set(combined)), "overlap across prefix lists"
+def test_seed_lists_disjoint_and_registered():
+    combined = registry._R12_LEAD + registry._R12_NEW_TAIL
+    assert len(combined) == len(set(combined)), "overlap across seed lists"
     missing = [n for n in combined if n not in registry.QUERIES]
-    assert not missing, f"prefix names not registered: {missing}"
+    assert not missing, f"seed names not registered: {missing}"
 
 
 def test_lead_entries_never_graded():
-    latest = _latest_grades()
-    graded_leads = [n for n in _LEAD if n in latest]
+    # Grades from _NEW_TAIL_ROUND itself are the EXPECTED outcome of
+    # the round's sweep (the roll tripwire above already fires then);
+    # only a grade from an EARLIER round means the seed was wrong.
+    latest = registry.latest_grades()
+    graded_leads = [
+        n
+        for n in registry._R12_LEAD
+        if n in latest and latest[n][0] < registry._NEW_TAIL_ROUND
+    ]
     assert not graded_leads, (
-        f"_R11_LEAD must contain only never-graded ops, but these have "
-        f"driver grades: {graded_leads} — move them to the rotation"
+        f"_R12_LEAD entries were already driver-graded before round "
+        f"{registry._NEW_TAIL_ROUND} (prune the list; load_all already "
+        f"routed them to the rotation): {graded_leads}"
     )
 
 
 def test_tail_entries_never_graded():
-    latest = _latest_grades()
-    graded = [n for n in _TAIL if n in latest]
-    assert not graded, (
-        f"_R11_NEW_TAIL entries must be new this round (never graded): "
-        f"{graded}"
-    )
-
-
-def test_rotation_is_exactly_the_stale_round():
-    latest = _latest_grades()
-    wrong = {n: latest.get(n) for n in _ROTATION if latest.get(n) != _STALE_ROUND}
-    assert not wrong, (
-        f"rotation entries whose latest grade is not round "
-        f"{_STALE_ROUND}: {wrong}"
-    )
-
-
-def test_rotation_has_no_omissions():
-    # Every registered query previously graded in the stale round (and
-    # not since) must be IN the rotation — otherwise its grade ages
-    # past the contract's "no grade older than round N" promise.
-    latest = _latest_grades()
-    stale = {
+    latest = registry.latest_grades()
+    graded = [
         n
-        for n, rnd in latest.items()
-        if rnd == _STALE_ROUND and n in registry.QUERIES
-    }
-    omitted = stale - set(_ROTATION)
-    assert not omitted, f"round-{_STALE_ROUND}-stale queries missing from rotation: {omitted}"
+        for n in registry._R12_NEW_TAIL
+        if n in latest and latest[n][0] < registry._NEW_TAIL_ROUND
+    ]
+    assert not graded, (
+        f"_R12_NEW_TAIL entries must be new this round (never graded "
+        f"before round {registry._NEW_TAIL_ROUND}): {graded}"
+    )
+
+
+def test_rotation_is_every_graded_query_stalest_first():
+    latest = registry.latest_grades()
+    rotation = registry.GRADING_ROTATION
+    expected = sorted(
+        (n for n in registry.QUERIES if n in latest), key=lambda n: latest[n]
+    )
+    assert rotation == expected, "rotation is not stalest-first/complete"
+    keys = [latest[n] for n in rotation]
+    assert keys == sorted(keys)
+
+
+def test_imposed_order_is_lead_rotation_tail():
+    names = list(registry.QUERIES)
+    latest = registry.latest_grades()
+    lead = [n for n in registry._R12_LEAD if n not in latest]
+    assert names == lead + registry.GRADING_ROTATION + registry._R12_NEW_TAIL
+    assert names == registry.GRADING_ORDER
 
 
 def test_every_graded_name_is_still_registered():
     # A grade for a name no longer in the registry means a rename
     # silently orphaned its correctness history.
-    latest = _latest_grades()
+    latest = registry.latest_grades()
     orphans = [n for n in latest if n not in registry.QUERIES]
     assert not orphans, f"graded names no longer registered: {orphans}"

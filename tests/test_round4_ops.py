@@ -120,29 +120,25 @@ def test_fuzzy_decontaminate_split_discipline(spark):
 
 def test_grading_prefix_composition():
     # The driver grades EXACTLY the first ~50 registered queries, so
-    # registration order decides what gets graded. Since round 5 the
-    # order is imposed by explicit lists (round 11: _R11_LEAD /
-    # _ROTATION_R11 / _R11_NEW_TAIL) rather than import order; pin
-    # that the reorder actually happened: the 10 never-graded
-    # round-10 tail ops first, then the 50-entry round-6-stale
-    # rotation, then any round-11 additions.
+    # registration order decides what gets graded. Since round 12 the
+    # rotation is DERIVED from the committed CORRECTNESS records
+    # (stalest latest-grade first); pin that the reorder actually
+    # happened and that the window retires the stalest grades: the
+    # never-graded _R12_LEAD ops first, then the rotation, with this
+    # round's additions dead last.
     names = list(registry.QUERIES)
-    lead = registry._R11_LEAD
+    latest = registry.latest_grades()
+    lead = [n for n in registry._R12_LEAD if n not in latest]
     assert names[: len(lead)] == lead
-    assert (
-        names[len(lead) : len(lead) + len(registry._ROTATION_R11)]
-        == registry._ROTATION_R11
-    )
-    tail_at = len(lead) + len(registry._ROTATION_R11)
-    assert (
-        names[tail_at : tail_at + len(registry._R11_NEW_TAIL)]
-        == registry._R11_NEW_TAIL
-    )
-    # round-11 window arithmetic: 10 never-graded lead + the first 40
-    # rotation entries = exactly 50, so a 50-slot sweep retires the
-    # whole _R11_LEAD backlog and 40 of the 50 r6-stale grades
-    assert len(registry._R11_LEAD) == 10
-    assert len(registry._ROTATION_R11) == 50
+    assert names == lead + registry.GRADING_ROTATION + registry._R12_NEW_TAIL
+    # A 50-slot sweep covers the lead plus the stalest rotation
+    # entries; nothing inside the window may be fresher than anything
+    # outside it.
+    window = names[:50]
+    rounds_in = [latest[n][0] for n in window if n in latest]
+    rounds_out = [latest[n][0] for n in names[50:] if n in latest]
+    if rounds_in and rounds_out:
+        assert max(rounds_in) <= min(rounds_out)
     assert len(names) >= 128
 
 
