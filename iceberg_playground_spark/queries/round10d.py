@@ -352,13 +352,15 @@ def _p35_round_sql(k: int) -> str:
     )
 
 
-def _p35_oracle() -> str:
+def _p35_chain() -> str:
+    """p35's WITH-clause list (cell → r0 → r1..rN), WITHOUT the final
+    SELECT, so downstream oracles (p37's schedule) can append their
+    own clauses instead of string-slicing the assembled query (the
+    _c70_chain pattern; ADVICE r11 item 2)."""
     rounds = ",\n".join(
         _p35_round_sql(k) for k in range(1, _P35_ROUNDS + 1)
     )
-    n = _P35_ROUNDS
-    return f"""
-WITH cell AS (
+    return f"""cell AS (
   SELECT source, lang, sum(len(string_split(text, ' '))) AS cell_tok
   FROM documents GROUP BY source, lang),
 r0 AS (
@@ -374,7 +376,13 @@ r0 AS (
          FALSE AS capped0, CAST(0 AS BIGINT) AS alloc0,
          CAST({_P35_MULT} AS BIGINT) * sum(cell_tok) OVER () AS t_budget
   FROM cell),
-{rounds}
+{rounds}"""
+
+
+def _p35_oracle() -> str:
+    n = _P35_ROUNDS
+    return f"""
+WITH {_p35_chain()}
 SELECT source, lang, cell_tok, w_micro, cap_tok, naive_tok,
        CAST(alloc{n} AS BIGINT) AS final_tok,
        capped{n} AS capped,

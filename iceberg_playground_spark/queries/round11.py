@@ -1143,14 +1143,14 @@ def _p37_oracle() -> str:
     the stride interleave."""
     from iceberg_playground_spark.queries.round10d import (
         _P35_ROUNDS,
-        _p35_oracle,
+        _p35_chain,
     )
 
-    base = _p35_oracle()
-    # keep p35's WITH chain, swap its final SELECT for the schedule
-    chain = base[: base.rindex("SELECT")]
+    # p35's WITH chain verbatim, with the schedule clauses appended —
+    # shared as a chain builder, never sliced out of assembled SQL
+    # (ADVICE r11 item 2).
     n = _P35_ROUNDS
-    return f"""{chain.rstrip()},
+    return f"""WITH {_p35_chain()},
 sched AS (
   SELECT source, lang,
          CAST(alloc{n} // {_P37_BATCH_TOK} AS BIGINT) AS n_batches
