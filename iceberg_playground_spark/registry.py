@@ -75,7 +75,9 @@ _R12_LEAD: list[str] = [
 # The round whose CORRECTNESS record has NOT landed yet; the tail
 # below collects that round's additions.
 _NEW_TAIL_ROUND = 12
-_R12_NEW_TAIL: list[str] = []
+_R12_NEW_TAIL: list[str] = [
+    "c74_pq_train",
+]
 
 # Populated by load_all() for introspection/tests: the derived
 # rotation (graded queries, stalest first) and the full imposed order.
@@ -155,6 +157,7 @@ def load_all() -> None:
         round10c,
         round10d,
         round11,
+        round12,
     )
 
     explicit = _R12_LEAD + _R12_NEW_TAIL

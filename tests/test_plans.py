@@ -1272,3 +1272,63 @@ def test_c73_calibration_is_pure_map_one_aggregate(spark):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_c74_train_superstep_shuffles_sums_never_vectors(spark):
+    # c74: each Lloyd iteration's update aggregate must reduce
+    # sub-vectors to per-(subspace, code, dim) integer sums MAP-SIDE —
+    # the exchange carries 128-key partials, never a vector column —
+    # and the assignment is a joinless literal-matrix map.
+    from pyspark.sql import functions as F
+
+    from iceberg_playground_spark.queries.round9b import _c54_quantized
+    from iceberg_playground_spark.queries.round12 import (
+        _C74_SDIM,
+        _C74_SUB,
+        _c74_code_col,
+        _c74_seed,
+        _c74_sub_col,
+    )
+
+    qdf = _c54_quantized(spark, SF_CHECK)
+    cb = _c74_seed(qdf)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                _c74_code_col(cb, s).alias("j"),
+                _c74_sub_col(s).alias("sub"),
+            )
+            for s in range(_C74_SUB)
+        ]
+    )
+    agg = (
+        qdf.select(F.explode(pairs).alias("e"))
+        .select("e.s", "e.j", "e.sub")
+        .groupBy("s", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col("sub")[d]).alias(f"d{d}")
+                for d in range(_C74_SDIM)
+            ],
+        )
+    )
+    for cols in _exchange_outputs(agg):
+        assert "sub" not in cols and "q" not in cols, cols
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_c74_rerank_is_bounded_broadcast_topk(spark):
+    # c74's graded plan (post-training): ADC estimate is a pure map
+    # against literal tables, the shortlist and final top-k are both
+    # TakeOrderedAndProject (never a global sort), and the exact
+    # re-rank joins the corpus against the BROADCAST 50-row shortlist
+    # — no pair join, no shuffle join, anywhere.
+    plan = _plan(spark, "c74_pq_train")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,156 @@
+"""Round-12 operator semantics: the trained PQ codebook (c74).
+Oracle parity is covered by test_correctness's registry-wide
+parametrization; these pin the invariants an oracle diff alone would
+not localize — the whole train→encode→ADC→re-rank pipeline against an
+independent Python reference, that training actually moves the
+codebook off its seeds, and that the floor-division idiom the oracle
+uses equals Python's ``//`` on negative sums."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+
+from iceberg_playground_spark import registry
+
+registry.load_all()
+
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+
+def _py_c74(sf_dir: str):
+    """Independent reference: plain-Python per-subspace Lloyd on the
+    integer grid + ADC shortlist + exact re-rank, no shared code with
+    the query under test. Returns the top-10 (vec_id, est_d2,
+    exact_d2) rows."""
+    from iceberg_playground_spark.queries.round12 import (
+        _C74_ITERS,
+        _C74_K,
+        _C74_SDIM,
+        _C74_SHORT,
+        _C74_SUB,
+        _C74_TOPK,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    q = {
+        int(vid): [int(math.floor(float(x) * 1000)) for x in emb]
+        for vid, emb in rows
+    }
+    order = sorted(
+        q, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )
+    cb = [
+        [
+            [q[vid][s * _C74_SDIM + d] for d in range(_C74_SDIM)]
+            for vid in order[:_C74_K]
+        ]
+        for s in range(_C74_SUB)
+    ]
+
+    def code(vec, s):
+        sub = vec[s * _C74_SDIM : (s + 1) * _C74_SDIM]
+        return min(
+            range(_C74_K),
+            key=lambda j: (
+                sum(
+                    (sub[d] - cb[s][j][d]) ** 2 for d in range(_C74_SDIM)
+                ),
+                j,
+            ),
+        )
+
+    for _ in range(_C74_ITERS):
+        sums: dict = {}
+        cnt: dict = {}
+        for vid, vec in q.items():
+            for s in range(_C74_SUB):
+                j = code(vec, s)
+                cnt[(s, j)] = cnt.get((s, j), 0) + 1
+                acc = sums.setdefault((s, j), [0] * _C74_SDIM)
+                for d in range(_C74_SDIM):
+                    acc[d] += vec[s * _C74_SDIM + d]
+        cb = [
+            [
+                (
+                    [
+                        sums[(s, j)][d] // cnt[(s, j)]
+                        for d in range(_C74_SDIM)
+                    ]
+                    if (s, j) in cnt
+                    else cb[s][j]
+                )
+                for j in range(_C74_K)
+            ]
+            for s in range(_C74_SUB)
+        ]
+    qv = q[0]
+    adc = [
+        [
+            sum(
+                (qv[s * _C74_SDIM + d] - cb[s][j][d]) ** 2
+                for d in range(_C74_SDIM)
+            )
+            for j in range(_C74_K)
+        ]
+        for s in range(_C74_SUB)
+    ]
+    est = {
+        vid: sum(adc[s][code(vec, s)] for s in range(_C74_SUB))
+        for vid, vec in q.items()
+    }
+    short = sorted(est, key=lambda v: (est[v], v))[:_C74_SHORT]
+    ex = {
+        vid: sum((q[vid][i] - qv[i]) ** 2 for i in range(len(qv)))
+        for vid in short
+    }
+    top = sorted(short, key=lambda v: (ex[v], v))[:_C74_TOPK]
+    return [(v, est[v], ex[v]) for v in top]
+
+
+def test_c74_matches_python_reference(spark):
+    got = [
+        (int(r["vec_id"]), int(r["est_d2"]), int(r["exact_d2"]))
+        for r in registry.QUERIES["c74_pq_train"](spark, SF_SMOKE).collect()
+    ]
+    assert got == _py_c74(SF_SMOKE)
+
+
+def test_c74_training_moves_centroids(spark):
+    # Lloyd must actually update the codebook — a no-op train would
+    # leave every centroid at its md5 seed (c38's untrained geometry,
+    # exactly what c74 exists to replace).
+    from iceberg_playground_spark.queries.round9b import _c54_quantized
+    from iceberg_playground_spark.queries.round12 import (
+        _c74_seed,
+        _c74_train,
+    )
+
+    qdf = _c54_quantized(spark, SF_SMOKE)
+    seeded = _c74_seed(qdf)
+    _, trained = _c74_train(spark, SF_SMOKE)
+    moved = sum(
+        1
+        for s in range(len(seeded))
+        for j in range(len(seeded[s]))
+        if seeded[s][j] != trained[s][j]
+    )
+    assert moved > len(seeded) * len(seeded[0]) // 2
+
+
+def test_c74_floor_division_idiom_matches_python():
+    # The oracle's sign-safe-mod floor division must equal Python's
+    # ``//`` (the driver-side update) for NEGATIVE sums too — Spark
+    # DIV and DuckDB // both truncate toward zero, which is why the
+    # oracle spells out (sv - ((sv % n + n) % n)) // n instead.
+    cases = [(-17, 5), (-15, 5), (17, 5), (-1, 3), (0, 7), (-1000001, 8)]
+    for sv, n in cases:
+        got = duckdb.sql(
+            f"SELECT ({sv} - (({sv} % {n} + {n}) % {n})) // {n}"
+        ).fetchone()[0]
+        assert int(got) == sv // n, (sv, n)
