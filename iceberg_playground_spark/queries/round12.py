@@ -1,4 +1,5 @@
-"""Round-12 operators: the trained PQ codebook (VERDICT r11 item 2).
+"""Round-12 operators: the trained PQ codebook (VERDICT r11 item 2)
+and the unigram-LM tokenizer trainer (VERDICT r11 item 3).
 
 - c74: TRAINED PQ CODEBOOK + ADC RE-RANK — closes the ANN arc's last
   md5-seeded stand-in: c36/c38/c40 quantize against DETERMINISTIC
@@ -30,6 +31,42 @@
   the corpus is scanned iters+2 times and shuffled never. (Ref
   anchor: ANN is the north-star mandate, BASELINE.json:north_star;
   c38/c40 in round7.py are the untrained siblings this completes.)
+
+- c75: UNIGRAM-LM TOKENIZER TRAINER — the other dominant public
+  subword algorithm family beside BPE (Kudo, "Subword
+  Regularization", ACL 2018; the SentencePiece default), completing
+  the tokenizer arc c32 (pair stats) → c63 (BPE train) → c51 (apply)
+  → c64 (fertility audit) with the EM-trained alternative: seed the
+  vocabulary from the most frequent substrings (all single chars +
+  top multi-char by corpus weight), then alternate E-steps (Viterbi
+  segmentation of every word under the current piece log-probs) and
+  M-steps (re-estimate scores from usage counts, add-one smoothed)
+  with a prune between rounds that keeps only the top multi-char
+  pieces by usage — Kudo's keep-the-high-loss-pieces rule in its
+  count form, single chars always kept for coverage. Graded on the
+  full final vocabulary (piece, E-step count, micro-nat score): one
+  Viterbi path or one prune decision different anywhere changes the
+  hash.
+
+  Determinism: piece scores are INTEGER micro-nats (the c65/c70
+  idiom: one ln per MODEL row, rounded once), so the Viterbi DP sums
+  and compares exact BIGINTs; both engines run structurally
+  identical left-to-right folds (forward best-score table, backward
+  smallest-piece-first path extraction), so every tie resolves
+  identically; prune order is (count DESC, piece) — no float ever
+  crosses an engine boundary mid-corpus. The DuckDB oracle unrolls
+  both EM rounds; its DP state is STRING-encoded inside list_reduce
+  (DuckDB 1.0 drops LIST-typed struct fields across fold steps —
+  probed, VARCHAR carries; c63's accumulator idiom).
+
+  Scale shape: the corpus collapses to its word-frequency table
+  ONCE (c63's compression — the only corpus-sized operation); every
+  E-step is a pure-map Viterbi fold over that table against a
+  LITERAL score map (model-sized, broadcast as literals) + one
+  |vocab|-key aggregate with map-side partials; driver state is the
+  vocabulary itself. Training cost scales with |distinct words| ·
+  max_piece_len², independent of corpus size — the same contract as
+  c63, for the EM family.
 """
 
 from __future__ import annotations
@@ -268,3 +305,315 @@ def c74_pq_train(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("exact_d2", "vec_id")
         .limit(_C74_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# c75 — unigram-LM tokenizer trainer (SentencePiece-style EM + prune)
+# ---------------------------------------------------------------------------
+
+_C75_LMAX = 4  # max piece length
+_C75_SEED_MULTI = 48  # multi-char seed pieces (top by corpus weight)
+_C75_KEEP = (32, 24)  # multi-char pieces kept after each EM round
+_C75_NEG = -(10**15)  # unreachable DP cell
+
+
+def _c75_score_micro(c: int, t: int) -> int:
+    """Integer micro-nat piece score: round(1e6·ln(c/t)), half away
+    from zero (DuckDB's round; Python's round is banker's)."""
+    import math
+
+    x = 1e6 * math.log(c / t)
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _c75_fw_sql(m: str) -> str:
+    """Forward Viterbi DP as a string-encoded fold: the accumulator is
+    the space-joined best-score table best[0..i] (exact BIGINTs in
+    text), seeded by the prepended '0' = best[0]."""
+    cands = []
+    for L in range(1, _C75_LMAX + 1):
+        cands.append(
+            f"CASE WHEN CAST(x AS INT) >= {L} THEN "
+            f"CAST(string_split(acc, ' ')[CAST(x AS INT) - {L - 1}] "
+            f"AS BIGINT) + "
+            f"{m}[substr(word, CAST(x AS INT) - {L - 1}, {L})][1] END"
+        )
+    glist = ", ".join(cands)
+    return (
+        "list_reduce("
+        "list_prepend('0', list_transform(range(1, len(word) + 1), "
+        "k -> CAST(k AS VARCHAR))), "
+        f"(acc, x) -> acc || ' ' || CAST(greatest({glist}, "
+        f"{_C75_NEG}) AS VARCHAR))"
+    )
+
+
+def _c75_bw_sql(m: str) -> str:
+    """Backward path extraction: fold positions n..1 with a
+    'pos|seg'-encoded accumulator; at the frontier position take the
+    SMALLEST piece length whose score reproduces best[i] (both
+    engines test L ascending, so ties resolve identically)."""
+    arms = []
+    for L in range(1, _C75_LMAX + 1):
+        piece = f"substr(word, CAST(x AS INT) - {L - 1}, {L})"
+        arms.append(
+            f"WHEN CAST(x AS INT) >= {L} AND "
+            f"CAST(string_split(fw, ' ')[CAST(x AS INT) - {L - 1}] "
+            f"AS BIGINT) + {m}[{piece}][1] = "
+            f"CAST(string_split(fw, ' ')[CAST(x AS INT) + 1] AS BIGINT) "
+            f"THEN CAST(CAST(x AS INT) - {L} AS VARCHAR) || '|' || "
+            f"{piece} || CASE WHEN string_split(acc, '|')[2] = '' "
+            f"THEN '' ELSE ' ' || string_split(acc, '|')[2] END"
+        )
+    inner = " ".join(arms)
+    return (
+        "string_split(list_reduce("
+        "list_prepend(CAST(len(word) AS VARCHAR) || '|', "
+        "list_transform(range(len(word), 0, -1), "
+        "k -> CAST(k AS VARCHAR))), "
+        "(acc, x) -> CASE WHEN CAST(string_split(acc, '|')[1] AS INT) "
+        f"= CAST(x AS INT) THEN CASE {inner} ELSE acc END "
+        "ELSE acc END), '|')[2]"
+    )
+
+
+_C75_SCORE_SQL = (
+    "CAST(round(1000000.0 * ln(CAST({c} AS DOUBLE) / "
+    "CAST({t} AS DOUBLE))) AS BIGINT)"
+)
+
+
+def _c75_map_sql(v: str) -> str:
+    """One-row score map over vocab CTE ``v`` (piece, c columns)."""
+    sc = _C75_SCORE_SQL.format(c="c", t="t")
+    return (
+        f"SELECT MAP(list(piece ORDER BY piece), "
+        f"list({sc} ORDER BY piece)) AS m "
+        f"FROM {v}, (SELECT sum(c) AS t FROM {v}) tt"
+    )
+
+
+def _c75_estep_sql(i: int, msrc: str) -> str:
+    """One unrolled E-step: Viterbi fold per word against map CTE
+    ``msrc``, then the |vocab|-key usage aggregate."""
+    return f"""
+f{i} AS MATERIALIZED (
+  SELECT word, cnt, m, {_c75_fw_sql('m')} AS fw FROM w, {msrc}),
+g{i} AS MATERIALIZED (
+  SELECT cnt, {_c75_bw_sql('m')} AS seg FROM f{i}),
+e{i} AS MATERIALIZED (
+  SELECT piece, sum(cnt) AS c
+  FROM (SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM g{i})
+  GROUP BY piece)"""
+
+
+def _c75_oracle() -> str:
+    k1, k2 = _C75_KEEP
+    final_sc = _C75_SCORE_SQL.format(c="rawc + 1", t="t")
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+subs AS MATERIALIZED (
+  SELECT piece, sum(cnt) AS c
+  FROM (SELECT w.cnt,
+               substr(w.word, CAST(t.k AS INT), CAST(u.l AS INT)) AS piece
+        FROM w,
+             UNNEST(range(1, len(word) + 1)) AS t(k),
+             UNNEST(range(1, {_C75_LMAX + 1})) AS u(l)
+        WHERE CAST(t.k AS INT) + CAST(u.l AS INT) - 1 <= len(word))
+  GROUP BY piece),
+v0 AS MATERIALIZED (
+  SELECT piece, c FROM subs WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c FROM subs WHERE len(piece) > 1
+    ORDER BY c DESC, piece LIMIT {_C75_SEED_MULTI})),
+m0 AS MATERIALIZED ({_c75_map_sql('v0')}),
+{_c75_estep_sql(1, 'm0')},
+v1 AS MATERIALIZED (
+  SELECT s.piece, COALESCE(e1.c, 0) + 1 AS c
+  FROM (SELECT piece FROM v0 WHERE len(piece) = 1) s
+  LEFT JOIN e1 USING (piece)
+  UNION ALL
+  SELECT piece, c + 1 AS c FROM (
+    SELECT piece, c FROM e1 WHERE len(piece) > 1
+    ORDER BY c DESC, piece LIMIT {k1})),
+m1 AS MATERIALIZED ({_c75_map_sql('v1')}),
+{_c75_estep_sql(2, 'm1')},
+vf AS MATERIALIZED (
+  SELECT s.piece, COALESCE(e2.c, 0) AS rawc
+  FROM (SELECT piece FROM v0 WHERE len(piece) = 1) s
+  LEFT JOIN e2 USING (piece)
+  UNION ALL
+  SELECT piece, c AS rawc FROM (
+    SELECT piece, c FROM e2 WHERE len(piece) > 1
+    ORDER BY c DESC, piece LIMIT {k2}))
+SELECT piece, CAST(rawc AS BIGINT) AS cnt, {final_sc} AS score_micro
+FROM vf, (SELECT sum(rawc + 1) AS t FROM vf) tt
+ORDER BY piece
+"""
+
+
+def _c75_fw_col(m):
+    """Spark twin of _c75_fw_sql: native array accumulator (Spark's
+    aggregate takes a real initial value; the DuckDB string encoding
+    exists only to dodge its list_reduce struct-list bug)."""
+    def step(acc, i):
+        cands = []
+        for L in range(1, _C75_LMAX + 1):
+            cands.append(
+                F.when(
+                    i >= L,
+                    F.element_at(acc, (i - L + 1).cast("int"))
+                    + F.element_at(
+                        m,
+                        F.col("word").substr(
+                            (i - L + 1).cast("int"), F.lit(L)
+                        ),
+                    ),
+                ).otherwise(F.lit(None).cast("bigint"))
+            )
+        best = F.greatest(*cands, F.lit(_C75_NEG).cast("bigint"))
+        return F.concat(acc, F.array(best))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length("word")),
+        F.array(F.lit(0).cast("bigint")),
+        step,
+    )
+
+
+def _c75_seg_col(m):
+    """Spark twin of _c75_bw_sql (reads the stored ``fw`` column)."""
+    fw = F.col("fw")
+
+    def step(acc, x):
+        i = x.cast("int")
+        pick = None
+        for L in range(1, _C75_LMAX + 1):
+            piece = F.col("word").substr(i - L + 1, F.lit(L))
+            cond = (i >= L) & (
+                F.element_at(fw, i - L + 1) + F.element_at(m, piece)
+                == F.element_at(fw, i + 1)
+            )
+            val = F.struct(
+                (i - L).alias("pos"),
+                F.concat(
+                    piece,
+                    F.when(acc["seg"] == "", F.lit("")).otherwise(
+                        F.concat(F.lit(" "), acc["seg"])
+                    ),
+                ).alias("seg"),
+            )
+            pick = F.when(cond, val) if pick is None else pick.when(cond, val)
+        return F.when(acc["pos"] == i, pick.otherwise(acc)).otherwise(acc)
+
+    return F.aggregate(
+        F.sequence(F.length("word").cast("int"), F.lit(1), F.lit(-1)),
+        F.struct(
+            F.length("word").cast("int").alias("pos"),
+            F.lit("").alias("seg"),
+        ),
+        step,
+        lambda acc: acc["seg"],
+    )
+
+
+def _c75_estep(words: DataFrame, scores: dict[str, int]) -> dict[str, int]:
+    """One E-step: Viterbi-segment every word against the LITERAL
+    score map, aggregate piece usage (map-side partials; the result
+    is vocab-sized, so the collect is model-sized by construction)."""
+    m = F.create_map(
+        *[
+            F.lit(z)
+            for p in sorted(scores)
+            for z in (p, scores[p])
+        ]
+    )
+    rows = (
+        words.withColumn("fw", _c75_fw_col(m))
+        .withColumn("seg", _c75_seg_col(m))
+        .select("cnt", F.explode(F.split("seg", " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+        .collect()
+    )
+    return {r["piece"]: int(r["c"]) for r in rows}
+
+
+@query("c75_unigram_lm_train", oracle=_c75_oracle())
+def c75_unigram_lm_train(spark: SparkSession, sf: str) -> DataFrame:
+    """C75: unigram-LM tokenizer training (Kudo 2018) — see module
+    docstring. Graded on the final vocabulary (piece, count,
+    micro-nat score), ordered by piece."""
+    from iceberg_playground_spark.queries._util import load
+
+    d = load(spark, sf, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    # seed vocabulary: every substring up to LMAX, weighted by corpus
+    # frequency; all single chars + the top multi-char pieces
+    pos = F.sequence(F.lit(1), F.length("word"))
+    pieces = F.flatten(
+        F.transform(
+            pos,
+            lambda k: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(_C75_LMAX)),
+                    lambda L: F.when(
+                        k + L - 1 <= F.length("word"),
+                        F.col("word").substr(k.cast("int"), L.cast("int")),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+    )
+    subs = (
+        words.select("cnt", F.explode(pieces).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    singles = [
+        (r["piece"], int(r["c"]))
+        for r in subs.filter(F.length("piece") == 1).collect()
+    ]
+    multi = [
+        (r["piece"], int(r["c"]))
+        for r in subs.filter(F.length("piece") > 1)
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(_C75_SEED_MULTI)
+        .collect()
+    ]
+    vocab = dict(singles) | dict(multi)
+    tot = sum(vocab.values())
+    scores = {p: _c75_score_micro(c, tot) for p, c in vocab.items()}
+    single_set = {p for p, _ in singles}
+
+    counts: dict[str, int] = {}
+    for keep in _C75_KEEP:
+        counts = _c75_estep(words, scores)
+        kept_multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:keep]
+        smoothed = {p: counts.get(p, 0) + 1 for p in single_set}
+        smoothed |= {p: c + 1 for p, c in kept_multi}
+        t = sum(smoothed.values())
+        scores = {p: _c75_score_micro(c, t) for p, c in smoothed.items()}
+
+    final = sorted(
+        [(p, counts.get(p, 0), scores[p]) for p in scores],
+        key=lambda r: r[0],
+    )
+    return spark.createDataFrame(
+        final, "piece STRING, cnt BIGINT, score_micro BIGINT"
+    ).orderBy("piece")

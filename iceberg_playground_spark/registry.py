@@ -77,6 +77,7 @@ _R12_LEAD: list[str] = [
 _NEW_TAIL_ROUND = 12
 _R12_NEW_TAIL: list[str] = [
     "c74_pq_train",
+    "c75_unigram_lm_train",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1332,3 +1332,41 @@ def test_c74_rerank_is_bounded_broadcast_topk(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_c75_estep_is_joinless_fold_one_word_table_scan(spark):
+    # c75: the E-step must be a pure-map Viterbi fold over the word
+    # table against a LITERAL score map — no join anywhere, and the
+    # usage aggregate's exchange carries (piece, count) partials,
+    # never word rows (word/cnt/seg columns off the shuffle).
+    from pyspark.sql import functions as F
+
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.round12 import (
+        _c75_fw_col,
+        _c75_seg_col,
+    )
+
+    words = (
+        load(spark, SF_CHECK, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    m = F.create_map(F.lit("a"), F.lit(-100), F.lit("b"), F.lit(-200))
+    counts = (
+        words.withColumn("fw", _c75_fw_col(m))
+        .withColumn("seg", _c75_seg_col(m))
+        .select("cnt", F.explode(F.split("seg", " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    plan = counts._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    # the word-table build's own exchange carries (word, count) — the
+    # corpus-collapse shuffle, paid once; past it nothing word-sized
+    # may ride a shuffle: no segmentation, no DP state
+    for cols in _exchange_outputs(counts):
+        assert "seg" not in cols and "fw" not in cols, cols

@@ -154,3 +154,115 @@ def test_c74_floor_division_idiom_matches_python():
             f"SELECT ({sv} - (({sv} % {n} + {n}) % {n})) // {n}"
         ).fetchone()[0]
         assert int(got) == sv // n, (sv, n)
+
+
+# --- c75 unigram-LM tokenizer trainer ---------------------------------------
+
+
+def _py_c75(sf_dir: str):
+    """Independent reference: plain-Python unigram-LM EM (seed →
+    Viterbi E-step → smoothed M-step → prune, twice), no shared code
+    with the query under test."""
+    from iceberg_playground_spark.queries.round12 import (
+        _C75_KEEP,
+        _C75_LMAX,
+        _C75_SEED_MULTI,
+    )
+
+    def score(c, t):
+        x = 1e6 * math.log(c / t)
+        return (
+            int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+        )
+
+    texts = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    words: dict[str, int] = {}
+    for (t,) in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+
+    subs: dict[str, int] = {}
+    for w, cnt in words.items():
+        for k in range(len(w)):
+            for L in range(1, _C75_LMAX + 1):
+                if k + L <= len(w):
+                    p = w[k : k + L]
+                    subs[p] = subs.get(p, 0) + cnt
+    singles = {p for p in subs if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:_C75_SEED_MULTI]
+    vocab = {p: subs[p] for p in singles} | dict(multi)
+    tot = sum(vocab.values())
+    scores = {p: score(c, tot) for p, c in vocab.items()}
+
+    def viterbi(w):
+        n = len(w)
+        NEG = -(10**15)
+        best = [0] + [None] * n
+        for i in range(1, n + 1):
+            cands = [NEG]
+            for L in range(1, _C75_LMAX + 1):
+                if i >= L and w[i - L : i] in scores:
+                    cands.append(best[i - L] + scores[w[i - L : i]])
+            best[i] = max(cands)
+        seg, pos = [], n
+        while pos > 0:
+            for L in range(1, _C75_LMAX + 1):
+                p = w[pos - L : pos]
+                if (
+                    pos >= L
+                    and p in scores
+                    and best[pos - L] + scores[p] == best[pos]
+                ):
+                    seg.append(p)
+                    pos -= L
+                    break
+        return list(reversed(seg))
+
+    counts: dict[str, int] = {}
+    for keep in _C75_KEEP:
+        counts = {}
+        for w, cnt in words.items():
+            for p in viterbi(w):
+                counts[p] = counts.get(p, 0) + cnt
+        kept_multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:keep]
+        smoothed = {p: counts.get(p, 0) + 1 for p in singles}
+        smoothed |= {p: c + 1 for p, c in kept_multi}
+        t = sum(smoothed.values())
+        scores = {p: score(c, t) for p, c in smoothed.items()}
+
+    return sorted((p, counts.get(p, 0), scores[p]) for p in scores)
+
+
+def test_c75_matches_python_reference(spark):
+    got = [
+        (r["piece"], int(r["cnt"]), int(r["score_micro"]))
+        for r in registry.QUERIES["c75_unigram_lm_train"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got == _py_c75(SF_SMOKE)
+
+
+def test_c75_learns_multichar_pieces(spark):
+    # EM must keep multi-char pieces that actually tile the corpus —
+    # an all-singles vocabulary would mean the Viterbi/prune loop
+    # degenerated to a character model.
+    rows = registry.QUERIES["c75_unigram_lm_train"](
+        spark, SF_SMOKE
+    ).collect()
+    multi = [r for r in rows if len(r["piece"]) > 1]
+    assert len(multi) >= 8
+    assert any(int(r["cnt"]) > 0 for r in multi)
+    # multi-char pieces that survive pruning must outscore the raw
+    # character path they replace at least once (fewer pieces => the
+    # segmentation actually uses them)
+    assert sum(int(r["cnt"]) for r in multi) > 0
