@@ -617,3 +617,99 @@ def c75_unigram_lm_train(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         final, "piece STRING, cnt BIGINT, score_micro BIGINT"
     ).orderBy("piece")
+
+
+# ---------------------------------------------------------------------------
+# b161 — entries metadata table (Iceberg's t.entries)
+# ---------------------------------------------------------------------------
+
+_B161_ORACLE = """
+WITH n1 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 = 0),
+n2 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 <> 0)
+SELECT CAST(2 AS INT) AS at_version, CAST(0 AS INT) AS status,
+       CAST(2 AS BIGINT) AS n_entries,
+       CAST((SELECT n FROM n1) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 2, 1, 2, (SELECT n FROM n2)
+UNION ALL
+SELECT 3, 1, 1, (SELECT n FROM n1) + (SELECT n FROM n2)
+UNION ALL
+SELECT 3, 2, 4, (SELECT n FROM n1) + (SELECT n FROM n2)
+ORDER BY at_version, status
+"""
+
+
+@query("b161_entries_metadata", oracle=_B161_ORACLE)
+def b161_entries_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """B161: the ``entries`` metadata table (Iceberg's ``t.entries``)
+    as a queryable relation — per manifest entry: status
+    (ADDED/EXISTING/DELETED), writing snapshot, record count (see
+    tables.py::entries). Completes the metadata-table family one
+    level below b92's files view: b79 snapshots → b160 history →
+    b159 refs → b158 partitions → b92 files → b161 ENTRIES, the
+    per-entry relation Iceberg's manifest-Avro layer stores and the
+    reference serializes in its DataFile-meta layer
+    (decouple.rs:82-96).
+
+    The demo lineage exercises all three statuses: two 2-file appends
+    (v1, v2 — at v2 the v1 files read EXISTING, the v2 files ADDED),
+    then a single-file compaction (v3 — the rewrite's output reads
+    ADDED while all four input files read DELETED, recorded by v3's
+    own manifests exactly as Iceberg's rewrite_data_files does).
+    Graded on the per-(version, status) rollup — counts and record
+    sums, parallelism-invariant via hash repartitioning (the b61/b92
+    rule).
+
+    Scale shape: answered from two snapshot JSON headers per asked
+    version — ZERO data files opened however large the table (the
+    b92 rule; the plan is a local scan of metadata rows, pinned)."""
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.tables import LakeCatalog, LakeTable
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo",
+            "orders_entries",
+            "o_orderkey BIGINT, o_custkey BIGINT",
+            drop_if_exists=True,
+        )
+        o = load(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("bigint"),
+            F.col("o_custkey").cast("bigint"),
+        )
+        t.append(
+            o.filter(F.col("o_orderkey") % 3 == 0).repartition(
+                2, "o_orderkey"
+            )
+        )
+        t.append(
+            o.filter(F.col("o_orderkey") % 3 != 0).repartition(
+                2, "o_orderkey"
+            )
+        )
+        t.compact(target_files=1)
+        return t
+
+    t = _built(spark, sf, "b161", build)
+
+    def rollup(v: int) -> DataFrame:
+        return (
+            t.entries(v)
+            .groupBy("status")
+            .agg(
+                F.count("*").cast("bigint").alias("n_entries"),
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("at_version"),
+                "status",
+                "n_entries",
+                "n_rows",
+            )
+        )
+
+    return rollup(2).unionByName(rollup(3)).orderBy(
+        "at_version", "status"
+    )

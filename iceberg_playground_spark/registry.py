@@ -78,6 +78,7 @@ _NEW_TAIL_ROUND = 12
 _R12_NEW_TAIL: list[str] = [
     "c74_pq_train",
     "c75_unigram_lm_train",
+    "b161_entries_metadata",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

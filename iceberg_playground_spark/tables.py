@@ -1682,6 +1682,65 @@ class LakeTable:
             rows, "partition STRING, n_files BIGINT, n_rows BIGINT"
         )
 
+    def entries(self, version: int | None = None) -> DataFrame:
+        """The ``entries`` METADATA TABLE (Iceberg's ``t.entries``):
+        one row per manifest entry of the snapshot — status (1 =
+        ADDED by this snapshot, 0 = EXISTING carried forward from the
+        parent, 2 = DELETED: in the parent's live set but not here,
+        i.e. recorded as removed by the manifests this snapshot
+        wrote), the snapshot version that WROTE the entry (Iceberg's
+        ``entry.snapshot_id``: the committing snapshot for live
+        entries, the deleting snapshot for deleted ones), the file
+        name, and the committed record count (NULL = unknown, never
+        0 — Iceberg's rule). Equality/position deletes do NOT retire
+        data-file entries (MoR keeps them live); only a REPLACING
+        commit (compaction, rollback-restore) produces status-2 rows.
+        Answered from two snapshot JSON headers — zero data I/O at
+        any table size (the b92 rule). This is the per-entry relation
+        compaction and debug tooling reads; the reference serializes
+        exactly these fields in its manifest layer
+        (decouple.rs:82-96)."""
+        v = self.current_version() if version is None else version
+        snap = self.snapshot(v)
+        rows: list[tuple] = []
+        live: set[str] = set()
+        for e in snap["data_files"]:
+            per_rows = e.get("rows", {})
+            for fn in e.get("bounds", {}):
+                live.add(fn)
+                rows.append(
+                    (
+                        1 if int(e["seq"]) == v else 0,
+                        int(e["seq"]),
+                        fn,
+                        int(per_rows[fn]) if fn in per_rows else None,
+                    )
+                )
+        parent = snap.get("parent")
+        if parent:
+            per = self.snapshot(parent)
+            for e in per["data_files"]:
+                per_rows = e.get("rows", {})
+                for fn in e.get("bounds", {}):
+                    if fn not in live:
+                        rows.append(
+                            (
+                                2,
+                                v,
+                                fn,
+                                (
+                                    int(per_rows[fn])
+                                    if fn in per_rows
+                                    else None
+                                ),
+                            )
+                        )
+        return self.spark.createDataFrame(
+            rows,
+            "status INT, snapshot_version INT, file_name STRING, "
+            "n_rows BIGINT",
+        )
+
     def refs(self) -> DataFrame:
         """The ``refs`` METADATA TABLE (Iceberg's ``t.refs``): one row
         per named ref — ``main`` (a BRANCH at HEAD, Iceberg's

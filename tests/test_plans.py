@@ -1370,3 +1370,12 @@ def test_c75_estep_is_joinless_fold_one_word_table_scan(spark):
     # may ride a shuffle: no segmentation, no DP state
     for cols in _exchange_outputs(counts):
         assert "seg" not in cols and "fw" not in cols, cols
+
+
+def test_b161_entries_is_metadata_only(spark):
+    # b161: the entries relation is answered from snapshot JSON — the
+    # graded plan must contain NO parquet scan at all (local metadata
+    # rows only; the demo-warehouse build runs once outside the plan)
+    plan = _plan(spark, "b161_entries_metadata")
+    assert "Scan parquet" not in plan
+    assert "Join" not in plan

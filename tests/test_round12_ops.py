@@ -266,3 +266,59 @@ def test_c75_learns_multichar_pieces(spark):
     # character path they replace at least once (fewer pieces => the
     # segmentation actually uses them)
     assert sum(int(r["cnt"]) for r in multi) > 0
+
+
+# --- b161 entries metadata table ---------------------------------------------
+
+
+def test_b161_entries_lifecycle(spark, tmp_path):
+    # entries() must attribute every manifest entry to the snapshot
+    # that WROTE it: appends read ADDED then EXISTING, an equality
+    # delete retires NOTHING (MoR keeps the data files live), and a
+    # replacing compaction reads its output ADDED with every input
+    # DELETED under the compacting snapshot's version.
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table(
+        "demo", "entries_t", "k BIGINT, v STRING", drop_if_exists=True
+    )
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(3, "c")], "k BIGINT, v STRING").coalesce(1)
+    )
+
+    def snap(v):
+        return sorted(
+            (r["status"], r["snapshot_version"])
+            for r in t.entries(v).collect()
+        )
+
+    assert snap(1) == [(1, 1)]
+    assert snap(2) == [(0, 1), (1, 2)]
+
+    t.delete_where("k = 2", ["k"])  # v3: MoR — no entry retired
+    assert snap(3) == [(0, 1), (0, 2)]
+
+    v4 = t.compact(target_files=1)
+    assert v4 == 4
+    got = sorted(
+        (r["status"], r["snapshot_version"]) for r in t.entries(4).collect()
+    )
+    assert got == [(1, 4), (2, 4), (2, 4)]
+    # record counts survive: the compacted file holds the MoR view
+    # (delete applied), the deleted entries keep their original counts
+    from pyspark.sql import functions as F
+
+    by_status = {
+        r["status"]: r["n_rows"]
+        for r in t.entries(4)
+        .groupBy("status")
+        .agg(F.sum("n_rows").alias("n_rows"))
+        .collect()
+    }
+    assert int(by_status[1]) == 2  # 3 rows minus the deleted k=2
+    assert int(by_status[2]) == 3
