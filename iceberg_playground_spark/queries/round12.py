@@ -73,6 +73,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from iceberg_playground_spark.registry import query
 
@@ -713,3 +714,222 @@ def b161_entries_metadata(spark: SparkSession, sf: str) -> DataFrame:
     return rollup(2).unionByName(rollup(3)).orderBy(
         "at_version", "status"
     )
+
+
+# ---------------------------------------------------------------------------
+# p40 — DoReMi-lite mixture-weight learning (group-robust MWU)
+# ---------------------------------------------------------------------------
+
+_P40_E = 3  # epochs (md5-stamped corpus thirds, the c17 idiom)
+_P40_B = 64  # c65's token hash buckets — model stays B² rows
+_P40_ETA_DIV = 10  # eta = excess/10 per update
+_P40_CAP = 1_000_000  # per-step factor cap (at most doubles)
+
+
+def _p40_nll0() -> int:
+    """The empty-model (uniform add-one) per-bigram NLL in micro-nats:
+    round(1e6·ln(B)). Computed ONCE here and inlined as the same
+    literal into BOTH engines — a constant, not a per-engine float."""
+    import math
+
+    x = 1e6 * math.log(_P40_B)
+    return int(math.floor(x + 0.5))
+
+
+def _p40_oracle() -> str:
+    b = _P40_B
+    nll = (
+        "CAST(round(-1000000.0 * ln((CAST({n} AS DOUBLE) + 1) / "
+        f"(sum({{n}}) OVER (PARTITION BY p) + {b}))) AS BIGINT)"
+    )
+    f = (
+        "(1000000 + least(COALESCE(exc{e}, 0) // "
+        f"{_P40_ETA_DIV}, {_P40_CAP}))"
+    )
+    f1, f2, f3 = f.format(e=1), f.format(e=2), f.format(e=3)
+    return f"""
+WITH bg AS MATERIALIZED (
+  SELECT source, ep, b[i] AS p, b[i + 1] AS c
+  FROM (SELECT source,
+               ((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                      1, 8) AS BIGINT) % 100) % {_P40_E}) + 1 AS ep,
+               list_transform(string_split(text, ' '), t ->
+                 CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % {b})
+                 AS b
+        FROM documents),
+       UNNEST(range(1, len(b))) AS u(i)),
+model AS MATERIALIZED (
+  SELECT p, c,
+         sum(CASE WHEN ep < 2 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN ep < 3 THEN 1 ELSE 0 END) AS n2,
+         count(*) AS nf
+  FROM bg GROUP BY p, c),
+grid AS MATERIALIZED (
+  SELECT gp.p, gc.c, COALESCE(m.n1, 0) AS n1,
+         COALESCE(m.n2, 0) AS n2, COALESCE(m.nf, 0) AS nf
+  FROM (SELECT unnest(range(0, {b})) AS p) gp
+  CROSS JOIN (SELECT unnest(range(0, {b})) AS c) gc
+  LEFT JOIN model m ON m.p = gp.p AND m.c = gc.c),
+nll AS MATERIALIZED (
+  SELECT p, c, {nll.format(n='n1')} AS nll1,
+         {nll.format(n='n2')} AS nll2,
+         {nll.format(n='nf')} AS nllf
+  FROM grid),
+sc AS MATERIALIZED (
+  SELECT g.source, g.ep,
+         sum(CASE g.ep WHEN 1 THEN {_p40_nll0()}
+                       WHEN 2 THEN n.nll1 ELSE n.nll2 END) AS prox,
+         sum(n.nllf) AS ref, count(*) AS m
+  FROM bg g JOIN nll n ON g.p = n.p AND g.c = n.c
+  GROUP BY g.source, g.ep),
+pv AS MATERIALIZED (
+  SELECT source,
+         max(CASE WHEN ep = 1 THEN greatest(0, prox - ref) // m END)
+           AS exc1,
+         max(CASE WHEN ep = 2 THEN greatest(0, prox - ref) // m END)
+           AS exc2,
+         max(CASE WHEN ep = 3 THEN greatest(0, prox - ref) // m END)
+           AS exc3
+  FROM sc GROUP BY source),
+wt AS MATERIALIZED (
+  SELECT source, COALESCE(exc1, 0) AS exc1, COALESCE(exc2, 0) AS exc2,
+         COALESCE(exc3, 0) AS exc3,
+         (((({f1}) * ({f2})) // 1000000) * ({f3})) // 1000000 AS w
+  FROM pv)
+SELECT source, CAST(exc1 AS BIGINT) AS exc1_micro,
+       CAST(exc2 AS BIGINT) AS exc2_micro,
+       CAST(exc3 AS BIGINT) AS exc3_micro,
+       CAST(w AS BIGINT) AS w_final,
+       CAST((w * 1000000) // (sum(w) OVER ()) AS BIGINT) AS weight_micro
+FROM wt ORDER BY source
+"""
+
+
+@query("p40_mixture_weight_learn", oracle=_p40_oracle())
+def p40_mixture_weight_learn(spark: SparkSession, sf: str) -> DataFrame:
+    """P40: DoReMi-lite mixture-weight LEARNING — completes the
+    budgeting arc's last verb (p33 diagnoses over-replay, p35
+    rebalances, p37 schedules; p40 LEARNS the weights those take as
+    given): group-robust multiplicative-weights over sources (Xie et
+    al., "DoReMi", NeurIPS 2023, in its Arora-Hazan-Kale linear-MWU
+    form so every update stays integer-exact). The corpus is
+    md5-stamped into 3 epochs; at epoch e the PROXY is the bigram LM
+    trained on epochs < e (c65's hashed-bucket model; epoch 1 sees
+    the empty model = uniform add-one) and the REFERENCE is the
+    full-corpus model. Each source's per-epoch excess loss (proxy −
+    reference average NLL in micro-nats, clamped at 0 — how much the
+    proxy hasn't learned that domain yet) drives w ← w·(1 + η·excess)
+    under exact BIGINT arithmetic; the output is each source's excess
+    trajectory, final weight, and normalized mixture share.
+
+    Determinism: the only float is c65's one ln per MODEL row (the
+    complete B² grid, so unseen bigrams get their add-one backoff
+    from the same 4096-row table — never a per-corpus-row ln); the
+    empty-model NLL is a single Python-computed literal inlined into
+    both engines; every division is exact integer DIV on non-negative
+    operands.
+
+    Scale shape: TWO corpus passes over one checkpointed bigram
+    lineage (the c65 budget) — all three cumulative proxy models AND
+    the reference are conditional sums in ONE |B²|-key aggregate, the
+    scoring join BROADCASTS the 4096-row grid, and everything after
+    the |sources·epochs|-key rollup is arithmetic on |sources| rows.
+    No driver supersteps at all: unlike c63/c70, the weight fold is a
+    closed-form 3-factor product, so the whole learner is one
+    declarative DAG Catalyst can pipeline."""
+    from iceberg_playground_spark.queries._util import hash_bucket, load
+
+    b = _P40_B
+    d = load(spark, sf, "documents")
+    bucket = lambda t: (  # noqa: E731
+        F.conv(F.md5(t).substr(1, 8), 16, 10).cast("bigint") % b
+    )
+    toks = F.split("text", " ")
+    bb = F.transform(toks, bucket)
+    n = F.size(bb)
+    z = F.arrays_zip(
+        F.slice(bb, 1, n - 1).alias("p"),
+        F.slice(bb, 2, n - 1).alias("c"),
+    )
+    bg = (
+        d.select(
+            "source",
+            (hash_bucket(F.col("doc_id")) % _P40_E + 1).alias("ep"),
+            F.explode(z).alias("pc"),
+        )
+        .select(
+            "source", "ep",
+            F.col("pc.p").alias("p"), F.col("pc.c").alias("c"),
+        )
+        .localCheckpoint(eager=False)  # model + score both consume it
+    )
+    model = bg.groupBy("p", "c").agg(
+        F.sum(F.when(F.col("ep") < 2, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("ep") < 3, 1).otherwise(0)).alias("n2"),
+        F.count("*").alias("nf"),
+    )
+    grid = (
+        spark.range(b * b)
+        .select(
+            F.expr(f"id DIV {b}").cast("bigint").alias("p"),
+            (F.col("id") % b).cast("bigint").alias("c"),
+        )
+        .join(model, ["p", "c"], "left")
+        .fillna(0, ["n1", "n2", "nf"])
+    )
+
+    def nll(col: str):
+        return F.round(
+            -1000000.0
+            * F.log(
+                (F.col(col).cast("double") + 1)
+                / (F.sum(col).over(W.partitionBy("p")) + b)
+            )
+        ).cast("bigint")
+
+    grid = grid.select(
+        "p", "c",
+        nll("n1").alias("nll1"), nll("n2").alias("nll2"),
+        nll("nf").alias("nllf"),
+    )
+    prox = (
+        F.when(F.col("ep") == 1, F.lit(_p40_nll0()))
+        .when(F.col("ep") == 2, F.col("nll1"))
+        .otherwise(F.col("nll2"))
+    )
+    sc = (
+        bg.join(F.broadcast(grid), ["p", "c"])
+        .groupBy("source", "ep")
+        .agg(
+            F.sum(prox).alias("prox"),
+            F.sum("nllf").alias("ref"),
+            F.count("*").alias("m"),
+        )
+    )
+    exc = F.expr("greatest(0, prox - ref) DIV m")
+    pv = sc.groupBy("source").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("ep") == e, exc)), F.lit(0)
+            ).alias(f"exc{e}")
+            for e in range(1, _P40_E + 1)
+        ]
+    )
+    fac = (
+        f"(1000000 + least(exc{{e}} DIV {_P40_ETA_DIV}, {_P40_CAP}))"
+    )
+    w = F.expr(
+        f"(((({fac.format(e=1)}) * ({fac.format(e=2)})) DIV 1000000) "
+        f"* ({fac.format(e=3)})) DIV 1000000"
+    )
+    wt = pv.select("source", "exc1", "exc2", "exc3", w.alias("w"))
+    return wt.select(
+        "source",
+        F.col("exc1").cast("bigint").alias("exc1_micro"),
+        F.col("exc2").cast("bigint").alias("exc2_micro"),
+        F.col("exc3").cast("bigint").alias("exc3_micro"),
+        F.col("w").cast("bigint").alias("w_final"),
+        F.expr("w * 1000000 DIV sum(w) OVER ()")
+        .cast("bigint")
+        .alias("weight_micro"),
+    ).orderBy("source")

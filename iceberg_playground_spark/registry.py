@@ -79,6 +79,7 @@ _R12_NEW_TAIL: list[str] = [
     "c74_pq_train",
     "c75_unigram_lm_train",
     "b161_entries_metadata",
+    "p40_mixture_weight_learn",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

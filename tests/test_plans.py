@@ -1379,3 +1379,14 @@ def test_b161_entries_is_metadata_only(spark):
     plan = _plan(spark, "b161_entries_metadata")
     assert "Scan parquet" not in plan
     assert "Join" not in plan
+
+
+def test_p40_model_broadcasts_two_corpus_passes(spark):
+    # p40: all three cumulative proxy models and the reference are
+    # conditional sums in ONE model aggregate; the scoring join must
+    # BROADCAST the 4096-row grid (never shuffle the bigram stream
+    # against it), and no pair join appears anywhere
+    plan = _plan(spark, "p40_mixture_weight_learn")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

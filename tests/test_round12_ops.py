@@ -322,3 +322,115 @@ def test_b161_entries_lifecycle(spark, tmp_path):
     }
     assert int(by_status[1]) == 2  # 3 rows minus the deleted k=2
     assert int(by_status[2]) == 3
+
+
+# --- p40 DoReMi-lite mixture-weight learning ----------------------------------
+
+
+def _py_p40(sf_dir: str):
+    """Independent reference: plain-Python bigram models + MWU, no
+    shared code with the query under test."""
+    from iceberg_playground_spark.queries.round12 import (
+        _P40_B,
+        _P40_CAP,
+        _P40_E,
+        _P40_ETA_DIV,
+        _p40_nll0,
+    )
+
+    def h(s, mod):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+    def rnd(x):
+        return (
+            int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+        )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    bg = []  # (source, epoch, p, c)
+    for doc_id, source, text in docs:
+        ep = h(str(doc_id), 100) % _P40_E + 1
+        b = [h(t, _P40_B) for t in text.split(" ")]
+        for i in range(len(b) - 1):
+            bg.append((source, ep, b[i], b[i + 1]))
+
+    def model_nll(max_ep):
+        cnt: dict = {}
+        tot: dict = {}
+        for _, ep, p, c in bg:
+            if ep <= max_ep:
+                cnt[(p, c)] = cnt.get((p, c), 0) + 1
+                tot[p] = tot.get(p, 0) + 1
+        return {
+            (p, c): rnd(
+                -1e6
+                * math.log(
+                    (cnt.get((p, c), 0) + 1) / (tot.get(p, 0) + _P40_B)
+                )
+            )
+            for p in range(_P40_B)
+            for c in range(_P40_B)
+        }
+
+    nlls = {e: model_nll(e) for e in range(_P40_E)}  # proxy for ep e+1
+    ref = model_nll(_P40_E)
+    agg: dict = {}
+    for source, ep, p, c in bg:
+        a = agg.setdefault((source, ep), [0, 0, 0])
+        a[0] += nlls[ep - 1][(p, c)] if ep > 1 else _p40_nll0()
+        a[1] += ref[(p, c)]
+        a[2] += 1
+    sources = sorted({s for s, _, _, _ in bg})
+    out = []
+    for s in sources:
+        exc = [
+            (
+                max(0, agg[(s, e)][0] - agg[(s, e)][1]) // agg[(s, e)][2]
+                if (s, e) in agg
+                else 0
+            )
+            for e in range(1, _P40_E + 1)
+        ]
+        w = 1_000_000
+        for x in exc:
+            w = w * (1_000_000 + min(x // _P40_ETA_DIV, _P40_CAP))
+            w //= 1_000_000
+        out.append((s, *exc, w))
+    tw = sum(r[-1] for r in out)
+    return [
+        (s, e1, e2, e3, w, (w * 1_000_000) // tw)
+        for s, e1, e2, e3, w in out
+    ]
+
+
+def test_p40_matches_python_reference(spark):
+    got = [
+        (
+            r["source"],
+            int(r["exc1_micro"]),
+            int(r["exc2_micro"]),
+            int(r["exc3_micro"]),
+            int(r["w_final"]),
+            int(r["weight_micro"]),
+        )
+        for r in registry.QUERIES["p40_mixture_weight_learn"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got == _py_p40(SF_SMOKE)
+
+
+def test_p40_excess_decays_as_proxy_learns(spark):
+    # the DoReMi signal: epoch-1 excess (uniform proxy) must dominate
+    # epoch-3 excess (proxy has seen 2/3 of the corpus) for every
+    # source — if it doesn't, the cumulative models aren't cumulative
+    rows = registry.QUERIES["p40_mixture_weight_learn"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert int(r["exc1_micro"]) > int(r["exc3_micro"])
+        assert int(r["w_final"]) > 1_000_000  # learning moved weights
