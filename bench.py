@@ -161,6 +161,18 @@ HEADLINE = [
     # no plan signal at any corpus size.
     "c71_ivf_index_drift",
     "c72_learned_ivf_recall",
+    # round-12 entrants: the remaining cheap-but-graded r11 artifacts
+    # (c73 calibration histogram, p39 datacard rollup — VERDICT r11
+    # item 5: anchor or waive; both are single-aggregate cells), the
+    # PQ train loop (2 Lloyd supersteps + ADC re-rank — the heaviest
+    # round-12 plan), and the unigram-LM EM trainer (2 Viterbi-fold
+    # E-steps over the word table). b161 is graded but unbenched:
+    # metadata-table listing, sub-2 s fixed cost with no plan signal
+    # (the b159/b160 rationale).
+    "c73_classifier_calibration",
+    "p39_release_datacard",
+    "c74_pq_train",
+    "c75_unigram_lm_train",
 ]
 
 # Cells whose first call is dominated by demo-WAREHOUSE construction
@@ -305,6 +317,12 @@ ANCHOR_SECONDS = {
     "c70_kmeanspp_seed": 4.87,
     "c71_ivf_index_drift": 3.38,
     "c72_learned_ivf_recall": 5.26,
+    # round-12 (clean pair at r12 HEAD: run A's guard-kept rerun
+    # 111.9 s + quiet run B 125.6 s; pair minimums)
+    "c73_classifier_calibration": 0.58,
+    "p39_release_datacard": 1.50,
+    "c74_pq_train": 6.09,
+    "c75_unigram_lm_train": 1.95,
 }
 GUARD_FACTOR = 2.0
 GUARD_MIN_CELLS = 4
