@@ -933,3 +933,97 @@ def p40_mixture_weight_learn(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("weight_micro"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# b162 — all_manifests metadata table (Iceberg's t.all_manifests)
+# ---------------------------------------------------------------------------
+
+_B162_ORACLE = """
+WITH na AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 2 = 0),
+nb AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 2 = 1),
+nk AS (SELECT count(*) AS n FROM customer WHERE c_nationkey <> 5)
+SELECT CAST(1 AS INT) AS ref_version, 'data' AS content,
+       CAST(1 AS BIGINT) AS n_manifests, CAST(1 AS BIGINT) AS n_added,
+       CAST(2 AS BIGINT) AS n_files,
+       CAST((SELECT n FROM na) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 2, 'data', 2, 1, 4, (SELECT n FROM na) + (SELECT n FROM nb)
+UNION ALL
+SELECT 3, 'data', 2, 0, 4, (SELECT n FROM na) + (SELECT n FROM nb)
+UNION ALL
+SELECT 3, 'delete', 1, 1, 1, NULL
+UNION ALL
+SELECT 4, 'data', 1, 1, 1, (SELECT n FROM nk)
+ORDER BY ref_version, content
+"""
+
+
+@query("b162_all_manifests", oracle=_B162_ORACLE)
+def b162_all_manifests(spark: SparkSession, sf: str) -> DataFrame:
+    """B162: the ``all_manifests`` metadata table (Iceberg's
+    ``t.all_manifests``) as a queryable relation — the whole-lineage
+    manifest inventory b161's per-snapshot entries view rolls along:
+    one row per (manifest, referencing snapshot) across EVERY
+    snapshot, with content kind, adding snapshot, file count, and
+    record sum (see tables.py::all_manifests). Together with b161
+    this closes VERDICT r11 item 6's entries/all_manifests pair; it
+    is the relation expire_snapshots and orphan-file cleanup plan
+    from (which manifests does each historical snapshot still pin?).
+
+    The demo lineage exercises every row shape: two 2-file appends,
+    an equality DELETE (v3 — the data manifests carry forward
+    unchanged while a delete manifest appears, added by v3 itself),
+    then compaction (v4 — one rewritten data manifest, the delete
+    manifest retired because the rewrite materialized it). Graded on
+    the per-(referencing version, content) rollup: manifest count,
+    added-here count, file count, record sum (NULL for delete
+    manifests — unknown, never 0).
+
+    Scale shape: one JSON header per snapshot, ZERO data files opened
+    however large the table (the b92 rule; plan-pinned no parquet
+    scan)."""
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.tables import LakeCatalog, LakeTable
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo",
+            "customer_manifests",
+            "c_custkey BIGINT, c_nationkey BIGINT",
+            drop_if_exists=True,
+        )
+        c = load(spark, sf, "customer").select(
+            F.col("c_custkey").cast("bigint"),
+            F.col("c_nationkey").cast("bigint"),
+        )
+        t.append(
+            c.filter(F.col("c_custkey") % 2 == 0).repartition(
+                2, "c_custkey"
+            )
+        )
+        t.append(
+            c.filter(F.col("c_custkey") % 2 == 1).repartition(
+                2, "c_custkey"
+            )
+        )
+        t.delete_where("c_nationkey = 5", ["c_custkey"])
+        t.compact(target_files=1)
+        return t
+
+    t = _built(spark, sf, "b162", build)
+    return (
+        t.all_manifests()
+        .groupBy("ref_version", "content")
+        .agg(
+            F.count("*").cast("bigint").alias("n_manifests"),
+            F.sum(F.col("added_here").cast("bigint"))
+            .cast("bigint")
+            .alias("n_added"),
+            F.sum("n_files").cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("ref_version", "content")
+    )

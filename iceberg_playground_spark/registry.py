@@ -80,6 +80,7 @@ _R12_NEW_TAIL: list[str] = [
     "c75_unigram_lm_train",
     "b161_entries_metadata",
     "p40_mixture_weight_learn",
+    "b162_all_manifests",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1741,6 +1741,52 @@ class LakeTable:
             "n_rows BIGINT",
         )
 
+    def all_manifests(self) -> DataFrame:
+        """The ``all_manifests`` METADATA TABLE (Iceberg's
+        ``t.all_manifests``): one row per (manifest, referencing
+        snapshot) across EVERY snapshot — content kind (data or
+        delete), the snapshot that ADDED the manifest, whether that is
+        the referencing snapshot itself, the file count behind it, and
+        the committed record sum (NULL when any file predates per-file
+        stats, or for delete manifests — unknown, never 0). Where
+        ``entries()`` is one snapshot at file grain, this is the
+        whole-lineage view at manifest grain: the relation snapshot
+        expiry and orphan-file cleanup plan from, answered by walking
+        the snapshot JSON headers only — zero data I/O at any table
+        size (the b92 rule)."""
+        rows: list[tuple] = []
+        for v in self.versions():
+            snap = self.snapshot(v)
+            for e in snap["data_files"]:
+                per_rows = e.get("rows", {})
+                bounds = e.get("bounds", {})
+                known = bool(bounds) and all(
+                    fn in per_rows for fn in bounds
+                )
+                rows.append(
+                    (
+                        v,
+                        "data",
+                        int(e["seq"]),
+                        int(e["seq"]) == v,
+                        len(bounds),
+                        (
+                            sum(int(per_rows[fn]) for fn in bounds)
+                            if known
+                            else None
+                        ),
+                    )
+                )
+            for d in snap["delete_files"]:
+                rows.append(
+                    (v, "delete", int(d["seq"]), int(d["seq"]) == v, 1, None)
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "ref_version INT, content STRING, added_version INT, "
+            "added_here BOOLEAN, n_files INT, n_rows BIGINT",
+        )
+
     def refs(self) -> DataFrame:
         """The ``refs`` METADATA TABLE (Iceberg's ``t.refs``): one row
         per named ref — ``main`` (a BRANCH at HEAD, Iceberg's

@@ -1390,3 +1390,11 @@ def test_p40_model_broadcasts_two_corpus_passes(spark):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_b162_all_manifests_is_metadata_only(spark):
+    # b162: the whole-lineage manifest inventory is answered from
+    # snapshot JSON headers — no parquet scan in the graded plan
+    plan = _plan(spark, "b162_all_manifests")
+    assert "Scan parquet" not in plan
+    assert "Join" not in plan

@@ -434,3 +434,55 @@ def test_p40_excess_decays_as_proxy_learns(spark):
     for r in rows:
         assert int(r["exc1_micro"]) > int(r["exc3_micro"])
         assert int(r["w_final"]) > 1_000_000  # learning moved weights
+
+
+# --- b162 all_manifests metadata table ----------------------------------------
+
+
+def test_b162_all_manifests_walks_every_snapshot(spark, tmp_path):
+    # all_manifests must list one row per (manifest, referencing
+    # snapshot): carried-forward manifests reappear under every later
+    # snapshot with added_here = False, delete manifests appear from
+    # the deleting snapshot on, and a replacing compaction retires
+    # both the old data manifests and the delete manifest.
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table(
+        "demo", "am_t", "k BIGINT, v STRING", drop_if_exists=True
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k BIGINT, v STRING"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(3, "c")], "k BIGINT, v STRING").coalesce(1)
+    )
+    t.delete_where("k = 1", ["k"])
+    t.compact(target_files=1)
+
+    rows = sorted(
+        (
+            r["ref_version"],
+            r["content"],
+            r["added_version"],
+            r["added_here"],
+        )
+        for r in t.all_manifests().collect()
+    )
+    assert rows == [
+        (1, "data", 1, True),
+        (2, "data", 1, False),
+        (2, "data", 2, True),
+        (3, "data", 1, False),
+        (3, "data", 2, False),
+        (3, "delete", 3, True),
+        (4, "data", 4, True),
+    ]
+    # record sums stay honest: NULL only for the delete manifest
+    for r in t.all_manifests().collect():
+        if r["content"] == "delete":
+            assert r["n_rows"] is None
+        else:
+            assert r["n_rows"] is not None
