@@ -408,11 +408,12 @@ e{i} AS MATERIALIZED (
   GROUP BY piece)"""
 
 
-def _c75_oracle() -> str:
+def _c75_chain() -> str:
+    """c75's WITH-clause list through the final vocabulary ``vf``
+    (piece, rawc) — shared by c75's grade and c76's apply oracle
+    (the _c70_chain/_p35_chain discipline: compose, never slice)."""
     k1, k2 = _C75_KEEP
-    final_sc = _C75_SCORE_SQL.format(c="rawc + 1", t="t")
-    return f"""
-WITH w AS MATERIALIZED (
+    return f"""w AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   WHERE word <> '' GROUP BY word),
@@ -450,7 +451,13 @@ vf AS MATERIALIZED (
   UNION ALL
   SELECT piece, c AS rawc FROM (
     SELECT piece, c FROM e2 WHERE len(piece) > 1
-    ORDER BY c DESC, piece LIMIT {k2}))
+    ORDER BY c DESC, piece LIMIT {k2}))"""
+
+
+def _c75_oracle() -> str:
+    final_sc = _C75_SCORE_SQL.format(c="rawc + 1", t="t")
+    return f"""
+WITH {_c75_chain()}
 SELECT piece, CAST(rawc AS BIGINT) AS cnt, {final_sc} AS score_micro
 FROM vf, (SELECT sum(rawc + 1) AS t FROM vf) tt
 ORDER BY piece
@@ -544,11 +551,13 @@ def _c75_estep(words: DataFrame, scores: dict[str, int]) -> dict[str, int]:
     return {r["piece"]: int(r["c"]) for r in rows}
 
 
-@query("c75_unigram_lm_train", oracle=_c75_oracle())
-def c75_unigram_lm_train(spark: SparkSession, sf: str) -> DataFrame:
-    """C75: unigram-LM tokenizer training (Kudo 2018) — see module
-    docstring. Graded on the final vocabulary (piece, count,
-    micro-nat score), ordered by piece."""
+def _c75_trained(
+    spark: SparkSession, sf: str
+) -> tuple[dict[str, int], dict[str, int]]:
+    """The full c75 EM train loop: returns (final E-step usage
+    counts, final micro-nat score map) — shared by c75's grade and
+    c76's apply (the _c70_chain sharing discipline on the Spark
+    side)."""
     from iceberg_playground_spark.queries._util import load
 
     d = load(spark, sf, "documents")
@@ -610,7 +619,15 @@ def c75_unigram_lm_train(spark: SparkSession, sf: str) -> DataFrame:
         smoothed |= {p: c + 1 for p, c in kept_multi}
         t = sum(smoothed.values())
         scores = {p: _c75_score_micro(c, t) for p, c in smoothed.items()}
+    return counts, scores
 
+
+@query("c75_unigram_lm_train", oracle=_c75_oracle())
+def c75_unigram_lm_train(spark: SparkSession, sf: str) -> DataFrame:
+    """C75: unigram-LM tokenizer training (Kudo 2018) — see module
+    docstring. Graded on the final vocabulary (piece, count,
+    micro-nat score), ordered by piece."""
+    counts, scores = _c75_trained(spark, sf)
     final = sorted(
         [(p, counts.get(p, 0), scores[p]) for p in scores],
         key=lambda r: r[0],
@@ -1026,4 +1043,105 @@ def b162_all_manifests(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_rows").cast("bigint").alias("n_rows"),
         )
         .orderBy("ref_version", "content")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c76 — unigram tokenizer APPLY (per-language fertility, c64's twin)
+# ---------------------------------------------------------------------------
+
+
+def _c76_oracle() -> str:
+    """c75's shared train chain, then the apply: Viterbi-segment every
+    corpus word occurrence under the FINAL score map and roll up
+    per-language fertility (c64's audit shape for the EM family)."""
+    return f"""
+WITH {_c75_chain()},
+vs AS MATERIALIZED (SELECT piece, rawc + 1 AS c FROM vf),
+mf AS MATERIALIZED ({_c75_map_sql('vs')}),
+wd AS MATERIALIZED (
+  SELECT lang, word FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS word
+    FROM documents)
+  WHERE word <> ''),
+fwt AS MATERIALIZED (
+  SELECT lang, word, m, {_c75_fw_sql('m')} AS fw FROM wd, mf),
+sg AS MATERIALIZED (
+  SELECT lang, len(word) AS n_chars,
+         len(string_split({_c75_bw_sql('m')}, ' ')) AS n_pieces
+  FROM fwt),
+wl AS MATERIALIZED (
+  SELECT lang, count(*) AS n_words, sum(n_chars) AS n_chars,
+         sum(n_pieces) AS n_pieces
+  FROM sg GROUP BY lang),
+dc AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+SELECT d.lang, CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(w.n_words AS BIGINT) AS n_words,
+       CAST(w.n_pieces AS BIGINT) AS n_pieces,
+       CAST(floor(1000000.0 * w.n_pieces / w.n_words) AS BIGINT)
+         AS fertility_micro,
+       CAST(floor(1000000.0 * w.n_chars / w.n_pieces) AS BIGINT)
+         AS chars_per_piece_micro
+FROM dc d JOIN wl w ON d.lang = w.lang
+ORDER BY d.lang
+"""
+
+
+@query("c76_unigram_apply_fertility", oracle=_c76_oracle())
+def c76_unigram_apply_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """C76: unigram tokenizer APPLY + per-language fertility — c64's
+    audit re-run through the TRAINED c75 vocabulary, closing the
+    unigram arc train (c75) → apply/audit (c76) exactly as c51→c64
+    closes the BPE arc: every corpus word occurrence is
+    Viterbi-segmented under the final EM score map (the same exact
+    integer DP as training — apply IS the E-step run at corpus
+    grain), rolled up per language to fertility (pieces per word) and
+    compression (chars per piece). Together with c64 this answers the
+    deployment question the two trainers pose: WHICH tokenizer
+    compresses this corpus better.
+
+    Scale shape: the apply is a PURE MAP — explode is a narrow
+    generator and the score map rides along as literals, so
+    tokenization never shuffles (c64's contract); the only exchanges
+    are the two |langs|-key aggregates and their |langs|-row join.
+    Both micro ratios floor a single double divide (the p30
+    discipline)."""
+    from iceberg_playground_spark.queries._util import load
+
+    _, scores = _c75_trained(spark, sf)
+    m = F.create_map(
+        *[F.lit(z) for p in sorted(scores) for z in (p, scores[p])]
+    )
+    d = load(spark, sf, "documents")
+    wd = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    sg = wd.withColumn("fw", _c75_fw_col(m)).select(
+        "lang",
+        F.length("word").alias("n_chars"),
+        F.size(F.split(_c75_seg_col(m), " ")).alias("n_pieces"),
+    )
+    wl = sg.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+    )
+    dc = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        dc.join(wl, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            F.floor(1000000.0 * F.col("n_pieces") / F.col("n_words"))
+            .cast("bigint")
+            .alias("fertility_micro"),
+            F.floor(1000000.0 * F.col("n_chars") / F.col("n_pieces"))
+            .cast("bigint")
+            .alias("chars_per_piece_micro"),
+        )
+        .orderBy("lang")
     )

@@ -81,6 +81,7 @@ _R12_NEW_TAIL: list[str] = [
     "b161_entries_metadata",
     "p40_mixture_weight_learn",
     "b162_all_manifests",
+    "c76_unigram_apply_fertility",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

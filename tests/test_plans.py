@@ -1398,3 +1398,14 @@ def test_b162_all_manifests_is_metadata_only(spark):
     plan = _plan(spark, "b162_all_manifests")
     assert "Scan parquet" not in plan
     assert "Join" not in plan
+
+
+def test_c76_apply_never_shuffles_words(spark):
+    # c76: the apply is a pure map (explode is a narrow generator, the
+    # score map is literal) — no join between corpus-sized frames, and
+    # no exchange may carry a word, DP table, or segmentation column
+    df = registry.QUERIES["c76_unigram_apply_fertility"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    for cols in _exchange_outputs(df):
+        assert not {"word", "fw", "seg"} & set(cols), cols

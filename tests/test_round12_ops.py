@@ -486,3 +486,89 @@ def test_b162_all_manifests_walks_every_snapshot(spark, tmp_path):
             assert r["n_rows"] is None
         else:
             assert r["n_rows"] is not None
+
+
+# --- c76 unigram tokenizer apply / fertility ----------------------------------
+
+
+def test_c76_matches_python_reference(spark):
+    # fertility through the TRAINED vocab, recomputed independently:
+    # reuse _py_c75's (independently derived) final scores, then
+    # re-segment every word occurrence and roll up per language.
+    from iceberg_playground_spark.queries.round12 import _C75_LMAX
+
+    vocab = {p: s for p, _, s in _py_c75(SF_SMOKE)}
+
+    def viterbi_n(w):
+        n = len(w)
+        NEG = -(10**15)
+        best = [0] + [None] * n
+        for i in range(1, n + 1):
+            cands = [NEG]
+            for L in range(1, _C75_LMAX + 1):
+                if i >= L and w[i - L : i] in vocab:
+                    cands.append(best[i - L] + vocab[w[i - L : i]])
+            best[i] = max(cands)
+        pieces, pos = 0, n
+        while pos > 0:
+            for L in range(1, _C75_LMAX + 1):
+                p = w[pos - L : pos]
+                if (
+                    pos >= L
+                    and p in vocab
+                    and best[pos - L] + vocab[p] == best[pos]
+                ):
+                    pieces += 1
+                    pos -= L
+                    break
+        return pieces
+
+    docs = duckdb.sql(
+        f"SELECT lang, text FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    agg: dict = {}
+    for lang, text in docs:
+        a = agg.setdefault(lang, [0, 0, 0, 0])  # docs words chars pieces
+        a[0] += 1
+        for w in text.split(" "):
+            if w:
+                a[1] += 1
+                a[2] += len(w)
+                a[3] += viterbi_n(w)
+    exp = [
+        (
+            lang,
+            a[0],
+            a[1],
+            a[3],
+            int(math.floor(1e6 * a[3] / a[1])),
+            int(math.floor(1e6 * a[2] / a[3])),
+        )
+        for lang, a in sorted(agg.items())
+    ]
+    got = [
+        (
+            r["lang"],
+            int(r["n_docs"]),
+            int(r["n_words"]),
+            int(r["n_pieces"]),
+            int(r["fertility_micro"]),
+            int(r["chars_per_piece_micro"]),
+        )
+        for r in registry.QUERIES["c76_unigram_apply_fertility"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got == exp
+
+
+def test_c76_multichar_pieces_beat_char_segmentation(spark):
+    # the trained vocab must actually compress: fertility strictly
+    # below chars-per-word (the all-singles ceiling) for every lang
+    rows = registry.QUERIES["c76_unigram_apply_fertility"](
+        spark, SF_SMOKE
+    ).collect()
+    for r in rows:
+        assert 1_000_000 <= int(r["fertility_micro"])
+        assert int(r["chars_per_piece_micro"]) > 1_000_000
