@@ -132,19 +132,16 @@ def _c74_seed(qdf: DataFrame) -> list[list[list[int]]]:
     ]
 
 
-def _c74_train(
-    spark: SparkSession, sf: str
-) -> tuple[DataFrame, list[list[list[int]]]]:
-    """Per-subspace Lloyd on the integer grid: returns (quantized
-    corpus frame, trained codebook). Each iteration = one corpus scan
+def _c74_train_on(
+    qdf: DataFrame, cb: list[list[list[int]]]
+) -> list[list[list[int]]]:
+    """Per-subspace Lloyd on the integer grid over frame ``qdf``
+    (vec_id, q) from seed codebook ``cb``: each iteration = one scan
     (joinless assignment for ALL subspaces at once) + one 128-key
     aggregate collected to the driver; the floor'd integer mean is
-    Python's ``//`` (mirrored exactly by the oracle's
-    sign-safe-mod construction); empty cells keep their centroid."""
-    from iceberg_playground_spark.queries.round9b import _c54_quantized
-
-    qdf = _c54_quantized(spark, sf)
-    cb = _c74_seed(qdf)
+    Python's ``//`` (mirrored exactly by the oracle's sign-safe-mod
+    construction); empty cells keep their centroid. Shared by c74
+    (raw vectors) and c77 (coarse residuals)."""
     for _ in range(_C74_ITERS):
         pairs = F.array(
             *[
@@ -184,32 +181,45 @@ def _c74_train(
             ]
             for s in range(_C74_SUB)
         ]
-    return qdf, cb
+    return cb
 
 
-def _c74_cent_sql(t: int) -> str:
+def _c74_train(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """c74's trainer: md5-seed then Lloyd over the raw quantized
+    corpus (see _c74_train_on)."""
+    from iceberg_playground_spark.queries.round9b import _c54_quantized
+
+    qdf = _c54_quantized(spark, sf)
+    return qdf, _c74_train_on(qdf, _c74_seed(qdf))
+
+
+def _c74_cent_sql(t: int, src: str = "q", pfx: str = "") -> str:
     """One unrolled Lloyd iteration (assignment + floor'd-mean update)
-    as materialized CTEs. The update's floor division is the
+    as materialized CTEs over source table ``src`` (vec_id, s, d, v);
+    ``pfx`` namespaces the CTEs so c77 can train a second codebook in
+    the same WITH-chain. The update's floor division is the
     sign-safe-mod form ``(sv - ((sv % n + n) % n)) // n`` — the
     numerator is exactly divisible, so DuckDB's integer division
     equals Python's ``//`` even on negative sums."""
     p = t - 1
     return f"""
-asg{t} AS MATERIALIZED (
+{pfx}asg{t} AS MATERIALIZED (
   SELECT vec_id, s, (min({{'d2': d2, 'j': j}})).j AS code
   FROM (SELECT q.vec_id, q.s, c.j, sum((q.v - c.v) * (q.v - c.v)) AS d2
-        FROM q JOIN cent{p} c ON q.s = c.s AND q.d = c.d
+        FROM {src} q JOIN {pfx}cent{p} c ON q.s = c.s AND q.d = c.d
         GROUP BY q.vec_id, q.s, c.j)
   GROUP BY vec_id, s),
-sums{t} AS MATERIALIZED (
+{pfx}sums{t} AS MATERIALIZED (
   SELECT a.s, a.code AS j, q.d, sum(q.v) AS sv, count(*) AS n
-  FROM asg{t} a JOIN q ON q.vec_id = a.vec_id AND q.s = a.s
+  FROM {pfx}asg{t} a JOIN {src} q ON q.vec_id = a.vec_id AND q.s = a.s
   GROUP BY a.s, a.code, q.d),
-cent{t} AS MATERIALIZED (
+{pfx}cent{t} AS MATERIALIZED (
   SELECT c.s, c.j, c.d,
          CASE WHEN m.n IS NULL THEN c.v
               ELSE (m.sv - ((m.sv % m.n + m.n) % m.n)) // m.n END AS v
-  FROM cent{p} c LEFT JOIN sums{t} m
+  FROM {pfx}cent{p} c LEFT JOIN {pfx}sums{t} m
     ON m.s = c.s AND m.j = c.j AND m.d = c.d)"""
 
 
@@ -1144,4 +1154,197 @@ def c76_unigram_apply_fertility(spark: SparkSession, sf: str) -> DataFrame:
             .alias("chars_per_piece_micro"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c77 — fully-trained IVFADC (c70 coarse quantizer + residual PQ)
+# ---------------------------------------------------------------------------
+
+_C77_NPROBE = 2
+_C77_SHORT = 50
+_C77_TOPK = 10
+
+
+def _c77_oracle() -> str:
+    """c70's shared chain (the learned coarse quantizer), residual
+    projection, c74's unrolled Lloyd (namespaced ``p*``) on the
+    residuals, then the IVFADC search: coarse-probe → per-cell ADC
+    on residual codes → shortlist → exact re-rank."""
+    from iceberg_playground_spark.queries.round11 import _c70_chain
+
+    iters = ",".join(
+        _c74_cent_sql(t, src="rq", pfx="p")
+        for t in range(1, _C74_ITERS + 1)
+    )
+    return f"""{_c70_chain()},
+asgc AS MATERIALIZED (
+  SELECT vec_id, cluster AS cell FROM ranked WHERE rn = 1),
+rq AS MATERIALIZED (
+  SELECT q.vec_id, a.cell,
+         CAST((q.dim - 1) // {_C74_SDIM} AS INT) AS s,
+         CAST((q.dim - 1) % {_C74_SDIM} AS INT) AS d,
+         q.v - c.v AS v
+  FROM q JOIN asgc a USING (vec_id)
+  JOIN cent c ON c.cluster = a.cell AND c.dim = q.dim),
+pseeds AS MATERIALIZED (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+  FROM embeddings QUALIFY j < {_C74_K}),
+pcent0 AS MATERIALIZED (
+  SELECT rq.s, pseeds.j, rq.d, rq.v FROM pseeds JOIN rq USING (vec_id)),
+{iters},
+fcode AS MATERIALIZED (
+  SELECT vec_id, s, (min({{'d2': d2, 'j': j}})).j AS code
+  FROM (SELECT rq.vec_id, rq.s, c.j,
+               sum((rq.v - c.v) * (rq.v - c.v)) AS d2
+        FROM rq JOIN pcent{_C74_ITERS} c ON rq.s = c.s AND rq.d = c.d
+        GROUP BY rq.vec_id, rq.s, c.j)
+  GROUP BY vec_id, s),
+q0 AS MATERIALIZED (SELECT dim, v FROM q WHERE vec_id = 0),
+pc AS MATERIALIZED (
+  SELECT cluster FROM (
+    SELECT c.cluster,
+           row_number() OVER (
+             ORDER BY sum((q0.v - c.v) * (q0.v - c.v)), c.cluster) AS rn
+    FROM cent c JOIN q0 ON q0.dim = c.dim
+    GROUP BY c.cluster) WHERE rn <= {_C77_NPROBE}),
+qres AS MATERIALIZED (
+  SELECT pc.cluster AS cell,
+         CAST((q0.dim - 1) // {_C74_SDIM} AS INT) AS s,
+         CAST((q0.dim - 1) % {_C74_SDIM} AS INT) AS d,
+         q0.v - c.v AS v
+  FROM pc JOIN cent c ON c.cluster = pc.cluster
+  JOIN q0 ON q0.dim = c.dim),
+adc AS MATERIALIZED (
+  SELECT qres.cell, cb.s, cb.j, sum((qres.v - cb.v) * (qres.v - cb.v))
+           AS qd
+  FROM pcent{_C74_ITERS} cb JOIN qres ON qres.s = cb.s AND qres.d = cb.d
+  GROUP BY qres.cell, cb.s, cb.j),
+est AS MATERIALIZED (
+  SELECT f.vec_id, sum(adc.qd) AS est_d2
+  FROM fcode f JOIN asgc a ON a.vec_id = f.vec_id
+  JOIN adc ON adc.cell = a.cell AND adc.s = f.s AND adc.j = f.code
+  GROUP BY f.vec_id),
+short AS MATERIALIZED (
+  SELECT vec_id, est_d2 FROM est ORDER BY est_d2, vec_id
+  LIMIT {_C77_SHORT}),
+ex AS MATERIALIZED (
+  SELECT q.vec_id, sum((q.v - q0.v) * (q.v - q0.v)) AS exact_d2
+  FROM q JOIN q0 ON q0.dim = q.dim
+  WHERE q.vec_id IN (SELECT vec_id FROM short)
+  GROUP BY q.vec_id)
+SELECT s.vec_id, CAST(s.est_d2 AS BIGINT) AS est_d2,
+       CAST(ex.exact_d2 AS BIGINT) AS exact_d2
+FROM short s JOIN ex USING (vec_id)
+ORDER BY exact_d2, s.vec_id LIMIT {_C77_TOPK}
+"""
+
+
+@query("c77_trained_ivfadc", oracle=_c77_oracle())
+def c77_trained_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
+    """C77: FULLY-TRAINED IVFADC — the end-to-end compressed index a
+    production ANN deployment actually runs (Jégou et al., TPAMI
+    2011: IVF coarse quantizer + product-quantized RESIDUALS + ADC),
+    with BOTH stages learned: c70's k-means++ coarse quantizer
+    assigns every vector to a cell, each vector's residual against
+    its cell centroid (exact integer subtraction on the c54 grid) is
+    PQ-encoded through a c74-trained residual codebook, and search
+    probes the nprobe=2 nearest cells, scans CODES ONLY
+    with per-cell ADC tables built from the query's own residuals,
+    shortlists, then exact-re-ranks. c40 is this exact shape with
+    both stages untrained (md5 codebooks); c74 trained the PQ but on
+    raw vectors with no IVF; c77 composes the arc's two trained
+    stages — residual encoding is what makes trained PQ and trained
+    IVF compound (residual energy is what the coarse stage already
+    explained, so the codebook spends its 4 bits on what remains).
+
+    Scale shape: training inherits c70's (k-1 joinless map
+    supersteps) and c74's (2 scans, 128-key integer aggregates, no
+    vector shuffles) contracts — the residual frame is one pure-map
+    projection against the literal cell-centroid matrix off the
+    checkpointed assignment; search touches 8 B/vector codes
+    restricted to the probed cells (a literal IN filter the scan
+    prunes on), the per-cell ADC tables are driver-built KB literals,
+    and the exact re-rank reads 50 vectors via broadcast
+    semi-join. At 100 TB: the only full-corpus work after training is
+    one code scan over nprobe/nlist of the data."""
+    from iceberg_playground_spark.queries.round9b import _c54_assign
+    from iceberg_playground_spark.queries.round11 import _c70_train
+
+    qdf, seeds = _c70_train(spark, sf)
+    asg = _c54_assign(qdf, seeds)
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in seeds])
+    cmat = F.array(
+        *[F.array(*[F.lit(int(v)) for v in vec]) for _, vec in seeds]
+    )
+    pos = F.array_position(ids, F.col("cluster_id")).cast("int")
+    res = asg.select(
+        "vec_id",
+        "cluster_id",
+        F.zip_with("q", F.element_at(cmat, pos), lambda x, y: x - y).alias(
+            "q"
+        ),
+    ).localCheckpoint(eager=False)  # seed collect + 2 train scans + codes
+    pcb = _c74_train_on(res, _c74_seed(res))
+
+    q0 = [int(v) for v in qdf.filter(F.col("vec_id") == 0).collect()[0]["q"]]
+    cent_by_id = {cid: vec for cid, vec in seeds}
+    by_dist = sorted(
+        (
+            (sum((q0[i] - vec[i]) ** 2 for i in range(len(q0))), cid)
+            for cid, vec in seeds
+        )
+    )
+    probed = [cid for _, cid in by_dist[:_C77_NPROBE]]
+    adc = {
+        cid: [
+            [
+                sum(
+                    (
+                        (q0[s * _C74_SDIM + d] - cent_by_id[cid][s * _C74_SDIM + d])
+                        - pcb[s][j][d]
+                    )
+                    ** 2
+                    for d in range(_C74_SDIM)
+                )
+                for j in range(_C74_K)
+            ]
+            for s in range(_C74_SUB)
+        ]
+        for cid in probed
+    }
+    cand = res.filter(
+        F.col("cluster_id").isin([int(c) for c in probed])
+    )
+    est = None
+    for s in range(_C74_SUB):
+        code = _c74_code_col(pcb, s)
+        term = None
+        for cid in probed:
+            alit = F.array(*[F.lit(int(x)) for x in adc[cid][s]])
+            pick = F.element_at(alit, code + 1)
+            term = (
+                F.when(F.col("cluster_id") == int(cid), pick)
+                if term is None
+                else term.when(F.col("cluster_id") == int(cid), pick)
+            )
+        est = term if est is None else est + term
+    short = (
+        cand.select("vec_id", est.cast("bigint").alias("est_d2"))
+        .orderBy("est_d2", "vec_id")
+        .limit(_C77_SHORT)
+    )
+    qlit = F.array(*[F.lit(v) for v in q0])
+    exact = F.aggregate(
+        F.zip_with("q", qlit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        qdf.join(F.broadcast(short), "vec_id")
+        .select("vec_id", "est_d2", exact.alias("exact_d2"))
+        .orderBy("exact_d2", "vec_id")
+        .limit(_C77_TOPK)
     )

@@ -82,6 +82,7 @@ _R12_NEW_TAIL: list[str] = [
     "p40_mixture_weight_learn",
     "b162_all_manifests",
     "c76_unigram_apply_fertility",
+    "c77_trained_ivfadc",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1409,3 +1409,16 @@ def test_c76_apply_never_shuffles_words(spark):
     assert "SortMergeJoin" not in plan
     for cols in _exchange_outputs(df):
         assert not {"word", "fw", "seg"} & set(cols), cols
+
+
+def test_c77_search_is_bounded_broadcast_topk(spark):
+    # c77's graded plan (post-training): candidates are an IN filter
+    # on the probed cells over the checkpointed residual frame, the
+    # shortlist and final top-k are TakeOrderedAndProject, the exact
+    # re-rank joins against the broadcast 50-row shortlist — no pair
+    # join, no shuffle join anywhere
+    plan = _plan(spark, "c77_trained_ivfadc")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastHashJoin" in plan

@@ -572,3 +572,137 @@ def test_c76_multichar_pieces_beat_char_segmentation(spark):
     for r in rows:
         assert 1_000_000 <= int(r["fertility_micro"])
         assert int(r["chars_per_piece_micro"]) > 1_000_000
+
+
+# --- c77 fully-trained IVFADC --------------------------------------------------
+
+
+def _py_c77(sf_dir: str):
+    """Independent reference: c70's independently-verified python
+    k-means++ (imported from the round-11 tests) for the coarse
+    stage, then plain-Python residual-PQ Lloyd + IVFADC search."""
+    from tests.test_round11_ops import _py_kmeanspp
+
+    from iceberg_playground_spark.queries.round12 import (
+        _C74_ITERS,
+        _C74_K,
+        _C74_SDIM,
+        _C74_SUB,
+        _C77_NPROBE,
+        _C77_SHORT,
+        _C77_TOPK,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    q = {
+        int(vid): [int(math.floor(float(x) * 1000)) for x in emb]
+        for vid, emb in rows
+    }
+    seed_ids, assign = _py_kmeanspp(sf_dir)
+    cent = {cid: q[cid] for cid in seed_ids}
+    res = {
+        vid: [v[i] - cent[assign[vid][0]][i] for i in range(len(v))]
+        for vid, v in q.items()
+    }
+    # residual PQ: md5-ordered seeds, then Lloyd (the _py_c74 loop)
+    order = sorted(
+        q, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )
+    cb = [
+        [
+            [res[vid][s * _C74_SDIM + d] for d in range(_C74_SDIM)]
+            for vid in order[:_C74_K]
+        ]
+        for s in range(_C74_SUB)
+    ]
+
+    def code(vec, s):
+        sub = vec[s * _C74_SDIM : (s + 1) * _C74_SDIM]
+        return min(
+            range(_C74_K),
+            key=lambda j: (
+                sum(
+                    (sub[d] - cb[s][j][d]) ** 2 for d in range(_C74_SDIM)
+                ),
+                j,
+            ),
+        )
+
+    for _ in range(_C74_ITERS):
+        sums: dict = {}
+        cnt: dict = {}
+        for vid, vec in res.items():
+            for s in range(_C74_SUB):
+                j = code(vec, s)
+                cnt[(s, j)] = cnt.get((s, j), 0) + 1
+                acc = sums.setdefault((s, j), [0] * _C74_SDIM)
+                for d in range(_C74_SDIM):
+                    acc[d] += vec[s * _C74_SDIM + d]
+        cb = [
+            [
+                (
+                    [
+                        sums[(s, j)][d] // cnt[(s, j)]
+                        for d in range(_C74_SDIM)
+                    ]
+                    if (s, j) in cnt
+                    else cb[s][j]
+                )
+                for j in range(_C74_K)
+            ]
+            for s in range(_C74_SUB)
+        ]
+    # search: probe 2 nearest cells, per-cell residual ADC, re-rank
+    qv = q[0]
+    probed = sorted(
+        seed_ids,
+        key=lambda cid: (
+            sum((qv[i] - cent[cid][i]) ** 2 for i in range(len(qv))),
+            cid,
+        ),
+    )[:_C77_NPROBE]
+    adc = {
+        cid: [
+            [
+                sum(
+                    (
+                        (qv[s * _C74_SDIM + d] - cent[cid][s * _C74_SDIM + d])
+                        - cb[s][j][d]
+                    )
+                    ** 2
+                    for d in range(_C74_SDIM)
+                )
+                for j in range(_C74_K)
+            ]
+            for s in range(_C74_SUB)
+        ]
+        for cid in probed
+    }
+    est = {
+        vid: sum(
+            adc[assign[vid][0]][s][code(res[vid], s)]
+            for s in range(_C74_SUB)
+        )
+        for vid in q
+        if assign[vid][0] in set(probed)
+    }
+    short = sorted(est, key=lambda v: (est[v], v))[:_C77_SHORT]
+    ex = {
+        vid: sum((q[vid][i] - qv[i]) ** 2 for i in range(len(qv)))
+        for vid in short
+    }
+    top = sorted(short, key=lambda v: (ex[v], v))[:_C77_TOPK]
+    return [(v, est[v], ex[v]) for v in top]
+
+
+def test_c77_matches_python_reference(spark):
+    got = [
+        (int(r["vec_id"]), int(r["est_d2"]), int(r["exact_d2"]))
+        for r in registry.QUERIES["c77_trained_ivfadc"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got == _py_c77(SF_SMOKE)
