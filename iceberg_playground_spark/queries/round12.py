@@ -763,7 +763,10 @@ def _p40_nll0() -> int:
     return int(math.floor(x + 0.5))
 
 
-def _p40_oracle() -> str:
+def _p40_chain() -> str:
+    """p40's WITH-clause list through the learned-weight table ``wt``
+    (source, exc1..3, w) — shared by p40's grade and p41's schedule
+    oracle (the compose-never-slice rule)."""
     b = _P40_B
     nll = (
         "CAST(round(-1000000.0 * ln((CAST({n} AS DOUBLE) + 1) / "
@@ -774,8 +777,7 @@ def _p40_oracle() -> str:
         f"{_P40_ETA_DIV}, {_P40_CAP}))"
     )
     f1, f2, f3 = f.format(e=1), f.format(e=2), f.format(e=3)
-    return f"""
-WITH bg AS MATERIALIZED (
+    return f"""bg AS MATERIALIZED (
   SELECT source, ep, b[i] AS p, b[i + 1] AS c
   FROM (SELECT source,
                ((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
@@ -822,7 +824,12 @@ wt AS MATERIALIZED (
   SELECT source, COALESCE(exc1, 0) AS exc1, COALESCE(exc2, 0) AS exc2,
          COALESCE(exc3, 0) AS exc3,
          (((({f1}) * ({f2})) // 1000000) * ({f3})) // 1000000 AS w
-  FROM pv)
+  FROM pv)"""
+
+
+def _p40_oracle() -> str:
+    return f"""
+WITH {_p40_chain()}
 SELECT source, CAST(exc1 AS BIGINT) AS exc1_micro,
        CAST(exc2 AS BIGINT) AS exc2_micro,
        CAST(exc3 AS BIGINT) AS exc3_micro,
@@ -1348,3 +1355,114 @@ def c77_trained_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("exact_d2", "vec_id")
         .limit(_C77_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# p41 — learned-weight training schedule (p40 → p37 composition)
+# ---------------------------------------------------------------------------
+
+_P41_BATCH_TOK = 128  # p37's batch size
+
+
+def _p41_oracle() -> str:
+    """p40's shared learned-weight chain, then p37's stride
+    interleave driven by those weights: per-source token allocation =
+    corpus budget × normalized learned weight (exact BIGINT), batches
+    of 128 tokens, batch j of a b-batch source at stride position
+    (2j−1)/(2b), global step order."""
+    return f"""
+WITH {_p40_chain()},
+tok AS MATERIALIZED (
+  SELECT source, sum(len(string_split(text, ' '))) AS tok
+  FROM documents GROUP BY source),
+al AS MATERIALIZED (
+  SELECT w.source,
+         ((SELECT sum(tok) FROM tok)
+          * ((w.w * 1000000) // (sum(w.w) OVER ()))) // 1000000
+           AS alloc
+  FROM wt w),
+sched AS MATERIALIZED (
+  SELECT source, CAST(alloc // {_P41_BATCH_TOK} AS BIGINT) AS n_batches
+  FROM al WHERE alloc // {_P41_BATCH_TOK} > 0),
+srows AS MATERIALIZED (
+  SELECT source, u.j AS batch_idx,
+         ((2 * u.j - 1) * 1000000000) // (2 * n_batches) AS key_micro
+  FROM sched, UNNEST(range(1, n_batches + 1)) AS u(j))
+SELECT CAST(row_number() OVER (ORDER BY key_micro, source)
+            AS BIGINT) AS step,
+       source, CAST(batch_idx AS BIGINT) AS batch_idx,
+       CAST(key_micro AS BIGINT) AS key_micro
+FROM srows ORDER BY step
+"""
+
+
+@query("p41_learned_schedule", oracle=_p41_oracle())
+def p41_learned_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """P41: the LEARNED training schedule — p40's group-robust
+    weights driven through p37's deterministic stride interleave,
+    closing the loop the budgeting arc opened: p40 learns per-source
+    mixture weights, p41 turns them into the batch order a training
+    loop consumes (per-source allocation = corpus token budget ×
+    normalized learned weight in exact BIGINT arithmetic; batch j of
+    a b-batch source at stride position (2j−1)/(2b), so every
+    schedule prefix holds each source at its LEARNED proportion ±1
+    batch). p37 schedules p35's capacity-derived allocation; p41
+    schedules the allocation the MWU learner says the model needs —
+    the DoReMi deployment step.
+
+    Scale shape: p40's two corpus passes produce the |sources|-row
+    weight table; the budget aggregate is one more |sources|-key
+    corpus rollup; the schedule is a sequence-explode of |sources|
+    rows to budget/batch_size rows (KB per million tokens at any
+    corpus size), and the only exchange past the weight/budget
+    aggregates is the global step-order sort, which IS the
+    deliverable (p37's contract)."""
+    from iceberg_playground_spark.queries._util import load
+
+    w = p40_mixture_weight_learn(spark, sf).select(
+        "source", "w_final"
+    )
+    tok = (
+        load(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("tok"))
+    )
+    total = tok.agg(F.sum("tok").alias("t"))
+    al = (
+        w.withColumn(
+            "wm",
+            F.expr("w_final * 1000000 DIV sum(w_final) OVER ()"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.expr(f"(t * wm) DIV 1000000").alias("alloc"),
+        )
+    )
+    sched = al.select(
+        "source",
+        F.expr(f"CAST(alloc DIV {_P41_BATCH_TOK} AS BIGINT)").alias(
+            "n_batches"
+        ),
+    ).filter(F.col("n_batches") > 0)
+    rows = sched.select(
+        "source",
+        "n_batches",
+        F.explode(F.sequence(F.lit(1), F.col("n_batches"))).alias(
+            "batch_idx"
+        ),
+    ).select(
+        "source",
+        F.col("batch_idx").cast("bigint").alias("batch_idx"),
+        F.expr(
+            f"CAST(((2 * batch_idx - 1) * 1000000000) DIV "
+            f"(2 * n_batches) AS BIGINT)"
+        ).alias("key_micro"),
+    )
+    win = W.orderBy("key_micro", "source")
+    return rows.select(
+        F.row_number().over(win).cast("bigint").alias("step"),
+        "source",
+        "batch_idx",
+        "key_micro",
+    ).orderBy("step")

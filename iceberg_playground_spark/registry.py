@@ -83,6 +83,7 @@ _R12_NEW_TAIL: list[str] = [
     "b162_all_manifests",
     "c76_unigram_apply_fertility",
     "c77_trained_ivfadc",
+    "p41_learned_schedule",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

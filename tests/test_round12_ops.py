@@ -706,3 +706,69 @@ def test_c77_matches_python_reference(spark):
         ).collect()
     ]
     assert got == _py_c77(SF_SMOKE)
+
+
+# --- p41 learned-weight schedule ------------------------------------------------
+
+
+def test_p41_matches_python_reference(spark):
+    # schedule recomputed from _py_p40's (independently derived)
+    # weights + an independent token count and stride interleave
+    from iceberg_playground_spark.queries.round12 import _P41_BATCH_TOK
+
+    weights = {r[0]: r[4] for r in _py_p40(SF_SMOKE)}  # source -> w_final
+    toks: dict = {}
+    for source, text in duckdb.sql(
+        f"SELECT source, text FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall():
+        toks[source] = toks.get(source, 0) + len(text.split(" "))
+    total, wsum = sum(toks.values()), sum(weights.values())
+    rows = []
+    for s, w in weights.items():
+        alloc = (total * ((w * 1_000_000) // wsum)) // 1_000_000
+        b = alloc // _P41_BATCH_TOK
+        for j in range(1, b + 1):
+            rows.append(
+                (((2 * j - 1) * 1_000_000_000) // (2 * b), s, j)
+            )
+    rows.sort()
+    exp = [
+        (i + 1, s, j, k) for i, (k, s, j) in enumerate(rows)
+    ]
+    got = [
+        (
+            int(r["step"]),
+            r["source"],
+            int(r["batch_idx"]),
+            int(r["key_micro"]),
+        )
+        for r in registry.QUERIES["p41_learned_schedule"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got == exp
+
+
+def test_p41_prefix_holds_learned_proportions(spark):
+    # the stride property under LEARNED weights: in every sampled
+    # prefix each source appears within ±1 batch of its share
+    rows = registry.QUERIES["p41_learned_schedule"](
+        spark, SF_SMOKE
+    ).collect()
+    n = len(rows)
+    per_source = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    for cut in (n // 4, n // 2, (3 * n) // 4):
+        seen: dict = {}
+        for r in rows[:cut]:
+            seen[r["source"]] = seen.get(r["source"], 0) + 1
+        for s, tot in per_source.items():
+            expect = tot * cut / n
+            assert abs(seen.get(s, 0) - expect) <= 1.0 + 1e-9, (
+                s,
+                cut,
+                seen.get(s, 0),
+                expect,
+            )
