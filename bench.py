@@ -173,6 +173,17 @@ HEADLINE = [
     "p39_release_datacard",
     "c74_pq_train",
     "c75_unigram_lm_train",
+    # late-round-12 entrants with real plan work: the DoReMi MWU
+    # learner (2 corpus passes + broadcast NLL grid), the unigram
+    # apply (per-occurrence Viterbi folds — the per-row CPU ceiling,
+    # c51's counterpart for the EM family), and the fully-trained
+    # IVFADC (c70 train + residual-PQ train + probe/ADC/re-rank —
+    # the ANN arc's flagship composition). b161/b162 are graded but
+    # unbenched (metadata-table listings, the b159/b160 rationale);
+    # p41 likewise (cell-table explode, p37's rationale).
+    "p40_mixture_weight_learn",
+    "c76_unigram_apply_fertility",
+    "c77_trained_ivfadc",
 ]
 
 # Cells whose first call is dominated by demo-WAREHOUSE construction
@@ -323,6 +334,11 @@ ANCHOR_SECONDS = {
     "p39_release_datacard": 1.50,
     "c74_pq_train": 6.09,
     "c75_unigram_lm_train": 1.95,
+    # late round-12 (second clean pair at r12 HEAD: guard-kept 139.9 s
+    # + quiet 140.1 s; pair minimums)
+    "p40_mixture_weight_learn": 2.03,
+    "c76_unigram_apply_fertility": 7.46,
+    "c77_trained_ivfadc": 10.78,
 }
 GUARD_FACTOR = 2.0
 GUARD_MIN_CELLS = 4
