@@ -71,6 +71,9 @@ and the unigram-LM tokenizer trainer (VERDICT r11 item 3).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -763,6 +766,45 @@ def _p40_nll0() -> int:
     return int(math.floor(x + 0.5))
 
 
+def _p40_bigrams(d: DataFrame) -> DataFrame:
+    """(source, ep, p, c) hashed-bucket bigrams with the md5 epoch
+    stamp — p40's corpus lineage, shared with the streaming variant
+    (p42): the SAME expression tree guarantees the streamed partials
+    sum to exactly what the batch pass aggregates."""
+    from iceberg_playground_spark.queries._util import hash_bucket
+
+    bucket = lambda t: (  # noqa: E731
+        F.conv(F.md5(t).substr(1, 8), 16, 10).cast("bigint") % _P40_B
+    )
+    toks = F.split("text", " ")
+    bb = F.transform(toks, bucket)
+    n = F.size(bb)
+    z = F.arrays_zip(
+        F.slice(bb, 1, n - 1).alias("p"),
+        F.slice(bb, 2, n - 1).alias("c"),
+    )
+    return d.select(
+        "source",
+        (hash_bucket(F.col("doc_id")) % _P40_E + 1).alias("ep"),
+        F.explode(z).alias("pc"),
+    ).select(
+        "source", "ep", F.col("pc.p").alias("p"), F.col("pc.c").alias("c")
+    )
+
+
+def _p40_nll_col(cnt: str, tot: str):
+    """Micro-nat add-one NLL from integer count columns — ONE ln per
+    grid row, the shared expression both p40's batch grid and p42's
+    per-epoch state grids evaluate (identical inputs => identical
+    integers)."""
+    return F.round(
+        -1000000.0
+        * F.log(
+            (F.col(cnt).cast("double") + 1) / (F.col(tot) + _P40_B)
+        )
+    ).cast("bigint")
+
+
 def _p40_chain() -> str:
     """p40's WITH-clause list through the learned-weight table ``wt``
     (source, exc1..3, w) — shared by p40's grade and p41's schedule
@@ -871,32 +913,13 @@ def p40_mixture_weight_learn(spark: SparkSession, sf: str) -> DataFrame:
     No driver supersteps at all: unlike c63/c70, the weight fold is a
     closed-form 3-factor product, so the whole learner is one
     declarative DAG Catalyst can pipeline."""
-    from iceberg_playground_spark.queries._util import hash_bucket, load
+    from iceberg_playground_spark.queries._util import load
 
     b = _P40_B
     d = load(spark, sf, "documents")
-    bucket = lambda t: (  # noqa: E731
-        F.conv(F.md5(t).substr(1, 8), 16, 10).cast("bigint") % b
-    )
-    toks = F.split("text", " ")
-    bb = F.transform(toks, bucket)
-    n = F.size(bb)
-    z = F.arrays_zip(
-        F.slice(bb, 1, n - 1).alias("p"),
-        F.slice(bb, 2, n - 1).alias("c"),
-    )
-    bg = (
-        d.select(
-            "source",
-            (hash_bucket(F.col("doc_id")) % _P40_E + 1).alias("ep"),
-            F.explode(z).alias("pc"),
-        )
-        .select(
-            "source", "ep",
-            F.col("pc.p").alias("p"), F.col("pc.c").alias("c"),
-        )
-        .localCheckpoint(eager=False)  # model + score both consume it
-    )
+    bg = _p40_bigrams(d).localCheckpoint(
+        eager=False
+    )  # model + score both consume it
     model = bg.groupBy("p", "c").agg(
         F.sum(F.when(F.col("ep") < 2, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("ep") < 3, 1).otherwise(0)).alias("n2"),
@@ -912,19 +935,15 @@ def p40_mixture_weight_learn(spark: SparkSession, sf: str) -> DataFrame:
         .fillna(0, ["n1", "n2", "nf"])
     )
 
-    def nll(col: str):
-        return F.round(
-            -1000000.0
-            * F.log(
-                (F.col(col).cast("double") + 1)
-                / (F.sum(col).over(W.partitionBy("p")) + b)
-            )
-        ).cast("bigint")
-
+    for col in ("n1", "n2", "nf"):
+        grid = grid.withColumn(
+            f"t{col}", F.sum(col).over(W.partitionBy("p"))
+        )
     grid = grid.select(
         "p", "c",
-        nll("n1").alias("nll1"), nll("n2").alias("nll2"),
-        nll("nf").alias("nllf"),
+        _p40_nll_col("n1", "tn1").alias("nll1"),
+        _p40_nll_col("n2", "tn2").alias("nll2"),
+        _p40_nll_col("nf", "tnf").alias("nllf"),
     )
     prox = (
         F.when(F.col("ep") == 1, F.lit(_p40_nll0()))
@@ -940,6 +959,15 @@ def p40_mixture_weight_learn(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("m"),
         )
     )
+    return _p40_weights(sc)
+
+
+def _p40_weights(sc: DataFrame) -> DataFrame:
+    """The MWU tail from the per-(source, epoch) score table
+    (prox, ref, m): excess → pivot → 3-factor integer weight fold →
+    normalized mixture shares. Shared by p40 (batch scores) and p42
+    (streamed prox partials + post-drain ref pass): identical
+    integer arithmetic on identical inputs IS the parity proof."""
     exc = F.expr("greatest(0, prox - ref) DIV m")
     pv = sc.groupBy("source").agg(
         *[
@@ -1466,3 +1494,163 @@ def p41_learned_schedule(spark: SparkSession, sf: str) -> DataFrame:
         "batch_idx",
         "key_micro",
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# p42 — streaming mixture-weight learning (p40 as continuous ingest)
+# ---------------------------------------------------------------------------
+
+_P42_SCHEMA = "doc_id BIGINT, source STRING, text STRING"
+
+
+def _p42_grid(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """The complete B² NLL grid from a (p, c, n) count state — the
+    same add-one expression as p40's batch grid (_p40_nll_col), so a
+    state equal to an epoch prefix yields the batch pass's exact
+    integers. An empty state yields the uniform model (every cell =
+    round(1e6·ln B) — the same value p40 inlines for epoch 1)."""
+    b = _P40_B
+    return (
+        spark.range(b * b)
+        .select(
+            F.expr(f"id DIV {b}").cast("bigint").alias("p"),
+            (F.col("id") % b).cast("bigint").alias("c"),
+        )
+        .join(counts, ["p", "c"], "left")
+        .fillna(0, ["n"])
+        .withColumn("tn", F.sum("n").over(W.partitionBy("p")))
+        .select("p", "c", _p40_nll_col("n", "tn").alias("nll"))
+    )
+
+
+@query("p42_streaming_mixture_learn", oracle=_p40_oracle())
+def p42_streaming_mixture_learn(spark: SparkSession, sf: str) -> DataFrame:
+    """P42: p40's DoReMi-lite learner as CONTINUOUS ingest — the
+    streaming proof that group-robust mixture learning fits the
+    incremental lakehouse shape (p36/p38's convention, applied to the
+    budgeting arc's LEARN step): documents arrive as 3 epoch
+    micro-batches in epoch order (mtime-pinned, the p36 ordering
+    contract — the proxy is the model BEFORE the batch merges, so
+    order is semantic here, unlike p38's order-free sums); each batch
+    scores its bigrams against the NLL grid built from the CURRENT
+    count state (epoch 1 sees the empty state = the uniform model),
+    appends its per-(source, epoch) prox partials, then merges its
+    bigram counts into the state. After the drain one batch pass over
+    the arrivals scores everything under the final (= full-corpus)
+    model for the reference column, and the shared MWU tail
+    (_p40_weights) folds the weights. The drained result is
+    hash-IDENTICAL to batch p40 — the oracle IS p40's oracle.
+
+    Scale shape: per-epoch work is one pure-map bigram pass over the
+    batch + a broadcast-grid score join + a |B²|-key count merge —
+    cross-batch state is ≤ B² integer rows however large the corpus
+    (the mergeable-sketch property, made a graded contract for the
+    learner); the reference pass is p40's own score pass. At 100 TB
+    each ingest epoch pays |batch|, never |corpus|."""
+    from iceberg_playground_spark.queries._util import hash_bucket, load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.queries.streaming import _scratch
+
+    d = load(spark, sf, "documents").select("doc_id", "source", "text")
+
+    def build(tmp: str) -> str:
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src, exist_ok=True)
+        now = int(os.stat(tmp).st_mtime)
+        for i in range(1, _P40_E + 1):
+            part_dir = os.path.join(tmp, f"stage_{i}")
+            (
+                d.filter(
+                    hash_bucket(F.col("doc_id")) % _P40_E + 1 == i
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            part = next(
+                f
+                for f in os.listdir(part_dir)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"arrival_{i}.parquet")
+            shutil.copyfile(os.path.join(part_dir, part), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        return src
+
+    src = _built(spark, sf, "p42", build)
+    work = _scratch("ips_stream_mwu_")
+    counts_dir = os.path.join(work, "counts")
+    scores_dir = os.path.join(work, "scores")
+    try:
+
+        def read_counts() -> DataFrame:
+            try:
+                return (
+                    spark.read.parquet(counts_dir)
+                    .groupBy("p", "c")
+                    .agg(F.sum("n").alias("n"))
+                )
+            except Exception:
+                return spark.createDataFrame(
+                    [], "p BIGINT, c BIGINT, n BIGINT"
+                )
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            bgb = _p40_bigrams(batch_df).localCheckpoint(eager=False)
+            grid = _p42_grid(spark, read_counts())
+            (
+                bgb.join(F.broadcast(grid), ["p", "c"])
+                .groupBy("source", "ep")
+                .agg(
+                    F.sum("nll").alias("prox"),
+                    F.count("*").alias("m"),
+                )
+                .write.mode("append")
+                .parquet(scores_dir)
+            )
+            (
+                bgb.groupBy("p", "c")
+                .agg(F.count("*").alias("n"))
+                .write.mode("append")
+                .parquet(counts_dir)
+            )
+
+        stream = (
+            spark.readStream.schema(_P42_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", _scratch("ips_stream_mwuck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # post-drain reference pass: the state now holds the FULL
+        # corpus counts, so its grid IS batch p40's nllf grid
+        bg = _p40_bigrams(spark.read.parquet(src)).localCheckpoint(
+            eager=False
+        )
+        refgrid = _p42_grid(spark, read_counts())
+        ref = (
+            bg.join(F.broadcast(refgrid), ["p", "c"])
+            .groupBy("source", "ep")
+            .agg(F.sum("nll").alias("ref"))
+        )
+        prox = (
+            spark.read.parquet(scores_dir)
+            .groupBy("source", "ep")
+            .agg(F.sum("prox").alias("prox"), F.sum("m").alias("m"))
+        )
+        # SIZE GUARD: |sources| rows, collected because the scratch
+        # state dirs are deleted in finally (p18's literal-result rule)
+        rows = _p40_weights(prox.join(ref, ["source", "ep"])).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "source STRING, exc1_micro BIGINT, exc2_micro BIGINT, "
+        "exc3_micro BIGINT, w_final BIGINT, weight_micro BIGINT",
+    ).orderBy("source")

