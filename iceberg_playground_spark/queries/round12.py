@@ -1654,3 +1654,91 @@ def p42_streaming_mixture_learn(spark: SparkSession, sf: str) -> DataFrame:
         "source STRING, exc1_micro BIGINT, exc2_micro BIGINT, "
         "exc3_micro BIGINT, w_final BIGINT, weight_micro BIGINT",
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# b163 — metadata_log_entries table (Iceberg's t.metadata_log_entries)
+# ---------------------------------------------------------------------------
+
+_B163_ORACLE = """
+WITH na AS (SELECT count(*) AS n FROM part WHERE p_partkey % 2 = 0),
+nb AS (SELECT count(*) AS n FROM part WHERE p_partkey % 2 = 1)
+SELECT CAST(1 AS INT) AS version, CAST(0 AS INT) AS parent,
+       'append' AS operation, CAST(2 AS INT) AS n_fields,
+       FALSE AS is_current,
+       CAST((SELECT n FROM na) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 2, 1, 'add-column', 3, FALSE, (SELECT n FROM na)
+UNION ALL
+SELECT 3, 2, 'append', 3, FALSE,
+       (SELECT n FROM na) + (SELECT n FROM nb)
+UNION ALL
+SELECT 4, 3, 'compact', 3, TRUE,
+       (SELECT n FROM na) + (SELECT n FROM nb)
+ORDER BY version
+"""
+
+
+@query("b163_metadata_log", oracle=_B163_ORACLE)
+def b163_metadata_log(spark: SparkSession, sf: str) -> DataFrame:
+    """B163: the ``metadata_log_entries`` metadata table (Iceberg's
+    ``t.metadata_log_entries``) as a queryable relation — one row per
+    committed metadata file in version order: parent pointer,
+    committing operation, the field count of the schema that version
+    SERVES (schema evolution visible as the count moving), currency
+    flag (see tables.py::metadata_log; commit wall time is
+    deliberately omitted — nondeterministic, so ungradeable). The
+    graded relation adds each version's committed row count from
+    per-file stats (``metadata_count`` — still zero data I/O), tying
+    the log to the data lineage it describes.
+
+    The demo exercises the log's full vocabulary: append (v1, 2
+    fields) → add-column (v2 — metadata-only, same rows, 3 fields) →
+    append under the widened schema (v3) → compaction (v4, current).
+    With b79 snapshots, b160 history, b159 refs, b158 partitions,
+    b92 files, b161 entries and b162 all_manifests this makes the
+    metadata-table family complete against Iceberg's list.
+
+    Scale shape: one JSON header per version, ZERO data files opened
+    (the b92 rule; plan-pinned: no parquet scan)."""
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.tables import LakeCatalog, LakeTable
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo",
+            "part_mlog",
+            "p_partkey BIGINT, p_size BIGINT",
+            drop_if_exists=True,
+        )
+        p = load(spark, sf, "part").select(
+            F.col("p_partkey").cast("bigint"),
+            F.col("p_size").cast("bigint"),
+        )
+        t.append(
+            p.filter(F.col("p_partkey") % 2 == 0).repartition(
+                2, "p_partkey"
+            )
+        )
+        t.add_column("p_size_wide", "BIGINT")
+        p3 = load(spark, sf, "part").select(
+            F.col("p_partkey").cast("bigint"),
+            F.col("p_size").cast("bigint"),
+            (F.col("p_size") * 2).cast("bigint").alias("p_size_wide"),
+        )
+        t.append(
+            p3.filter(F.col("p_partkey") % 2 == 1).repartition(
+                2, "p_partkey"
+            )
+        )
+        t.compact(target_files=1)
+        return t
+
+    t = _built(spark, sf, "b163", build)
+    counts = [
+        (v, t.metadata_count(v)) for v in t.versions()
+    ]
+    cdf = spark.createDataFrame(counts, "version INT, n_rows BIGINT")
+    return t.metadata_log().join(cdf, "version").orderBy("version")

@@ -85,6 +85,7 @@ _R12_NEW_TAIL: list[str] = [
     "c77_trained_ivfadc",
     "p41_learned_schedule",
     "p42_streaming_mixture_learn",
+    "b163_metadata_log",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

