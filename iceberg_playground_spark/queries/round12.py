@@ -1742,3 +1742,216 @@ def b163_metadata_log(spark: SparkSession, sf: str) -> DataFrame:
     ]
     cdf = spark.createDataFrame(counts, "version INT, n_rows BIGINT")
     return t.metadata_log().join(cdf, "version").orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# c78 — hybrid retrieval: dense + BM25 fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_C78_LIST = 100  # retrieved-list depth per backend
+_C78_TOPK = 10
+_C78_RRF_K = 60  # the standard RRF constant (Cormack et al. 2009)
+_C78_K1 = 1200  # BM25 k1 = 1.2 in millis
+_C78_B = 750  # BM25 b = 0.75 in millis
+_C78_TERMS = 3
+
+
+def _c78_idf_micro(nd: int, df: int) -> int:
+    """BM25 idf in integer micro-nats, Lucene's non-negative form:
+    round(1e6·ln(1 + (N−df+0.5)/(df+0.5))) — one ln per TERM
+    (model-sized; Python glibc mirrors DuckDB's)."""
+    import math
+
+    x = 1e6 * math.log(1 + (nd - df + 0.5) / (df + 0.5))
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _c78_oracle() -> str:
+    from iceberg_playground_spark.queries.llm import _dot_sql, _norm_sql
+
+    k1, b, kk = _C78_K1, _C78_B, _C78_RRF_K
+    return f"""
+WITH cand AS MATERIALIZED (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id <> 0),
+qv AS MATERIALIZED (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dlist AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS rn_d
+  FROM (SELECT doc_id,
+               round({_dot_sql('embedding', 'qe')}
+                     / ({_norm_sql('embedding')} * {_norm_sql('qe')}), 6)
+                 AS cosine
+        FROM cand, qv)
+  QUALIFY rn_d <= {_C78_LIST}),
+stats AS MATERIALIZED (
+  SELECT count(*) AS nd,
+         sum(len(string_split(text, ' '))) AS tl
+  FROM cand),
+terms AS MATERIALIZED (
+  SELECT t, df FROM (
+    SELECT t, count(*) AS c, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM cand)
+    WHERE t <> '' GROUP BY t) ts, stats
+  WHERE df * 4 <= nd
+  ORDER BY c DESC, t LIMIT {_C78_TERMS}),
+idf AS MATERIALIZED (
+  SELECT t, CAST(round(1000000.0 * ln(
+             1 + (nd - df + 0.5) / (df + 0.5))) AS BIGINT) AS idf
+  FROM terms, stats),
+lex AS MATERIALIZED (
+  SELECT c.doc_id,
+         sum((idf.idf * (tf * ({k1} + 1000)))
+             // (tf * 1000
+                 + ({k1} * (1000 - {b}
+                            + ({b} * dl * nd) // tl)) // 1000))
+           AS bm25
+  FROM (SELECT doc_id, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM cand) c,
+       stats, idf,
+       LATERAL (SELECT CAST(len(list_filter(
+                  string_split(c.text, ' '), x -> x = idf.t))
+                  AS BIGINT) AS tf) tt
+  GROUP BY c.doc_id),
+llist AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn_l
+  FROM lex QUALIFY rn_l <= {_C78_LIST}),
+fused AS MATERIALIZED (
+  SELECT COALESCE(d.doc_id, l.doc_id) AS doc_id,
+         COALESCE(1000000 // ({kk} + d.rn_d), 0)
+         + COALESCE(1000000 // ({kk} + l.rn_l), 0) AS rrf_micro,
+         CAST(d.rn_d AS BIGINT) AS rn_dense,
+         CAST(l.rn_l AS BIGINT) AS rn_lex
+  FROM dlist d FULL OUTER JOIN llist l ON d.doc_id = l.doc_id)
+SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       rn_dense, rn_lex
+FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_C78_TOPK}
+"""
+
+
+@query("c78_hybrid_rrf_search", oracle=_c78_oracle())
+def c78_hybrid_rrf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """C78: HYBRID RETRIEVAL — dense cosine top-{list} and integer
+    BM25 top-{list} fused by reciprocal-rank fusion (Cormack, Clarke
+    & Büttcher, SIGIR 2009: score = Σ 1/(60+rank); the fusion every
+    production RAG / retrieval stack runs when it has both a vector
+    index and a lexical index), opening the hybrid-search family the
+    corpus pipeline was missing: c03 is the dense backend, c78 adds
+    the lexical backend and the fusion. Query = vector 0's embedding
+    (dense) and the corpus's top-{terms} tokens (lexical — a
+    deterministic stand-in for a user query). BM25 is EXACT INTEGER
+    arithmetic end-to-end: k1/b in millis, avgdl carried as the
+    (total_len, n_docs) rational and cross-multiplied, one ln per
+    TERM for idf (model-sized, the c65 idiom) — so ranks, and
+    therefore the fusion, can never drift between engines; the dense
+    rank orders by the 6dp-rounded cosine (c03's contract).
+
+    Scale shape: both backends end in TakeOrderedAndProject
+    top-{list} lists — the fusion joins two ≤{list}-row frames
+    (broadcast by size), never the corpus; the lexical pass is one
+    pure-map score over candidates with the 3-term model as literals
+    + the idf/term/stat aggregates (3 bounded collects); at 100 TB
+    each backend is its own index scan and RRF touches only the
+    retrieved lists, which is the entire point of fusion."""
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.llm import _dot, _norm
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    e = load(spark, sf, "embeddings")
+    cand = d.join(
+        e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).filter(F.col("doc_id") != 0)
+    cand = cand.localCheckpoint(eager=False)  # dense + lex + 3 aggregates
+
+    qe = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][
+        "embedding"
+    ]
+    qlit = F.array(*[F.lit(float(v)) for v in qe])
+    cos = F.round(
+        _dot(F.col("embedding"), qlit) / (_norm(F.col("embedding")) * _norm(qlit)),
+        6,
+    )
+    dense = (
+        cand.select("doc_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(_C78_LIST)
+        .withColumn(
+            "rn_d",
+            F.row_number().over(W.orderBy(F.desc("cosine"), "doc_id")),
+        )
+        .select("doc_id", "rn_d")
+    )
+
+    toks = F.split("text", " ")
+    st = cand.agg(
+        F.count("*").alias("nd"), F.sum(F.size(toks)).alias("tl")
+    ).collect()[0]
+    nd, tl = int(st["nd"]), int(st["tl"])
+    # query terms: the most frequent MID-frequency tokens (document
+    # frequency <= N/4 — the discriminative band; the raw top tokens
+    # appear in nearly every doc and carry no lexical signal)
+    trows = (
+        cand.select("doc_id", F.explode(toks).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("c"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") * 4 <= nd)
+        .orderBy(F.col("c").desc(), "t")
+        .limit(_C78_TERMS)
+        .collect()
+    )
+    idf = {
+        r["t"]: _c78_idf_micro(nd, int(r["df"])) for r in trows
+    }
+    terms = [r["t"] for r in trows]
+    # one inline expression per term (exact integer DIVs, mirrored by
+    # the oracle clause-for-clause; tf = 0 zeroes the term naturally)
+    term_scores = []
+    for t in terms:
+        tesc = t.replace("'", "''")
+        tf = (
+            f"CAST(size(filter(split(text, ' '), x -> x = '{tesc}')) "
+            f"AS BIGINT)"
+        )
+        dl = "CAST(size(split(text, ' ')) AS BIGINT)"
+        term_scores.append(
+            f"((CAST({idf[t]} AS BIGINT) * ({tf} * ({_C78_K1} + 1000))) "
+            f"DIV ({tf} * 1000 + ({_C78_K1} * (1000 - {_C78_B} "
+            f"+ ({_C78_B} * {dl} * {nd}) DIV {tl})) DIV 1000))"
+        )
+    lex = cand.select(
+        "doc_id", F.expr(" + ".join(term_scores)).alias("bm25")
+    )
+    llist = (
+        lex.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_C78_LIST)
+        .withColumn(
+            "rn_l",
+            F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id")),
+        )
+        .select("doc_id", "rn_l")
+    )
+    fused = dense.join(llist, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"1000000 DIV ({_C78_RRF_K} + rn_d)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 DIV ({_C78_RRF_K} + rn_l)"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_micro"),
+        F.col("rn_d").cast("bigint").alias("rn_dense"),
+        F.col("rn_l").cast("bigint").alias("rn_lex"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(_C78_TOPK)

@@ -86,6 +86,7 @@ _R12_NEW_TAIL: list[str] = [
     "p41_learned_schedule",
     "p42_streaming_mixture_learn",
     "b163_metadata_log",
+    "c78_hybrid_rrf_search",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

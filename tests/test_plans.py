@@ -1428,3 +1428,12 @@ def test_b163_metadata_log_is_metadata_only(spark):
     # b163: version log + per-version stats counts — no parquet scan
     plan = _plan(spark, "b163_metadata_log")
     assert "Scan parquet" not in plan
+
+
+def test_c78_fusion_joins_lists_not_corpus(spark):
+    # c78: both backends end in TakeOrderedAndProject top-100 lists;
+    # the fusion join touches only those lists (broadcast/no
+    # sort-merge over the corpus) and no pair join appears
+    plan = _plan(spark, "c78_hybrid_rrf_search")
+    assert plan.count("TakeOrderedAndProject") >= 3  # 2 lists + final
+    assert "CartesianProduct" not in plan

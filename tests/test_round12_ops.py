@@ -829,3 +829,135 @@ def test_b163_metadata_log_tracks_schema_evolution(spark, tmp_path):
         (2, 1, "add-column", 3, False),
         (3, 2, "drop-column", 2, True),
     ]
+
+
+# --- c78 hybrid RRF search -------------------------------------------------------
+
+
+def _py_c78(sf_dir: str):
+    """Independent reference: plain-Python dense cosine + integer
+    BM25 + RRF, no shared code with the query under test."""
+    from iceberg_playground_spark.queries.round12 import (
+        _C78_B,
+        _C78_K1,
+        _C78_LIST,
+        _C78_RRF_K,
+        _C78_TERMS,
+        _C78_TOPK,
+    )
+
+    def rnd(x):
+        return (
+            int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+        )
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    embs = dict(
+        duckdb.sql(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    )
+    qe = [float(x) for x in embs[0]]
+    cand = sorted(i for i in embs if i in docs and i != 0)
+
+    def norm(v):
+        s = 0.0
+        for x in v:
+            s += x * x
+        return math.sqrt(s)
+
+    dense_scores = {}
+    for i in cand:
+        v = [float(x) for x in embs[i]]
+        dot = 0.0
+        for a, b in zip(v, qe):
+            dot += a * b
+        dense_scores[i] = round(dot / (norm(v) * norm(qe)), 6)
+    dlist = sorted(cand, key=lambda i: (-dense_scores[i], i))[:_C78_LIST]
+    rn_d = {i: r + 1 for r, i in enumerate(dlist)}
+
+    nd = len(cand)
+    tl = sum(len(docs[i].split(" ")) for i in cand)
+    cnt: dict = {}
+    dfs: dict = {}
+    for i in cand:
+        seen = set()
+        for t in docs[i].split(" "):
+            if t:
+                cnt[t] = cnt.get(t, 0) + 1
+                seen.add(t)
+        for t in seen:
+            dfs[t] = dfs.get(t, 0) + 1
+    terms = sorted(
+        (t for t in cnt if dfs[t] * 4 <= nd),
+        key=lambda t: (-cnt[t], t),
+    )[:_C78_TERMS]
+    idf = {
+        t: rnd(1e6 * math.log(1 + (nd - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+        for t in terms
+    }
+    bm25 = {}
+    for i in cand:
+        ts = docs[i].split(" ")
+        dl = len(ts)
+        s = 0
+        for t in terms:
+            tf = sum(1 for x in ts if x == t)
+            s += (idf[t] * (tf * (_C78_K1 + 1000))) // (
+                tf * 1000
+                + (
+                    _C78_K1
+                    * (1000 - _C78_B + (_C78_B * dl * nd) // tl)
+                )
+                // 1000
+            )
+        bm25[i] = s
+    llist = sorted(cand, key=lambda i: (-bm25[i], i))[:_C78_LIST]
+    rn_l = {i: r + 1 for r, i in enumerate(llist)}
+
+    fused = {}
+    for i in set(rn_d) | set(rn_l):
+        fused[i] = (
+            (1_000_000 // (_C78_RRF_K + rn_d[i]) if i in rn_d else 0)
+            + (1_000_000 // (_C78_RRF_K + rn_l[i]) if i in rn_l else 0)
+        )
+    top = sorted(fused, key=lambda i: (-fused[i], i))[:_C78_TOPK]
+    return [
+        (i, fused[i], rn_d.get(i), rn_l.get(i)) for i in top
+    ]
+
+
+def test_c78_matches_python_reference(spark):
+    got = [
+        (
+            int(r["doc_id"]),
+            int(r["rrf_micro"]),
+            None if r["rn_dense"] is None else int(r["rn_dense"]),
+            None if r["rn_lex"] is None else int(r["rn_lex"]),
+        )
+        for r in registry.QUERIES["c78_hybrid_rrf_search"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got == _py_c78(SF_SMOKE)
+
+
+def test_c78_fusion_actually_fuses(spark):
+    # the top-10 must draw on BOTH backends: at least one fused doc
+    # carries both ranks, and the two backends' rank-1 docs differ
+    # somewhere in the lists (otherwise the 'fusion' is one backend)
+    rows = registry.QUERIES["c78_hybrid_rrf_search"](
+        spark, SF_SMOKE
+    ).collect()
+    assert any(
+        r["rn_dense"] is not None and r["rn_lex"] is not None
+        for r in rows
+    )
+    assert any(r["rn_dense"] is not None for r in rows)
+    assert any(r["rn_lex"] is not None for r in rows)
