@@ -87,6 +87,7 @@ _R12_NEW_TAIL: list[str] = [
     "p42_streaming_mixture_learn",
     "b163_metadata_log",
     "c78_hybrid_rrf_search",
+    "b164_all_data_files",
 ]
 
 # Populated by load_all() for introspection/tests: the derived
@@ -168,6 +169,7 @@ def load_all() -> None:
         round10d,
         round11,
         round12,
+        round12b,
     )
 
     explicit = _R12_LEAD + _R12_NEW_TAIL

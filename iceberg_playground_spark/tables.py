@@ -1819,6 +1819,57 @@ class LakeTable:
             "added_here BOOLEAN, n_files INT, n_rows BIGINT",
         )
 
+    def all_files(self) -> DataFrame:
+        """The ``all_data_files`` METADATA TABLE (Iceberg's
+        ``t.all_data_files``): one row per DISTINCT data file across
+        EVERY snapshot — file name, the snapshot that committed it
+        (its data sequence), the LATEST snapshot still referencing
+        it, whether the current snapshot does (live), and its record
+        count (NULL = committed before per-file stats — unknown,
+        never 0, Iceberg's rule). Where ``all_manifests()`` is the
+        whole lineage at manifest grain and ``files()`` is one
+        snapshot at file grain, this is the whole lineage at FILE
+        grain: dead files (last_ref < current) are exactly what
+        expire_snapshots will let orphan-file cleanup reclaim, and
+        live files' spread across added_version is what incremental
+        consumers replay. Answered by walking the snapshot JSON
+        headers only — zero data I/O at any table size (the b92
+        rule)."""
+        cur = self.current_version()
+        info: dict[str, list] = {}
+        for v in self.versions():
+            snap = self.snapshot(v)
+            for e in snap["data_files"]:
+                per_rows = e.get("rows", {})
+                for fn in e.get("bounds", {}):
+                    rec = info.setdefault(
+                        fn,
+                        [
+                            int(e["seq"]),
+                            v,
+                            (
+                                int(per_rows[fn])
+                                if fn in per_rows
+                                else None
+                            ),
+                            False,
+                        ],
+                    )
+                    rec[1] = max(rec[1], v)
+                    if v == cur:
+                        rec[3] = True
+        rows = [
+            (fn, seq, last, live, n)
+            for fn, (seq, last, n, live) in sorted(
+                info.items(), key=lambda kv: (kv[1][0], kv[0])
+            )
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file_name STRING, added_version INT, last_ref_version INT,"
+            " is_live BOOLEAN, n_rows BIGINT",
+        )
+
     def refs(self) -> DataFrame:
         """The ``refs`` METADATA TABLE (Iceberg's ``t.refs``): one row
         per named ref — ``main`` (a BRANCH at HEAD, Iceberg's

@@ -1437,3 +1437,11 @@ def test_c78_fusion_joins_lists_not_corpus(spark):
     plan = _plan(spark, "c78_hybrid_rrf_search")
     assert plan.count("TakeOrderedAndProject") >= 3  # 2 lists + final
     assert "CartesianProduct" not in plan
+
+
+def test_b164_all_files_is_metadata_only(spark):
+    # b164: the file-grain lineage walk is answered from snapshot JSON
+    # headers — no parquet scan, no join in the graded plan
+    plan = _plan(spark, "b164_all_data_files")
+    assert "Scan parquet" not in plan
+    assert "Join" not in plan

