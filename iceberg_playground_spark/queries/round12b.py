@@ -121,6 +121,233 @@ from pyspark.sql import functions as F
 from iceberg_playground_spark.registry import query
 
 # ---------------------------------------------------------------------------
+# c79 — PCA top component by power iteration (integer Gram + fixed point)
+# ---------------------------------------------------------------------------
+
+_C79_DIM = 64
+_C79_SCALE = 1000  # c54's fixed-point grid: q = floor(x * 1000)
+_C79_VSCALE = 1_000_000  # component fixed point (micro units)
+_C79_ITERS = 8
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — DuckDB's ``//`` and
+    Spark's ``DIV`` semantics, mirrored exactly in Python (whose own
+    ``//`` FLOORS, differing on negative numerators)."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _c79_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE corpus scan → the exact integer Gram sufficient statistics
+    on c54's grid, as a (d²+d+1)-row frame: (i, j, v) = Σ qᵢqⱼ for
+    i,j ≥ 1; (i, 0, v) = Σ qᵢ; (0, 0, v) = n. The Arrow-batched
+    kernel reduces each batch to its own d×d outer-product partials
+    with numpy int64 sums — the exchange carries model-sized partial
+    rows, never a vector (the sanctioned vectorized-Python surface,
+    c15's convention applied to statistics). Lazily checkpointed: the
+    driver collects it for the iteration AND the graded output joins
+    back onto it without re-scanning the corpus."""
+    import pandas as pd  # local import: only the executors need it
+
+    from iceberg_playground_spark.queries.round9b import _c54_quantized
+
+    d = _C79_DIM
+
+    def _partials(batches):
+        import numpy as np
+
+        ii = np.repeat(np.arange(1, d + 1), d)
+        jj = np.tile(np.arange(1, d + 1), d)
+        for pdf in batches:
+            m = np.stack(pdf["q"].to_numpy()).astype("int64")
+            gram = (m.T @ m).reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate((ii, np.arange(1, d + 1), [0])),
+                    "j": np.concatenate((jj, np.zeros(d, "int64"), [0])),
+                    "v": np.concatenate(
+                        (gram, m.sum(axis=0), [m.shape[0]])
+                    ),
+                }
+            )
+
+    part = (
+        _c54_quantized(spark, sf)
+        .select("q")
+        .mapInPandas(_partials, schema="i int, j int, v long")
+    )
+    return part.groupBy("i", "j").agg(F.sum("v").alias("v"))
+
+
+def _c79_stats_cached(spark: SparkSession, sf: str) -> DataFrame:
+    return _c79_stats(spark, sf).localCheckpoint(eager=False)
+
+
+def _c79_iterate(stats_rows) -> dict:
+    """The fixed 8 power iterations on the collected statistics —
+    pure-Python exact integers (model-sized driver state, the
+    c70/c74 discipline). Returns the loading vector (micro), the
+    Rayleigh eigenvalue estimate, trace, and explained share."""
+    d, vs = _C79_DIM, _C79_VSCALE
+    ss: dict[tuple[int, int], int] = {}
+    s = [0] * (d + 1)
+    n = 0
+    for r in stats_rows:
+        if r["i"] == 0:
+            n = int(r["v"])
+        elif r["j"] == 0:
+            s[r["i"]] = int(r["v"])
+        else:
+            ss[(r["i"], r["j"])] = int(r["v"])
+    g = {
+        (i, j): n * ss[(i, j)] - s[i] * s[j]
+        for i in range(1, d + 1)
+        for j in range(1, d + 1)
+    }
+    k0 = max(range(1, d + 1), key=lambda i: (g[(i, i)], -i))
+    v = [vs if i == k0 else 0 for i in range(1, d + 1)]
+    for _ in range(_C79_ITERS):
+        w = [
+            sum(g[(i, j)] * v[j - 1] for j in range(1, d + 1))
+            for i in range(1, d + 1)
+        ]
+        m = max(abs(x) for x in w)
+        v = [_tdiv(x * vs, m) for x in w]
+    w = [
+        sum(g[(i, j)] * v[j - 1] for j in range(1, d + 1))
+        for i in range(1, d + 1)
+    ]
+    num = sum(v[i] * w[i] for i in range(d))
+    den = sum(x * x for x in v)
+    lam = _tdiv(num, den)
+    trace = sum(g[(i, i)] for i in range(1, d + 1))
+    return {
+        "v": v,
+        "lambda": lam,
+        "trace": trace,
+        "explained": _tdiv(lam * vs, trace),
+        "sums": s,
+    }
+
+
+def _c79_chain() -> str:
+    """The shared oracle chain (quantize → Gram → 8 unrolled
+    iterations), ending in CTEs ``sv`` (per-dim sums), ``v8`` (the
+    loading vector), ``lam``/``tr`` (eigenvalue + trace). Composed by
+    c79's and c81's oracles (the compose-never-slice rule). All
+    intermediates run in HUGEINT (DuckDB BIGINT multiplication
+    overflows LOUDLY, never promotes); ``//`` truncates toward zero,
+    matching the Python driver's _tdiv."""
+    d, vs = _C79_DIM, _C79_VSCALE
+    steps = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_C79_SCALE})
+              AS BIGINT) AS x
+  FROM embeddings, range(1, {d + 1}) t(i)),
+nn AS (SELECT count(*) AS n FROM embeddings),
+sv AS MATERIALIZED (SELECT i, sum(x) AS s FROM q GROUP BY i),
+sp AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(CAST(a.x AS HUGEINT) * b.x) AS ss
+  FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i),
+g AS MATERIALIZED (
+  SELECT sp.i, sp.j,
+         CAST((SELECT n FROM nn) AS HUGEINT) * sp.ss
+           - CAST(sa.s AS HUGEINT) * sb.s AS gv
+  FROM sp JOIN sv sa ON sa.i = sp.i JOIN sv sb ON sb.i = sp.j),
+v0 AS (
+  SELECT i, CASE WHEN i = (SELECT i FROM g WHERE i = j
+                           ORDER BY gv DESC, i LIMIT 1)
+                 THEN CAST({vs} AS HUGEINT) ELSE 0 END AS x
+  FROM range(1, {d + 1}) t(i))"""
+    ]
+    for t in range(1, _C79_ITERS + 1):
+        steps.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT g.i, sum(g.gv * v.x) AS w
+  FROM g JOIN v{t - 1} v ON v.i = g.j GROUP BY g.i),
+m{t} AS (SELECT max(abs(w)) AS m FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT i, (w * {vs}) // (SELECT m FROM m{t}) AS x FROM w{t})"""
+        )
+    steps.append(
+        f"""wf AS (
+  SELECT g.i, sum(g.gv * v.x) AS w
+  FROM g JOIN v{_C79_ITERS} v ON v.i = g.j GROUP BY g.i),
+ray AS (SELECT sum(v.x * wf.w) AS num, sum(v.x * v.x) AS den
+        FROM v{_C79_ITERS} v JOIN wf ON wf.i = v.i),
+tr AS (SELECT sum(gv) AS t FROM g WHERE i = j),
+lam AS (SELECT num // den AS l FROM ray)"""
+    )
+    return ",\n".join(steps)
+
+
+def _c79_oracle() -> str:
+    return f"""
+WITH {_c79_chain()}
+SELECT sv.i AS dim, CAST(sv.s AS BIGINT) AS sum_q,
+       CAST(v.x AS BIGINT) AS loading_micro,
+       CAST((SELECT l FROM lam) AS BIGINT) AS lambda_est,
+       CAST((SELECT (l * {_C79_VSCALE}) // (SELECT t FROM tr) FROM lam)
+            AS BIGINT) AS explained_micro
+FROM sv JOIN v{_C79_ITERS} v ON v.i = sv.i
+ORDER BY dim
+"""
+
+
+@query("c79_pca_power_iteration", oracle=_c79_oracle())
+def c79_pca_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
+    """C79: PCA TOP COMPONENT — the corpus statistic every
+    embedding-pipeline audit gathers before whitening, energy
+    thresholds, or dimensionality decisions (power iteration is the
+    textbook member of the randomized-sketch family of Halko,
+    Martinsson & Tropp, SIAM Rev. 2011). Distributed work is ONE
+    corpus scan producing exact integer Gram sufficient statistics on
+    c54's fixed-point grid (an Arrow-batched mapInPandas kernel emits
+    d² partial sums per batch — model-sized rows, never a vector);
+    the covariance Gram G = n·Σqqᵀ − (Σq)(Σq)ᵀ needs no centering
+    pass and no float. The driver runs a FIXED 8 power
+    iterations on the 64×64 integer matrix: v₀ = e_k at the
+    max-variance diagonal (lowest-k tie-break), w = G·v exact,
+    v ← (w·10⁶) trunc-div max|w| — every step mirrored by the
+    oracle's unrolled CTEs in HUGEINT, so one different Gram cell or
+    one division anywhere changes the hash. Graded on the 64-row
+    loading vector joined back onto the DISTRIBUTED per-dim sums,
+    plus the Rayleigh eigenvalue estimate and its explained-variance
+    share of trace(G).
+
+    Scale shape: the only corpus-sized work is the single Gram scan;
+    its exchange is d²-bounded partials per batch (plan-pinned: no
+    vector rides a shuffle, no corpus join), driver state is d² ints,
+    the iteration is free. At 100 TB this is exactly how PCA stats
+    are gathered (per-executor numpy Gram partials merging up the
+    aggregate tree). Int64 headroom: n·Σqq at |q| ≤ 1000 holds to
+    ~10⁶ rows; past that, fold a fixed 2^s down-shift into the
+    partials (documented, not needed at test scale)."""
+    stats = _c79_stats_cached(spark, sf)
+    res = _c79_iterate(stats.collect())  # d²+d+1 rows — model-sized
+    comp = spark.createDataFrame(
+        [(i + 1, res["v"][i]) for i in range(_C79_DIM)],
+        "dim INT, loading_micro BIGINT",
+    )
+    sums = stats.filter((F.col("i") > 0) & (F.col("j") == 0)).select(
+        F.col("i").alias("dim"), F.col("v").alias("sum_q")
+    )
+    return (
+        sums.join(F.broadcast(comp), "dim")
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("sum_q").cast("bigint").alias("sum_q"),
+            "loading_micro",
+            F.lit(res["lambda"]).cast("bigint").alias("lambda_est"),
+            F.lit(res["explained"]).cast("bigint").alias(
+                "explained_micro"
+            ),
+        )
+        .orderBy("dim")
+    )
+
+# ---------------------------------------------------------------------------
 # b164 — all_data_files metadata table (Iceberg's t.all_data_files)
 # ---------------------------------------------------------------------------
 

@@ -88,6 +88,7 @@ _R12_NEW_TAIL: list[str] = [
     "b163_metadata_log",
     "c78_hybrid_rrf_search",
     "b164_all_data_files",
+    "c79_pca_power_iteration",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1445,3 +1445,26 @@ def test_b164_all_files_is_metadata_only(spark):
     plan = _plan(spark, "b164_all_data_files")
     assert "Scan parquet" not in plan
     assert "Join" not in plan
+
+
+def test_c79_gram_scan_shuffles_partials_not_vectors(spark):
+    # c79: the Gram statistics pass is ONE corpus scan whose exchange
+    # carries (i, j, v) partial-sum rows — no vector or embedding
+    # column ever rides a shuffle, and nothing joins the corpus
+    from iceberg_playground_spark.queries.round12b import _c79_stats
+
+    df = _c79_stats(spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    for cols in _exchange_outputs(df):
+        assert not {"q", "embedding"} & set(cols), cols
+
+
+def test_c79_graded_output_is_model_sized_join(spark):
+    # the graded frame joins the 64-row sums slice with the 64-row
+    # literal component — broadcast, never sort-merge/cartesian
+    plan = _plan(spark, "c79_pca_power_iteration")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -71,3 +71,69 @@ def test_b164_live_set_matches_files_table(spark, tmp_path):
     }
     current = {r["file_name"] for r in t.files().collect()}
     assert live == current
+
+
+# --- c79 PCA power iteration ---------------------------------------------------
+
+
+def _py_c79(sf_dir: str):
+    """Independent reference: numpy Gram over the parquet directly +
+    plain-Python integer power iteration, no shared code with the
+    query under test."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    m = np.floor(
+        np.array([r[0] for r in rows], dtype="float64") * 1000
+    ).astype("int64")
+    n, d = m.shape
+    ss = m.T @ m
+    s = m.sum(axis=0)
+    g = [
+        [int(n) * int(ss[i][j]) - int(s[i]) * int(s[j]) for j in range(d)]
+        for i in range(d)
+    ]
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    k0 = max(range(d), key=lambda i: (g[i][i], -i))
+    v = [1_000_000 if i == k0 else 0 for i in range(d)]
+    for _ in range(8):
+        w = [sum(g[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        v = [tdiv(x * 1_000_000, mx) for x in w]
+    w = [sum(g[i][j] * v[j] for j in range(d)) for i in range(d)]
+    lam = tdiv(sum(v[i] * w[i] for i in range(d)), sum(x * x for x in v))
+    trace = sum(g[i][i] for i in range(d))
+    return v, lam, tdiv(lam * 1_000_000, trace)
+
+
+def test_c79_matches_numpy_reference(spark):
+    from tests.conftest import SF_SMOKE
+
+    v, lam, expl = _py_c79(SF_SMOKE)
+    rows = registry.QUERIES["c79_pca_power_iteration"](
+        spark, SF_SMOKE
+    ).collect()
+    assert [r["loading_micro"] for r in rows] == v
+    assert rows[0]["lambda_est"] == lam
+    assert rows[0]["explained_micro"] == expl
+
+
+def test_c79_component_explains_dominant_share(spark):
+    # the iterate must have converged onto a direction that explains a
+    # nontrivial share of trace — a degenerate vector (stuck on its
+    # seed axis) would read as ~1/d of the variance
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.QUERIES["c79_pca_power_iteration"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows[0]["explained_micro"] > 1_000_000 // 64
+    # unit-ish scaling contract: max |loading| is exactly the fixed
+    # point (the rescale divides by max|w|)
+    assert max(abs(r["loading_micro"]) for r in rows) == 1_000_000
