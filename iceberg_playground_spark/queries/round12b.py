@@ -117,6 +117,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from iceberg_playground_spark.registry import query
 
@@ -346,6 +347,128 @@ def c79_pca_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+# ---------------------------------------------------------------------------
+# c81 — PCA-prefiltered exact search + recall (c79 deployed, c45's eval)
+# ---------------------------------------------------------------------------
+
+_C81_CAND = 100  # projection-window candidate budget
+_C81_K = 10  # graded top-k
+
+
+def _c81_oracle() -> str:
+    it = _C79_ITERS
+    return f"""
+WITH {_c79_chain()},
+pj AS MATERIALIZED (
+  SELECT q.vec_id, sum(CAST(q.x AS HUGEINT) * v.x) AS p
+  FROM q JOIN v{it} v ON v.i = q.i GROUP BY q.vec_id),
+qp AS (SELECT p FROM pj WHERE vec_id = 0),
+cand AS (SELECT vec_id FROM pj WHERE vec_id <> 0
+         ORDER BY abs(p - (SELECT p FROM qp)), vec_id
+         LIMIT {_C81_CAND}),
+q0 AS (SELECT i, x FROM q WHERE vec_id = 0),
+dall AS MATERIALIZED (
+  SELECT q.vec_id, sum((q.x - q0.x) * (q.x - q0.x)) AS d2
+  FROM q JOIN q0 USING (i) WHERE q.vec_id <> 0 GROUP BY q.vec_id),
+atop AS (SELECT d.vec_id FROM dall d JOIN cand c USING (vec_id)
+         ORDER BY d.d2, d.vec_id LIMIT {_C81_K}),
+ttop AS (SELECT vec_id, d2,
+                row_number() OVER (ORDER BY d2, vec_id) AS rn
+         FROM dall ORDER BY d2, vec_id LIMIT {_C81_K}),
+rc AS (SELECT count(*) AS h FROM ttop t JOIN atop a USING (vec_id))
+SELECT CAST(t.rn AS BIGINT) AS rank, CAST(t.vec_id AS BIGINT) AS vec_id,
+       CAST(t.d2 AS BIGINT) AS exact_d2,
+       a.vec_id IS NOT NULL AS found,
+       CAST((SELECT h FROM rc) * {1_000_000 // _C81_K} AS BIGINT)
+         AS recall_micro
+FROM ttop t LEFT JOIN atop a USING (vec_id)
+ORDER BY rank
+"""
+
+
+@query("c81_pca_prefilter_recall", oracle=_c81_oracle())
+def c81_pca_prefilter_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """C81: PCA-PREFILTERED EXACT SEARCH + RECALL — c79's trained
+    component DEPLOYED as a 1-D projection index and audited with
+    c45's eval shape, completing the train → deploy → audit arc for
+    the PCA family exactly as c70 → c72 runs it for IVF: every
+    vector projects onto the component (exact BIGINT dot on the
+    integer grid), the {cand} candidates nearest the query's
+    projection (|p − p₀|, vec_id tie-break) are exact-L2 re-ranked,
+    and the graded frame is the TRUE top-{k} with per-rank found
+    flags + the recall@{k} share — the number that says whether a
+    1-D learned prefilter is usable on this corpus or the full IVF
+    is required. Query = vector 0 (c78's convention).
+
+    Scale shape: train = c79's one Gram scan (model-sized exchange);
+    deploy = one pure-map projection pass (the component rides as 64
+    literals); both the candidate pick and the truth arm end in
+    TakeOrderedAndProject top-k passes; the re-rank touches only the
+    {cand}-row candidate frame and the found-join touches two
+    {k}-row frames (plan-pinned: no sort-merge, no cartesian). At
+    100 TB the projection column becomes the sort key of a
+    range-partitioned layout and the prefilter a range scan — this
+    op measures whether that layout would pay."""
+    from iceberg_playground_spark.queries.round9b import _c54_quantized
+
+    stats = _c79_stats_cached(spark, sf)
+    res = _c79_iterate(stats.collect())  # model-sized (d²+d+1 rows)
+    vlit = F.array(*[F.lit(int(x)) for x in res["v"]])
+    qdf = _c54_quantized(spark, sf).localCheckpoint(
+        eager=False
+    )  # projection arm + truth arm
+    zero = F.lit(0).cast("long")
+    proj = qdf.select(
+        "vec_id",
+        "q",
+        F.aggregate(
+            F.zip_with("q", vlit, lambda x, y: x * y),
+            zero,
+            lambda a, x: a + x,
+        ).alias("p"),
+    ).localCheckpoint(eager=False)  # 1-row query read + candidates
+    q0row = proj.filter(F.col("vec_id") == 0).select("q", "p").collect()[
+        0
+    ]  # bounded: the query vector
+    q0lit = F.array(*[F.lit(int(x)) for x in q0row["q"]])
+    d2 = F.aggregate(
+        F.zip_with("q", q0lit, lambda x, y: (x - y) * (x - y)),
+        zero,
+        lambda a, x: a + x,
+    )
+    cand = (
+        proj.filter(F.col("vec_id") != 0)
+        .orderBy(F.abs(F.col("p") - F.lit(int(q0row["p"]))), "vec_id")
+        .limit(_C81_CAND)
+    )
+    atop = (
+        cand.select("vec_id", d2.alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(_C81_K)
+        .select("vec_id", F.lit(True).alias("in_approx"))
+    )
+    truth = (
+        qdf.filter(F.col("vec_id") != 0)
+        .select("vec_id", d2.alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(_C81_K)
+        .withColumn("rank", F.row_number().over(W.orderBy("d2", "vec_id")))
+    )
+    out = truth.join(F.broadcast(atop), "vec_id", "left").select(
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("d2").cast("bigint").alias("exact_d2"),
+        F.coalesce("in_approx", F.lit(False)).alias("found"),
+    )
+    recall = (
+        F.sum(F.col("found").cast("long")).over(
+            W.partitionBy(F.lit(1))
+        )
+        * (1_000_000 // _C81_K)
+    ).cast("bigint")
+    return out.withColumn("recall_micro", recall).orderBy("rank")
+
 
 # ---------------------------------------------------------------------------
 # b164 — all_data_files metadata table (Iceberg's t.all_data_files)

@@ -89,6 +89,7 @@ _R12_NEW_TAIL: list[str] = [
     "c78_hybrid_rrf_search",
     "b164_all_data_files",
     "c79_pca_power_iteration",
+    "c81_pca_prefilter_recall",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1468,3 +1468,14 @@ def test_c79_graded_output_is_model_sized_join(spark):
     plan = _plan(spark, "c79_pca_power_iteration")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_c81_prefilter_is_topk_not_corpus_join(spark):
+    # c81: both arms end in TakeOrderedAndProject; the found-join
+    # touches two 10-row frames (broadcast) — never sort-merge or
+    # cartesian over the corpus
+    plan = _plan(spark, "c81_pca_prefilter_recall")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -137,3 +137,59 @@ def test_c79_component_explains_dominant_share(spark):
     # unit-ish scaling contract: max |loading| is exactly the fixed
     # point (the rescale divides by max|w|)
     assert max(abs(r["loading_micro"]) for r in rows) == 1_000_000
+
+
+# --- c81 PCA-prefiltered search recall ------------------------------------------
+
+
+def test_c81_matches_python_reference(spark):
+    # full pipeline recomputed independently: c79's reference component
+    # → projection prefilter → exact re-rank → recall flags
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    v, _, _ = _py_c79(SF_SMOKE)
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    import math
+
+    q = {
+        r[0]: [int(math.floor(x * 1000)) for x in r[1]] for r in rows
+    }
+    p = {vid: sum(a * b for a, b in zip(vec, v)) for vid, vec in q.items()}
+    cand = sorted(
+        (vid for vid in q if vid != 0),
+        key=lambda vid: (abs(p[vid] - p[0]), vid),
+    )[:100]
+    d2 = {
+        vid: sum((a - b) ** 2 for a, b in zip(q[vid], q[0]))
+        for vid in q
+        if vid != 0
+    }
+    atop = sorted(cand, key=lambda vid: (d2[vid], vid))[:10]
+    ttop = sorted(d2, key=lambda vid: (d2[vid], vid))[:10]
+    hits = sum(1 for vid in ttop if vid in set(atop))
+
+    got = registry.QUERIES["c81_pca_prefilter_recall"](
+        spark, SF_SMOKE
+    ).collect()
+    assert [r["vec_id"] for r in got] == ttop
+    assert [r["found"] for r in got] == [vid in set(atop) for vid in ttop]
+    assert got[0]["recall_micro"] == hits * 100_000
+
+
+def test_c81_recall_consistent_with_flags(spark):
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.QUERIES["c81_pca_prefilter_recall"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) == 10
+    n_found = sum(1 for r in rows if r["found"])
+    assert all(r["recall_micro"] == n_found * 100_000 for r in rows)
+    # truth ranks are the contract: 1..10 in ascending exact distance
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    d2s = [r["exact_d2"] for r in rows]
+    assert d2s == sorted(d2s)
