@@ -471,6 +471,189 @@ def c81_pca_prefilter_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# c80 — perceptual-hash near-dup over opaque payloads (multimodal dedup)
+# ---------------------------------------------------------------------------
+
+_C80_BLOCKS = 32  # aHash thumbnail cells (one signature bit each)
+_C80_BANDS = 4  # multi-index bands of 8 bits
+_C80_R = 3  # verified-duplicate Hamming radius (= bands − 1: exact)
+
+_C80_ORACLE = f"""
+WITH d AS (SELECT doc_id, source, text, strlen(text) AS L
+           FROM documents WHERE strlen(text) >= {_C80_BLOCKS}),
+byt AS MATERIALIZED (
+  SELECT d.doc_id, CAST(ascii(substring(d.text, CAST(u.i AS INT), 1))
+                        AS BIGINT) AS byte,
+         (u.i - 1) // (d.L // {_C80_BLOCKS}) AS blk
+  FROM d, unnest(generate_series(
+            1, {_C80_BLOCKS} * (d.L // {_C80_BLOCKS}))) u(i)),
+blk AS (SELECT doc_id, blk, sum(byte) AS s FROM byt GROUP BY doc_id, blk),
+tot AS (SELECT doc_id, sum(s) AS t FROM blk GROUP BY doc_id),
+sigt AS MATERIALIZED (
+  SELECT b.doc_id,
+         sum(CASE WHEN {_C80_BLOCKS} * b.s > t.t
+                  THEN CAST(1 AS BIGINT) << b.blk ELSE 0 END) AS sig
+  FROM blk b JOIN tot t USING (doc_id) GROUP BY b.doc_id),
+sg AS (SELECT s.doc_id, d.source, s.sig FROM sigt s JOIN d USING (doc_id)),
+bands AS (SELECT doc_id, source, sig, r.b,
+                 (sig >> (8 * CAST(r.b AS INT))) & 255 AS bval
+          FROM sg, range(0, {_C80_BANDS}) r(b)),
+pairs AS (SELECT DISTINCT a.doc_id AS da, a.sig AS sa, a.source AS src,
+                          b.doc_id AS db, b.sig AS sb
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id),
+ph AS (SELECT src, bit_count(xor(sa, sb)) AS h FROM pairs),
+agg AS (SELECT src AS source, count(*) AS n_cand,
+               sum(CASE WHEN h <= {_C80_R} THEN 1 ELSE 0 END) AS n_dup,
+               sum(CASE WHEN h <= {_C80_R} THEN h ELSE 0 END) AS sh
+        FROM ph GROUP BY src),
+docs AS (SELECT source, count(*) AS n_docs FROM d GROUP BY source)
+SELECT docs.source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand_pairs,
+       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(coalesce(sh, 0) AS BIGINT) AS hamming_sum
+FROM docs LEFT JOIN agg USING (source)
+ORDER BY docs.source
+"""
+
+
+def _c80_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-payload 32-bit aHash signatures: the Arrow-batched
+    multimodal kernel (c15's surface — a real image decoder/resizer
+    drops in unchanged; here the deterministic stand-in thumbnail is
+    the payload's {B} equal byte blocks). bit_p = 1 iff
+    {B}·blocksum_p > total — exact integer cross-multiplication, no
+    mean, no division. Payloads shorter than {B} bytes carry no
+    thumbnail and are excluded (mirrored by the oracle)."""
+    import pandas as pd  # local import: only the executors need it
+
+    from iceberg_playground_spark.queries._util import load
+
+    nb = _C80_BLOCKS
+    d = (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+        .filter(F.octet_length("payload") >= nb)
+    )
+
+    def _sig_batch(batches):
+        import numpy as np
+
+        shifts = np.arange(nb, dtype="int64")
+        for pdf in batches:
+            sigs = []
+            for raw in pdf["payload"]:
+                b = len(raw) // nb
+                arr = (
+                    np.frombuffer(raw[: nb * b], dtype=np.uint8)
+                    .astype("int64")
+                    .reshape(nb, b)
+                    .sum(axis=1)
+                )
+                bits = (nb * arr > int(arr.sum())).astype("int64")
+                sigs.append(int((bits << shifts).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "sig": sigs,
+                }
+            )
+
+    return d.mapInPandas(
+        _sig_batch, schema="doc_id long, source string, sig long"
+    )
+
+
+@query("c80_phash_near_dup", oracle=_C80_ORACLE)
+def c80_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """C80: PERCEPTUAL-HASH NEAR-DUP — the multimodal family's missing
+    verb (c15 decodes, p08 samples frames; nothing DEDUPLICATES
+    payloads): a 32-bit average-hash thumbnail signature per opaque
+    payload (the standard aHash recipe: equal-cell sums thresholded
+    against the whole-image level, computed in the same Arrow-batched
+    mapInPandas kernel c15 established — a real image decode/resize
+    drops in unchanged), then Hamming-radius near-dup via multi-index
+    banding (Norouzi, Punjani & Fleet, CVPR 2012: two codes within
+    Hamming r MUST agree exactly on at least one of m bands whenever
+    r < m — the pigeonhole identity; with m = 4 bands the radius-3
+    sweep is EXACT, not probabilistic). Candidates form by band
+    equality, verify at popcount(xor) ≤ 3; graded per source
+    (attributed to each pair's lower doc_id): signed docs, candidate
+    pairs, verified duplicate pairs, verified Hamming mass. Every
+    step is exact integer arithmetic — threshold by
+    cross-multiplication, signature as bit-sum, distance as
+    bit_count — so the topology can never drift between engines.
+
+    Scale shape: signatures are one mapInPandas pass (payloads never
+    shuffle — the exchange carries one BIGINT signature per doc); the
+    candidate stage is the banded Σ|bucket|² self-join of the LSH
+    family (plan-pinned: never cartesian); verification is a pure-map
+    popcount on the pair set. At 100 TB the bands are partition keys
+    and each bucket verifies locally — the same deployment shape as
+    c02, applied to binary columns."""
+    sigs = _c80_sigs(spark, sf).localCheckpoint(
+        eager=False
+    )  # band arm ×2 + per-source census
+    bexpr = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.expr(f"shiftright(sig, {8 * b}) & 255").alias("bval"),
+        )
+        for b in range(_C80_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", "source", "sig", F.explode(F.array(*bexpr)).alias("bb")
+    ).select("doc_id", "source", "sig", "bb.b", "bb.bval")
+    a = bands.select(
+        F.col("doc_id").alias("da"),
+        F.col("sig").alias("sa"),
+        F.col("source").alias("src"),
+        "b",
+        "bval",
+    )
+    bside = bands.select(
+        F.col("doc_id").alias("db"), F.col("sig").alias("sb"), "b", "bval"
+    )
+    pairs = (
+        a.join(bside, ["b", "bval"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "sa", "src", "db", "sb")
+        .distinct()
+    )
+    ham = pairs.select(
+        "src", F.bit_count(F.expr("sa ^ sb")).cast("bigint").alias("h")
+    )
+    agg = ham.groupBy(F.col("src").alias("source")).agg(
+        F.count("*").cast("bigint").alias("n_cand_pairs"),
+        F.sum((F.col("h") <= _C80_R).cast("bigint"))
+        .cast("bigint")
+        .alias("n_dup_pairs"),
+        F.sum(F.when(F.col("h") <= _C80_R, F.col("h")).otherwise(0))
+        .cast("bigint")
+        .alias("hamming_sum"),
+    )
+    docs = sigs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        docs.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_cand_pairs", F.lit(0)).alias("n_cand_pairs"),
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("hamming_sum", F.lit(0)).alias("hamming_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # b164 — all_data_files metadata table (Iceberg's t.all_data_files)
 # ---------------------------------------------------------------------------
 

@@ -90,6 +90,7 @@ _R12_NEW_TAIL: list[str] = [
     "b164_all_data_files",
     "c79_pca_power_iteration",
     "c81_pca_prefilter_recall",
+    "c80_phash_near_dup",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1479,3 +1479,14 @@ def test_c81_prefilter_is_topk_not_corpus_join(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_c80_payloads_never_shuffle(spark):
+    # c80: the signature kernel is one mapInPandas pass — no exchange
+    # carries the payload or text column; the candidate stage is the
+    # banded equi-join, never a cartesian
+    df = registry.QUERIES["c80_phash_near_dup"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert not {"payload", "text"} & set(cols), cols

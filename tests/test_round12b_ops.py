@@ -193,3 +193,71 @@ def test_c81_recall_consistent_with_flags(spark):
     assert [r["rank"] for r in rows] == list(range(1, 11))
     d2s = [r["exact_d2"] for r in rows]
     assert d2s == sorted(d2s)
+
+
+# --- c80 perceptual-hash near-dup ------------------------------------------------
+
+
+def _py_c80(sf_dir: str):
+    """Independent reference: plain-Python aHash + brute-force O(n²)
+    Hamming sweep (no banding) — proves the banded join loses nothing
+    within the exact radius."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    sigs = {}
+    src = {}
+    for doc_id, source, text in rows:
+        raw = text.encode("utf-8")
+        if len(raw) < 32:
+            continue
+        b = len(raw) // 32
+        blocks = [
+            sum(raw[p * b : (p + 1) * b]) for p in range(32)
+        ]
+        total = sum(blocks)
+        sigs[doc_id] = sum(
+            (1 << p) for p in range(32) if 32 * blocks[p] > total
+        )
+        src[doc_id] = source
+    ids = sorted(sigs)
+    dup = {}
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1 :]:
+            h = bin(sigs[a] ^ sigs[b_]).count("1")
+            if h <= 3:
+                st = dup.setdefault(src[a], [0, 0])
+                st[0] += 1
+                st[1] += h
+    return sigs, src, dup
+
+
+def test_c80_banding_finds_every_radius3_pair(spark):
+    # the multi-index pigeonhole identity: with 4 bands, every pair
+    # within Hamming 3 shares a band — the banded join's verified
+    # counts must equal the brute-force sweep's exactly
+    from tests.conftest import SF_SMOKE
+
+    _, _, dup = _py_c80(SF_SMOKE)
+    rows = registry.QUERIES["c80_phash_near_dup"](
+        spark, SF_SMOKE
+    ).collect()
+    got = {
+        r["source"]: (r["n_dup_pairs"], r["hamming_sum"]) for r in rows
+    }
+    for source, (n, sh) in got.items():
+        want = dup.get(source, [0, 0])
+        assert (n, sh) == (want[0], want[1]), source
+
+
+def test_c80_signature_kernel_matches_python(spark):
+    from tests.conftest import SF_SMOKE
+    from iceberg_playground_spark.queries.round12b import _c80_sigs
+
+    sigs, _, _ = _py_c80(SF_SMOKE)
+    got = {
+        r["doc_id"]: r["sig"] for r in _c80_sigs(spark, SF_SMOKE).collect()
+    }
+    assert got == sigs
