@@ -654,6 +654,116 @@ def c80_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p43 — dedup-aware epoch plan (c49's fixpoint driving the budget math)
+# ---------------------------------------------------------------------------
+
+_P43_CAP = 3  # max upweight a collapsed cluster may claim
+
+
+def _p43_oracle() -> str:
+    from iceberg_playground_spark.queries.round8 import _c49_chain
+
+    return f"""
+WITH RECURSIVE {_c49_chain()},
+tok AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nt
+        FROM documents),
+rp AS (SELECT t.doc_id, coalesce(r.rep, t.doc_id) AS rep, t.nt
+       FROM tok t LEFT JOIN rep r ON r.v = t.doc_id),
+cl AS (SELECT rep, count(*) AS csize, sum(nt) AS tokens_raw
+       FROM rp GROUP BY rep),
+cw AS (SELECT c.csize, c.tokens_raw, t.source, t.nt AS rep_tokens,
+              CASE WHEN c.csize < {_P43_CAP} THEN c.csize
+                   ELSE {_P43_CAP} END AS w
+       FROM cl c JOIN tok t ON t.doc_id = c.rep)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(csize) AS BIGINT) AS n_members,
+       CAST(sum(tokens_raw) AS BIGINT) AS tokens_raw,
+       CAST(sum(rep_tokens) AS BIGINT) AS tokens_kept,
+       CAST(sum(rep_tokens * w) AS BIGINT) AS tokens_weighted,
+       CAST(((sum(tokens_raw) - sum(rep_tokens * w)) * 1000000)
+            // sum(tokens_raw) AS BIGINT) AS savings_micro
+FROM cw GROUP BY source ORDER BY source
+"""
+
+
+@query("p43_dedup_aware_epochs", oracle=_p43_oracle())
+def p43_dedup_aware_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    """P43: DEDUP-AWARE EPOCH PLAN — the step between the near-dup
+    arc's cluster census (c49) and the budgeting arc's epoch math
+    (p22/p30/p33) that neither runs: what does an epoch COST once
+    duplicates collapse? Reuses c49's graded connected-components
+    fixpoint verbatim (same bands, same pointer-jumping supersteps —
+    _c49_rep), elects each cluster's min-doc_id representative (c33's
+    canonical rule), weights it by the CAPPED cluster size
+    (min(|cluster|, 3) — the "count duplicates once, upweight at
+    most 3x" rule public dedup pipelines apply so mega-clusters
+    don't dominate the mixture), and rolls up per the
+    REPRESENTATIVE's source: clusters (= surviving docs), members,
+    raw vs kept vs weighted epoch tokens, and the savings share in
+    micro. A cluster spanning sources is one training document and
+    is counted once, in one place — the deterministic min rule makes
+    that place engine-independent. Shingle-less docs are singletons
+    (they cannot collide; left-join coalesce).
+
+    Scale shape: inherits c49's contract wholesale — bucket-bounded
+    candidate edges (Σ|bucket|², digest-only), a |docs|-row rep
+    relation per superstep, log-depth rounds, the driver controlling
+    round count only. The plan tail is one |docs|-row join (rep →
+    token counts) + a |sources|-key rollup; the weight arithmetic is
+    exact integers end-to-end (the one division is a single DIV at
+    the output boundary, truncation mirrored by the oracle's //)."""
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.round8 import _c49_rep
+
+    d = (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("nt"),
+        )
+        .localCheckpoint(eager=False)  # member arm + rep-token arm
+    )
+    rep = _c49_rep(spark, sf).withColumnRenamed("v", "doc_id")
+    rp = d.join(rep, "doc_id", "left").select(
+        "nt", F.coalesce("rep", F.col("doc_id")).alias("rep")
+    )
+    cl = rp.groupBy("rep").agg(
+        F.count("*").cast("bigint").alias("csize"),
+        F.sum("nt").alias("tokens_raw"),
+    )
+    cw = cl.join(
+        d.select(
+            F.col("doc_id").alias("rep"),
+            "source",
+            F.col("nt").alias("rep_tokens"),
+        ),
+        "rep",
+    ).withColumn("w", F.least(F.col("csize"), F.lit(_P43_CAP)))
+    return (
+        cw.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("csize").cast("bigint").alias("n_members"),
+            F.sum("tokens_raw").cast("bigint").alias("tokens_raw"),
+            F.sum("rep_tokens").cast("bigint").alias("tokens_kept"),
+            F.sum(F.col("rep_tokens") * F.col("w"))
+            .cast("bigint")
+            .alias("tokens_weighted"),
+        )
+        .withColumn(
+            "savings_micro",
+            F.expr(
+                "(tokens_raw - tokens_weighted) * 1000000"
+                " DIV tokens_raw"
+            ).cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # b164 — all_data_files metadata table (Iceberg's t.all_data_files)
 # ---------------------------------------------------------------------------
 

@@ -1959,15 +1959,18 @@ def c48_semdedup(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _c49_oracle() -> str:
+def _c49_chain() -> str:
+    """The recursive closure chain through ``rep`` (v → component min
+    over the LSH band-collision graph). Shared by c49's histogram and
+    p43's epoch plan (the compose-never-slice rule); callers prepend
+    ``WITH RECURSIVE``."""
     from iceberg_playground_spark.queries.round7 import (
         _DIGEST_SQL,
         _bands_union_sql,
         _mh_sql,
     )
 
-    return f"""
-    WITH RECURSIVE sh0 AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    return f"""sh0 AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
     sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
     ds AS (SELECT doc_id, {_DIGEST_SQL} AS ds FROM sh),
     mh AS (SELECT doc_id, {_mh_sql()} FROM ds),
@@ -1982,7 +1985,12 @@ def _c49_oracle() -> str:
       SELECT v, v FROM nodes
       UNION
       SELECT r.v, p.b FROM reach r JOIN pairs p ON r.u = p.a),
-    rep AS (SELECT v, min(u) AS rep FROM reach GROUP BY v),
+    rep AS (SELECT v, min(u) AS rep FROM reach GROUP BY v)"""
+
+
+def _c49_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_c49_chain()},
     sizes AS (SELECT rep, count(*) AS csize FROM rep GROUP BY rep)
     SELECT CAST(csize AS BIGINT) AS cluster_size,
            CAST(count(*) AS BIGINT) AS n_clusters
@@ -1990,25 +1998,14 @@ def _c49_oracle() -> str:
     """
 
 
-@query("c49_dedup_cluster_histogram", oracle=_c49_oracle())
-def c49_dedup_cluster_histogram(spark: SparkSession, sf: str) -> DataFrame:
-    """C49: dedup cluster-size histogram — connected components over
-    the LSH band-collision graph, GRADED: c24 computes the same
-    transitive closure over engine-native xxhash64 (rows-only by
-    necessity); this sibling runs it over p17's portable affine
-    family, and the oracle computes the identical fixpoint
-    DECLARATIVELY (a recursive-CTE closure + min-per-node) — the
-    hash-match proves the distributed iterative algorithm (Pregel-
-    style pointer jumping, rounds double the closed hop distance)
-    reaches exactly the fixpoint the declarative form defines. The
-    histogram (how many dup-clusters of each size) is the number a
-    corpus owner quotes ("duplicate mass lives in k-sized families").
-
-    Scale shape: the collision graph is bucket-bounded (Σ|bucket|²
-    candidate edges, digest-only); each superstep is one self-join of
-    the |docs|-row rep relation; log2(longest chain) rounds. The
-    driver loop controls ROUNDS only (a fixed 8, closing chains to
-    2^8) — no data ever reaches the driver."""
+def _c49_rep(spark: SparkSession, sf: str) -> DataFrame:
+    """The (v, rep) connected-components fixpoint over the LSH
+    band-collision graph — Pregel-style pointer jumping, 8 rounds
+    (closing chains up to 2^8), over p17's portable affine signature
+    family. Shared by c49 (histogram) and p43 (epoch plan); the
+    declarative twin is _c49_chain()'s recursive CTE. Only docs with
+    ≥1 shingle appear (shingle-less docs cannot collide — callers
+    treat them as singletons via a left join)."""
     from iceberg_playground_spark.queries.round7 import _band_sigs
 
     d = (
@@ -2065,6 +2062,29 @@ def c49_dedup_cluster_histogram(spark: SparkSession, sf: str) -> DataFrame:
             .select("v", F.col("rep2").alias("rep"))
             .localCheckpoint(eager=False)
         )
+    return rep
+
+
+@query("c49_dedup_cluster_histogram", oracle=_c49_oracle())
+def c49_dedup_cluster_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """C49: dedup cluster-size histogram — connected components over
+    the LSH band-collision graph, GRADED: c24 computes the same
+    transitive closure over engine-native xxhash64 (rows-only by
+    necessity); this sibling runs it over p17's portable affine
+    family, and the oracle computes the identical fixpoint
+    DECLARATIVELY (a recursive-CTE closure + min-per-node) — the
+    hash-match proves the distributed iterative algorithm (Pregel-
+    style pointer jumping, rounds double the closed hop distance)
+    reaches exactly the fixpoint the declarative form defines. The
+    histogram (how many dup-clusters of each size) is the number a
+    corpus owner quotes ("duplicate mass lives in k-sized families").
+
+    Scale shape: the collision graph is bucket-bounded (Σ|bucket|²
+    candidate edges, digest-only); each superstep is one self-join of
+    the |docs|-row rep relation; log2(longest chain) rounds. The
+    driver loop controls ROUNDS only (a fixed 8, closing chains to
+    2^8) — no data ever reaches the driver."""
+    rep = _c49_rep(spark, sf)
     sizes = rep.groupBy("rep").agg(F.count("*").alias("csize"))
     return sizes.groupBy("csize").agg(
         F.count("*").cast("bigint").alias("n_clusters")

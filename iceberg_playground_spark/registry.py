@@ -91,6 +91,7 @@ _R12_NEW_TAIL: list[str] = [
     "c79_pca_power_iteration",
     "c81_pca_prefilter_recall",
     "c80_phash_near_dup",
+    "p43_dedup_aware_epochs",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

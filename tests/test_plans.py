@@ -1490,3 +1490,13 @@ def test_c80_payloads_never_shuffle(spark):
     assert "CartesianProduct" not in plan
     for cols in _exchange_outputs(df):
         assert not {"payload", "text"} & set(cols), cols
+
+
+def test_p43_inherits_c49_bounded_shape(spark):
+    # p43: no cartesian anywhere; corpus text never rides an exchange
+    # (the closure works on digests, the tail on (doc_id, nt) rows)
+    df = registry.QUERIES["p43_dedup_aware_epochs"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert "text" not in set(cols), cols

@@ -261,3 +261,38 @@ def test_c80_signature_kernel_matches_python(spark):
         r["doc_id"]: r["sig"] for r in _c80_sigs(spark, SF_SMOKE).collect()
     }
     assert got == sigs
+
+
+# --- p43 dedup-aware epoch plan --------------------------------------------------
+
+
+def test_p43_accounts_for_every_document(spark):
+    # every doc lands in exactly one cluster (shingle-less docs as
+    # singletons): member count and raw tokens must equal the corpus
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    n, toks = duckdb.sql(
+        f"SELECT count(*), sum(len(string_split(text, ' '))) "
+        f"FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()[0]
+    rows = registry.QUERIES["p43_dedup_aware_epochs"](
+        spark, SF_SMOKE
+    ).collect()
+    assert sum(r["n_members"] for r in rows) == n
+    assert sum(r["tokens_raw"] for r in rows) == toks
+
+
+def test_p43_weight_cap_and_consistency(spark):
+    # kept <= weighted <= cap * kept (per source), and clusters <=
+    # members; consistent with c49's histogram total
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.QUERIES["p43_dedup_aware_epochs"](
+        spark, SF_SMOKE
+    ).collect()
+    for r in rows:
+        assert r["n_clusters"] <= r["n_members"]
+        assert r["tokens_kept"] <= r["tokens_weighted"]
+        assert r["tokens_weighted"] <= 3 * r["tokens_kept"]
