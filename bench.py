@@ -184,6 +184,21 @@ HEADLINE = [
     "p40_mixture_weight_learn",
     "c76_unigram_apply_fertility",
     "c77_trained_ivfadc",
+    # round-12b entrants with real plan work: the PCA Gram scan
+    # (Arrow-batched mapInPandas partials — the repo's one
+    # statistics-kernel cell), its deployed 1-D prefilter recall
+    # audit (re-runs the Gram scan + projection + two top-k arms),
+    # the perceptual-hash near-dup (mapInPandas signature kernel +
+    # banded Σ|bucket|² self-join over 4 bands), and the dedup-aware
+    # epoch plan (c49's 8-superstep pointer-jumping fixpoint + the
+    # budget tail — the heaviest composition in the set). b164 is
+    # graded but unbenched: metadata-table listing answered from
+    # snapshot JSON headers, sub-2 s fixed cost with no plan signal
+    # (the b159/b160/b161 rationale).
+    "c79_pca_power_iteration",
+    "c81_pca_prefilter_recall",
+    "c80_phash_near_dup",
+    "p43_dedup_aware_epochs",
 ]
 
 # Cells whose first call is dominated by demo-WAREHOUSE construction
@@ -339,6 +354,13 @@ ANCHOR_SECONDS = {
     "p40_mixture_weight_learn": 2.03,
     "c76_unigram_apply_fertility": 7.46,
     "c77_trained_ivfadc": 10.78,
+    # round-12b (third clean pair at r12 HEAD: 170.9 s with 3
+    # quiet-probe noise cells over anchor + quiet 151.8 s with only
+    # known-noise b19 over; pair minimums)
+    "c79_pca_power_iteration": 0.93,
+    "c81_pca_prefilter_recall": 1.11,
+    "c80_phash_near_dup": 1.60,
+    "p43_dedup_aware_epochs": 4.58,
 }
 GUARD_FACTOR = 2.0
 GUARD_MIN_CELLS = 4
