@@ -852,3 +852,97 @@ def b164_all_data_files(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("added_version")
     )
+
+
+# ---------------------------------------------------------------------------
+# b165 — rewrite_manifests (metadata-only manifest consolidation)
+# ---------------------------------------------------------------------------
+
+_B165_ORACLE = """
+WITH na AS (SELECT count(*) AS n FROM customer),
+nb AS (SELECT count(*) AS n FROM customer WHERE c_nationkey < 5)
+SELECT CAST(1 AS INT) AS ref_version, 'data' AS content,
+       CAST(3 AS BIGINT) AS n_manifests, CAST(3 AS BIGINT) AS n_files,
+       CAST((SELECT n FROM na) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 2, 'data', 4, 4, (SELECT n FROM na) + (SELECT n FROM nb)
+UNION ALL
+SELECT 3, 'data', 4, 4, (SELECT n FROM na) + (SELECT n FROM nb)
+UNION ALL
+SELECT 3, 'delete', 1, 1, NULL
+UNION ALL
+SELECT 4, 'data', 2, 4, (SELECT n FROM na) + (SELECT n FROM nb)
+UNION ALL
+SELECT 4, 'delete', 1, 1, NULL
+ORDER BY ref_version, content
+"""
+
+
+@query("b165_rewrite_manifests", oracle=_B165_ORACLE)
+def b165_rewrite_manifests(spark: SparkSession, sf: str) -> DataFrame:
+    """B165: ``rewrite_manifests`` — the metadata-only maintenance
+    procedure the decoupled-writer architecture NEEDS (every
+    BatchedCommitter epoch commits one manifest per staged dir, the
+    reference's writers→committer shape at decouple.rs:112-156; scan
+    planning degrades once a snapshot carries thousands of tiny
+    manifests), completing the maintenance verbs alongside b83
+    compaction, b91 expiration, and b157 cherry-pick. The rewrite
+    merges manifest entries per DATA SEQUENCE — preserving sequence
+    numbers is what keeps merge-on-read delete scoping exact across
+    the rewrite (a delete masks strictly-older sequences), proven in
+    the lifecycle test by the read being row-identical before/after.
+
+    Demo lineage: a 3-writer fleet stages thirds of customer and one
+    committer lands them as ONE snapshot with THREE manifests (v1,
+    the A6 shape), a second append (v2), an equality DELETE (v3),
+    then rewrite_manifests (v4): the three v1 manifests merge into
+    one, v2's passes through, the delete manifest is untouched, and
+    NO data file moves. Graded on the all_manifests rollup per
+    (referencing version, content) — the consolidation is visible as
+    v4's manifest count dropping to 2 while file count and record sum
+    stay exactly v3's.
+
+    Scale shape: one JSON header per snapshot, zero data I/O at any
+    table size (the b92 rule; plan-pinned no parquet scan) — the
+    whole point of the procedure."""
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.tables import LakeCatalog, LakeTable
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo",
+            "customer_rwm",
+            "c_custkey BIGINT, c_nationkey BIGINT",
+            drop_if_exists=True,
+        )
+        c = load(spark, sf, "customer").select(
+            F.col("c_custkey").cast("bigint"),
+            F.col("c_nationkey").cast("bigint"),
+        )
+        staged = [
+            t.stage_append(
+                c.filter(F.col("c_custkey") % 3 == i).coalesce(1)
+            )
+            for i in range(3)
+        ]
+        t._commit(
+            staged, [], {"operation": "append", "added": len(staged)}
+        )
+        t.append(c.filter(F.col("c_nationkey") < 5).coalesce(1))
+        t.delete_where("c_nationkey = 5", ["c_custkey"])
+        t.rewrite_manifests()
+        return t
+
+    t = _built(spark, sf, "b165", build)
+    return (
+        t.all_manifests()
+        .groupBy("ref_version", "content")
+        .agg(
+            F.count("*").cast("bigint").alias("n_manifests"),
+            F.sum("n_files").cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("ref_version", "content")
+    )

@@ -92,6 +92,7 @@ _R12_NEW_TAIL: list[str] = [
     "c81_pca_prefilter_recall",
     "c80_phash_near_dup",
     "p43_dedup_aware_epochs",
+    "b165_rewrite_manifests",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1462,6 +1462,104 @@ class LakeTable:
             },
         )
 
+    def rewrite_manifests(self) -> int:
+        """Iceberg's ``rewrite_manifests``: consolidate the current
+        snapshot's manifest entries WITHOUT touching any data file —
+        the metadata-only maintenance a decoupled writer fleet needs,
+        because every BatchedCommitter epoch commits one manifest per
+        staged dir (decouple.rs's writers→committer shape) and scan
+        planning degrades once a snapshot carries thousands of tiny
+        manifests. Entries merge per (data sequence, schema stamp):
+        the DATA SEQUENCE is preserved on the merged entry, which is
+        what keeps merge-on-read delete scoping exact (a delete masks
+        strictly-older sequences — re-stamping would mask rows it
+        never saw, the same rule cherrypick refuses over). The merged
+        entry lists its files as absolute ``paths`` with bounds/rows
+        re-keyed relative to the table data root (the multi-path entry
+        form the read path already supports for pruned scans).
+
+        A no-op (nothing to merge) returns the current version WITHOUT
+        minting a snapshot (the b144/b157 refusal convention).
+        Stand-in restriction, documented: hive-partitioned tables
+        refuse — a merged entry's single basePath cannot span staged
+        dirs while preserving partition-column recovery. Iceberg
+        rewrites partitioned manifests fine; this mirror keeps the
+        unpartitioned contract exact instead of approximating both."""
+        if self.partition_by:
+            raise ValueError(
+                "rewrite_manifests: unsupported on hive-partitioned "
+                "stand-in tables (merged entries share one basePath)"
+            )
+        head = self.current_version()
+        snap = self.snapshot(head)
+        data_root = os.path.join(self.root, _DATA_DIR)
+        groups: dict[tuple, list[dict]] = {}
+        passthrough: list[dict] = []
+        for e in snap["data_files"]:
+            if e.get("paths") is not None or not e.get("bounds"):
+                passthrough.append(dict(e))  # already multi-path/statless
+                continue
+            groups.setdefault((int(e["seq"]), e.get("ddl")), []).append(e)
+        merged: list[dict] = []
+        n_in = n_out = 0
+        for (seq, ddl), grp in sorted(
+            groups.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
+        ):
+            if len(grp) == 1:
+                merged.append(dict(grp[0]))
+                continue
+            n_in += len(grp)
+            n_out += 1
+            paths, bounds, rows = [], {}, {}
+            for e in grp:
+                per_rows = e.get("rows", {})
+                for fn, b in e["bounds"].items():
+                    ap = os.path.join(e["path"], fn)
+                    rel = os.path.relpath(ap, data_root)
+                    paths.append(ap)
+                    bounds[rel] = b
+                    if fn in per_rows:
+                        rows[rel] = per_rows[fn]
+            entry = {
+                "path": data_root,
+                "paths": paths,
+                "seq": seq,
+                "bounds": bounds,
+                "rows": rows,
+            }
+            if ddl is not None:
+                entry["ddl"] = ddl
+            merged.append(entry)
+        if n_in == 0:
+            return head  # nothing to consolidate: no version minted
+        new = {
+            "version": head + 1,
+            "parent": head,
+            "ts": time.time(),
+            "ddl": snap.get("ddl", self.ddl),
+            "data_files": merged + passthrough,
+            "delete_files": [dict(d) for d in snap["delete_files"]],
+            "summary": {
+                "operation": "rewrite-manifests",
+                "merged_from": n_in,
+                "merged_to": n_out,
+            },
+        }
+        tmp = self._snap_file(head + 1) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(new, f)
+        target = self._snap_file(head + 1)
+        try:
+            os.link(tmp, target)
+            os.unlink(tmp)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"rewrite_manifests read v{head} but v{head + 1} landed "
+                f"concurrently in {self.root}: re-read and retry"
+            )
+        return head + 1
+
     def _zvalue(self, df: DataFrame, cols: list[str], bits: int = 16):
         """Z-order key: min-max normalize each column to a ``bits``-wide
         integer rank, then interleave the bits. Files cut along z-order
@@ -1834,22 +1932,29 @@ class LakeTable:
         live files' spread across added_version is what incremental
         consumers replay. Answered by walking the snapshot JSON
         headers only — zero data I/O at any table size (the b92
-        rule)."""
+        rule). File identity is the DATA-ROOT-RELATIVE physical path,
+        not the manifest-local name: a manifest rewrite re-keys its
+        merged entry's bounds, and the lineage view must keep counting
+        the same physical file as one file across it."""
         cur = self.current_version()
+        data_root = os.path.join(self.root, _DATA_DIR)
         info: dict[str, list] = {}
         for v in self.versions():
             snap = self.snapshot(v)
             for e in snap["data_files"]:
                 per_rows = e.get("rows", {})
-                for fn in e.get("bounds", {}):
+                for raw in e.get("bounds", {}):
+                    fn = os.path.relpath(
+                        os.path.join(e["path"], raw), data_root
+                    )
                     rec = info.setdefault(
                         fn,
                         [
                             int(e["seq"]),
                             v,
                             (
-                                int(per_rows[fn])
-                                if fn in per_rows
+                                int(per_rows[raw])
+                                if raw in per_rows
                                 else None
                             ),
                             False,

@@ -1500,3 +1500,11 @@ def test_p43_inherits_c49_bounded_shape(spark):
     assert "CartesianProduct" not in plan
     for cols in _exchange_outputs(df):
         assert "text" not in set(cols), cols
+
+
+def test_b165_rewrite_manifests_is_metadata_only(spark):
+    # b165: the consolidation rollup is answered from snapshot JSON
+    # headers — no parquet scan, no join in the graded plan
+    plan = _plan(spark, "b165_rewrite_manifests")
+    assert "Scan parquet" not in plan
+    assert "Join" not in plan

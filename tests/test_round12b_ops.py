@@ -7,6 +7,8 @@ hash's multi-index identity, and the epoch plan's capped weights."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from iceberg_playground_spark import registry
 
 registry.load_all()
@@ -57,7 +59,12 @@ def test_b164_all_files_walks_file_grain(spark, tmp_path):
 
 def test_b164_live_set_matches_files_table(spark, tmp_path):
     # The live slice of all_files IS the current files() table — the
-    # invariant that makes the dead slice the reclaim set.
+    # invariant that makes the dead slice the reclaim set. all_files
+    # keys by data-root-relative physical path (rewrite-stable),
+    # files() by manifest-local name; Spark part-file basenames embed
+    # a UUID, so basenames compare the same physical set.
+    import os
+
     from iceberg_playground_spark.tables import LakeCatalog
 
     cat = LakeCatalog(spark, str(tmp_path))
@@ -67,9 +74,13 @@ def test_b164_live_set_matches_files_table(spark, tmp_path):
     t.append(spark.createDataFrame([(1,), (2,)], "k BIGINT").coalesce(1))
     t.append(spark.createDataFrame([(3,)], "k BIGINT").coalesce(1))
     live = {
-        r["file_name"] for r in t.all_files().collect() if r["is_live"]
+        os.path.basename(r["file_name"])
+        for r in t.all_files().collect()
+        if r["is_live"]
     }
-    current = {r["file_name"] for r in t.files().collect()}
+    current = {
+        os.path.basename(r["file_name"]) for r in t.files().collect()
+    }
     assert live == current
 
 
@@ -296,3 +307,100 @@ def test_p43_weight_cap_and_consistency(spark):
         assert r["n_clusters"] <= r["n_members"]
         assert r["tokens_kept"] <= r["tokens_weighted"]
         assert r["tokens_weighted"] <= 3 * r["tokens_kept"]
+
+
+# --- b165 rewrite_manifests ------------------------------------------------------
+
+
+def test_b165_rewrite_preserves_read_and_delete_scoping(spark, tmp_path):
+    # the rewrite must not change ONE visible row: merged entries keep
+    # their data sequence, so the equality delete still masks exactly
+    # the strictly-older files it did before
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table(
+        "demo", "rwm_t", "k BIGINT, g BIGINT", drop_if_exists=True
+    )
+    rows = [(i, i % 4) for i in range(40)]
+    df = spark.createDataFrame(rows, "k BIGINT, g BIGINT")
+    staged = [
+        t.stage_append(df.filter(F.col("k") % 3 == i).coalesce(1))
+        for i in range(3)
+    ]
+    t._commit(staged, [], {"operation": "append", "added": 3})
+    t.append(df.filter(F.col("g") == 0).coalesce(1))
+    t.delete_where("g = 1", ["k"])
+    before = sorted((r["k"], r["g"]) for r in t.read().collect())
+    v = t.rewrite_manifests()
+    assert v == 4
+    after = sorted((r["k"], r["g"]) for r in t.read().collect())
+    assert after == before
+    # consolidation happened: v4 carries fewer data manifests than v3
+    counts = {
+        r["ref_version"]: 0 for r in t.all_manifests().collect()
+    }
+    for r in t.all_manifests().collect():
+        if r["content"] == "data":
+            counts[r["ref_version"]] += 1
+    assert counts[3] == 4 and counts[4] == 2
+
+
+def test_b165_noop_mints_no_version(spark, tmp_path):
+    # a single-manifest-per-sequence table has nothing to merge: the
+    # call returns HEAD and the snapshot log is untouched (the
+    # b144/b157 refusal convention)
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("demo", "rwm_n", "k BIGINT", drop_if_exists=True)
+    t.append(spark.createDataFrame([(1,), (2,)], "k BIGINT").coalesce(1))
+    t.append(spark.createDataFrame([(3,)], "k BIGINT").coalesce(1))
+    assert t.rewrite_manifests() == 2
+    assert t.versions()[-1] == 2
+
+
+def test_b165_partitioned_refuses(spark, tmp_path):
+    import pytest
+
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table(
+        "demo",
+        "rwm_p",
+        "k BIGINT, p STRING",
+        partition_by=["p"],
+        drop_if_exists=True,
+    )
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, p STRING")
+    )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        t.rewrite_manifests()
+
+
+def test_b165_all_files_identity_stable_across_rewrite(spark, tmp_path):
+    # all_files keys files by physical path: the rewrite re-keys
+    # manifest-local names but must not make any file look new or dead
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("demo", "rwm_f", "k BIGINT", drop_if_exists=True)
+    df = spark.createDataFrame([(i,) for i in range(12)], "k BIGINT")
+    staged = [
+        t.stage_append(df.filter(F.col("k") % 2 == i).coalesce(1))
+        for i in range(2)
+    ]
+    t._commit(staged, [], {"operation": "append", "added": 2})
+    before = {
+        r["file_name"]: (r["added_version"], r["is_live"])
+        for r in t.all_files().collect()
+    }
+    t.rewrite_manifests()
+    after = {
+        r["file_name"]: (r["added_version"], r["is_live"])
+        for r in t.all_files().collect()
+    }
+    assert set(before) == set(after)
+    assert all(after[f] == (before[f][0], True) for f in after)
