@@ -138,19 +138,19 @@ def _tdiv(a: int, b: int) -> int:
     return -((-a) // b) if a < 0 else a // b
 
 
-def _c79_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """ONE corpus scan → the exact integer Gram sufficient statistics
-    on c54's grid, as a (d²+d+1)-row frame: (i, j, v) = Σ qᵢqⱼ for
-    i,j ≥ 1; (i, 0, v) = Σ qᵢ; (0, 0, v) = n. The Arrow-batched
+def _c79_partials(qdf: DataFrame) -> DataFrame:
+    """Exact integer Gram sufficient statistics of a quantized-vector
+    frame (column ``q``), as a (d²+d+1)-row frame: (i, j, v) = Σ qᵢqⱼ
+    for i,j ≥ 1; (i, 0, v) = Σ qᵢ; (0, 0, v) = n. The Arrow-batched
     kernel reduces each batch to its own d×d outer-product partials
     with numpy int64 sums — the exchange carries model-sized partial
     rows, never a vector (the sanctioned vectorized-Python surface,
-    c15's convention applied to statistics). Lazily checkpointed: the
-    driver collects it for the iteration AND the graded output joins
-    back onto it without re-scanning the corpus."""
+    c15's convention applied to statistics). Integer sums are
+    associative, so partials from ANY split of the corpus (Arrow
+    batches here, ingest epochs in p44) merge to the same statistics
+    by plain addition — the mergeable-sketch property made a graded
+    contract by p44's stream/batch parity."""
     import pandas as pd  # local import: only the executors need it
-
-    from iceberg_playground_spark.queries.round9b import _c54_quantized
 
     d = _C79_DIM
 
@@ -172,12 +172,17 @@ def _c79_stats(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    part = (
-        _c54_quantized(spark, sf)
-        .select("q")
-        .mapInPandas(_partials, schema="i int, j int, v long")
+    part = qdf.select("q").mapInPandas(
+        _partials, schema="i int, j int, v long"
     )
     return part.groupBy("i", "j").agg(F.sum("v").alias("v"))
+
+
+def _c79_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE corpus scan → the Gram statistics (see _c79_partials)."""
+    from iceberg_playground_spark.queries.round9b import _c54_quantized
+
+    return _c79_partials(_c54_quantized(spark, sf))
 
 
 def _c79_stats_cached(spark: SparkSession, sf: str) -> DataFrame:
@@ -325,7 +330,14 @@ def c79_pca_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
     aggregate tree). Int64 headroom: n·Σqq at |q| ≤ 1000 holds to
     ~10⁶ rows; past that, fold a fixed 2^s down-shift into the
     partials (documented, not needed at test scale)."""
-    stats = _c79_stats_cached(spark, sf)
+    return _c79_report(spark, _c79_stats_cached(spark, sf))
+
+
+def _c79_report(spark: SparkSession, stats: DataFrame) -> DataFrame:
+    """The graded tail from a Gram-statistics frame: driver iteration
+    + the 64-row output join. Shared by c79 (one-scan batch stats)
+    and p44 (epoch-merged streaming stats): identical arithmetic on
+    identical statistics IS the parity proof (p40/p42's convention)."""
     res = _c79_iterate(stats.collect())  # d²+d+1 rows — model-sized
     comp = spark.createDataFrame(
         [(i + 1, res["v"][i]) for i in range(_C79_DIM)],
@@ -347,6 +359,115 @@ def c79_pca_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+# ---------------------------------------------------------------------------
+# p44 — streaming Gram merge (c79 as continuous ingest; parity proof)
+# ---------------------------------------------------------------------------
+
+_P44_EPOCHS = 4
+
+
+@query("p44_streaming_gram_merge", oracle=_c79_oracle())
+def p44_streaming_gram_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """P44: c79's PCA statistics as CONTINUOUS ingest — the proof of
+    c79's scale claim that Gram partials are MERGEABLE state (p38's
+    convention applied to the statistics family): vectors arrive as
+    {E} vec_id-quartile micro-batches (availableNow); each batch runs
+    the SAME Arrow-batched Gram kernel (_c79_partials — no batch ever
+    sees another batch's data) and appends its (i, j, partial-sum)
+    rows to a state table; the final pass merges the ≤ epochs·(d²+d+1)
+    partial rows by plain addition and runs the identical driver
+    iteration. Integer sums are associative, so the drained result is
+    hash-IDENTICAL to batch c79 REGARDLESS of arrival order — the
+    oracle IS c79's oracle, and tests additionally pin row-for-row
+    parity against the batch op. This is how a 100 TB embedding store
+    maintains its PCA/whitening statistics: each ingest epoch pays
+    |batch|, the component re-derives from d² ints of state, and the
+    corpus is never rescanned.
+
+    Scale shape: per-epoch work is one mapInPandas pass over the
+    batch + a (d²)-key aggregate; cross-batch state is d²-bounded
+    integer rows per epoch however large the corpus; the final merge
+    aggregates epochs·d² rows. Corpus vectors never cross an epoch
+    boundary."""
+    import os
+    import shutil
+
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.queries.streaming import _scratch
+
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+
+    def build(tmp: str) -> str:
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src, exist_ok=True)
+        for i in range(_P44_EPOCHS):
+            part_dir = os.path.join(tmp, f"stage_{i}")
+            (
+                e.filter(
+                    F.floor(F.col("vec_id") * _P44_EPOCHS / F.lit(n)) == i
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            part = next(
+                f
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and f.startswith("part-")
+            )
+            shutil.copyfile(
+                os.path.join(part_dir, part),
+                os.path.join(src, f"arrival_{i}.parquet"),
+            )
+        return src
+
+    src = _built(spark, sf, "p44", build)
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = _scratch("ips_stream_gram_")
+    state = os.path.join(work, "state")
+    try:
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            qb = batch_df.select(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * _C79_SCALE)
+                    .cast("bigint"),
+                ).alias("q")
+            )
+            # the SAME kernel as batch c79: the partials this epoch
+            # appends are exactly the rows its batches would have
+            # contributed to the one-scan aggregate
+            _c79_partials(qb).write.mode("append").parquet(state)
+
+        q = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", _scratch("ips_stream_gramck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        merged = (
+            spark.read.parquet(state)
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
+        )
+        # SIZE GUARD: d²+d+1 rows, collected because the scratch state
+        # dir is deleted in finally (p18's literal-result rule)
+        rows = [(int(r["i"]), int(r["j"]), int(r["v"])) for r in merged.collect()]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    stats = spark.createDataFrame(rows, "i int, j int, v long")
+    return _c79_report(spark, stats)
+
 
 # ---------------------------------------------------------------------------
 # c81 — PCA-prefiltered exact search + recall (c79 deployed, c45's eval)

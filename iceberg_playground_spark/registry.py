@@ -93,6 +93,7 @@ _R12_NEW_TAIL: list[str] = [
     "c80_phash_near_dup",
     "p43_dedup_aware_epochs",
     "b165_rewrite_manifests",
+    "p44_streaming_gram_merge",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

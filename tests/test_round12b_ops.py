@@ -404,3 +404,20 @@ def test_b165_all_files_identity_stable_across_rewrite(spark, tmp_path):
     }
     assert set(before) == set(after)
     assert all(after[f] == (before[f][0], True) for f in after)
+
+
+# --- p44 streaming Gram merge ------------------------------------------------
+
+
+def test_p44_stream_batch_parity(spark):
+    # the drained, epoch-merged statistics must reproduce batch c79
+    # row-for-row — the mergeable-state contract, graded
+    from tests.conftest import SF_SMOKE
+
+    a = registry.QUERIES["c79_pca_power_iteration"](
+        spark, SF_SMOKE
+    ).collect()
+    b = registry.QUERIES["p44_streaming_gram_merge"](
+        spark, SF_SMOKE
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
