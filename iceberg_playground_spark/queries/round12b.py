@@ -189,12 +189,10 @@ def _c79_stats_cached(spark: SparkSession, sf: str) -> DataFrame:
     return _c79_stats(spark, sf).localCheckpoint(eager=False)
 
 
-def _c79_iterate(stats_rows) -> dict:
-    """The fixed 8 power iterations on the collected statistics —
-    pure-Python exact integers (model-sized driver state, the
-    c70/c74 discipline). Returns the loading vector (micro), the
-    Rayleigh eigenvalue estimate, trace, and explained share."""
-    d, vs = _C79_DIM, _C79_VSCALE
+def _c79_gram(stats_rows) -> tuple[dict, list, int]:
+    """Collected statistics rows → the exact integer covariance Gram
+    G = n·Σqqᵀ − (Σq)(Σq)ᵀ plus the per-dim sums and n."""
+    d = _C79_DIM
     ss: dict[tuple[int, int], int] = {}
     s = [0] * (d + 1)
     n = 0
@@ -210,6 +208,17 @@ def _c79_iterate(stats_rows) -> dict:
         for i in range(1, d + 1)
         for j in range(1, d + 1)
     }
+    return g, s, n
+
+
+def _c79_power(g: dict) -> tuple[list, int]:
+    """The fixed 8 power iterations on an integer Gram — pure-Python
+    exact arithmetic (model-sized driver state, the c70/c74
+    discipline): seed e_k at the max diagonal (lowest-k tie),
+    w = G·v exact, v ← (w·10⁶) trunc-div max|w|. Returns the final
+    loading vector (micro) and the Rayleigh eigenvalue estimate.
+    Shared by c79 (top component) and c82 (deflated spectrum)."""
+    d, vs = _C79_DIM, _C79_VSCALE
     k0 = max(range(1, d + 1), key=lambda i: (g[(i, i)], -i))
     v = [vs if i == k0 else 0 for i in range(1, d + 1)]
     for _ in range(_C79_ITERS):
@@ -225,13 +234,19 @@ def _c79_iterate(stats_rows) -> dict:
     ]
     num = sum(v[i] * w[i] for i in range(d))
     den = sum(x * x for x in v)
-    lam = _tdiv(num, den)
-    trace = sum(g[(i, i)] for i in range(1, d + 1))
+    return v, _tdiv(num, den)
+
+
+def _c79_iterate(stats_rows) -> dict:
+    """c79's driver tail: Gram, one power pass, trace + explained."""
+    g, s, _ = _c79_gram(stats_rows)
+    v, lam = _c79_power(g)
+    trace = sum(g[(i, i)] for i in range(1, _C79_DIM + 1))
     return {
         "v": v,
         "lambda": lam,
         "trace": trace,
-        "explained": _tdiv(lam * vs, trace),
+        "explained": _tdiv(lam * _C79_VSCALE, trace),
         "sums": s,
     }
 
@@ -359,6 +374,180 @@ def _c79_report(spark: SparkSession, stats: DataFrame) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+# ---------------------------------------------------------------------------
+# c82 — PCA energy spectrum: top components by integer Hotelling deflation
+# ---------------------------------------------------------------------------
+
+_C82_COMPS = 3  # spectrum depth (components 1..3)
+
+
+def _c82_iter_sql(gname: str, pfx: str) -> str:
+    """The 8-iteration power chain over gram CTE ``gname``, producing
+    ``{pfx}8`` (loading), ``lam_{pfx}`` (Rayleigh estimate) — the
+    generic form of _c79_chain's v0..v8/lam block, reused per
+    deflated component."""
+    d, vs = _C79_DIM, _C79_VSCALE
+    steps = [
+        f"""{pfx}0 AS (
+  SELECT i, CASE WHEN i = (SELECT i FROM {gname} WHERE i = j
+                           ORDER BY gv DESC, i LIMIT 1)
+                 THEN CAST({vs} AS HUGEINT) ELSE 0 END AS x
+  FROM range(1, {d + 1}) t(i))"""
+    ]
+    for t in range(1, _C79_ITERS + 1):
+        steps.append(
+            f"""w{pfx}{t} AS MATERIALIZED (
+  SELECT g.i, sum(g.gv * v.x) AS w
+  FROM {gname} g JOIN {pfx}{t - 1} v ON v.i = g.j GROUP BY g.i),
+m{pfx}{t} AS (SELECT max(abs(w)) AS m FROM w{pfx}{t}),
+{pfx}{t} AS MATERIALIZED (
+  SELECT i, (w * {vs}) // (SELECT m FROM m{pfx}{t}) AS x
+  FROM w{pfx}{t})"""
+        )
+    steps.append(
+        f"""wf_{pfx} AS (
+  SELECT g.i, sum(g.gv * v.x) AS w
+  FROM {gname} g JOIN {pfx}{_C79_ITERS} v ON v.i = g.j GROUP BY g.i),
+lam_{pfx} AS (
+  SELECT sum(v.x * wf.w) // sum(v.x * v.x) AS l
+  FROM {pfx}{_C79_ITERS} v JOIN wf_{pfx} wf ON wf.i = v.i)"""
+    )
+    return ",\n".join(steps)
+
+
+def _c82_deflate_sql(gname: str, pfx: str, out: str) -> str:
+    """Integer Hotelling deflation: G' = G − (λ̂·uuᵀ) trunc-div uᵀu
+    with the ESTIMATED pair (u = {pfx}8, λ̂ = lam_{pfx}) — the exact
+    arithmetic both engines replicate bit-for-bit."""
+    return f"""uu_{pfx} AS (SELECT sum(x * x) AS d FROM {pfx}{_C79_ITERS}),
+{out} AS MATERIALIZED (
+  SELECT g.i, g.j,
+         g.gv - ((SELECT l FROM lam_{pfx}) * a.x * b.x)
+                // (SELECT d FROM uu_{pfx}) AS gv
+  FROM {gname} g
+  JOIN {pfx}{_C79_ITERS} a ON a.i = g.i
+  JOIN {pfx}{_C79_ITERS} b ON b.i = g.j)"""
+
+
+def _c82_oracle() -> str:
+    vs = _C79_VSCALE
+    it = _C79_ITERS
+    # component 1 rides c79's chain verbatim (v0..v8, lam, tr);
+    # components 2..k deflate and re-run the generic block
+    parts = [_c79_chain()]
+    prev_pfx, prev_g = "v", "g"
+    sel = [
+        f"""SELECT CAST(1 AS BIGINT) AS component, sv.i AS dim,
+       CAST(v.x AS BIGINT) AS loading_micro,
+       CAST((SELECT l FROM lam) AS BIGINT) AS lambda_est,
+       CAST((SELECT (l * {vs}) // (SELECT t FROM tr) FROM lam)
+            AS BIGINT) AS cum_explained_micro
+FROM sv JOIN v{it} v ON v.i = sv.i"""
+    ]
+    cums = ["(SELECT l FROM lam)"]
+    for k in range(2, _C82_COMPS + 1):
+        pfx, gname = f"u{k}_", f"g{k}"
+        # lam_v alias for component 1's chain (named lam/tr there)
+        src_lam = "lam_" + prev_pfx if k > 2 else None
+        if k == 2:
+            parts.append(
+                f"""uu_v AS (SELECT sum(x * x) AS d FROM v{it}),
+g2 AS MATERIALIZED (
+  SELECT g.i, g.j,
+         g.gv - ((SELECT l FROM lam) * a.x * b.x) // (SELECT d FROM uu_v)
+           AS gv
+  FROM g JOIN v{it} a ON a.i = g.i JOIN v{it} b ON b.i = g.j)"""
+            )
+        else:
+            parts.append(_c82_deflate_sql(prev_g, prev_pfx, gname))
+        parts.append(_c82_iter_sql(gname, pfx))
+        cums.append(f"(SELECT l FROM lam_{pfx})")
+        cum = " + ".join(cums)
+        sel.append(
+            f"""SELECT {k}, sv.i,
+       CAST(v.x AS BIGINT),
+       CAST((SELECT l FROM lam_{pfx}) AS BIGINT),
+       CAST((({cum}) * {vs}) // (SELECT t FROM tr) AS BIGINT)
+FROM sv JOIN {pfx}{it} v ON v.i = sv.i"""
+        )
+        prev_pfx, prev_g = pfx, gname
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(sel)
+        + "\nORDER BY component, dim"
+    )
+
+
+@query("c82_pca_energy_spectrum", oracle=_c82_oracle())
+def c82_pca_energy_spectrum(spark: SparkSession, sf: str) -> DataFrame:
+    """C82: PCA ENERGY SPECTRUM — the top-3 components by integer
+    Hotelling deflation, extending c79 from "the" direction to the
+    spectrum an embedding-pipeline owner actually decides with (how
+    many dimensions carry the corpus's energy — the input to
+    Matryoshka truncation depth (c47), PQ subspace allocation (c74),
+    and whitening): after each power pass, the Gram deflates by the
+    ESTIMATED pair — G' = G − (λ̂·uuᵀ) trunc-div (uᵀu) — in exact
+    integer arithmetic (λ̂·uᵢuⱼ ≤ 10¹² λ̂ holds inside HUGEINT/python
+    int; one trunc-div per cell, mirrored by the oracle bit-for-bit),
+    then the identical 8-iteration power pass re-runs on the deflated
+    matrix (shared _c79_power — the c70/c74 superstep discipline,
+    here entirely driver-side on d² ints). Graded on the full
+    3×64-row loading spectrum + per-component Rayleigh estimates +
+    CUMULATIVE explained share of trace(G): one different Gram cell,
+    division, or deflation anywhere changes the hash. Estimated-pair
+    deflation (not exact-eigen) is deliberate: it is what finite
+    iteration gives ANY engine, and both sides replicate it exactly —
+    the spectral error is bounded by the component-1 residual and the
+    audit's decisions (energy thresholds) are insensitive to it.
+
+    Scale shape: identical to c79 — the ONE Gram scan is the only
+    corpus-sized work (d²-bounded mapInPandas partials, no vector on
+    any exchange); the whole spectrum (deflations + 2 more power
+    passes) is driver arithmetic on d² ints, free at any corpus
+    size. At 100 TB the spectrum costs exactly what c79 costs."""
+    stats = _c79_stats_cached(spark, sf)
+    g, _, _ = _c79_gram(stats.collect())  # model-sized collect
+    d, vs = _C79_DIM, _C79_VSCALE
+    trace = sum(g[(i, i)] for i in range(1, d + 1))
+    rows = []
+    cum = 0
+    for comp in range(1, _C82_COMPS + 1):
+        v, lam = _c79_power(g)
+        cum += lam
+        rows.extend(
+            (comp, i + 1, v[i], lam, _tdiv(cum * vs, trace))
+            for i in range(d)
+        )
+        if comp < _C82_COMPS:
+            den = sum(x * x for x in v)
+            g = {
+                (i, j): g[(i, j)]
+                - _tdiv(lam * v[i - 1] * v[j - 1], den)
+                for i in range(1, d + 1)
+                for j in range(1, d + 1)
+            }
+    spec = spark.createDataFrame(
+        rows,
+        "component BIGINT, dim BIGINT, loading_micro BIGINT,"
+        " lambda_est BIGINT, cum_explained_micro BIGINT",
+    )
+    # tie the graded frame to the distributed lineage exactly as c79
+    # does: the 64-row dim axis joins back onto the Gram-scan sums
+    sums = stats.filter((F.col("i") > 0) & (F.col("j") == 0)).select(
+        F.col("i").cast("bigint").alias("dim")
+    )
+    return (
+        sums.join(F.broadcast(spec), "dim")
+        .select(
+            "component", "dim", "loading_micro", "lambda_est",
+            "cum_explained_micro",
+        )
+        .orderBy("component", "dim")
+    )
+
 
 # ---------------------------------------------------------------------------
 # p44 — streaming Gram merge (c79 as continuous ingest; parity proof)

@@ -94,6 +94,7 @@ _R12_NEW_TAIL: list[str] = [
     "p43_dedup_aware_epochs",
     "b165_rewrite_manifests",
     "p44_streaming_gram_merge",
+    "c82_pca_energy_spectrum",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

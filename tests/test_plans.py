@@ -1508,3 +1508,13 @@ def test_b165_rewrite_manifests_is_metadata_only(spark):
     plan = _plan(spark, "b165_rewrite_manifests")
     assert "Scan parquet" not in plan
     assert "Join" not in plan
+
+
+def test_c82_spectrum_costs_one_gram_scan(spark):
+    # c82: the whole 3-component spectrum is driver arithmetic — the
+    # graded plan pays exactly c79's shape (no corpus join, no
+    # sort-merge/cartesian; the spectrum frame is a broadcast literal)
+    plan = _plan(spark, "c82_pca_energy_spectrum")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -421,3 +421,100 @@ def test_p44_stream_batch_parity(spark):
         spark, SF_SMOKE
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# --- c82 PCA energy spectrum -----------------------------------------------------
+
+
+def test_c82_matches_python_reference(spark):
+    # the full 3-component deflation spectrum recomputed independently
+    import duckdb
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{SF_SMOKE}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    m = np.floor(
+        np.array([r[0] for r in rows], dtype="float64") * 1000
+    ).astype("int64")
+    n, d = m.shape
+    ss = m.T @ m
+    s = m.sum(axis=0)
+    g = {
+        (i + 1, j + 1): int(n) * int(ss[i][j]) - int(s[i]) * int(s[j])
+        for i in range(d)
+        for j in range(d)
+    }
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    def power(gm):
+        k0 = max(range(1, d + 1), key=lambda i: (gm[(i, i)], -i))
+        v = [1_000_000 if i == k0 else 0 for i in range(1, d + 1)]
+        for _ in range(8):
+            w = [
+                sum(gm[(i, j)] * v[j - 1] for j in range(1, d + 1))
+                for i in range(1, d + 1)
+            ]
+            mx = max(abs(x) for x in w)
+            v = [tdiv(x * 1_000_000, mx) for x in w]
+        w = [
+            sum(gm[(i, j)] * v[j - 1] for j in range(1, d + 1))
+            for i in range(1, d + 1)
+        ]
+        lam = tdiv(
+            sum(v[i] * w[i] for i in range(d)), sum(x * x for x in v)
+        )
+        return v, lam
+
+    trace = sum(g[(i, i)] for i in range(1, d + 1))
+    want = []
+    cum = 0
+    for comp in range(1, 4):
+        v, lam = power(g)
+        cum += lam
+        want.extend(
+            (comp, i + 1, v[i], lam, tdiv(cum * 1_000_000, trace))
+            for i in range(d)
+        )
+        den = sum(x * x for x in v)
+        g = {
+            (i, j): g[(i, j)] - tdiv(lam * v[i - 1] * v[j - 1], den)
+            for i in range(1, d + 1)
+            for j in range(1, d + 1)
+        }
+
+    got = [
+        tuple(r)
+        for r in registry.QUERIES["c82_pca_energy_spectrum"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_c82_spectrum_shape(spark):
+    # deflation must actually remove the found direction: later
+    # components are near-orthogonal to earlier ones and the
+    # cumulative explained share grows strictly
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.QUERIES["c82_pca_energy_spectrum"](
+        spark, SF_SMOKE
+    ).collect()
+    comps = {
+        c: [r["loading_micro"] for r in rows if r["component"] == c]
+        for c in (1, 2, 3)
+    }
+    for a in (1, 2):
+        for b in range(a + 1, 4):
+            dot = abs(sum(x * y for x, y in zip(comps[a], comps[b])))
+            norm = sum(x * x for x in comps[a])
+            assert dot < norm // 2, (a, b, dot, norm)
+    cums = sorted(
+        {(r["component"], r["cum_explained_micro"]) for r in rows}
+    )
+    assert cums[0][1] < cums[1][1] < cums[2][1]
