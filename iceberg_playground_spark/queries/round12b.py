@@ -964,6 +964,189 @@ def c80_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# c83 — LSH S-curve audit (empirical banding catch-rate vs theory)
+# ---------------------------------------------------------------------------
+
+
+def _c83_theo() -> list[int]:
+    """The textbook banding S-curve 1 − (1 − s^r)^b at each Jaccard
+    decile midpoint s = (2k+1)/20, in EXACT integer micro (python
+    bignum rational — no pow() ulp ever crosses an engine boundary;
+    both sides consume the same literals)."""
+    from iceberg_playground_spark.queries.round7 import (
+        _P17_BANDS,
+        _P17_ROWS,
+    )
+
+    r, b = _P17_ROWS, _P17_BANDS
+    out = []
+    for k in range(10):
+        num = (20**r - (2 * k + 1) ** r) ** b
+        den = 20 ** (r * b)
+        # floor(p·10⁶) for p = 1 − num/den needs CEILING division on
+        # the complement (floor(1−x) = 1 − ceil(x) off integer points)
+        out.append(1_000_000 - (1_000_000 * num + den - 1) // den)
+    return out
+
+
+def _c83_oracle() -> str:
+    from iceberg_playground_spark.queries.llm import _SH_SQL
+    from iceberg_playground_spark.queries.round7 import (
+        _DIGEST_SQL,
+        _bands_union_sql,
+        _mh_sql,
+    )
+
+    theo = _c83_theo()
+    theo_case = " ".join(f"WHEN {k} THEN {v}" for k, v in enumerate(theo))
+    return f"""
+WITH sh0 AS (SELECT doc_id, lang, {_SH_SQL} AS sh FROM documents),
+shn AS (SELECT doc_id, lang, sh FROM sh0 WHERE len(sh) > 0),
+post AS MATERIALIZED (
+  SELECT doc_id, lang, len(sh) AS n, unnest(sh) AS s FROM shn),
+jp AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b, min(a.n) AS an, min(b.n) AS bn,
+         count(*) AS inter
+  FROM post a JOIN post b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+ds AS (SELECT doc_id, {_DIGEST_SQL} AS ds FROM shn),
+mh AS (SELECT doc_id, {_mh_sql()} FROM ds),
+sig AS (SELECT DISTINCT doc_id, band, sig
+        FROM ({_bands_union_sql('mh', 'doc_id')})),
+bp AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+jb AS (SELECT least((jp.inter * 10) // (jp.an + jp.bn - jp.inter), 9)
+                AS bkt,
+              (bp.a IS NOT NULL) AS caught
+       FROM jp LEFT JOIN bp ON bp.a = jp.a AND bp.b = jp.b)
+SELECT CAST(bkt AS BIGINT) AS bucket,
+       CAST((2 * bkt + 1) * 50000 AS BIGINT) AS mid_micro,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       CAST((sum(CASE WHEN caught THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS empirical_micro,
+       CAST(CASE bkt {theo_case} END AS BIGINT) AS theoretical_micro
+FROM jb GROUP BY bkt ORDER BY bkt
+"""
+
+
+@query("c83_lsh_scurve_audit", oracle=_c83_oracle())
+def c83_lsh_scurve_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """C83: LSH S-CURVE AUDIT — the tuning table every MinHash-LSH
+    deployment publishes before trusting its banding (Leskovec,
+    Rajaraman & Ullman, "Mining of Massive Datasets" ch. 3: banding
+    (b, r) selects the threshold where 1 − (1 − s^r)^b crosses ½):
+    per exact-Jaccard decile, how many shingle-sharing same-lang
+    pairs exist (c09's inverted-index universe), how many the
+    DEPLOYED 4×4 banding (c02/p17/c49's shared signature pipeline)
+    actually catches, and the textbook prediction at the decile
+    midpoint. Answers "is the production banding at its designed
+    threshold ON THIS CORPUS" — the gap between empirical and
+    theoretical columns is the finite-permutation + digest-collision
+    reality the formula idealizes away. The theoretical column is
+    computed ONCE in exact python-bignum rational arithmetic and
+    consumed as literals by BOTH engines — no pow() ulp can ever
+    cross the boundary; the empirical column is one integer division
+    per decile row.
+
+    Scale shape: the pair universe is c09's Σ df² postings join
+    (df measured ≤25 on this corpus; at web scale the df cap applies
+    exactly as c62 documents), the catch set is the banded
+    Σ|bucket|² join, and the verdict join matches pair-keyed count
+    rows — text never shuffles anywhere, no cartesian (plan-pinned).
+    Both heavy joins are the ALREADY-DEPLOYED operators' own plans:
+    the audit costs what one c09 + one c49-candidate pass costs."""
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.llm import _shingles, _tokens
+    from iceberg_playground_spark.queries.round7 import _band_sigs
+
+    theo = _c83_theo()
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    post = (
+        d.select("doc_id", "lang", _shingles(_tokens()).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("sh").alias("n"),
+            F.explode("sh").alias("s"),
+        )
+        .localCheckpoint(eager=False)  # both postings sides
+    )
+    a = post.select(
+        F.col("lang").alias("al"),
+        "s",
+        F.col("doc_id").alias("a"),
+        F.col("n").alias("an"),
+    )
+    b = post.select(
+        F.col("lang").alias("bl"),
+        F.col("s").alias("s2"),
+        F.col("doc_id").alias("b"),
+        F.col("n").alias("bn"),
+    )
+    jp = (
+        a.join(
+            b,
+            (F.col("al") == F.col("bl"))
+            & (F.col("s") == F.col("s2"))
+            & (F.col("a") < F.col("b")),
+        )
+        .groupBy("a", "b", "an", "bn")
+        .agg(F.count("*").alias("inter"))
+    )
+    sigs = _band_sigs(d.select("doc_id", "text"), "doc_id").localCheckpoint(
+        eager=False
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), "band", "sig")
+    sb = sigs.select(F.col("doc_id").alias("b"), "band", "sig")
+    bp = (
+        sa.join(sb, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .withColumn("caught", F.lit(True))
+    )
+    jb = jp.join(bp, ["a", "b"], "left").select(
+        F.least(
+            F.expr("inter * 10 DIV (an + bn - inter)"), F.lit(9)
+        ).alias("bkt"),
+        F.coalesce("caught", F.lit(False)).alias("caught"),
+    )
+    theo_case = " ".join(f"WHEN {k} THEN {v}" for k, v in enumerate(theo))
+    return (
+        jb.groupBy("bkt")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("caught").cast("bigint"))
+            .cast("bigint")
+            .alias("n_caught"),
+        )
+        .select(
+            F.col("bkt").cast("bigint").alias("bucket"),
+            ((F.col("bkt") * 2 + 1) * 50000)
+            .cast("bigint")
+            .alias("mid_micro"),
+            "n_pairs",
+            "n_caught",
+            F.expr("n_caught * 1000000 DIV n_pairs")
+            .cast("bigint")
+            .alias("empirical_micro"),
+            F.expr(f"CASE bkt {theo_case} END")
+            .cast("bigint")
+            .alias("theoretical_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # p43 — dedup-aware epoch plan (c49's fixpoint driving the budget math)
 # ---------------------------------------------------------------------------
 

@@ -95,6 +95,7 @@ _R12_NEW_TAIL: list[str] = [
     "b165_rewrite_manifests",
     "p44_streaming_gram_merge",
     "c82_pca_energy_spectrum",
+    "c83_lsh_scurve_audit",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

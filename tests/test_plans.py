@@ -1518,3 +1518,14 @@ def test_c82_spectrum_costs_one_gram_scan(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_c83_audit_never_ships_text(spark):
+    # c83: both heavy joins are the deployed operators' own bounded
+    # plans — no cartesian, and no exchange carries text or a shingle
+    # array (postings and signatures ride as scalar rows)
+    df = registry.QUERIES["c83_lsh_scurve_audit"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert not {"text", "sh"} & set(cols), cols

@@ -518,3 +518,40 @@ def test_c82_spectrum_shape(spark):
         {(r["component"], r["cum_explained_micro"]) for r in rows}
     )
     assert cums[0][1] < cums[1][1] < cums[2][1]
+
+
+# --- c83 LSH S-curve audit -------------------------------------------------------
+
+
+def test_c83_theoretical_column_is_exact_rational(spark):
+    # the embedded literals must equal the closed form computed with
+    # arbitrary-precision rationals (no float pow anywhere)
+    from fractions import Fraction
+
+    from iceberg_playground_spark.queries.round12b import _c83_theo
+
+    got = _c83_theo()
+    for k, v in enumerate(got):
+        s = Fraction(2 * k + 1, 20)
+        p = 1 - (1 - s**4) ** 4
+        assert v == (p * 1_000_000).__floor__()
+
+
+def test_c83_audit_internally_consistent(spark):
+    # caught <= pairs per bucket; the top bucket (true near-dups) must
+    # be essentially fully caught — the deployed banding's whole point —
+    # and the bottom bucket essentially missed
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r["bucket"]: r
+        for r in registry.QUERIES["c83_lsh_scurve_audit"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for r in rows.values():
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+        assert r["empirical_micro"] == r["n_caught"] * 1_000_000 // r["n_pairs"]
+    top = max(rows)
+    assert top >= 8 and rows[top]["empirical_micro"] >= 900_000
+    assert rows[min(rows)]["empirical_micro"] <= 100_000
