@@ -827,28 +827,25 @@ ORDER BY docs.source
 """
 
 
-def _c80_sigs(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-payload 32-bit aHash signatures: the Arrow-batched
-    multimodal kernel (c15's surface — a real image decoder/resizer
-    drops in unchanged; here the deterministic stand-in thumbnail is
-    the payload's {B} equal byte blocks). bit_p = 1 iff
-    {B}·blocksum_p > total — exact integer cross-multiplication, no
-    mean, no division. Payloads shorter than {B} bytes carry no
-    thumbnail and are excluded (mirrored by the oracle)."""
+def _c80_sig_frame(docs: DataFrame) -> DataFrame:
+    """Per-payload 32-bit aHash signatures of a (doc_id, source, text)
+    frame: the Arrow-batched multimodal kernel (c15's surface — a
+    real image decoder/resizer drops in unchanged; here the
+    deterministic stand-in thumbnail is the payload's 32 equal byte
+    blocks). bit_p = 1 iff 32·blocksum_p > total — exact integer
+    cross-multiplication, no mean, no division. Payloads shorter
+    than 32 bytes carry no thumbnail and are excluded (mirrored by
+    the oracles). Shared by c80 (batch near-dup) and p45 (streaming
+    novelty): the ingest path signs with the same kernel the batch
+    audit ran."""
     import pandas as pd  # local import: only the executors need it
 
-    from iceberg_playground_spark.queries._util import load
-
     nb = _C80_BLOCKS
-    d = (
-        load(spark, sf, "documents")
-        .select(
-            "doc_id",
-            "source",
-            F.encode(F.col("text"), "UTF-8").alias("payload"),
-        )
-        .filter(F.octet_length("payload") >= nb)
-    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).filter(F.octet_length("payload") >= nb)
 
     def _sig_batch(batches):
         import numpy as np
@@ -876,6 +873,14 @@ def _c80_sigs(spark: SparkSession, sf: str) -> DataFrame:
 
     return d.mapInPandas(
         _sig_batch, schema="doc_id long, source string, sig long"
+    )
+
+
+def _c80_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    from iceberg_playground_spark.queries._util import load
+
+    return _c80_sig_frame(
+        load(spark, sf, "documents").select("doc_id", "source", "text")
     )
 
 
@@ -1144,6 +1149,228 @@ def c83_lsh_scurve_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# p45 — streaming perceptual-hash novelty filter (c80 at ingest)
+# ---------------------------------------------------------------------------
+
+_P45_EPOCHS = 4
+
+
+def _p45_oracle() -> str:
+    nb, r = _C80_BLOCKS, _C80_R
+    # the c80 signature chain, then the 4-epoch ingest unrolled:
+    # the index after epoch e holds every signed doc admitted so far
+    parts = [
+        f"""d AS (SELECT doc_id, source, text, strlen(text) AS L
+           FROM documents WHERE strlen(text) >= {nb}),
+byt AS MATERIALIZED (
+  SELECT d.doc_id, CAST(ascii(substring(d.text, CAST(u.i AS INT), 1))
+                        AS BIGINT) AS byte,
+         (u.i - 1) // (d.L // {nb}) AS blk
+  FROM d, unnest(generate_series(1, {nb} * (d.L // {nb}))) u(i)),
+blk AS (SELECT doc_id, blk, sum(byte) AS s FROM byt GROUP BY doc_id, blk),
+tot AS (SELECT doc_id, sum(s) AS t FROM blk GROUP BY doc_id),
+sigt AS MATERIALIZED (
+  SELECT b.doc_id,
+         sum(CASE WHEN {nb} * b.s > t.t
+                  THEN CAST(1 AS BIGINT) << b.blk ELSE 0 END) AS sig
+  FROM blk b JOIN tot t USING (doc_id) GROUP BY b.doc_id),
+nn AS (SELECT count(*) AS n FROM documents),
+ep AS MATERIALIZED (
+  SELECT doc_id, sig, (doc_id * {_P45_EPOCHS}) // (SELECT n FROM nn) AS e
+  FROM sigt),
+al AS (SELECT doc_id,
+              (doc_id * {_P45_EPOCHS}) // (SELECT n FROM nn) AS e
+       FROM documents),
+idx0 AS (SELECT sig FROM ep WHERE e = 0),
+dup0 AS (SELECT doc_id FROM ep WHERE 1 = 0)"""
+    ]
+    for e in range(1, _P45_EPOCHS):
+        parts.append(
+            f"""dup{e} AS MATERIALIZED (
+  SELECT p.doc_id FROM ep p WHERE p.e = {e} AND EXISTS (
+    SELECT 1 FROM idx{e - 1} i
+    WHERE bit_count(xor(p.sig, i.sig)) <= {r})),
+idx{e} AS MATERIALIZED (
+  SELECT sig FROM idx{e - 1}
+  UNION ALL
+  SELECT sig FROM ep WHERE e = {e}
+    AND doc_id NOT IN (SELECT doc_id FROM dup{e}))"""
+        )
+    dups_union = "\nUNION ALL\n".join(
+        f"SELECT {e} AS e, (SELECT count(*) FROM dup{e}) AS n_dup"
+        for e in range(_P45_EPOCHS)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+dups AS ({dups_union}),
+rep AS (SELECT e, count(*) AS n_arrivals FROM al GROUP BY e)
+SELECT CAST(r.e AS BIGINT) AS epoch,
+       CAST(r.n_arrivals AS BIGINT) AS n_arrivals,
+       CAST(r.n_arrivals - d.n_dup AS BIGINT) AS n_novel,
+       CAST(d.n_dup AS BIGINT) AS n_dup,
+       CAST((d.n_dup * 1000000) // r.n_arrivals AS BIGINT) AS dup_micro
+FROM rep r JOIN dups d USING (e) ORDER BY epoch"""
+    )
+
+
+@query("p45_streaming_phash_novelty", oracle=_p45_oracle())
+def p45_streaming_phash_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """P45: STREAMING PERCEPTUAL-HASH NOVELTY FILTER — c80's
+    multimodal near-dup verb moved to ingest time (p18 is the text
+    twin; this is the binary-payload one): payload batches arrive as
+    {E} doc_id-quartile micro-batches in mtime-pinned order (p36's
+    ordering contract — order is SEMANTIC: the index grows), each
+    batch signs its payloads with the SAME Arrow-batched aHash kernel
+    (shared _c80_sig_frame), probes the ACCUMULATED signature index
+    by band equi-join + Hamming ≤ {r} verify (the c80 pigeonhole
+    identity makes the radius sweep exact), admits only novel
+    payloads into the index, and reports per epoch. Dup-against-index
+    only — intra-batch duplicates all admit (a batch near-dup job,
+    c80, owns that); unsignable payloads (< 32 bytes) pass through
+    novel by design. The oracle unrolls all {E} epochs declaratively,
+    so the SEQUENTIAL stateful semantics (a dup admitted nowhere, a
+    doc matching only an unadmitted dup still novel — transitivity
+    through the index) are hash-graded, not just smoke-run.
+
+    Scale shape: per-epoch work is one mapInPandas signing pass over
+    the batch (payloads never shuffle) + a band equi-join against the
+    index (broadcast while it fits, shuffle-bucketed beyond); state
+    is one BIGINT signature per ADMITTED doc — the smallest possible
+    dedup state, and exactly what an image-ingest pipeline keeps. At
+    100 TB each epoch pays |batch|·|bucket| work, never |corpus|."""
+    import os
+    import shutil
+
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.queries.streaming import _scratch
+
+    docs = load(spark, sf, "documents").select("doc_id", "source", "text")
+    n = docs.count()
+
+    def build(tmp: str) -> str:
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src, exist_ok=True)
+        now = int(os.stat(tmp).st_mtime)
+        for i in range(_P45_EPOCHS):
+            part_dir = os.path.join(tmp, f"stage_{i}")
+            (
+                docs.filter(
+                    F.expr(f"(doc_id * {_P45_EPOCHS}) DIV {n}") == i
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            part = next(
+                f
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and f.startswith("part-")
+            )
+            dst = os.path.join(src, f"arrival_{i}.parquet")
+            shutil.copyfile(os.path.join(part_dir, part), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        return src
+
+    src = _built(spark, sf, "p45", build)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, source STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = _scratch("ips_stream_phash_")
+    state = os.path.join(work, "state")
+    report = os.path.join(work, "report")
+    spark.createDataFrame([], "sig BIGINT").write.parquet(state)
+    try:
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            sigs = (
+                _c80_sig_frame(batch_df)
+                .select("doc_id", "sig")
+                .localCheckpoint(eager=False)  # probe + admit + census
+            )
+            idx = spark.read.parquet(state)
+            bexpr = lambda c: F.explode(  # noqa: E731
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("b"),
+                            F.expr(f"shiftright({c}, {8 * b}) & 255")
+                            .alias("bval"),
+                        )
+                        for b in range(_C80_BANDS)
+                    ]
+                )
+            )
+            bb = sigs.select("doc_id", "sig", bexpr("sig").alias("k")).select(
+                "doc_id", "sig", "k.b", "k.bval"
+            )
+            ib = (
+                idx.select(F.col("sig").alias("isig"))
+                .select("isig", bexpr("isig").alias("k"))
+                .select("isig", "k.b", "k.bval")
+            )
+            dup = (
+                bb.join(ib, ["b", "bval"])
+                .filter(
+                    F.bit_count(F.expr("sig ^ isig")) <= F.lit(_C80_R)
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            novel = sigs.join(dup, "doc_id", "left_anti")
+            novel.select("sig").write.mode("append").parquet(state)
+            st = batch_df.agg(
+                F.min("doc_id").alias("mn"), F.count("*").alias("n")
+            ).first()
+            nd = dup.count()
+            spark.createDataFrame(
+                [
+                    (
+                        int(st["mn"]) * _P45_EPOCHS // n,
+                        int(st["n"]),
+                        int(st["n"]) - nd,
+                        nd,
+                    )
+                ],
+                "epoch BIGINT, n_arrivals BIGINT, n_novel BIGINT,"
+                " n_dup BIGINT",
+            ).write.mode("append").parquet(report)
+
+        q = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", _scratch("ips_stream_phck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # SIZE GUARD: |epochs| rows, collected because the scratch
+        # dirs are deleted in finally (p18's literal-result rule)
+        rows = sorted(
+            tuple(int(x) for x in r)
+            for r in spark.read.parquet(report).collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows,
+        "epoch BIGINT, n_arrivals BIGINT, n_novel BIGINT, n_dup BIGINT",
+    )
+    return out.select(
+        "epoch",
+        "n_arrivals",
+        "n_novel",
+        "n_dup",
+        F.expr("n_dup * 1000000 DIV n_arrivals")
+        .cast("bigint")
+        .alias("dup_micro"),
+    ).orderBy("epoch")
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,7 @@ _R12_NEW_TAIL: list[str] = [
     "p44_streaming_gram_merge",
     "c82_pca_energy_spectrum",
     "c83_lsh_scurve_audit",
+    "p45_streaming_phash_novelty",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

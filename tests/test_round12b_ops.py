@@ -555,3 +555,46 @@ def test_c83_audit_internally_consistent(spark):
     top = max(rows)
     assert top >= 8 and rows[top]["empirical_micro"] >= 900_000
     assert rows[min(rows)]["empirical_micro"] <= 100_000
+
+
+# --- p45 streaming perceptual-hash novelty ----------------------------------------
+
+
+def test_p45_matches_python_sequential_replay(spark):
+    # the stateful epoch-by-epoch semantics replayed independently:
+    # dup against the ADMITTED index only — a doc matching only an
+    # unadmitted dup is still novel (transitivity through the index)
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    sigs, _, _ = _py_c80(SF_SMOKE)
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()[0][0]
+    epochs = {e: [] for e in range(4)}
+    for doc_id in sorted(sigs):
+        epochs[doc_id * 4 // n].append(doc_id)
+    arrivals = duckdb.sql(
+        f"SELECT doc_id FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    n_arr = {e: 0 for e in range(4)}
+    for (doc_id,) in arrivals:
+        n_arr[doc_id * 4 // n] += 1
+    index = []
+    want = []
+    for e in range(4):
+        dups = [
+            d
+            for d in epochs[e]
+            if any(bin(sigs[d] ^ i).count("1") <= 3 for i in index)
+        ]
+        index.extend(sigs[d] for d in epochs[e] if d not in set(dups))
+        want.append((e, n_arr[e], n_arr[e] - len(dups), len(dups)))
+    got = [
+        (r["epoch"], r["n_arrivals"], r["n_novel"], r["n_dup"])
+        for r in registry.QUERIES["p45_streaming_phash_novelty"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got == want
