@@ -199,6 +199,14 @@ HEADLINE = [
     "c81_pca_prefilter_recall",
     "c80_phash_near_dup",
     "p43_dedup_aware_epochs",
+    # session-3 round-12 entrants: the LSH S-curve audit (one c09
+    # Σdf² postings join + one banded candidate join — two deployed
+    # heavy plans composed) and Kneser-Ney scoring (corpus bigram
+    # aggregate + broadcast model join, c65's shape with the KN
+    # window statistics on model rows). c82/p44/p45/b165 are graded
+    # but unbenched — written waivers in BASELINE.md.
+    "c83_lsh_scurve_audit",
+    "c84_kneser_ney_bigram",
 ]
 
 # Cells whose first call is dominated by demo-WAREHOUSE construction

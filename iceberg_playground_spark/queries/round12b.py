@@ -1152,6 +1152,137 @@ def c83_lsh_scurve_audit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# c84 — interpolated Kneser-Ney bigram LM (the canonical smoother)
+# ---------------------------------------------------------------------------
+
+_C84_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT source, toks[i] AS v, toks[i + 1] AS w
+  FROM tk, UNNEST(range(1, len(toks))) AS u(i)),
+sc AS MATERIALIZED (
+  SELECT source, v, w, count(*) AS scnt FROM bg GROUP BY source, v, w),
+model AS (
+  SELECT v, w, sum(scnt) AS cnt FROM sc GROUP BY v, w),
+mw AS (
+  SELECT v, w, cnt,
+         sum(cnt) OVER (PARTITION BY v) AS cv,
+         count(*) OVER (PARTITION BY v) AS n1v,
+         count(*) OVER (PARTITION BY w) AS nw,
+         count(*) OVER () AS ntot
+  FROM model),
+nll AS (
+  SELECT v, w, cnt,
+         CAST(round(-1000000.0 * ln(
+             (greatest(CAST(cnt AS DOUBLE) - 0.75, 0.0)
+              + ((0.75 * CAST(n1v AS DOUBLE)) * CAST(nw AS DOUBLE))
+                / CAST(ntot AS DOUBLE))
+             / CAST(cv AS DOUBLE))) AS BIGINT) AS nll_micro
+  FROM mw)
+SELECT sc.source,
+       CAST(sum(sc.scnt) AS BIGINT) AS n_events,
+       CAST(sum(sc.scnt * n.nll_micro) AS BIGINT) AS nll_total_micro,
+       CAST(floor(CAST(sum(sc.scnt * n.nll_micro) AS DOUBLE)
+                  / sum(sc.scnt)) AS BIGINT) AS avg_nll_micro,
+       CAST((sum(CASE WHEN n.cnt = 1 THEN sc.scnt ELSE 0 END) * 1000000)
+            // sum(sc.scnt) AS BIGINT) AS singleton_micro
+FROM sc JOIN nll n ON sc.v = n.v AND sc.w = n.w
+GROUP BY sc.source ORDER BY sc.source
+"""
+
+
+@query("c84_kneser_ney_bigram", oracle=_C84_ORACLE)
+def c84_kneser_ney_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """C84: INTERPOLATED KNESER-NEY BIGRAM LM — the canonical n-gram
+    smoother (Kneser & Ney 1995; Chen & Goodman 1999's benchmark
+    winner), upgrading the LM family's smoothing ladder: c23/c65 are
+    add-one, c60 measures the unseen mass Good-Turing-style, c84
+    SMOOTHES the way production LMs actually did — absolute discount
+    D = 0.75 with the continuation-probability backoff
+    P(w|v) = (max(c(vw)−D, 0) + D·N1+(v·)·Pcont(w)) / c(v),
+    Pcont(w) = N1+(·w)/N1+(··). Every source self-scores under the
+    corpus model; the graded per-source report carries the event
+    count, total and average NLL in micro-nats, and the singleton
+    share (the mass KN discounts hardest — the diagnostic that says
+    WHY a source's KN and add-one scores diverge).
+
+    Determinism (c65's contract, extended): the ONLY float work is
+    one fixed arithmetic expression + ln per MODEL row (word-level
+    bigram types, vocabulary-bounded — ≤|V|² rows however large the
+    corpus), written with identical operation order in both engines
+    (IEEE doubles are deterministic given the same expression tree)
+    and rounded to integer micro-nats before any aggregation; corpus
+    rows carry COUNTS only, so per-source totals are exact integer
+    sums and the average floors one double divide.
+
+    Scale shape: one corpus tokenize → (source, v, w) count aggregate
+    (map-side partials); the model is |V|²-bounded and BROADCASTS
+    into the score join (plan-pinned: no sort-merge over the corpus);
+    the discount/backoff statistics are windows over MODEL rows."""
+    from iceberg_playground_spark.queries._util import load
+
+    d = load(spark, sf, "documents").select(
+        "source", F.split("text", " ").alias("toks")
+    )
+    bg = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS v, toks[i + 1] AS w))"
+            )
+        ).alias("e"),
+    ).select("source", "e.v", "e.w")
+    sc = bg.groupBy("source", "v", "w").agg(F.count("*").alias("scnt"))
+    model = sc.groupBy("v", "w").agg(F.sum("scnt").alias("cnt"))
+    mw = model.select(
+        "v",
+        "w",
+        "cnt",
+        F.sum("cnt").over(W.partitionBy("v")).alias("cv"),
+        F.count("*").over(W.partitionBy("v")).alias("n1v"),
+        F.count("*").over(W.partitionBy("w")).alias("nw"),
+        F.count("*").over(W.partitionBy(F.lit(1))).alias("ntot"),
+    )
+    nll = mw.select(
+        "v",
+        "w",
+        "cnt",
+        F.expr(
+            "CAST(round(-1000000.0 * ln("
+            "(greatest(CAST(cnt AS DOUBLE) - 0.75, 0.0)"
+            " + ((0.75 * CAST(n1v AS DOUBLE)) * CAST(nw AS DOUBLE))"
+            "   / CAST(ntot AS DOUBLE))"
+            " / CAST(cv AS DOUBLE))) AS BIGINT)"
+        ).alias("nll_micro"),
+    )
+    scored = sc.join(F.broadcast(nll), ["v", "w"])
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("scnt").cast("bigint").alias("n_events"),
+            F.sum(F.col("scnt") * F.col("nll_micro"))
+            .cast("bigint")
+            .alias("nll_total_micro"),
+            F.floor(
+                F.sum(F.col("scnt") * F.col("nll_micro")).cast("double")
+                / F.sum("scnt")
+            )
+            .cast("bigint")
+            .alias("avg_nll_micro"),
+            F.expr(
+                "sum(CASE WHEN cnt = 1 THEN scnt ELSE 0 END) * 1000000"
+                " DIV sum(scnt)"
+            )
+            .cast("bigint")
+            .alias("singleton_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # p45 — streaming perceptual-hash novelty filter (c80 at ingest)
 # ---------------------------------------------------------------------------
 

@@ -97,6 +97,7 @@ _R12_NEW_TAIL: list[str] = [
     "c82_pca_energy_spectrum",
     "c83_lsh_scurve_audit",
     "p45_streaming_phash_novelty",
+    "c84_kneser_ney_bigram",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1529,3 +1529,16 @@ def test_c83_audit_never_ships_text(spark):
     assert "CartesianProduct" not in plan
     for cols in _exchange_outputs(df):
         assert not {"text", "sh"} & set(cols), cols
+
+
+def test_c84_model_broadcasts_into_score_join(spark):
+    # c84: the |V|²-bounded NLL model broadcasts; no sort-merge join
+    # over corpus-sized frames, no cartesian, and no exchange carries
+    # the token array
+    df = registry.QUERIES["c84_kneser_ney_bigram"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert "toks" not in set(cols), cols

@@ -598,3 +598,98 @@ def test_p45_matches_python_sequential_replay(spark):
         ).collect()
     ]
     assert got == want
+
+
+# --- c84 Kneser-Ney bigram LM ------------------------------------------------------
+
+
+def test_c84_matches_python_reference(spark):
+    # interpolated KN recomputed independently: counts, continuation
+    # statistics, per-type NLL, per-source weighted rollup
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    sc = Counter()
+    for source, text in rows:
+        t = text.split(" ")
+        for i in range(len(t) - 1):
+            sc[(source, t[i], t[i + 1])] += 1
+    model = Counter()
+    for (source, v, w), c in sc.items():
+        model[(v, w)] += c
+    cv = defaultdict(int)
+    n1v = defaultdict(int)
+    nw = defaultdict(int)
+    for (v, w), c in model.items():
+        cv[v] += c
+        n1v[v] += 1
+        nw[w] += 1
+    ntot = len(model)
+    nll = {}
+    for (v, w), c in model.items():
+        p = (max(float(c) - 0.75, 0.0)
+             + ((0.75 * float(n1v[v])) * float(nw[w])) / float(ntot)
+             ) / float(cv[v])
+        x = -1000000.0 * math.log(p)
+        nll[(v, w)] = int(math.floor(x + 0.5))
+    agg = defaultdict(lambda: [0, 0, 0])
+    for (source, v, w), c in sc.items():
+        a = agg[source]
+        a[0] += c
+        a[1] += c * nll[(v, w)]
+        if model[(v, w)] == 1:
+            a[2] += c
+    got = registry.QUERIES["c84_kneser_ney_bigram"](
+        spark, SF_SMOKE
+    ).collect()
+    for r in got:
+        ev, tot, single = agg[r["source"]]
+        assert r["n_events"] == ev
+        assert r["nll_total_micro"] == tot
+        assert r["avg_nll_micro"] == math.floor(tot / ev)
+        assert r["singleton_micro"] == single * 1_000_000 // ev
+
+
+def test_c84_probabilities_normalize(spark):
+    # per context v the smoothed distribution over OBSERVED types must
+    # sum below 1 (the discount reserves mass for unseen types) and
+    # above 1 - D·n1v/cv - epsilon — the KN mass-conservation window
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    model = Counter()
+    for (text,) in rows:
+        t = text.split(" ")
+        for i in range(len(t) - 1):
+            model[(t[i], t[i + 1])] += 1
+    cv = defaultdict(int)
+    n1v = defaultdict(int)
+    nw = defaultdict(int)
+    for (v, w), c in model.items():
+        cv[v] += c
+        n1v[v] += 1
+        nw[w] += 1
+    ntot = len(model)
+    bysrc = defaultdict(list)
+    for (v, w), c in model.items():
+        bysrc[v].append(
+            (max(c - 0.75, 0.0) + 0.75 * n1v[v] * nw[w] / ntot) / cv[v]
+        )
+    for v, ps in bysrc.items():
+        s = sum(ps)
+        assert s <= 1.0 + 1e-9
+        # observed mass ≥ 1 − D·n1v/cv (backoff mass spent on seen
+        # types only adds back)
+        assert s >= 1.0 - 0.75 * n1v[v] / cv[v] - 1e-9
