@@ -369,6 +369,11 @@ ANCHOR_SECONDS = {
     "c81_pca_prefilter_recall": 1.11,
     "c80_phash_near_dup": 1.60,
     "p43_dedup_aware_epochs": 4.58,
+    # session-3 round-12 (fourth clean pair at r12 HEAD: 145.8 s with
+    # zero cells over anchor + 137.9 s with only known-noise b19 over;
+    # pair minimums)
+    "c83_lsh_scurve_audit": 2.91,
+    "c84_kneser_ney_bigram": 1.88,
 }
 GUARD_FACTOR = 2.0
 GUARD_MIN_CELLS = 4
