@@ -1152,6 +1152,80 @@ def c83_lsh_scurve_audit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# c85 — term burstiness (index of dispersion over documents)
+# ---------------------------------------------------------------------------
+
+_C85_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+dc AS (SELECT term, doc_id, count(*) AS c FROM t
+       WHERE term <> '' GROUP BY term, doc_id),
+st AS (SELECT term, count(*) AS df, sum(c) AS tot, sum(c * c) AS sq
+       FROM dc GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(tot AS BIGINT) AS tot,
+       CAST(((SELECT n FROM nn) * sq - tot * tot) * 1000000
+            // ((SELECT n FROM nn) * tot) AS BIGINT) AS vmr_micro,
+       ((SELECT n FROM nn) * sq - tot * tot) > ((SELECT n FROM nn) * tot)
+         AS bursty
+FROM st ORDER BY term
+"""
+
+
+@query("c85_term_burstiness", oracle=_C85_ORACLE)
+def c85_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """C85: TERM BURSTINESS — the index of dispersion (variance-to-
+    mean ratio of a term's per-document count, zeros included) that
+    separates TOPICAL terms (bursty: absent from most docs, repeated
+    where present — VMR > 1, overdispersed vs Poisson) from FUNCTION
+    words (uniform: VMR ≈ 1) — Church & Gale's burstiness statistic
+    (1995), the corpus-linguistics diagnostic behind stopword lists,
+    keyword extraction, and the df-band choices c78's lexical search
+    and c62's hot-shingle cap make by hand. Per term: document
+    frequency, total count, VMR in micro, and the overdispersion
+    flag. VMR is EXACT INTEGER cross-multiplication end-to-end —
+    var/mean = (N·Σc² − (Σc)²)/(N·Σc) with one DIV at the output
+    boundary, and the bursty flag compares the same integers with no
+    division at all, so the classification can never drift between
+    engines.
+
+    Scale shape: one tokenize → (term, doc) count aggregate (map-side
+    partials) → |V|-key rollup; zeros never materialize (the
+    all-documents variance folds into the cross-multiplied form
+    algebraically — the trick that makes dispersion computable from
+    the sparse counts alone); no join, no window over corpus rows."""
+    from iceberg_playground_spark.queries._util import load
+
+    d = load(spark, sf, "documents")
+    n = d.count()
+    dc = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    st = dc.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"),
+    )
+    return st.select(
+        "term",
+        "df",
+        "tot",
+        F.expr(f"({n} * sq - tot * tot) * 1000000 DIV ({n} * tot)")
+        .cast("bigint")
+        .alias("vmr_micro"),
+        (
+            (F.lit(n) * F.col("sq") - F.col("tot") * F.col("tot"))
+            > F.lit(n) * F.col("tot")
+        ).alias("bursty"),
+    ).orderBy("term")
+
+
+# ---------------------------------------------------------------------------
 # c84 — interpolated Kneser-Ney bigram LM (the canonical smoother)
 # ---------------------------------------------------------------------------
 

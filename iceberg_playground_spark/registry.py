@@ -98,6 +98,7 @@ _R12_NEW_TAIL: list[str] = [
     "c83_lsh_scurve_audit",
     "p45_streaming_phash_novelty",
     "c84_kneser_ney_bigram",
+    "c85_term_burstiness",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1542,3 +1542,10 @@ def test_c84_model_broadcasts_into_score_join(spark):
     assert "CartesianProduct" not in plan
     for cols in _exchange_outputs(df):
         assert "toks" not in set(cols), cols
+
+
+def test_c85_is_two_aggregates_no_join(spark):
+    # c85: one tokenize → (term, doc) aggregate → |V|-key rollup; the
+    # dispersion algebra needs no join and no corpus window
+    plan = _plan(spark, "c85_term_burstiness")
+    assert "Join" not in plan

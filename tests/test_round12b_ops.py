@@ -693,3 +693,58 @@ def test_c84_probabilities_normalize(spark):
         # observed mass ≥ 1 − D·n1v/cv (backoff mass spent on seen
         # types only adds back)
         assert s >= 1.0 - 0.75 * n1v[v] / cv[v] - 1e-9
+
+
+# --- c85 term burstiness ---------------------------------------------------------
+
+
+def test_c85_matches_python_reference(spark):
+    import duckdb
+    from collections import Counter, defaultdict
+
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    n = len(rows)
+    per = defaultdict(Counter)
+    for doc_id, text in rows:
+        for t in text.split(" "):
+            if t:
+                per[t][doc_id] += 1
+    got = {
+        r["term"]: r
+        for r in registry.QUERIES["c85_term_burstiness"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for t, cnts in per.items():
+        df, tot = len(cnts), sum(cnts.values())
+        sq = sum(c * c for c in cnts.values())
+        num = n * sq - tot * tot
+        r = got[t]
+        assert (r["df"], r["tot"]) == (df, tot)
+        assert r["vmr_micro"] == num * 1_000_000 // (n * tot)
+        assert r["bursty"] == (num > n * tot)
+
+
+def test_c85_flag_consistent_with_vmr(spark):
+    # the divisionless flag and the truncated VMR must agree at the
+    # boundary: bursty ⇒ vmr ≥ 1e6, not bursty ⇒ vmr ≤ 1e6. (On this
+    # synthetic corpus every term reads overdispersed — whole-document
+    # duplication inflates dispersion globally, itself a finding the
+    # audit surfaces; the discrimination property is covered by the
+    # exact python-reference test above.)
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.QUERIES["c85_term_burstiness"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows, "vocabulary missing"
+    for r in rows:
+        if r["bursty"]:
+            assert r["vmr_micro"] >= 1_000_000
+        else:
+            assert r["vmr_micro"] <= 1_000_000
