@@ -1152,6 +1152,74 @@ def c83_lsh_scurve_audit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b166 — retention forecast (expire_snapshots dry-run, per policy)
+# ---------------------------------------------------------------------------
+
+_B166_ORACLE = """
+WITH na AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 2 = 0),
+nb AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 2 = 1)
+SELECT CAST(1 AS INT) AS keep_last, CAST(2 AS INT) AS n_expired,
+       CAST(1 AS INT) AS n_reclaim_files,
+       CAST((SELECT n FROM nb) AS BIGINT) AS reclaim_rows,
+       CAST(3 AS INT) AS n_surviving_files
+UNION ALL
+SELECT 2, 1, 1, (SELECT n FROM nb), 3
+UNION ALL
+SELECT 3, 0, 0, 0, 4
+ORDER BY keep_last
+"""
+
+
+@query("b166_retention_forecast", oracle=_B166_ORACLE)
+def b166_retention_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """B166: RETENTION FORECAST — the dry-run every retention owner
+    wants before committing to a policy: for each candidate
+    ``keep_last``, what WOULD ``expire_snapshots`` expire and what
+    file/record mass would orphan cleanup then reclaim (see
+    tables.py::retention_forecast), mirroring the live procedure's
+    own rules exactly — tags PIN their snapshots, and a file survives
+    if ANY kept snapshot references it (the reference SET, not just
+    the latest: the demo's v1 file outlives every forecast because
+    the audit tag pins v1, while the v2 file becomes reclaimable the
+    moment v2 expires — the compaction at v3 stranded it). b91 runs
+    retention; b166 PLANS it — the pair a 100 TB table needs because
+    expiry is irreversible there.
+
+    Demo lineage: append (tagged ``audit``), append, compact, append
+    — four snapshots, four distinct physical files, one tag. Graded
+    on the 3-policy forecast table.
+
+    Scale shape: one JSON header per snapshot, zero data files opened
+    at any table size (the b92 rule; plan-pinned no parquet scan in
+    the graded frame)."""
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.tables import LakeCatalog, LakeTable
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo",
+            "customer_retf",
+            "c_custkey BIGINT, c_nationkey BIGINT",
+            drop_if_exists=True,
+        )
+        c = load(spark, sf, "customer").select(
+            F.col("c_custkey").cast("bigint"),
+            F.col("c_nationkey").cast("bigint"),
+        )
+        t.append(c.filter(F.col("c_custkey") % 2 == 0).coalesce(1))
+        t.create_tag("audit", 1)
+        t.append(c.filter(F.col("c_custkey") % 2 == 1).coalesce(1))
+        t.compact(target_files=1)
+        t.append(c.filter(F.col("c_nationkey") < 5).coalesce(1))
+        return t
+
+    t = _built(spark, sf, "b166", build)
+    return t.retention_forecast([1, 2, 3]).orderBy("keep_last")
+
+
+# ---------------------------------------------------------------------------
 # c85 — term burstiness (index of dispersion over documents)
 # ---------------------------------------------------------------------------
 

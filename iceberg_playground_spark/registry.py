@@ -99,6 +99,7 @@ _R12_NEW_TAIL: list[str] = [
     "p45_streaming_phash_novelty",
     "c84_kneser_ney_bigram",
     "c85_term_burstiness",
+    "b166_retention_forecast",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1975,6 +1975,65 @@ class LakeTable:
             " is_live BOOLEAN, n_rows BIGINT",
         )
 
+    def retention_forecast(self, keep_last_options: list[int]) -> DataFrame:
+        """RETENTION FORECAST — what ``expire_snapshots(keep_last=k)``
+        WOULD reclaim, for each candidate policy, without touching
+        anything: per k — snapshots expired, data files whose every
+        reference is expired (the reclaim set orphan cleanup would
+        then delete), their record mass, and the surviving file
+        count. Mirrors expire_snapshots' own rules exactly: tagged
+        versions are PINNED (never expire), and a file survives if
+        ANY kept snapshot references it (reference SET, not just the
+        latest — a file can outlive its last_ref version through an
+        older pinned snapshot). This is the planning read a retention
+        owner does before committing to a policy; metadata-only (one
+        JSON header per snapshot, the b92 rule)."""
+        vs = self.versions()
+        pinned = set(self.tags().values())
+        refs_by_file: dict[str, set] = {}
+        rows_by_file: dict[str, int | None] = {}
+        data_root = os.path.join(self.root, _DATA_DIR)
+        for v in vs:
+            for e in self.snapshot(v)["data_files"]:
+                per_rows = e.get("rows", {})
+                for raw in e.get("bounds", {}):
+                    fn = os.path.relpath(
+                        os.path.join(e["path"], raw), data_root
+                    )
+                    refs_by_file.setdefault(fn, set()).add(v)
+                    if fn not in rows_by_file:
+                        rows_by_file[fn] = (
+                            int(per_rows[raw]) if raw in per_rows else None
+                        )
+        out = []
+        for k in sorted(keep_last_options):
+            keep = (set(vs[-k:]) if k else set(vs)) | pinned
+            expired = [v for v in vs if v not in keep]
+            reclaim = [
+                fn for fn, r in refs_by_file.items() if not (r & keep)
+            ]
+            mass = 0
+            known = True
+            for fn in reclaim:
+                if rows_by_file[fn] is None:
+                    known = False
+                else:
+                    mass += rows_by_file[fn]
+            out.append(
+                (
+                    k,
+                    len(expired),
+                    len(reclaim),
+                    mass if known else None,
+                    len(refs_by_file) - len(reclaim),
+                )
+            )
+        return self.spark.createDataFrame(
+            out,
+            "keep_last INT, n_expired INT, n_reclaim_files INT,"
+            " reclaim_rows BIGINT, n_surviving_files INT",
+        )
+
     def refs(self) -> DataFrame:
         """The ``refs`` METADATA TABLE (Iceberg's ``t.refs``): one row
         per named ref — ``main`` (a BRANCH at HEAD, Iceberg's

@@ -1549,3 +1549,11 @@ def test_c85_is_two_aggregates_no_join(spark):
     # dispersion algebra needs no join and no corpus window
     plan = _plan(spark, "c85_term_burstiness")
     assert "Join" not in plan
+
+
+def test_b166_forecast_is_metadata_only(spark):
+    # b166: the policy table is answered from snapshot JSON headers —
+    # no parquet scan, no join in the graded plan
+    plan = _plan(spark, "b166_retention_forecast")
+    assert "Scan parquet" not in plan
+    assert "Join" not in plan

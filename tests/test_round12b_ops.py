@@ -748,3 +748,50 @@ def test_c85_flag_consistent_with_vmr(spark):
             assert r["vmr_micro"] >= 1_000_000
         else:
             assert r["vmr_micro"] <= 1_000_000
+
+
+# --- b166 retention forecast -------------------------------------------------------
+
+
+def test_b166_forecast_matches_actual_expiration(spark, tmp_path):
+    # the forecast's reclaim set for a policy must equal what actually
+    # running expire_snapshots at that policy removes
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("demo", "rf_t", "k BIGINT", drop_if_exists=True)
+    df = spark.createDataFrame([(i,) for i in range(20)], "k BIGINT")
+    t.append(df.filter(F.col("k") < 10).coalesce(1))
+    t.create_tag("pin", 1)
+    t.append(df.filter(F.col("k") >= 10).coalesce(1))
+    t.compact(target_files=1)
+    t.append(df.filter(F.col("k") % 5 == 0).coalesce(1))
+
+    fc = {
+        r["keep_last"]: (r["n_expired"], r["n_reclaim_files"])
+        for r in t.retention_forecast([1, 2, 3]).collect()
+    }
+    before = {
+        r["file_name"] for r in t.all_files().collect()
+    }
+    summary = t.expire_snapshots(keep_last=1, orphan_older_than_s=0)
+    after = {r["file_name"] for r in t.all_files().collect()}
+    assert len(summary["expired_versions"]) == fc[1][0]
+    # every forecast-reclaimable file is gone from the lineage view
+    assert len(before) - len(after) == fc[1][1]
+
+
+def test_b166_tag_pins_through_every_policy(spark, tmp_path):
+    # a file referenced only by a tagged snapshot never appears in any
+    # policy's reclaim set
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("demo", "rf_p", "k BIGINT", drop_if_exists=True)
+    t.append(spark.createDataFrame([(1,)], "k BIGINT").coalesce(1))
+    t.create_tag("pin", 1)
+    t.compact(target_files=1)  # v2 replaces: v1's file now tag-only
+    t.append(spark.createDataFrame([(2,)], "k BIGINT").coalesce(1))
+    rows = t.retention_forecast([1, 2]).collect()
+    for r in rows:
+        assert r["n_reclaim_files"] == 0, r
