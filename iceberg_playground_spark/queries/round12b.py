@@ -1152,6 +1152,140 @@ def c83_lsh_scurve_audit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p46 — canary leakage drill (end-to-end decontamination self-test)
+# ---------------------------------------------------------------------------
+
+_P46_CANARIES = 8
+_P46_CLEAN = 12
+_P46_TOKENS = 12
+
+
+def _p46_text_sql(salt: str, n: int) -> str:
+    """The synthetic doc table (k, text) for a salt: {tok} md5-derived
+    8-hex tokens per doc — both engines generate identical strings."""
+    return f"""(
+  SELECT CAST(t.k AS INT) AS k,
+         string_agg(substring(md5('{salt}-' || t.k || '-' || u.i), 1, 8),
+                    ' ' ORDER BY u.i) AS text
+  FROM range({n}) t(k), range({_P46_TOKENS}) u(i) GROUP BY t.k)"""
+
+
+def _p46_oracle() -> str:
+    from iceberg_playground_spark.queries.round9d import (
+        _P31_SH_SQL,
+        _p31_digest_sql,
+    )
+
+    return f"""
+WITH can AS {_p46_text_sql('canary', _P46_CANARIES)},
+cle AS {_p46_text_sql('cleaneval', _P46_CLEAN)},
+tsh AS MATERIALIZED (
+  SELECT DISTINCT {_p31_digest_sql('sh')} AS ds FROM (
+    SELECT unnest({_P31_SH_SQL}) AS sh FROM documents
+    UNION ALL
+    SELECT unnest({_P31_SH_SQL}) AS sh FROM can)),
+ev AS (SELECT 'canary' AS kind, k, text FROM can
+       UNION ALL SELECT 'clean', k, text FROM cle),
+esh AS (SELECT kind, k, {_p31_digest_sql('sh')} AS ds FROM (
+          SELECT kind, k, unnest({_P31_SH_SQL}) AS sh FROM ev)),
+det AS (SELECT DISTINCT kind, k FROM esh
+        WHERE ds IN (SELECT ds FROM tsh))
+SELECT e.kind, CAST(count(DISTINCT e.k) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT d.k) AS BIGINT) AS n_detected,
+       CAST(count(DISTINCT d.k) * 1000000 // count(DISTINCT e.k)
+            AS BIGINT) AS detect_micro
+FROM ev e LEFT JOIN det d ON d.kind = e.kind AND d.k = e.k
+GROUP BY e.kind ORDER BY e.kind
+"""
+
+
+@query("p46_canary_leakage_drill", oracle=_p46_oracle())
+def p46_canary_leakage_drill(spark: SparkSession, sf: str) -> DataFrame:
+    """P46: CANARY LEAKAGE DRILL — the end-to-end SELF-TEST of the
+    decontamination tooling (the drill eval-integrity owners actually
+    run: GPT-3's appendix-C methodology turned into a recurring
+    check): inject {K} synthetic canary documents into the training
+    corpus, keep {M} equally-synthetic but UNINJECTED eval documents
+    as the control arm, run the production n-gram leakage detector
+    (p31's w=4 shingle-digest kernel, shared verbatim), and grade the
+    confusion table — every canary must be detected (recall 1.0) and
+    every control doc must not (false-positive floor), per kind:
+    docs, detected, detection share. p19/c22/c52 PREVENT leakage,
+    p31 MEASURES it; p46 proves the measuring instrument itself
+    works before anyone trusts a clean audit. Canary texts are
+    md5-derived 8-hex token sequences both engines generate
+    identically — no fixture files, no randomness.
+
+    Scale shape: the train side collapses to a DISTINCT digest set
+    with map-side partials (c43's digests-only discipline — text
+    never shuffles); the probe is one digest semi-join of the
+    {K}+{M}-doc eval side; injection is a union of {K} literal rows.
+    At 100 TB the drill costs one pass over the train digests —
+    exactly what the real audit costs, which is the point."""
+    import hashlib
+
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.round9d import _p31_shingles
+
+    def mktext(salt: str, k: int) -> str:
+        return " ".join(
+            hashlib.md5(f"{salt}-{k}-{i}".encode()).hexdigest()[:8]
+            for i in range(_P46_TOKENS)
+        )
+
+    can = spark.createDataFrame(
+        [(k, mktext("canary", k)) for k in range(_P46_CANARIES)],
+        "k INT, text STRING",
+    )
+    cle = spark.createDataFrame(
+        [(k, mktext("cleaneval", k)) for k in range(_P46_CLEAN)],
+        "k INT, text STRING",
+    )
+    digest = lambda c: F.conv(  # noqa: E731
+        F.md5(c).substr(1, 8), 16, 10
+    ).cast("bigint")
+    train = (
+        load(spark, sf, "documents")
+        .select("text")
+        .unionByName(can.select("text"))
+    )
+    tsh = (
+        train.select(
+            F.explode(_p31_shingles(F.split("text", " "))).alias("sh")
+        )
+        .select(digest(F.col("sh")).alias("ds"))
+        .distinct()
+    )
+    ev = can.select(F.lit("canary").alias("kind"), "k", "text").unionByName(
+        cle.select(F.lit("clean").alias("kind"), "k", "text")
+    )
+    esh = ev.select(
+        "kind", "k", F.explode(_p31_shingles(F.split("text", " "))).alias("sh")
+    ).select("kind", "k", digest(F.col("sh")).alias("ds"))
+    det = (
+        esh.join(tsh, "ds", "leftsemi")
+        .select("kind", "k")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        ev.join(det, ["kind", "k"], "left")
+        .groupBy("kind")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_detected"),
+        )
+        .withColumn(
+            "detect_micro",
+            F.expr("n_detected * 1000000 DIV n_docs").cast("bigint"),
+        )
+        .orderBy("kind")
+    )
+
+
+# ---------------------------------------------------------------------------
 # b166 — retention forecast (expire_snapshots dry-run, per policy)
 # ---------------------------------------------------------------------------
 

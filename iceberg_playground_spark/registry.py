@@ -100,6 +100,7 @@ _R12_NEW_TAIL: list[str] = [
     "c84_kneser_ney_bigram",
     "c85_term_burstiness",
     "b166_retention_forecast",
+    "p46_canary_leakage_drill",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

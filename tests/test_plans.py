@@ -1557,3 +1557,13 @@ def test_b166_forecast_is_metadata_only(spark):
     plan = _plan(spark, "b166_retention_forecast")
     assert "Scan parquet" not in plan
     assert "Join" not in plan
+
+
+def test_p46_drill_probes_digests_only(spark):
+    # p46: the train side collapses to a distinct digest set and the
+    # probe is a digest semi-join — text never rides an exchange
+    df = registry.QUERIES["p46_canary_leakage_drill"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert not {"text", "sh"} & set(cols), cols

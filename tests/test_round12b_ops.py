@@ -795,3 +795,44 @@ def test_b166_tag_pins_through_every_policy(spark, tmp_path):
     rows = t.retention_forecast([1, 2]).collect()
     for r in rows:
         assert r["n_reclaim_files"] == 0, r
+
+
+# --- p46 canary leakage drill ------------------------------------------------------
+
+
+def test_p46_drill_contract(spark):
+    # the instrument's acceptance bar: perfect canary recall, zero
+    # false positives on the uninjected control arm
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r["kind"]: r
+        for r in registry.QUERIES["p46_canary_leakage_drill"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert rows["canary"]["n_docs"] == 8
+    assert rows["canary"]["n_detected"] == 8
+    assert rows["canary"]["detect_micro"] == 1_000_000
+    assert rows["clean"]["n_docs"] == 12
+    assert rows["clean"]["n_detected"] == 0
+    assert rows["clean"]["detect_micro"] == 0
+
+
+def test_p46_canary_texts_are_engine_identical(spark):
+    # the python-side md5 token generation must equal the oracle's
+    # SQL generation character for character
+    import duckdb
+    import hashlib
+
+    got = duckdb.sql(
+        "SELECT k, string_agg(substring(md5('canary-' || t.k || '-' || u.i),"
+        " 1, 8), ' ' ORDER BY u.i) AS text"
+        " FROM range(8) t(k), range(12) u(i) GROUP BY t.k ORDER BY k"
+    ).fetchall()
+    for k, text in got:
+        want = " ".join(
+            hashlib.md5(f"canary-{k}-{i}".encode()).hexdigest()[:8]
+            for i in range(12)
+        )
+        assert text == want
