@@ -1152,6 +1152,121 @@ def c83_lsh_scurve_audit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# c86 — robust length-outlier filter (Tukey fences on exact quartiles)
+# ---------------------------------------------------------------------------
+
+_C86_ORACLE = """
+WITH d AS (SELECT source, doc_id,
+                  len(string_split(text, ' ')) AS nt
+           FROM documents),
+r AS (SELECT source, doc_id, nt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY nt, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM d),
+q AS (SELECT source, max(n) AS n,
+             max(CASE WHEN rn = (n + 3) // 4 THEN nt END) AS q1,
+             max(CASE WHEN rn = (3 * n + 3) // 4 THEN nt END) AS q3
+      FROM r GROUP BY source),
+f AS (SELECT r.source, r.nt, q.n, q.q1, q.q3,
+             (2 * r.nt < 2 * q.q1 - 3 * (q.q3 - q.q1)) AS low,
+             (2 * r.nt > 2 * q.q3 + 3 * (q.q3 - q.q1)) AS high
+      FROM r JOIN q ON q.source = r.source)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(max(q1) AS BIGINT) AS q1, CAST(max(q3) AS BIGINT) AS q3,
+       CAST(sum(CASE WHEN low THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN high THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST((sum(CASE WHEN low OR high THEN 1 ELSE 0 END) * 1000000)
+            // max(n) AS BIGINT) AS outlier_micro
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+@query("c86_length_iqr_outliers", oracle=_C86_ORACLE)
+def c86_length_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """C86: ROBUST LENGTH-OUTLIER FILTER — Tukey's 1.5·IQR fences on
+    EXACT per-source length quartiles (the boxplot rule, Tukey 1977),
+    the robust companion to the fixed-threshold word-count gate p29
+    applies: fixed thresholds break when sources have different
+    length regimes; quartile fences adapt per source, which is how a
+    multi-source cleaning pipeline actually sets its cut. Per source:
+    docs, Q1/Q3 (exact order statistics — the ceil(n/4)-th and
+    ceil(3n/4)-th values, never interpolated, so both engines pick
+    the SAME document's length), low/high outlier counts, outlier
+    share. The fences are exact integer cross-multiplication
+    (2·nt < 2·Q1 − 3·IQR — no halves ever materialize), so
+    classification can never drift between engines.
+
+    Scale shape: one ranking window per source partition (partition-
+    local sort — sources shard independently at 100 TB) + a
+    |sources|-row quartile table broadcast back for the fence pass;
+    the only exchanges are the source-keyed window shuffle and the
+    |sources|-key rollup. Exact quantiles here are by DESIGN at any
+    scale: quartiles of doc LENGTH distributions are per-source
+    order statistics a single window pass serves; b29/c42 hold the
+    approximate-quantile alternative for when even that is too much."""
+    from iceberg_playground_spark.queries._util import load
+
+    d = load(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("nt"),
+    )
+    r = d.select(
+        "source",
+        "nt",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("nt", "doc_id"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("source")).alias("n"),
+    )
+    q = r.groupBy("source").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("nt"))
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("nt")
+            )
+        ).alias("q3"),
+    )
+    f = r.join(F.broadcast(q.drop("n")), "source").select(
+        "source",
+        "n",
+        "q1",
+        "q3",
+        (
+            2 * F.col("nt") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))
+        ).alias("low"),
+        (
+            2 * F.col("nt") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
+        ).alias("high"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.max("q1").cast("bigint").alias("q1"),
+            F.max("q3").cast("bigint").alias("q3"),
+            F.sum(F.col("low").cast("bigint"))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.col("high").cast("bigint"))
+            .cast("bigint")
+            .alias("n_high"),
+            F.expr(
+                "sum(CASE WHEN low OR high THEN 1 ELSE 0 END) * 1000000"
+                " DIV max(n)"
+            )
+            .cast("bigint")
+            .alias("outlier_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # p46 — canary leakage drill (end-to-end decontamination self-test)
 # ---------------------------------------------------------------------------
 

@@ -101,6 +101,7 @@ _R12_NEW_TAIL: list[str] = [
     "c85_term_burstiness",
     "b166_retention_forecast",
     "p46_canary_leakage_drill",
+    "c86_length_iqr_outliers",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1567,3 +1567,13 @@ def test_p46_drill_probes_digests_only(spark):
     assert "CartesianProduct" not in plan
     for cols in _exchange_outputs(df):
         assert not {"text", "sh"} & set(cols), cols
+
+
+def test_c86_window_is_source_partitioned(spark):
+    # c86: the ranking window partitions by source (no global sort of
+    # the corpus) and the quartile table broadcasts back
+    df = registry.QUERIES["c86_length_iqr_outliers"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

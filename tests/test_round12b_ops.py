@@ -836,3 +836,56 @@ def test_p46_canary_texts_are_engine_identical(spark):
             for i in range(12)
         )
         assert text == want
+
+
+# --- c86 length IQR outliers -------------------------------------------------------
+
+
+def test_c86_matches_python_reference(spark):
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT source, doc_id, len(string_split(text, ' '))"
+        f" FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    per = defaultdict(list)
+    for source, doc_id, nt in rows:
+        per[source].append((nt, doc_id))
+    got = {
+        r["source"]: r
+        for r in registry.QUERIES["c86_length_iqr_outliers"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for s, lens in per.items():
+        lens.sort()
+        n = len(lens)
+        q1 = lens[math.ceil(n / 4) - 1][0]
+        q3 = lens[math.ceil(3 * n / 4) - 1][0]
+        low = sum(1 for nt, _ in lens if 2 * nt < 2 * q1 - 3 * (q3 - q1))
+        high = sum(1 for nt, _ in lens if 2 * nt > 2 * q3 + 3 * (q3 - q1))
+        r = got[s]
+        assert (r["n_docs"], r["q1"], r["q3"]) == (n, q1, q3)
+        assert (r["n_low"], r["n_high"]) == (low, high)
+        assert r["outlier_micro"] == (low + high) * 1_000_000 // n
+
+
+def test_c86_fences_fire_on_skew():
+    # the fence rule itself (pure arithmetic) must flag an injected
+    # extreme on a skewed toy distribution — the classifier is not
+    # vacuously zero
+    lens = [10] * 30 + [12] * 30 + [14] * 30 + [500]
+    lens.sort()
+    import math
+
+    n = len(lens)
+    q1 = lens[math.ceil(n / 4) - 1]
+    q3 = lens[math.ceil(3 * n / 4) - 1]
+    assert sum(
+        1 for nt in lens if 2 * nt > 2 * q3 + 3 * (q3 - q1)
+    ) == 1
