@@ -1152,6 +1152,160 @@ def c83_lsh_scurve_audit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# c87 — MMR diversified re-rank (greedy maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+_C87_CAND = 20  # dense shortlist the greedy diversifies over
+_C87_K = 10  # selected list
+_C87_LAM10 = 7  # λ = 0.7 in tenths: score = 7·d2q − 3·min-sel-d2
+
+
+def _c87_oracle() -> str:
+    d = _C79_DIM
+    parts = [
+        f"""qq AS MATERIALIZED (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_C79_SCALE})
+              AS BIGINT) AS x
+  FROM embeddings, range(1, {d + 1}) t(i)),
+q0 AS (SELECT i, x FROM qq WHERE vec_id = 0),
+dall AS MATERIALIZED (
+  SELECT q.vec_id, sum((q.x - q0.x) * (q.x - q0.x)) AS d2
+  FROM qq q JOIN q0 USING (i) WHERE q.vec_id <> 0 GROUP BY q.vec_id),
+cand AS MATERIALIZED (
+  SELECT vec_id, d2 FROM dall ORDER BY d2, vec_id LIMIT {_C87_CAND}),
+cq AS (SELECT q.vec_id, q.i, q.x FROM qq q JOIN cand c USING (vec_id)),
+cp AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         sum((a.x - b.x) * (a.x - b.x)) AS d2
+  FROM cq a JOIN cq b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+s1 AS MATERIALIZED (
+  SELECT vec_id, d2, CAST(NULL AS BIGINT) AS msd,
+         {_C87_LAM10} * d2 AS score
+  FROM cand ORDER BY d2, vec_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"""
+    ]
+    for k in range(2, _C87_K + 1):
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT c.vec_id, c.d2, min(cp.d2) AS msd,
+         {_C87_LAM10} * c.d2 - {10 - _C87_LAM10} * min(cp.d2) AS score
+  FROM cand c JOIN cp ON cp.a = c.vec_id
+    AND cp.b IN (SELECT vec_id FROM sel{k - 1})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+  GROUP BY c.vec_id, c.d2
+  ORDER BY score, c.vec_id LIMIT 1),
+sel{k} AS MATERIALIZED (SELECT vec_id FROM sel{k - 1}
+           UNION ALL SELECT vec_id FROM s{k})"""
+        )
+    sels = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, vec_id, d2, msd, score FROM s{k}"
+        for k in range(1, _C87_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(d2 AS BIGINT) AS d2_query,
+       CAST(msd AS BIGINT) AS nearest_selected_d2,
+       CAST(score AS BIGINT) AS mmr_score
+FROM ({sels}) ORDER BY rank"""
+    )
+
+
+@query("c87_mmr_diversified_rerank", oracle=_c87_oracle())
+def c87_mmr_diversified_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """C87: MMR DIVERSIFIED RE-RANK — greedy Maximal Marginal
+    Relevance (Carbonell & Goldstein, SIGIR 1998) over the dense
+    top-{C} shortlist, the rerank every retrieval stack applies when
+    raw nearest-neighbor lists are redundant (on a near-dup-riddled
+    corpus the plain top-k is copies of one document — the problem
+    c02 fixes at corpus scale and MMR fixes at QUERY time): pick the
+    nearest candidate, then repeatedly the candidate minimizing
+    λ·d²(q,i) − (1−λ)·min_{{j∈S}} d²(i,j) (λ = 0.7; near the query
+    but FAR from everything already picked). Graded on the full
+    selection order with per-pick diagnostics — distance to query,
+    distance to the nearest already-selected, the MMR objective. All
+    arithmetic is exact BIGINTs on c54's grid with tenths-scaled λ
+    (7·d2q − 3·msd — no float anywhere), and the oracle unrolls all
+    {K} greedy steps declaratively, so every tie-break of the
+    sequential algorithm is hash-graded.
+
+    Scale shape: the shortlist comes from one TakeOrderedAndProject
+    corpus pass (at deployment, from the ANN index — c70/c77); the
+    pairwise matrix and the greedy run on the {C}-row candidate set
+    (bounded collect, the sanctioned eval-arm shape — MMR is
+    inherently sequential in k and only ever touches the shortlist,
+    which is the entire point of reranking AFTER retrieval)."""
+    from iceberg_playground_spark.queries.round9b import _c54_quantized
+
+    qdf = _c54_quantized(spark, sf).localCheckpoint(
+        eager=False
+    )  # query row + candidate arm
+    q0 = qdf.filter(F.col("vec_id") == 0).collect()[0]["q"]
+    q0lit = F.array(*[F.lit(int(x)) for x in q0])
+    d2 = F.aggregate(
+        F.zip_with("q", q0lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    cand = (
+        qdf.filter(F.col("vec_id") != 0)
+        .select("vec_id", "q", d2.alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(_C87_CAND)
+        .localCheckpoint(eager=False)  # collect + graded join
+    )
+    rows = cand.collect()  # bounded: the 20-row shortlist
+    vecs = {int(r["vec_id"]): [int(x) for x in r["q"]] for r in rows}
+    d2q = {int(r["vec_id"]): int(r["d2"]) for r in rows}
+
+    def pd2(a: int, b: int) -> int:
+        return sum(
+            (x - y) * (x - y) for x, y in zip(vecs[a], vecs[b])
+        )
+
+    first = min(d2q, key=lambda v: (d2q[v], v))
+    sel = [(first, None, _C87_LAM10 * d2q[first])]
+    chosen = {first}
+    for _ in range(_C87_K - 1):
+        best = None
+        for v in vecs:
+            if v in chosen:
+                continue
+            msd = min(pd2(v, s) for s, _, _ in sel)
+            score = _C87_LAM10 * d2q[v] - (10 - _C87_LAM10) * msd
+            key = (score, v)
+            if best is None or key < best[0]:
+                best = (key, v, msd)
+        _, v, msd = best
+        sel.append((v, msd, _C87_LAM10 * d2q[v] - (10 - _C87_LAM10) * msd))
+        chosen.add(v)
+    pick = spark.createDataFrame(
+        [
+            (i + 1, v, msd, score)
+            for i, (v, msd, score) in enumerate(sel)
+        ],
+        "rank BIGINT, vec_id BIGINT, nearest_selected_d2 BIGINT,"
+        " mmr_score BIGINT",
+    )
+    return (
+        cand.select("vec_id", F.col("d2").alias("d2_query"))
+        .join(F.broadcast(pick), "vec_id")
+        .select(
+            "rank",
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("d2_query").cast("bigint").alias("d2_query"),
+            "nearest_selected_d2",
+            "mmr_score",
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # c86 — robust length-outlier filter (Tukey fences on exact quartiles)
 # ---------------------------------------------------------------------------
 

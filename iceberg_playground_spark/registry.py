@@ -102,6 +102,7 @@ _R12_NEW_TAIL: list[str] = [
     "b166_retention_forecast",
     "p46_canary_leakage_drill",
     "c86_length_iqr_outliers",
+    "c87_mmr_diversified_rerank",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1577,3 +1577,15 @@ def test_c86_window_is_source_partitioned(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_c87_rerank_touches_shortlist_only(spark):
+    # c87: the graded plan reads the CHECKPOINTED 20-row shortlist
+    # (its TakeOrderedAndProject ran once, at materialization) and
+    # joins the 10-row broadcast pick — no sort-merge, no cartesian,
+    # nothing corpus-sized past the checkpoint
+    plan = _plan(spark, "c87_mmr_diversified_rerank")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Scan parquet" not in plan  # shortlist only, never the corpus

@@ -889,3 +889,82 @@ def test_c86_fences_fire_on_skew():
     assert sum(
         1 for nt in lens if 2 * nt > 2 * q3 + 3 * (q3 - q1)
     ) == 1
+
+
+# --- c87 MMR diversified re-rank -----------------------------------------------------
+
+
+def test_c87_matches_python_reference(spark):
+    # the whole shortlist→greedy pipeline recomputed independently
+    import duckdb
+    import math
+
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    q = {r[0]: [int(math.floor(x * 1000)) for x in r[1]] for r in rows}
+    d2q = {
+        v: sum((a - b) ** 2 for a, b in zip(q[v], q[0]))
+        for v in q
+        if v != 0
+    }
+    cand = sorted(d2q, key=lambda v: (d2q[v], v))[:20]
+
+    def pd2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(q[a], q[b]))
+
+    first = min(cand, key=lambda v: (d2q[v], v))
+    sel = [(1, first, None, 7 * d2q[first])]
+    chosen = {first}
+    for rank in range(2, 11):
+        best = None
+        for v in cand:
+            if v in chosen:
+                continue
+            msd = min(pd2(v, s) for _, s, _, _ in sel)
+            score = 7 * d2q[v] - 3 * msd
+            if best is None or (score, v) < best[0]:
+                best = ((score, v), v, msd)
+        (_, v, msd) = best
+        sel.append((rank, v, msd, 7 * d2q[v] - 3 * msd))
+        chosen.add(v)
+
+    got = [
+        (r["rank"], r["vec_id"], r["nearest_selected_d2"], r["mmr_score"])
+        for r in registry.QUERIES["c87_mmr_diversified_rerank"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got == sel
+
+
+def test_c87_actually_diversifies(spark):
+    # the MMR list must differ from the plain top-10 (otherwise the
+    # rerank is vacuous on this corpus) while staying inside the
+    # top-20 shortlist, and rank-1 must be the plain nearest
+    import duckdb
+    import math
+
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    q = {r[0]: [int(math.floor(x * 1000)) for x in r[1]] for r in rows}
+    d2q = {
+        v: sum((a - b) ** 2 for a, b in zip(q[v], q[0]))
+        for v in q
+        if v != 0
+    }
+    plain = sorted(d2q, key=lambda v: (d2q[v], v))
+    got = [
+        r["vec_id"]
+        for r in registry.QUERIES["c87_mmr_diversified_rerank"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got[0] == plain[0]
+    assert set(got) <= set(plain[:20])
+    assert got != plain[:10]
