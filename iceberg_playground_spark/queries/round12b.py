@@ -1152,6 +1152,71 @@ def c83_lsh_scurve_audit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b167 — position_deletes metadata table (Iceberg's t.position_deletes)
+# ---------------------------------------------------------------------------
+
+_B167_ORACLE = """
+WITH np AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 10 = 3)
+SELECT CAST(3 AS INT) AS delete_seq, CAST(1 AS BIGINT) AS n_data_files,
+       CAST((SELECT n FROM np) AS BIGINT) AS n_positions
+"""
+
+
+@query("b167_position_deletes", oracle=_B167_ORACLE)
+def b167_position_deletes(spark: SparkSession, sf: str) -> DataFrame:
+    """B167: the ``position_deletes`` metadata table (Iceberg's
+    ``t.position_deletes``) — the per-delete-file view of b104's
+    position-delete write path, completing the metadata family's
+    delete-side coverage (b79/b92/b158-b166 cover snapshots, files,
+    partitions, lineage, refs, policy; nothing listed the POSITION
+    masks): one row per (delete file, masked data file) with the
+    deleting sequence and pinned position count (see
+    tables.py::position_deletes). The b104 trade made inspectable:
+    the demo deletes ``c_custkey % 10 = 3`` — odd keys only, so of
+    the two appended files (evens, odds) exactly ONE appears masked,
+    with the position count equal to the predicate's row count.
+    Graded on the per-sequence rollup (file names are uuids; counts
+    are the contract, the b162 rule).
+
+    Scale shape: reads the KB-scale (file, pos)-pair delete files
+    only — Iceberg's own position_deletes table likewise scans delete
+    files; data files stay closed at any table size."""
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.tables import LakeCatalog, LakeTable
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo",
+            "customer_posdel",
+            "c_custkey BIGINT, c_nationkey BIGINT",
+            drop_if_exists=True,
+        )
+        c = load(spark, sf, "customer").select(
+            F.col("c_custkey").cast("bigint"),
+            F.col("c_nationkey").cast("bigint"),
+        )
+        t.append(c.filter(F.col("c_custkey") % 2 == 0).coalesce(1))
+        t.append(c.filter(F.col("c_custkey") % 2 == 1).coalesce(1))
+        t.delete_where_positional("c_custkey % 10 = 3")
+        return t
+
+    t = _built(spark, sf, "b167", build)
+    return (
+        t.position_deletes()
+        .groupBy("delete_seq")
+        .agg(
+            F.countDistinct("data_file")
+            .cast("bigint")
+            .alias("n_data_files"),
+            F.sum("n_positions").cast("bigint").alias("n_positions"),
+        )
+        .orderBy("delete_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
 # c87 — MMR diversified re-rank (greedy maximal marginal relevance)
 # ---------------------------------------------------------------------------
 

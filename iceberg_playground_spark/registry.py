@@ -103,6 +103,7 @@ _R12_NEW_TAIL: list[str] = [
     "p46_canary_leakage_drill",
     "c86_length_iqr_outliers",
     "c87_mmr_diversified_rerank",
+    "b167_position_deletes",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

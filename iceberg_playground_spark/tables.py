@@ -1975,6 +1975,56 @@ class LakeTable:
             " is_live BOOLEAN, n_rows BIGINT",
         )
 
+    def position_deletes(self, version: int | None = None) -> DataFrame:
+        """The ``position_deletes`` METADATA TABLE (Iceberg's
+        ``t.position_deletes``): one row per (position-delete file,
+        masked data file) of the snapshot — the deleting sequence,
+        the data file whose rows are masked (data-root-relative, the
+        all_files identity), and how many row positions the delete
+        pins there. Equality deletes do not appear (their masks are
+        key predicates, not positions — b87's changelog serves that
+        view). Unlike the other metadata tables this one READS the
+        delete files themselves (KB-scale parquet of (file, pos)
+        pairs — Iceberg's position_deletes table likewise scans
+        delete files; they are metadata-adjacent, never data)."""
+        import json as _json
+
+        v = self.current_version() if version is None else version
+        data_root = os.path.join(self.root, _DATA_DIR)
+        frames = []
+        for d in self.snapshot(v)["delete_files"]:
+            e = _json.loads(d["entry"])
+            if not e.get("pos"):
+                continue
+            seq = int(d["seq"])
+            pdf = (
+                self.spark.read.parquet(e["path"])
+                .groupBy("__f")
+                .agg(F.count("*").alias("n_positions"))
+                .select(
+                    F.lit(seq).alias("delete_seq"),
+                    F.col("__f").alias("data_file"),
+                    F.col("n_positions").cast("bigint"),
+                )
+            )
+            frames.append(pdf)
+        if not frames:
+            return self.spark.createDataFrame(
+                [],
+                "delete_seq INT, data_file STRING, n_positions BIGINT",
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        # normalize the masked file to its data-root-relative identity
+        # (scan paths may carry a file: scheme; split on the table's
+        # data-dir component instead of prefix arithmetic)
+        del data_root
+        return out.withColumn(
+            "data_file",
+            F.expr(f"substring_index(data_file, '/{_DATA_DIR}/', -1)"),
+        )
+
     def retention_forecast(self, keep_last_options: list[int]) -> DataFrame:
         """RETENTION FORECAST — what ``expire_snapshots(keep_last=k)``
         WOULD reclaim, for each candidate policy, without touching

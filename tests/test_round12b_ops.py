@@ -968,3 +968,39 @@ def test_c87_actually_diversifies(spark):
     assert got[0] == plain[0]
     assert set(got) <= set(plain[:20])
     assert got != plain[:10]
+
+
+# --- b167 position_deletes metadata table ------------------------------------------
+
+
+def test_b167_lists_masked_files_and_positions(spark, tmp_path):
+    # the metadata table's per-file position counts must equal the
+    # rows the positional delete actually masks, and the masked read
+    # must shrink by exactly that count
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("demo", "pd_t", "k BIGINT", drop_if_exists=True)
+    df = spark.createDataFrame([(i,) for i in range(20)], "k BIGINT")
+    t.append(df.filter(F.col("k") < 10).coalesce(1))
+    t.append(df.filter(F.col("k") >= 10).coalesce(1))
+    t.delete_where_positional("k % 4 = 1")  # 1,5,9 | 13,17
+    rows = t.position_deletes().collect()
+    per = {}
+    for r in rows:
+        assert r["delete_seq"] == 3
+        per[r["data_file"]] = r["n_positions"]
+    assert sorted(per.values()) == [2, 3]
+    assert t.read().count() == 20 - 5
+    # equality deletes never appear in the positional view
+    t.delete_where("k = 0", ["k"])
+    assert {r["delete_seq"] for r in t.position_deletes().collect()} == {3}
+
+
+def test_b167_empty_without_positional_deletes(spark, tmp_path):
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path))
+    t = cat.create_table("demo", "pd_e", "k BIGINT", drop_if_exists=True)
+    t.append(spark.createDataFrame([(1,)], "k BIGINT"))
+    assert t.position_deletes().count() == 0
