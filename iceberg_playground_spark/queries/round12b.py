@@ -448,9 +448,7 @@ FROM sv JOIN v{it} v ON v.i = sv.i"""
     cums = ["(SELECT l FROM lam)"]
     for k in range(2, _C82_COMPS + 1):
         pfx, gname = f"u{k}_", f"g{k}"
-        # lam_v alias for component 1's chain (named lam/tr there)
-        src_lam = "lam_" + prev_pfx if k > 2 else None
-        if k == 2:
+        if k == 2:  # component 1's chain names its pair lam/v8
             parts.append(
                 f"""uu_v AS (SELECT sum(x * x) AS d FROM v{it}),
 g2 AS MATERIALIZED (
@@ -587,9 +585,9 @@ def p44_streaming_gram_merge(spark: SparkSession, sf: str) -> DataFrame:
     from iceberg_playground_spark.queries.streaming import _scratch
 
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    n = e.count()
 
     def build(tmp: str) -> str:
+        n = e.count()  # only the cold build pays the scan
         src = os.path.join(tmp, "incoming")
         os.makedirs(src, exist_ok=True)
         for i in range(_P44_EPOCHS):
@@ -789,11 +787,13 @@ _C80_BANDS = 4  # multi-index bands of 8 bits
 _C80_R = 3  # verified-duplicate Hamming radius (= bands − 1: exact)
 
 _C80_ORACLE = f"""
-WITH d AS (SELECT doc_id, source, text, strlen(text) AS L
+WITH d AS (SELECT doc_id, source, hex(encode(text)) AS hx,
+                  strlen(text) AS L
            FROM documents WHERE strlen(text) >= {_C80_BLOCKS}),
 byt AS MATERIALIZED (
-  SELECT d.doc_id, CAST(ascii(substring(d.text, CAST(u.i AS INT), 1))
-                        AS BIGINT) AS byte,
+  SELECT d.doc_id,
+         CAST('0x' || substring(d.hx, CAST(2 * u.i - 1 AS INT), 2)
+              AS BIGINT) AS byte,
          (u.i - 1) // (d.L // {_C80_BLOCKS}) AS blk
   FROM d, unnest(generate_series(
             1, {_C80_BLOCKS} * (d.L // {_C80_BLOCKS}))) u(i)),
@@ -884,6 +884,26 @@ def _c80_sigs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _c80_bands(col: str):
+    """The multi-index band explode of a signature column: one
+    (b, bval) struct per 8-bit band. Shared by c80 (batch self-join)
+    and p45 (streaming index probe) — the two MUST band identically
+    for the batch-vs-ingest pairing to hold."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.expr(f"shiftright({col}, {8 * b}) & 255").alias(
+                        "bval"
+                    ),
+                )
+                for b in range(_C80_BANDS)
+            ]
+        )
+    )
+
+
 @query("c80_phash_near_dup", oracle=_C80_ORACLE)
 def c80_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """C80: PERCEPTUAL-HASH NEAR-DUP — the multimodal family's missing
@@ -914,15 +934,8 @@ def c80_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     sigs = _c80_sigs(spark, sf).localCheckpoint(
         eager=False
     )  # band arm ×2 + per-source census
-    bexpr = [
-        F.struct(
-            F.lit(b).alias("b"),
-            F.expr(f"shiftright(sig, {8 * b}) & 255").alias("bval"),
-        )
-        for b in range(_C80_BANDS)
-    ]
     bands = sigs.select(
-        "doc_id", "source", "sig", F.explode(F.array(*bexpr)).alias("bb")
+        "doc_id", "source", "sig", _c80_bands("sig").alias("bb")
     ).select("doc_id", "source", "sig", "bb.b", "bb.bval")
     a = bands.select(
         F.col("doc_id").alias("da"),
@@ -1835,13 +1848,20 @@ def c84_kneser_ney_bigram(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select(
         "source", F.split("text", " ").alias("toks")
     )
+    # guard BEFORE sequence(): sequence(0, n-2) with n < 2 generates a
+    # DESCENDING range, not an empty one (the round8.py:122 hazard) —
+    # a single-token doc must contribute zero bigrams, as the oracle's
+    # range(1, len) does
     bg = d.select(
         "source",
         F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks) - 2),"
-                " i -> struct(toks[i] AS v, toks[i + 1] AS w))"
-            )
+            F.when(
+                F.size("toks") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS v, toks[i + 1] AS w))"
+                ),
+            ).otherwise(F.array())
         ).alias("e"),
     ).select("source", "e.v", "e.w")
     sc = bg.groupBy("source", "v", "w").agg(F.count("*").alias("scnt"))
@@ -1904,11 +1924,13 @@ def _p45_oracle() -> str:
     # the c80 signature chain, then the 4-epoch ingest unrolled:
     # the index after epoch e holds every signed doc admitted so far
     parts = [
-        f"""d AS (SELECT doc_id, source, text, strlen(text) AS L
+        f"""d AS (SELECT doc_id, source, hex(encode(text)) AS hx,
+                  strlen(text) AS L
            FROM documents WHERE strlen(text) >= {nb}),
 byt AS MATERIALIZED (
-  SELECT d.doc_id, CAST(ascii(substring(d.text, CAST(u.i AS INT), 1))
-                        AS BIGINT) AS byte,
+  SELECT d.doc_id,
+         CAST('0x' || substring(d.hx, CAST(2 * u.i - 1 AS INT), 2)
+              AS BIGINT) AS byte,
          (u.i - 1) // (d.L // {nb}) AS blk
   FROM d, unnest(generate_series(1, {nb} * (d.L // {nb}))) u(i)),
 blk AS (SELECT doc_id, blk, sum(byte) AS s FROM byt GROUP BY doc_id, blk),
@@ -2037,24 +2059,12 @@ def p45_streaming_phash_novelty(spark: SparkSession, sf: str) -> DataFrame:
                 .localCheckpoint(eager=False)  # probe + admit + census
             )
             idx = spark.read.parquet(state)
-            bexpr = lambda c: F.explode(  # noqa: E731
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("b"),
-                            F.expr(f"shiftright({c}, {8 * b}) & 255")
-                            .alias("bval"),
-                        )
-                        for b in range(_C80_BANDS)
-                    ]
-                )
-            )
-            bb = sigs.select("doc_id", "sig", bexpr("sig").alias("k")).select(
-                "doc_id", "sig", "k.b", "k.bval"
-            )
+            bb = sigs.select(
+                "doc_id", "sig", _c80_bands("sig").alias("k")
+            ).select("doc_id", "sig", "k.b", "k.bval")
             ib = (
                 idx.select(F.col("sig").alias("isig"))
-                .select("isig", bexpr("isig").alias("k"))
+                .select("isig", _c80_bands("isig").alias("k"))
                 .select("isig", "k.b", "k.bval")
             )
             dup = (
@@ -2064,13 +2074,15 @@ def p45_streaming_phash_novelty(spark: SparkSession, sf: str) -> DataFrame:
                 )
                 .select("doc_id")
                 .distinct()
+                .localCheckpoint(eager=False)  # probe runs ONCE:
+                # the count materializes it, the anti-join reuses it
             )
+            nd = dup.count()
             novel = sigs.join(dup, "doc_id", "left_anti")
             novel.select("sig").write.mode("append").parquet(state)
             st = batch_df.agg(
                 F.min("doc_id").alias("mn"), F.count("*").alias("n")
             ).first()
-            nd = dup.count()
             spark.createDataFrame(
                 [
                     (
