@@ -548,6 +548,117 @@ def c82_pca_energy_spectrum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# c88 — PCA component stability audit (half-vs-full corpus, exact cos²)
+# ---------------------------------------------------------------------------
+
+
+def _c88_gram_sql(pred: str, pfx: str) -> str:
+    """A prefix-named copy of the quantize→Gram block over
+    ``embeddings WHERE {pred}`` — feeds _c82_iter_sql's generic
+    iteration chain, so the audit's two arms run the identical
+    machinery c79/c82 grade."""
+    d = _C79_DIM
+    return f"""q{pfx} AS MATERIALIZED (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {_C79_SCALE})
+              AS BIGINT) AS x
+  FROM embeddings, range(1, {d + 1}) t(i) WHERE {pred}),
+nn{pfx} AS (SELECT count(*) AS n FROM embeddings WHERE {pred}),
+sv{pfx} AS MATERIALIZED (SELECT i, sum(x) AS s FROM q{pfx} GROUP BY i),
+sp{pfx} AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(CAST(a.x AS HUGEINT) * b.x) AS ss
+  FROM q{pfx} a JOIN q{pfx} b USING (vec_id) GROUP BY a.i, b.i),
+g{pfx} AS MATERIALIZED (
+  SELECT sp.i, sp.j,
+         CAST((SELECT n FROM nn{pfx}) AS HUGEINT) * sp.ss
+           - CAST(sa.s AS HUGEINT) * sb.s AS gv
+  FROM sp{pfx} sp JOIN sv{pfx} sa ON sa.i = sp.i
+  JOIN sv{pfx} sb ON sb.i = sp.j)"""
+
+
+def _c88_oracle() -> str:
+    it = _C79_ITERS
+    vs = _C79_VSCALE
+    return f"""
+WITH {_c88_gram_sql("1 = 1", "F")},
+{_c88_gram_sql("vec_id * 2 < (SELECT count(*) FROM embeddings)", "H")},
+{_c82_iter_sql("gF", "vF_")},
+{_c82_iter_sql("gH", "vH_")},
+st AS (SELECT sum(CAST(h.x AS HUGEINT) * f.x) AS dot,
+              sum(CAST(h.x AS HUGEINT) * h.x) AS n1,
+              sum(CAST(f.x AS HUGEINT) * f.x) AS n2
+       FROM vH_{it} h JOIN vF_{it} f ON f.i = h.i)
+SELECT CAST(h.i AS BIGINT) AS dim,
+       CAST(h.x AS BIGINT) AS loading_half_micro,
+       CAST(f.x AS BIGINT) AS loading_full_micro,
+       CAST((SELECT l FROM lam_vH_) AS BIGINT) AS lambda_half,
+       CAST((SELECT l FROM lam_vF_) AS BIGINT) AS lambda_full,
+       CAST((SELECT (dot * dot * {vs}) // (n1 * n2) FROM st)
+            AS BIGINT) AS cos2_micro
+FROM vH_{it} h JOIN vF_{it} f ON f.i = h.i
+ORDER BY dim
+"""
+
+
+@query("c88_component_stability", oracle=_c88_oracle())
+def c88_component_stability(spark: SparkSession, sf: str) -> DataFrame:
+    """C88: PCA COMPONENT STABILITY AUDIT — the resampling check an
+    embedding owner runs before TRUSTING c79's component (the p38
+    question asked of the statistics family: is the learned artifact
+    an artifact of the corpus or of the sample?): train the identical
+    power iteration on the FIRST HALF of the corpus and on the whole,
+    and grade both loading vectors side by side with their Rayleigh
+    estimates and the squared cosine between them — cos² in EXACT
+    integer micro ((Σ v_h·v_f)²·10⁶ trunc-div (‖v_h‖²·‖v_f‖²): no
+    square root ever materializes, the c85 cross-multiplication
+    discipline). Low cos² = the "top direction" is sampling noise
+    (this near-isotropic synthetic corpus sits exactly there — the
+    eigengap is tiny, so the half-corpus direction genuinely swings;
+    itself the finding the audit exists to surface); cos² ≈ 1 = the
+    component is a stable corpus property safe to deploy (c81) and
+    monitor (p44).
+
+    Scale shape: exactly two Gram scans (the half-arm scans less),
+    each c79's d²-bounded mapInPandas aggregate; both iterations and
+    the cos² arithmetic are driver work on model-sized ints. At
+    100 TB the audit costs two c79 runs — and the half-arm partials
+    could come free from p44's epoch state, which is the point of
+    proving mergeability first."""
+    from iceberg_playground_spark.queries.round9b import _c54_quantized
+
+    qdf = _c54_quantized(spark, sf)
+    n = qdf.count()
+    full = _c79_stats_cached(spark, sf)
+    half = (
+        _c79_partials(qdf.filter(F.col("vec_id") * 2 < n))
+        .localCheckpoint(eager=False)
+    )
+    gf, _, _ = _c79_gram(full.collect())
+    gh, _, _ = _c79_gram(half.collect())
+    vf, lf = _c79_power(gf)
+    vh, lh = _c79_power(gh)
+    dot = sum(a * b for a, b in zip(vh, vf))
+    n1 = sum(x * x for x in vh)
+    n2 = sum(x * x for x in vf)
+    cos2 = _tdiv(dot * dot * _C79_VSCALE, n1 * n2)
+    comp = spark.createDataFrame(
+        [
+            (i + 1, vh[i], vf[i], lh, lf, cos2)
+            for i in range(_C79_DIM)
+        ],
+        "dim BIGINT, loading_half_micro BIGINT,"
+        " loading_full_micro BIGINT, lambda_half BIGINT,"
+        " lambda_full BIGINT, cos2_micro BIGINT",
+    )
+    # tie to the distributed lineage (c79's rule): the dim axis joins
+    # back onto the full-corpus Gram scan's sums slice
+    dims = full.filter((F.col("i") > 0) & (F.col("j") == 0)).select(
+        F.col("i").cast("bigint").alias("dim")
+    )
+    return dims.join(F.broadcast(comp), "dim").orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
 # p44 — streaming Gram merge (c79 as continuous ingest; parity proof)
 # ---------------------------------------------------------------------------
 

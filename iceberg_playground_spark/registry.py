@@ -104,6 +104,7 @@ _R12_NEW_TAIL: list[str] = [
     "c86_length_iqr_outliers",
     "c87_mmr_diversified_rerank",
     "b167_position_deletes",
+    "c88_component_stability",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1589,3 +1589,12 @@ def test_c87_rerank_touches_shortlist_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Scan parquet" not in plan  # shortlist only, never the corpus
+
+
+def test_c88_costs_two_gram_scans(spark):
+    # c88: both arms are c79's shape; the graded join is the 64-row
+    # broadcast — no corpus join, no sort-merge, no cartesian
+    plan = _plan(spark, "c88_component_stability")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1004,3 +1004,86 @@ def test_b167_empty_without_positional_deletes(spark, tmp_path):
     t = cat.create_table("demo", "pd_e", "k BIGINT", drop_if_exists=True)
     t.append(spark.createDataFrame([(1,)], "k BIGINT"))
     assert t.position_deletes().count() == 0
+
+
+# --- c88 PCA component stability ------------------------------------------------
+
+
+def test_c88_matches_python_reference(spark):
+    import duckdb
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+
+    def grams(rows):
+        m = np.floor(
+            np.array([r[0] for r in rows], dtype="float64") * 1000
+        ).astype("int64")
+        n, d = m.shape
+        ss = m.T @ m
+        s = m.sum(axis=0)
+        return {
+            (i + 1, j + 1): int(n) * int(ss[i][j]) - int(s[i]) * int(s[j])
+            for i in range(d)
+            for j in range(d)
+        }
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    def power(g, d=64):
+        k0 = max(range(1, d + 1), key=lambda i: (g[(i, i)], -i))
+        v = [1_000_000 if i == k0 else 0 for i in range(1, d + 1)]
+        for _ in range(8):
+            w = [
+                sum(g[(i, j)] * v[j - 1] for j in range(1, d + 1))
+                for i in range(1, d + 1)
+            ]
+            mx = max(abs(x) for x in w)
+            v = [tdiv(x * 1_000_000, mx) for x in w]
+        w = [
+            sum(g[(i, j)] * v[j - 1] for j in range(1, d + 1))
+            for i in range(1, d + 1)
+        ]
+        lam = tdiv(
+            sum(v[i] * w[i] for i in range(d)), sum(x * x for x in v)
+        )
+        return v, lam
+
+    full = duckdb.sql(
+        f"SELECT embedding FROM '{SF_SMOKE}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    n = len(full)
+    half = duckdb.sql(
+        f"SELECT embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+        f" WHERE vec_id * 2 < {n} ORDER BY vec_id"
+    ).fetchall()
+    vf, lf = power(grams(full))
+    vh, lh = power(grams(half))
+    dot = sum(a * b for a, b in zip(vh, vf))
+    cos2 = tdiv(
+        dot * dot * 1_000_000,
+        sum(x * x for x in vh) * sum(x * x for x in vf),
+    )
+    rows = registry.QUERIES["c88_component_stability"](
+        spark, SF_SMOKE
+    ).collect()
+    assert [r["loading_half_micro"] for r in rows] == vh
+    assert [r["loading_full_micro"] for r in rows] == vf
+    assert rows[0]["lambda_half"] == lh
+    assert rows[0]["lambda_full"] == lf
+    assert rows[0]["cos2_micro"] == cos2
+
+
+def test_c88_cos2_is_a_share(spark):
+    from tests.conftest import SF_SMOKE
+
+    rows = registry.QUERIES["c88_component_stability"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) == 64
+    c = rows[0]["cos2_micro"]
+    assert 0 <= c <= 1_000_000
+    # the full-corpus Gram scales ~n² over the half: its Rayleigh
+    # estimate must dominate
+    assert rows[0]["lambda_full"] > rows[0]["lambda_half"]
