@@ -548,6 +548,113 @@ def c82_pca_energy_spectrum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p47 — quality-signal agreement audit (exact Kendall tau, bounded sample)
+# ---------------------------------------------------------------------------
+
+_P47_SAMPLE = 50  # audit sample (pairs = 50·49/2 = 1225, bounded)
+
+_P47_ORACLE = f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id,
+         (sum(length(t)) * 1000) // count(*) AS s1,
+         (count(DISTINCT t) * 1000000) // count(*) AS s2
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE doc_id < {_P47_SAMPLE})
+  WHERE t <> '' GROUP BY doc_id),
+p AS (SELECT (a.s1 - b.s1) * (a.s2 - b.s2) AS prod
+      FROM s a JOIN s b ON a.doc_id < b.doc_id),
+agg AS (SELECT count(*) AS n_pairs,
+               sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS conc,
+               sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS disc,
+               sum(CASE WHEN prod = 0 THEN 1 ELSE 0 END) AS ties
+        FROM p)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_docs,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       CAST(ties AS BIGINT) AS ties,
+       CAST(((conc - disc) * 1000000) // n_pairs AS BIGINT) AS tau_micro
+FROM agg
+"""
+
+
+@query("p47_signal_agreement_audit", oracle=_P47_ORACLE)
+def p47_signal_agreement_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """P47: QUALITY-SIGNAL AGREEMENT AUDIT — exact Kendall rank
+    correlation (Kendall 1938) between two per-document quality
+    signals on a bounded audit sample: the sanity check a filter-
+    stack owner runs before composing gates (p29 + c65 + c86 + ...)
+    — two signals that rank documents identically are one gate twice
+    (redundant cost), two that anti-correlate are fighting each
+    other, and the stack's designer needs the NUMBER. Signals here:
+    mean word length (milli) vs type-token ratio (micro) — the
+    length-vs-diversity axes every heuristic stack mixes. Tau is the
+    exact concordant-minus-discordant count over all sample pairs
+    divided once at the boundary; the sign product (s1ᵢ−s1ⱼ)(s2ᵢ−s2ⱼ)
+    is exact integer arithmetic, so every pair's verdict — and the
+    tau — can never drift between engines.
+
+    Scale shape: the per-doc signals are one tokenize + one
+    (doc, term) aggregate over the SAMPLE only (pushed-down doc_id
+    predicate); the pair stage is the bounded {n}·({n}−1)/2 self-join
+    of a {n}-row frame (the sanctioned eval-arm shape — rank
+    correlation is quadratic in the SAMPLE by definition, which is
+    why audits sample; at 100 TB the sample is still 50 rows)."""
+    from iceberg_playground_spark.queries._util import load
+
+    s = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") < _P47_SAMPLE)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(length(t)) * 1000 DIV count(*)").alias("s1"),
+            F.expr("count(DISTINCT t) * 1000000 DIV count(*)").alias(
+                "s2"
+            ),
+        )
+        .localCheckpoint(eager=False)  # both pair-join sides + census
+    )
+    a = s.select(
+        F.col("doc_id").alias("da"),
+        F.col("s1").alias("a1"),
+        F.col("s2").alias("a2"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("db"),
+        F.col("s1").alias("b1"),
+        F.col("s2").alias("b2"),
+    )
+    prod = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            ((F.col("a1") - F.col("b1")) * (F.col("a2") - F.col("b2")))
+            .alias("prod")
+        )
+    )
+    n_docs = s.count()  # bounded: the 50-row sample
+    return prod.agg(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum((F.col("prod") > 0).cast("bigint"))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum((F.col("prod") < 0).cast("bigint"))
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum((F.col("prod") == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("ties"),
+    ).withColumn(
+        "tau_micro",
+        F.expr(
+            "(concordant - discordant) * 1000000 DIV n_pairs"
+        ).cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # c88 — PCA component stability audit (half-vs-full corpus, exact cos²)
 # ---------------------------------------------------------------------------
 

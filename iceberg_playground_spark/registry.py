@@ -105,6 +105,7 @@ _R12_NEW_TAIL: list[str] = [
     "c87_mmr_diversified_rerank",
     "b167_position_deletes",
     "c88_component_stability",
+    "p47_signal_agreement_audit",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1598,3 +1598,13 @@ def test_c88_costs_two_gram_scans(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_p47_pair_join_is_sample_bounded(spark):
+    # p47: the doc_id predicate reaches the scan and the pair join
+    # touches only the 50-row sample (the sanctioned eval arm)
+    df = registry.QUERIES["p47_signal_agreement_audit"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    for cols in _exchange_outputs(df):
+        assert "text" not in set(cols), cols

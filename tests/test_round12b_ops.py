@@ -1087,3 +1087,57 @@ def test_c88_cos2_is_a_share(spark):
     # the full-corpus Gram scales ~n² over the half: its Rayleigh
     # estimate must dominate
     assert rows[0]["lambda_full"] > rows[0]["lambda_half"]
+
+
+# --- p47 quality-signal agreement audit ----------------------------------------------
+
+
+def test_p47_matches_python_reference(spark):
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+        f" WHERE doc_id < 50"
+    ).fetchall()
+    sig = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        sig[doc_id] = (
+            sum(len(t) for t in toks) * 1000 // len(toks),
+            len(set(toks)) * 1_000_000 // len(toks),
+        )
+    ids = sorted(sig)
+    conc = disc = ties = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            prod = (sig[a][0] - sig[b][0]) * (sig[a][1] - sig[b][1])
+            if prod > 0:
+                conc += 1
+            elif prod < 0:
+                disc += 1
+            else:
+                ties += 1
+    n_pairs = len(ids) * (len(ids) - 1) // 2
+    r = registry.QUERIES["p47_signal_agreement_audit"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert (r["n_docs"], r["n_pairs"]) == (len(ids), n_pairs)
+    assert (r["concordant"], r["discordant"], r["ties"]) == (
+        conc,
+        disc,
+        ties,
+    )
+    assert r["tau_micro"] == (conc - disc) * 1_000_000 // n_pairs
+
+
+def test_p47_pair_accounting_closes(spark):
+    from tests.conftest import SF_SMOKE
+
+    r = registry.QUERIES["p47_signal_agreement_audit"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert r["n_pairs"] == r["n_docs"] * (r["n_docs"] - 1) // 2
+    assert r["concordant"] + r["discordant"] + r["ties"] == r["n_pairs"]
+    assert -1_000_000 <= r["tau_micro"] <= 1_000_000
