@@ -548,6 +548,165 @@ def c82_pca_energy_spectrum(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p48 — gate attribution report (which filter earns its keep)
+# ---------------------------------------------------------------------------
+
+
+def _p48_oracle() -> str:
+    from iceberg_playground_spark.queries.round9c import (
+        _P29_ML_HI10,
+        _P29_ML_LO10,
+        _P29_STOP_MIN,
+        _P29_WC_HI,
+        _P29_WC_LO,
+    )
+
+    return f"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+g AS (SELECT doc_id, count(*) AS n_words,
+             sum(length(token)) AS sum_len,
+             sum(CASE WHEN token IN ('a', 'the') THEN 1 ELSE 0 END)
+               AS n_stop
+      FROM t WHERE token <> '' GROUP BY doc_id),
+fl AS (SELECT doc_id,
+              NOT (n_words BETWEEN {_P29_WC_LO} AND {_P29_WC_HI}) AS r1,
+              NOT ({_P29_ML_LO10} * n_words <= 10 * sum_len
+                   AND 10 * sum_len <= {_P29_ML_HI10} * n_words) AS r2,
+              NOT (n_stop >= {_P29_STOP_MIN}) AS r3
+       FROM g),
+x AS (SELECT count(*) AS n_docs,
+             sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS j1,
+             sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS j2,
+             sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS j3,
+             sum(CASE WHEN r1 AND NOT r2 AND NOT r3 THEN 1 ELSE 0 END)
+               AS u1,
+             sum(CASE WHEN r2 AND NOT r1 AND NOT r3 THEN 1 ELSE 0 END)
+               AS u2,
+             sum(CASE WHEN r3 AND NOT r1 AND NOT r2 THEN 1 ELSE 0 END)
+               AS u3,
+             sum(CASE WHEN NOT (r1 OR r2 OR r3) THEN 1 ELSE 0 END)
+               AS passed
+      FROM fl)
+SELECT 'g1_wordcount' AS gate, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(j1 AS BIGINT) AS n_reject,
+       CAST(u1 AS BIGINT) AS n_unique_reject,
+       CAST(CASE WHEN j1 = 0 THEN 0
+                 ELSE (u1 * 1000000) // j1 END AS BIGINT)
+         AS unique_share_micro,
+       CAST(passed AS BIGINT) AS n_pass_all
+FROM x
+UNION ALL
+SELECT 'g2_meanlen', CAST(n_docs AS BIGINT), CAST(j2 AS BIGINT),
+       CAST(u2 AS BIGINT),
+       CAST(CASE WHEN j2 = 0 THEN 0
+                 ELSE (u2 * 1000000) // j2 END AS BIGINT),
+       CAST(passed AS BIGINT)
+FROM x
+UNION ALL
+SELECT 'g3_stopword', CAST(n_docs AS BIGINT), CAST(j3 AS BIGINT),
+       CAST(u3 AS BIGINT),
+       CAST(CASE WHEN j3 = 0 THEN 0
+                 ELSE (u3 * 1000000) // j3 END AS BIGINT),
+       CAST(passed AS BIGINT)
+FROM x
+ORDER BY gate
+"""
+
+
+@query("p48_gate_attribution", oracle=_p48_oracle())
+def p48_gate_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """P48: GATE ATTRIBUTION REPORT — three of p29's Gopher sub-gates
+    decomposed into a portfolio view, answering the question p47's
+    rank-correlation raises (two agreeing signals might be one gate
+    twice): per sub-gate — rejects, UNIQUE rejects (documents ONLY
+    that gate catches: its marginal value; a gate with zero unique
+    catches is free to drop), the unique share, and the common
+    pass-all count. This is how a filter-stack owner prunes gates
+    before paying their cost at 100 TB — the FineWeb-style ablation
+    at the cheap counting level. All columns are exact integer
+    counts with one DIV each at the output boundary; the gate
+    thresholds are p29's own constants imported, so this report can
+    never drift from the production gate it audits.
+
+    Scale shape: ONE tokenize → per-doc aggregate (p29's two-level
+    shape, map-side partials), one |docs|-row flag projection, one
+    global 8-sum rollup; the 3-row output pivots a single scalar row
+    (no join, no window over corpus rows)."""
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.round9c import (
+        _P29_ML_HI10,
+        _P29_ML_LO10,
+        _P29_STOP_MIN,
+        _P29_WC_HI,
+        _P29_WC_LO,
+    )
+
+    g = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("token")).alias("sum_len"),
+            F.sum(
+                F.col("token").isin("a", "the").cast("long")
+            ).alias("n_stop"),
+        )
+    )
+    fl = g.select(
+        (~F.col("n_words").between(_P29_WC_LO, _P29_WC_HI)).alias("r1"),
+        (
+            ~(
+                (F.lit(_P29_ML_LO10) * F.col("n_words")
+                 <= 10 * F.col("sum_len"))
+                & (10 * F.col("sum_len")
+                   <= F.lit(_P29_ML_HI10) * F.col("n_words"))
+            )
+        ).alias("r2"),
+        (~(F.col("n_stop") >= _P29_STOP_MIN)).alias("r3"),
+    )
+    x = fl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("r1").cast("long")).alias("j1"),
+        F.sum(F.col("r2").cast("long")).alias("j2"),
+        F.sum(F.col("r3").cast("long")).alias("j3"),
+        F.sum(
+            (F.col("r1") & ~F.col("r2") & ~F.col("r3")).cast("long")
+        ).alias("u1"),
+        F.sum(
+            (F.col("r2") & ~F.col("r1") & ~F.col("r3")).cast("long")
+        ).alias("u2"),
+        F.sum(
+            (F.col("r3") & ~F.col("r1") & ~F.col("r2")).cast("long")
+        ).alias("u3"),
+        F.sum(
+            (~(F.col("r1") | F.col("r2") | F.col("r3"))).cast("long")
+        ).alias("passed"),
+    ).localCheckpoint(eager=False)  # one corpus pass serves all 3 rows
+    share = lambda u, j: (  # noqa: E731
+        F.when(F.col(j) == 0, F.lit(0))
+        .otherwise(F.expr(f"{u} * 1000000 DIV {j}"))
+        .cast("bigint")
+    )
+    row = lambda name, j, u: x.select(  # noqa: E731
+        F.lit(name).alias("gate"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col(j).cast("bigint").alias("n_reject"),
+        F.col(u).cast("bigint").alias("n_unique_reject"),
+        share(u, j).alias("unique_share_micro"),
+        F.col("passed").cast("bigint").alias("n_pass_all"),
+    )
+    return (
+        row("g1_wordcount", "j1", "u1")
+        .unionByName(row("g2_meanlen", "j2", "u2"))
+        .unionByName(row("g3_stopword", "j3", "u3"))
+        .orderBy("gate")
+    )
+
+
+# ---------------------------------------------------------------------------
 # p47 — quality-signal agreement audit (exact Kendall tau, bounded sample)
 # ---------------------------------------------------------------------------
 

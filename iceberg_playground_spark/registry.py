@@ -106,6 +106,7 @@ _R12_NEW_TAIL: list[str] = [
     "b167_position_deletes",
     "c88_component_stability",
     "p47_signal_agreement_audit",
+    "p48_gate_attribution",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1608,3 +1608,14 @@ def test_p47_pair_join_is_sample_bounded(spark):
     assert "SortMergeJoin" not in plan
     for cols in _exchange_outputs(df):
         assert "text" not in set(cols), cols
+
+
+def test_p48_is_one_corpus_pass(spark):
+    # p48: one tokenize + per-doc aggregate + a checkpointed 1-row
+    # rollup pivoted to 3 rows — no join over corpus rows
+    df = registry.QUERIES["p48_gate_attribution"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert "text" not in set(cols), cols
