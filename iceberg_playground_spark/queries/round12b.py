@@ -1615,7 +1615,41 @@ _C87_K = 10  # selected list
 _C87_LAM10 = 7  # λ = 0.7 in tenths: score = 7·d2q − 3·min-sel-d2
 
 
-def _c87_oracle() -> str:
+def _c87_greedy(rows) -> list:
+    """The greedy MMR selection over collected shortlist rows —
+    [(vec_id, msd_or_None, score)] in pick order, exact integers.
+    Shared by c87 (the graded rerank) and c89 (its diversity audit):
+    the audit measures the SAME selection the rerank ships."""
+    vecs = {int(r["vec_id"]): [int(x) for x in r["q"]] for r in rows}
+    d2q = {int(r["vec_id"]): int(r["d2"]) for r in rows}
+
+    def pd2(a: int, b: int) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(vecs[a], vecs[b]))
+
+    first = min(d2q, key=lambda v: (d2q[v], v))
+    sel = [(first, None, _C87_LAM10 * d2q[first])]
+    chosen = {first}
+    for _ in range(_C87_K - 1):
+        best = None
+        for v in vecs:
+            if v in chosen:
+                continue
+            msd = min(pd2(v, s) for s, _, _ in sel)
+            score = _C87_LAM10 * d2q[v] - (10 - _C87_LAM10) * msd
+            key = (score, v)
+            if best is None or key < best[0]:
+                best = (key, v, msd)
+        _, v, msd = best
+        sel.append((v, msd, _C87_LAM10 * d2q[v] - (10 - _C87_LAM10) * msd))
+        chosen.add(v)
+    return sel
+
+
+def _c87_chain() -> str:
+    """The shared oracle chain: quantize → query distances → top-{C}
+    shortlist → pairwise matrix → the {K} unrolled greedy steps,
+    ending in s1..s{K}/sel{K}. Composed by c87's and c89's oracles
+    (the compose-never-slice rule)."""
     d = _C79_DIM
     parts = [
         f"""qq AS MATERIALIZED (
@@ -1654,13 +1688,17 @@ sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"""
 sel{k} AS MATERIALIZED (SELECT vec_id FROM sel{k - 1}
            UNION ALL SELECT vec_id FROM s{k})"""
         )
+    return ",\n".join(parts)
+
+
+def _c87_oracle() -> str:
     sels = "\nUNION ALL\n".join(
         f"SELECT {k} AS rank, vec_id, d2, msd, score FROM s{k}"
         for k in range(1, _C87_K + 1)
     )
     return (
         "WITH "
-        + ",\n".join(parts)
+        + _c87_chain()
         + f"""
 SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
        CAST(d2 AS BIGINT) AS d2_query,
@@ -1714,30 +1752,7 @@ def c87_mmr_diversified_rerank(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=False)  # collect + graded join
     )
     rows = cand.collect()  # bounded: the 20-row shortlist
-    vecs = {int(r["vec_id"]): [int(x) for x in r["q"]] for r in rows}
-    d2q = {int(r["vec_id"]): int(r["d2"]) for r in rows}
-
-    def pd2(a: int, b: int) -> int:
-        return sum(
-            (x - y) * (x - y) for x, y in zip(vecs[a], vecs[b])
-        )
-
-    first = min(d2q, key=lambda v: (d2q[v], v))
-    sel = [(first, None, _C87_LAM10 * d2q[first])]
-    chosen = {first}
-    for _ in range(_C87_K - 1):
-        best = None
-        for v in vecs:
-            if v in chosen:
-                continue
-            msd = min(pd2(v, s) for s, _, _ in sel)
-            score = _C87_LAM10 * d2q[v] - (10 - _C87_LAM10) * msd
-            key = (score, v)
-            if best is None or key < best[0]:
-                best = (key, v, msd)
-        _, v, msd = best
-        sel.append((v, msd, _C87_LAM10 * d2q[v] - (10 - _C87_LAM10) * msd))
-        chosen.add(v)
+    sel = _c87_greedy(rows)
     pick = spark.createDataFrame(
         [
             (i + 1, v, msd, score)
@@ -1758,6 +1773,116 @@ def c87_mmr_diversified_rerank(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# c89 — re-rank diversity audit (what MMR bought, what it paid)
+# ---------------------------------------------------------------------------
+
+
+def _c89_oracle() -> str:
+    k = _C87_K
+    np = k * (k - 1) // 2
+    return f"""
+WITH {_c87_chain()},
+plain AS MATERIALIZED (
+  SELECT vec_id FROM cand ORDER BY d2, vec_id LIMIT {k}),
+mstat AS (SELECT sum(cp.d2) AS sd, min(cp.d2) AS md FROM cp
+          WHERE cp.a IN (SELECT vec_id FROM sel{k})
+            AND cp.b IN (SELECT vec_id FROM sel{k}) AND cp.a < cp.b),
+pstat AS (SELECT sum(cp.d2) AS sd, min(cp.d2) AS md FROM cp
+          WHERE cp.a IN (SELECT vec_id FROM plain)
+            AND cp.b IN (SELECT vec_id FROM plain) AND cp.a < cp.b),
+mq AS (SELECT sum(d2) AS sq FROM cand
+       WHERE vec_id IN (SELECT vec_id FROM sel{k})),
+pq AS (SELECT sum(d2) AS sq FROM cand
+       WHERE vec_id IN (SELECT vec_id FROM plain)),
+ns AS (SELECT count(*) AS n FROM cand)
+SELECT 'mmr' AS list, CAST({k} AS BIGINT) AS n_items,
+       CAST((SELECT sd FROM mstat) // {np} AS BIGINT) AS mean_pair_d2,
+       CAST((SELECT md FROM mstat) AS BIGINT) AS min_pair_d2,
+       CAST((SELECT sq FROM mq) // {k} AS BIGINT) AS mean_query_d2,
+       CAST((SELECT n FROM ns) AS BIGINT) AS n_shortlist
+UNION ALL
+SELECT 'plain', CAST({k} AS BIGINT),
+       CAST((SELECT sd FROM pstat) // {np} AS BIGINT),
+       CAST((SELECT md FROM pstat) AS BIGINT),
+       CAST((SELECT sq FROM pq) // {k} AS BIGINT),
+       CAST((SELECT n FROM ns) AS BIGINT)
+ORDER BY list
+"""
+
+
+@query("c89_rerank_diversity_audit", oracle=_c89_oracle())
+def c89_rerank_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """C89: RE-RANK DIVERSITY AUDIT — the before/after numbers that
+    justify (or kill) c87's MMR in production: intra-list diversity
+    (mean and MINIMUM pairwise distance inside the returned list —
+    the ILD metric diversified-retrieval papers report) and the
+    relevance PRICE paid for it (mean query distance), for the plain
+    top-{k} versus the MMR selection of the SAME shortlist (shared
+    _c87_greedy — the audit measures exactly the selection the
+    rerank ships). Plain top-k provably minimizes mean query
+    distance, so the mmr row's mean_query_d2 ≥ plain's by
+    construction; what the owner reads is whether min_pair_d2 rose
+    enough to be worth that gap. All exact BIGINTs; the two DIVs
+    (mean pair, mean query) divide by literal constants at the
+    output boundary.
+
+    Scale shape: identical to c87 — one TakeOrderedAndProject
+    shortlist pass, then bounded {k}-set arithmetic (SQL-side: set
+    filters over the MATERIALIZED pairwise CTE; Spark-side: the same
+    collected 20-row frame). The audit adds zero corpus work to the
+    rerank it audits."""
+    from iceberg_playground_spark.queries.round9b import _c54_quantized
+
+    qdf = _c54_quantized(spark, sf).localCheckpoint(eager=False)
+    q0 = qdf.filter(F.col("vec_id") == 0).collect()[0]["q"]
+    q0lit = F.array(*[F.lit(int(x)) for x in q0])
+    d2 = F.aggregate(
+        F.zip_with("q", q0lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    cand = (
+        qdf.filter(F.col("vec_id") != 0)
+        .select("vec_id", "q", d2.alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(_C87_CAND)
+        .localCheckpoint(eager=False)  # collect + lineage tie
+    )
+    rows = cand.collect()  # bounded: the 20-row shortlist
+    vecs = {int(r["vec_id"]): [int(x) for x in r["q"]] for r in rows}
+    d2q = {int(r["vec_id"]): int(r["d2"]) for r in rows}
+    mmr = [v for v, _, _ in _c87_greedy(rows)]
+    plain = sorted(d2q, key=lambda v: (d2q[v], v))[: _C87_K]
+
+    def pd2(a: int, b: int) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(vecs[a], vecs[b]))
+
+    def stats(ids: list) -> tuple:
+        pairs = [
+            pd2(a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+        ]
+        return (
+            sum(pairs) // len(pairs),
+            min(pairs),
+            sum(d2q[v] for v in ids) // len(ids),
+        )
+
+    out = []
+    for name, ids in (("mmr", mmr), ("plain", plain)):
+        mp, mn, mq = stats(ids)
+        out.append((name, len(ids), mp, mn, mq))
+    lit = spark.createDataFrame(
+        out,
+        "list STRING, n_items BIGINT, mean_pair_d2 BIGINT,"
+        " min_pair_d2 BIGINT, mean_query_d2 BIGINT",
+    )
+    ns = cand.agg(F.count("*").cast("bigint").alias("n_shortlist"))
+    return lit.join(F.broadcast(ns)).orderBy("list")
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,7 @@ _R12_NEW_TAIL: list[str] = [
     "c88_component_stability",
     "p47_signal_agreement_audit",
     "p48_gate_attribution",
+    "c89_rerank_diversity_audit",
 ]
 
 # Populated by load_all() for introspection/tests: the derived

@@ -1619,3 +1619,12 @@ def test_p48_is_one_corpus_pass(spark):
     assert "CartesianProduct" not in plan
     for cols in _exchange_outputs(df):
         assert "text" not in set(cols), cols
+
+
+def test_c89_audit_adds_no_corpus_work(spark):
+    # c89: the graded plan reads the checkpointed 20-row shortlist and
+    # a 2-row literal — never the corpus
+    plan = _plan(spark, "c89_rerank_diversity_audit")
+    assert "Scan parquet" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1202,3 +1202,84 @@ def test_p48_consistent_with_p29_composite(spark):
     # totals if the schema matches, else just sanity-bound
     n_docs = att[0]["n_docs"]
     assert 0 < att[0]["n_pass_all"] < n_docs
+
+
+# --- c89 re-rank diversity audit -----------------------------------------------------
+
+
+def test_c89_matches_python_reference(spark):
+    import duckdb
+    import math
+
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    q = {r[0]: [int(math.floor(x * 1000)) for x in r[1]] for r in rows}
+    d2q = {
+        v: sum((a - b) ** 2 for a, b in zip(q[v], q[0]))
+        for v in q
+        if v != 0
+    }
+    cand = sorted(d2q, key=lambda v: (d2q[v], v))[:20]
+
+    def pd2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(q[a], q[b]))
+
+    # independent greedy (same as the c87 reference test)
+    first = min(cand, key=lambda v: (d2q[v], v))
+    sel = [first]
+    for _ in range(9):
+        best = None
+        for v in cand:
+            if v in sel:
+                continue
+            msd = min(pd2(v, s) for s in sel)
+            score = 7 * d2q[v] - 3 * msd
+            if best is None or (score, v) < best[0]:
+                best = ((score, v), v)
+        sel.append(best[1])
+    plain = sorted(d2q, key=lambda v: (d2q[v], v))[:10]
+
+    def stats(ids):
+        pairs = [
+            pd2(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+        ]
+        return (
+            sum(pairs) // len(pairs),
+            min(pairs),
+            sum(d2q[v] for v in ids) // len(ids),
+        )
+
+    got = {
+        r["list"]: r
+        for r in registry.QUERIES["c89_rerank_diversity_audit"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for name, ids in (("mmr", sel), ("plain", plain)):
+        mp, mn, mq = stats(ids)
+        r = got[name]
+        assert (
+            r["mean_pair_d2"],
+            r["min_pair_d2"],
+            r["mean_query_d2"],
+        ) == (mp, mn, mq)
+        assert r["n_items"] == 10 and r["n_shortlist"] == 20
+
+
+def test_c89_tradeoff_direction(spark):
+    # plain top-k minimizes mean query distance by construction; MMR
+    # must pay at least as much relevance and (on this corpus) buy
+    # strictly more diversity
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["list"]: r
+        for r in registry.QUERIES["c89_rerank_diversity_audit"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got["mmr"]["mean_query_d2"] >= got["plain"]["mean_query_d2"]
+    assert got["mmr"]["min_pair_d2"] >= got["plain"]["min_pair_d2"]
