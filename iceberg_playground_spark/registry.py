@@ -36,7 +36,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Grading-order contract, round 12 — now DERIVED, not retyped.
+# Grading-order contract, round 13 — DERIVED, not retyped.
 # The driver's correctness sweep grades the FIRST ~50 registered
 # entries and stops, so registration order decides what gets graded.
 # Through round 11 the order was maintained as hand-rolled explicit
@@ -48,34 +48,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # that round's record (= that round's grade order). Only two things
 # stay explicit, because they cannot be derived from grades alone:
 #
-#   _R12_LEAD — last round's never-graded additions (they outrank the
-#       rotation; verbatim the r11 tail, per VERDICT r11 item 1). An
-#       entry that HAS a grade (i.e. CORRECTNESS_r12.json landed) is
+#   _R13_LEAD — last round's never-graded additions (they outrank the
+#       rotation; verbatim the r12 tail, per VERDICT r12 item 1). An
+#       entry that HAS a grade (i.e. CORRECTNESS_r13.json landed) is
 #       auto-dropped from the lead and re-enters via the rotation.
-#   _R12_NEW_TAIL — THIS round's additions, appended as they land.
+#   _R13_NEW_TAIL — THIS round's additions, appended as they land.
 #       They sit at the very end (outside the ~50 window) and become
 #       the next round's lead seed.
 #
 # Roll procedure at each round close (one loud tripwire in
-# tests/test_registry_contract.py fires when CORRECTNESS_r12.json
-# lands): _R13_LEAD = _R12_NEW_TAIL verbatim, empty the tail, bump
+# tests/test_registry_contract.py fires when CORRECTNESS_r13.json
+# lands): _R14_LEAD = _R13_NEW_TAIL verbatim, empty the tail, bump
 # _NEW_TAIL_ROUND. Everything else re-derives.
-_R12_LEAD: list[str] = [
-    "c70_kmeanspp_seed",
-    "p36_streaming_release_report",
-    "c71_ivf_index_drift",
-    "b159_refs_metadata",
-    "p37_mixture_schedule",
-    "b160_history_metadata",
-    "c72_learned_ivf_recall",
-    "p38_streaming_drift_audit",
-    "c73_classifier_calibration",
-    "p39_release_datacard",
-]
-# The round whose CORRECTNESS record has NOT landed yet; the tail
-# below collects that round's additions.
-_NEW_TAIL_ROUND = 12
-_R12_NEW_TAIL: list[str] = [
+_R13_LEAD: list[str] = [
     "c74_pq_train",
     "c75_unigram_lm_train",
     "b161_entries_metadata",
@@ -109,6 +94,10 @@ _R12_NEW_TAIL: list[str] = [
     "p48_gate_attribution",
     "c89_rerank_diversity_audit",
 ]
+# The round whose CORRECTNESS record has NOT landed yet; the tail
+# below collects that round's additions.
+_NEW_TAIL_ROUND = 13
+_R13_NEW_TAIL: list[str] = []
 
 # Populated by load_all() for introspection/tests: the derived
 # rotation (graded queries, stalest first) and the full imposed order.
@@ -149,15 +138,15 @@ def load_all() -> None:
 
     ORDER IS A CONTRACT, not style (see the block comments above):
     after all modules register, QUERIES/ORACLES are rebuilt so the
-    prefix is _R12_LEAD (last round's never-graded additions, minus
+    prefix is _R13_LEAD (last round's never-graded additions, minus
     any that meanwhile received a grade) + the DERIVED rotation
     (every graded query, stalest latest-grade first, ties broken by
-    grade order within that round's record) + _R12_NEW_TAIL (this
+    grade order within that round's record) + _R13_NEW_TAIL (this
     round's additions, graded next round). Import order does not
     double as grading order. Loud failures here: a lead/tail name
     that never registered (typo guard), and a registered query that
     is neither graded nor in the lead/tail (a new op someone forgot
-    to append to _R12_NEW_TAIL — it would silently displace the
+    to append to _R13_NEW_TAIL — it would silently displace the
     window otherwise).
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
@@ -192,13 +181,13 @@ def load_all() -> None:
         round12b,
     )
 
-    explicit = _R12_LEAD + _R12_NEW_TAIL
+    explicit = _R13_LEAD + _R13_NEW_TAIL
     missing = [n for n in explicit if n not in QUERIES]
     if missing:
         raise RuntimeError(f"grading-order names not registered: {missing}")
     graded = latest_grades()
-    lead = [n for n in _R12_LEAD if n not in graded]
-    tail = set(_R12_NEW_TAIL)
+    lead = [n for n in _R13_LEAD if n not in graded]
+    tail = set(_R13_NEW_TAIL)
     # Lead entries that meanwhile received a grade re-enter here, so
     # the rotation is simply "every graded query, stalest first".
     rotation = sorted(
@@ -212,10 +201,10 @@ def load_all() -> None:
     ]
     if stray:
         raise RuntimeError(
-            "never-graded queries missing from _R12_LEAD/_R12_NEW_TAIL "
+            "never-graded queries missing from _R13_LEAD/_R13_NEW_TAIL "
             f"(append them to the tail): {stray}"
         )
-    order = lead + rotation + _R12_NEW_TAIL
+    order = lead + rotation + _R13_NEW_TAIL
     GRADING_ROTATION[:] = rotation
     GRADING_ORDER[:] = order
     for d in (QUERIES, ORACLES):

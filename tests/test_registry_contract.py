@@ -7,10 +7,10 @@ so the old failure mode — hand-rolled lists going stale the moment a
 new round's record lands — is structurally gone. What remains
 explicit, and therefore checked here, are the two small seed lists:
 
-- ``_R12_LEAD`` (last round's never-graded additions) must contain
+- ``_R13_LEAD`` (last round's never-graded additions) must contain
   only never-graded ops — a graded entry is harmless (load_all drops
   it into the rotation) but means the list should be pruned;
-- ``_R12_NEW_TAIL`` (this round's additions) must be never-graded and
+- ``_R13_NEW_TAIL`` (this round's additions) must be never-graded and
   sit at the very end of the imposed order;
 - the single ROLL TRIPWIRE: once ``CORRECTNESS_r{_NEW_TAIL_ROUND}.json``
   lands, ``test_roll_the_tail`` fails with the exact roll procedure,
@@ -44,7 +44,7 @@ def test_roll_the_tail():
 
 
 def test_seed_lists_disjoint_and_registered():
-    combined = registry._R12_LEAD + registry._R12_NEW_TAIL
+    combined = registry._R13_LEAD + registry._R13_NEW_TAIL
     assert len(combined) == len(set(combined)), "overlap across seed lists"
     missing = [n for n in combined if n not in registry.QUERIES]
     assert not missing, f"seed names not registered: {missing}"
@@ -57,11 +57,11 @@ def test_lead_entries_never_graded():
     latest = registry.latest_grades()
     graded_leads = [
         n
-        for n in registry._R12_LEAD
+        for n in registry._R13_LEAD
         if n in latest and latest[n][0] < registry._NEW_TAIL_ROUND
     ]
     assert not graded_leads, (
-        f"_R12_LEAD entries were already driver-graded before round "
+        f"_R13_LEAD entries were already driver-graded before round "
         f"{registry._NEW_TAIL_ROUND} (prune the list; load_all already "
         f"routed them to the rotation): {graded_leads}"
     )
@@ -71,11 +71,11 @@ def test_tail_entries_never_graded():
     latest = registry.latest_grades()
     graded = [
         n
-        for n in registry._R12_NEW_TAIL
+        for n in registry._R13_NEW_TAIL
         if n in latest and latest[n][0] < registry._NEW_TAIL_ROUND
     ]
     assert not graded, (
-        f"_R12_NEW_TAIL entries must be new this round (never graded "
+        f"_R13_NEW_TAIL entries must be new this round (never graded "
         f"before round {registry._NEW_TAIL_ROUND}): {graded}"
     )
 
@@ -94,8 +94,8 @@ def test_rotation_is_every_graded_query_stalest_first():
 def test_imposed_order_is_lead_rotation_tail():
     names = list(registry.QUERIES)
     latest = registry.latest_grades()
-    lead = [n for n in registry._R12_LEAD if n not in latest]
-    assert names == lead + registry.GRADING_ROTATION + registry._R12_NEW_TAIL
+    lead = [n for n in registry._R13_LEAD if n not in latest]
+    assert names == lead + registry.GRADING_ROTATION + registry._R13_NEW_TAIL
     assert names == registry.GRADING_ORDER
 
 
