@@ -97,7 +97,10 @@ _R13_LEAD: list[str] = [
 # The round whose CORRECTNESS record has NOT landed yet; the tail
 # below collects that round's additions.
 _NEW_TAIL_ROUND = 13
-_R13_NEW_TAIL: list[str] = []
+_R13_NEW_TAIL: list[str] = [
+    "b168_remove_orphan_files",
+    "b169_rewrite_position_deletes",
+]
 
 # Populated by load_all() for introspection/tests: the derived
 # rotation (graded queries, stalest first) and the full imposed order.
@@ -179,6 +182,7 @@ def load_all() -> None:
         round11,
         round12,
         round12b,
+        round13,
     )
 
     explicit = _R13_LEAD + _R13_NEW_TAIL

@@ -1628,3 +1628,24 @@ def test_c89_audit_adds_no_corpus_work(spark):
     assert "Scan parquet" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_b168_orphan_lifecycle_scans_survivor_only(spark):
+    # b168: the verb itself is pure metadata (snapshot JSON + listdir +
+    # unlink); the graded frame's only parquet work is the final
+    # surviving read — one file, no join anywhere
+    plan = _plan(spark, "b168_remove_orphan_files")
+    assert plan.count("Scan parquet") <= 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_b169_rewrite_pos_deletes_broadcasts_masks(spark):
+    # b169: both rollup arms assemble MoR reads through BROADCAST
+    # anti-joins on KB-scale (file, pos) delete files — never a
+    # sort-merge over data rows, never a cartesian (the 1-row
+    # masked-count crossJoin is a broadcast of a literal aggregate)
+    plan = _plan(spark, "b169_rewrite_position_deletes")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
