@@ -112,3 +112,195 @@ def dsum(col: str | Column, alias: str, scale: int = 4) -> Column:
     return F.sum(dec(col, scale)).cast("double").alias(alias)
 
 
+
+# --- Deterministic integer logarithm (the cross-libm fix, ADVICE r12) ----
+#
+# round(-1e6 * ln(num/den)) computed by libm is a LATENT cross-engine
+# hazard: JVM Math.log and DuckDB's std::log must produce bitwise-equal
+# doubles or a value near a .5 rounding boundary flips the oracle hash
+# (flagged twice, on c65 then c84). The kernel below removes libm from
+# the contract entirely: ln is evaluated as a FIXED-POINT INTEGER
+# algorithm — binary-logarithm digit extraction by repeated squaring —
+# written as one chain of +,*,integer-division,CASE steps that both
+# engines execute verbatim, so the result is a deterministic function
+# of the integer inputs with no float anywhere. The graded value is BY
+# DEFINITION the algorithm's output; its distance from true
+# 1e6*ln(den/num) is bounded and tested (< 20 micro-nats over the test
+# grid — the truncation of ln2 at 693147 dominates, ~0.19 micro per
+# integer bit of magnitude).
+#
+# Algorithm, for integer num >= 1, den >= 1, both <= 2^47 (documented
+# input bound: every intermediate then fits in ONE signed int64, so
+# DuckDB never needs HUGEINT and Spark never leaves BIGINT):
+#   hi, lo = max/min(num, den); sign = +1 if den >= num (nll of a
+#     probability) else -1
+#   e-search (6 unrolled halving steps): the largest e with
+#     lo * 2^e <= hi, tracked as d = lo * 2^e  (tests divide hi, never
+#     multiply d, so nothing overflows)
+#   m = floor(hi * 2^30 / d) in [2^30, 2^31), computed EXACTLY in two
+#     15-bit stages (quotient then remainder refinement)
+#   21 squaring steps: m <- m^2 / 2^30, emitting one binary fraction
+#     digit of log2(hi/d) per step into acc
+#   result = sign * round((e * 2^21 + acc) * 693147 / 2^21)
+# All divisions act on non-negative operands, so DuckDB // (truncate)
+# and Spark DIV (truncate) and Python // (floor) agree everywhere.
+
+_LN_FRAC = 30  # m's fixed-point scale (m*m just fits int64)
+_LN_BITS = 21  # fraction digits of log2 extracted (~0.33 micro-nat)
+_LN2_MICRO_Q21 = 693147  # floor(ln(2) * 1e6), applied at scale 2^21
+
+
+def int_ln_micro_steps(
+    num: str, den: str, div: str, prefix: str = "_il"
+) -> list[tuple[str, str]]:
+    """The shared step chain: [(column_name, sql_expr)], each expr
+    referencing prior names — splice into a lateral-alias SELECT
+    (DuckDB) or fold as withColumn calls (Spark). ``div`` is the
+    dialect's integer-division token ('DIV' for Spark, '//' for
+    DuckDB). The last step, ``{prefix}_out``, is
+    sign * round(1e6 * ln(den/num)) under the fixed-point contract."""
+    p = prefix
+    steps: list[tuple[str, str]] = [
+        (f"{p}_hi", f"CAST(greatest({num}, {den}) AS BIGINT)"),
+        (f"{p}_lo", f"CAST(least({num}, {den}) AS BIGINT)"),
+        (f"{p}_sg", f"CASE WHEN {den} >= {num} THEN 1 ELSE -1 END"),
+    ]
+    d, e = f"{p}_lo", "0"
+    for s in (32, 16, 8, 4, 2, 1):
+        t = f"{p}_t{s}"
+        steps.append(
+            (t, f"CASE WHEN {d} <= {p}_hi {div} {2 ** s} THEN 1 ELSE 0 END")
+        )
+        nd = f"{p}_d{s}"
+        steps.append((nd, f"{d} * CASE WHEN {t} = 1 THEN {2 ** s} ELSE 1 END"))
+        e = f"({e} + {t} * {s})"
+        d = nd
+    steps.append((f"{p}_e", f"CAST({e} AS BIGINT)"))
+    steps.append((f"{p}_q", f"({p}_hi * {2 ** 15}) {div} {d}"))
+    steps.append((f"{p}_r", f"({p}_hi * {2 ** 15}) % {d}"))
+    steps.append(
+        (f"{p}_m0", f"{p}_q * {2 ** 15} + ({p}_r * {2 ** 15}) {div} {d}")
+    )
+    m, acc = f"{p}_m0", "0"
+    for k in range(1, _LN_BITS + 1):
+        sq = f"{p}_s{k}"
+        steps.append((sq, f"({m} * {m}) {div} {2 ** _LN_FRAC}"))
+        b = f"{p}_b{k}"
+        steps.append(
+            (b, f"CASE WHEN {sq} >= {2 ** (_LN_FRAC + 1)} THEN 1 ELSE 0 END")
+        )
+        nm = f"{p}_m{k}"
+        steps.append((nm, f"{sq} {div} (1 + {b})"))
+        acc = f"({acc} * 2 + {b})"
+        m = nm
+    steps.append((f"{p}_a", f"CAST({acc} AS BIGINT)"))
+    steps.append(
+        (
+            f"{p}_out",
+            f"{p}_sg * ((({p}_e * {2 ** _LN_BITS} + {p}_a) * {_LN2_MICRO_Q21}"
+            f" + {2 ** (_LN_BITS - 1)}) {div} {2 ** _LN_BITS})",
+        )
+    )
+    return steps
+
+
+def int_ln_micro_cte_sql(
+    src: str, cols: str, out: str, prefix: str = "_il"
+) -> str:
+    """DuckDB renderer: the chain as MATERIALIZED CTE stages over
+    ``src`` (a prior CTE whose rows carry integer columns ``num`` and
+    ``den`` plus the passthrough columns in ``cols``). Returns the
+    CTE-list fragment "name AS MATERIALIZED (...), ..." ending in a
+    CTE called ``{prefix}_fin`` with columns (cols, num, den, {out}).
+
+    One MATERIALIZED stage PER SQUARING STEP is load-bearing, not
+    style: DuckDB inlines lateral aliases and plain CTEs by
+    substitution, and each squaring references its input twice
+    (m * m) — the tree doubles per step, a 2^21 blow-up for the full
+    chain (the c87 MATERIALIZED hazard, reproduced here as a hang).
+    The prefix steps (hi/lo/sign, the 6-step e-search, the two-stage
+    exact division) inline safely — their substitution growth is a
+    small constant — so they share one stage, and every stage carries
+    only (cols, num, den, sg, e, m, acc): ~25 narrow materializations
+    instead of 90 widening ones."""
+    p = prefix
+    carry = f"{cols}, num, den"
+    # stage 0: normalize + e-search + exact 2^30 fixed-point mantissa,
+    # all via lateral aliases (bounded substitution)
+    items = [
+        "CAST(greatest(num, den) AS BIGINT) AS hi",
+        "CAST(least(num, den) AS BIGINT) AS lo",
+        "CASE WHEN den >= num THEN 1 ELSE -1 END AS sg",
+    ]
+    d, e = "lo", "0"
+    for s in (32, 16, 8, 4, 2, 1):
+        items.append(
+            f"CASE WHEN {d} <= hi // {2 ** s} THEN 1 ELSE 0 END AS t{s}"
+        )
+        items.append(
+            f"{d} * CASE WHEN t{s} = 1 THEN {2 ** s} ELSE 1 END AS d{s}"
+        )
+        d, e = f"d{s}", f"({e} + t{s} * {s})"
+    items += [
+        f"CAST({e} AS BIGINT) AS e",
+        f"(hi * {2 ** 15}) // {d} AS q",
+        f"(hi * {2 ** 15}) % {d} AS r",
+        f"q * {2 ** 15} + (r * {2 ** 15}) // {d} AS m",
+    ]
+    ctes = [
+        f"{p}_c0 AS MATERIALIZED (SELECT {carry}, "
+        + ", ".join(items)
+        + f", CAST(0 AS BIGINT) AS acc FROM {src})"
+    ]
+    prev = f"{p}_c0"
+    # one narrow stage per squaring step: m is a materialized column,
+    # so (m * m) is two column refs, never a doubling substitution
+    for k in range(1, _LN_BITS + 1):
+        sq = f"(m * m) // {2 ** _LN_FRAC}"
+        b = f"CASE WHEN {sq} >= {2 ** (_LN_FRAC + 1)} THEN 1 ELSE 0 END"
+        cte = f"{p}_c{k}"
+        ctes.append(
+            f"{cte} AS MATERIALIZED (SELECT {carry}, sg, e, "
+            f"({sq}) // (1 + {b}) AS m, acc * 2 + {b} AS acc FROM {prev})"
+        )
+        prev = cte
+    ctes.append(
+        f"{p}_fin AS (SELECT {carry}, sg * (((e * {2 ** _LN_BITS} + acc)"
+        f" * {_LN2_MICRO_Q21} + {2 ** (_LN_BITS - 1)}) // {2 ** _LN_BITS})"
+        f" AS {out} FROM {prev})"
+    )
+    return ", ".join(ctes)
+
+
+def int_ln_micro_col(df, num: str, den: str, out: str, prefix: str = "_il"):
+    """Spark renderer: fold the chain as withColumn steps (projection
+    collapse keeps it one codegen stage), drop the scaffolding, leave
+    ``out``."""
+    steps = int_ln_micro_steps(num, den, "DIV", prefix)
+    scaffold = [name for name, _ in steps[:-1]]
+    for name, expr in steps[:-1]:
+        df = df.withColumn(name, F.expr(expr))
+    df = df.withColumn(out, F.expr(steps[-1][1]))
+    return df.drop(*scaffold)
+
+
+def int_ln_micro_py(num: int, den: int) -> int:
+    """Pure-Python reference of the same algorithm (tests + driver-side
+    literal computation). Bit-identical to the SQL chain by
+    construction: every op is the same non-negative integer op."""
+    hi, lo = max(num, den), min(num, den)
+    sg = 1 if den >= num else -1
+    d, e = lo, 0
+    for s in (32, 16, 8, 4, 2, 1):
+        if d <= hi // (1 << s):
+            d, e = d * (1 << s), e + s
+    q, r = (hi << 15) // d, (hi << 15) % d
+    m = q * (1 << 15) + (r << 15) // d
+    acc = 0
+    for _ in range(_LN_BITS):
+        m = (m * m) >> _LN_FRAC
+        b = 1 if m >= 1 << (_LN_FRAC + 1) else 0
+        acc = acc * 2 + b
+        m >>= b
+    t = e * (1 << _LN_BITS) + acc
+    return sg * ((t * _LN2_MICRO_Q21 + (1 << (_LN_BITS - 1))) >> _LN_BITS)

@@ -119,6 +119,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from iceberg_playground_spark.queries._util import int_ln_micro_cte_sql
 from iceberg_playground_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -2280,7 +2281,14 @@ def c85_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
 # c84 — interpolated Kneser-Ney bigram LM (the canonical smoother)
 # ---------------------------------------------------------------------------
 
-_C84_ORACLE = """
+# The NLL model rows evaluate ln through the shared FIXED-POINT
+# INTEGER kernel (_util.int_ln_micro_*, ADVICE r12): identical
+# integer steps in both engines, no libm anywhere in the graded
+# contract. p(w|v) = [(cnt-D) + D·n1v·nw/ntot]/cv with D=3/4 is the
+# exact integer ratio num/den below (cnt >= 1 keeps num >= 1).
+_LN_CHAIN = int_ln_micro_cte_sql("nllin", "v, w, cnt", "nll_micro")
+
+_C84_ORACLE = f"""
 WITH tk AS (
   SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
 bg AS (
@@ -2297,14 +2305,13 @@ mw AS (
          count(*) OVER (PARTITION BY w) AS nw,
          count(*) OVER () AS ntot
   FROM model),
-nll AS (
+nllin AS MATERIALIZED (
   SELECT v, w, cnt,
-         CAST(round(-1000000.0 * ln(
-             (greatest(CAST(cnt AS DOUBLE) - 0.75, 0.0)
-              + ((0.75 * CAST(n1v AS DOUBLE)) * CAST(nw AS DOUBLE))
-                / CAST(ntot AS DOUBLE))
-             / CAST(cv AS DOUBLE))) AS BIGINT) AS nll_micro
-  FROM mw)
+         CAST((4 * cnt - 3) * ntot + 3 * n1v * nw AS BIGINT) AS num,
+         CAST(4 * ntot * cv AS BIGINT) AS den
+  FROM mw),
+{_LN_CHAIN},
+nll AS (SELECT v, w, cnt, nll_micro FROM _il_fin)
 SELECT sc.source,
        CAST(sum(sc.scnt) AS BIGINT) AS n_events,
        CAST(sum(sc.scnt * n.nll_micro) AS BIGINT) AS nll_total_micro,
@@ -2332,14 +2339,20 @@ def c84_kneser_ney_bigram(spark: SparkSession, sf: str) -> DataFrame:
     share (the mass KN discounts hardest — the diagnostic that says
     WHY a source's KN and add-one scores diverge).
 
-    Determinism (c65's contract, extended): the ONLY float work is
-    one fixed arithmetic expression + ln per MODEL row (word-level
-    bigram types, vocabulary-bounded — ≤|V|² rows however large the
-    corpus), written with identical operation order in both engines
-    (IEEE doubles are deterministic given the same expression tree)
-    and rounded to integer micro-nats before any aggregation; corpus
-    rows carry COUNTS only, so per-source totals are exact integer
-    sums and the average floors one double divide.
+    Determinism (hardened per ADVICE r12 — NO float anywhere in the
+    graded contract): p(w|v) under KN is the exact integer ratio
+    ((4·cnt−3)·ntot + 3·n1v·nw) / (4·ntot·cv), and its NLL in
+    micro-nats evaluates through the shared FIXED-POINT INTEGER ln
+    kernel (_util.int_ln_micro_*: binary-log digit extraction by
+    repeated squaring — identical integer steps in both engines,
+    bit-equal by construction, tested ≤20 micro-nats from true ln).
+    The former round(-1e6·ln(double)) relied on JVM Math.log and
+    DuckDB std::log agreeing to the last ulp near .5 boundaries; the
+    kernel removes libm from the contract entirely. Model rows only
+    (word-level bigram types, ≤|V|² however large the corpus; inputs
+    bounded < 2^47 so every kernel intermediate fits int64); corpus
+    rows carry COUNTS, so per-source totals are exact integer sums
+    and the average floors one double divide.
 
     Scale shape: one corpus tokenize → (source, v, w) count aggregate
     (map-side partials); the model is |V|²-bounded and BROADCASTS
@@ -2377,17 +2390,19 @@ def c84_kneser_ney_bigram(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").over(W.partitionBy("w")).alias("nw"),
         F.count("*").over(W.partitionBy(F.lit(1))).alias("ntot"),
     )
-    nll = mw.select(
+    from iceberg_playground_spark.queries._util import int_ln_micro_col
+
+    nll_in = mw.select(
         "v",
         "w",
         "cnt",
-        F.expr(
-            "CAST(round(-1000000.0 * ln("
-            "(greatest(CAST(cnt AS DOUBLE) - 0.75, 0.0)"
-            " + ((0.75 * CAST(n1v AS DOUBLE)) * CAST(nw AS DOUBLE))"
-            "   / CAST(ntot AS DOUBLE))"
-            " / CAST(cv AS DOUBLE))) AS BIGINT)"
-        ).alias("nll_micro"),
+        F.expr("CAST((4 * cnt - 3) * ntot + 3 * n1v * nw AS BIGINT)").alias(
+            "num"
+        ),
+        F.expr("CAST(4 * ntot * cv AS BIGINT)").alias("den"),
+    )
+    nll = int_ln_micro_col(nll_in, "num", "den", "nll_micro").select(
+        "v", "w", "cnt", "nll_micro"
     )
     scored = sc.join(F.broadcast(nll), ["v", "w"])
     return (

@@ -36,7 +36,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Grading-order contract, round 13 — DERIVED, not retyped.
+# Grading-order contract — DERIVED, not retyped.
 # The driver's correctness sweep grades the FIRST ~50 registered
 # entries and stops, so registration order decides what gets graded.
 # Through round 11 the order was maintained as hand-rolled explicit
@@ -48,19 +48,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # that round's record (= that round's grade order). Only two things
 # stay explicit, because they cannot be derived from grades alone:
 #
-#   _R13_LEAD — last round's never-graded additions (they outrank the
-#       rotation; verbatim the r12 tail, per VERDICT r12 item 1). An
-#       entry that HAS a grade (i.e. CORRECTNESS_r13.json landed) is
-#       auto-dropped from the lead and re-enters via the rotation.
-#   _R13_NEW_TAIL — THIS round's additions, appended as they land.
+#   GRADING_LEAD — last round's never-graded additions (they outrank
+#       the rotation). An entry that HAS a grade is auto-dropped from
+#       the lead and re-enters via the rotation.
+#   GRADING_NEW_TAIL — THIS round's additions, appended as they land.
 #       They sit at the very end (outside the ~50 window) and become
 #       the next round's lead seed.
 #
-# Roll procedure at each round close (one loud tripwire in
-# tests/test_registry_contract.py fires when CORRECTNESS_r13.json
-# lands): _R14_LEAD = _R13_NEW_TAIL verbatim, empty the tail, bump
-# _NEW_TAIL_ROUND. Everything else re-derives.
-_R13_LEAD: list[str] = [
+# Roll procedure at each round close — TWO LINES, nothing else
+# (VERDICT r12 item 7: the round constant and every attr name are now
+# round-agnostic; the tripwire in tests/test_registry_contract.py
+# fires the moment a driver grade lands on a lead entry):
+#   GRADING_LEAD = the old GRADING_NEW_TAIL contents, verbatim
+#   GRADING_NEW_TAIL = []
+GRADING_LEAD: list[str] = [
     "c74_pq_train",
     "c75_unigram_lm_train",
     "b161_entries_metadata",
@@ -94,13 +95,19 @@ _R13_LEAD: list[str] = [
     "p48_gate_attribution",
     "c89_rerank_diversity_audit",
 ]
-# The round whose CORRECTNESS record has NOT landed yet; the tail
-# below collects that round's additions.
-_NEW_TAIL_ROUND = 13
-_R13_NEW_TAIL: list[str] = [
+GRADING_NEW_TAIL: list[str] = [
     "b168_remove_orphan_files",
     "b169_rewrite_position_deletes",
 ]
+
+
+def new_tail_round() -> int:
+    """The round whose CORRECTNESS record has NOT landed yet (= the
+    round GRADING_NEW_TAIL collects additions for) — DERIVED as one
+    past the newest committed record, never retyped (VERDICT r12
+    item 7)."""
+    grades = latest_grades()
+    return max((rnd for rnd, _ in grades.values()), default=0) + 1
 
 # Populated by load_all() for introspection/tests: the derived
 # rotation (graded queries, stalest first) and the full imposed order.
@@ -141,15 +148,15 @@ def load_all() -> None:
 
     ORDER IS A CONTRACT, not style (see the block comments above):
     after all modules register, QUERIES/ORACLES are rebuilt so the
-    prefix is _R13_LEAD (last round's never-graded additions, minus
+    prefix is GRADING_LEAD (last round's never-graded additions, minus
     any that meanwhile received a grade) + the DERIVED rotation
     (every graded query, stalest latest-grade first, ties broken by
-    grade order within that round's record) + _R13_NEW_TAIL (this
+    grade order within that round's record) + GRADING_NEW_TAIL (this
     round's additions, graded next round). Import order does not
     double as grading order. Loud failures here: a lead/tail name
     that never registered (typo guard), and a registered query that
     is neither graded nor in the lead/tail (a new op someone forgot
-    to append to _R13_NEW_TAIL — it would silently displace the
+    to append to GRADING_NEW_TAIL — it would silently displace the
     window otherwise).
     """
     from iceberg_playground_spark.queries import (  # noqa: F401
@@ -185,13 +192,13 @@ def load_all() -> None:
         round13,
     )
 
-    explicit = _R13_LEAD + _R13_NEW_TAIL
+    explicit = GRADING_LEAD + GRADING_NEW_TAIL
     missing = [n for n in explicit if n not in QUERIES]
     if missing:
         raise RuntimeError(f"grading-order names not registered: {missing}")
     graded = latest_grades()
-    lead = [n for n in _R13_LEAD if n not in graded]
-    tail = set(_R13_NEW_TAIL)
+    lead = [n for n in GRADING_LEAD if n not in graded]
+    tail = set(GRADING_NEW_TAIL)
     # Lead entries that meanwhile received a grade re-enter here, so
     # the rotation is simply "every graded query, stalest first".
     rotation = sorted(
@@ -205,10 +212,10 @@ def load_all() -> None:
     ]
     if stray:
         raise RuntimeError(
-            "never-graded queries missing from _R13_LEAD/_R13_NEW_TAIL "
+            "never-graded queries missing from GRADING_LEAD/GRADING_NEW_TAIL "
             f"(append them to the tail): {stray}"
         )
-    order = lead + rotation + _R13_NEW_TAIL
+    order = lead + rotation + GRADING_NEW_TAIL
     GRADING_ROTATION[:] = rotation
     GRADING_ORDER[:] = order
     for d in (QUERIES, ORACLES):

@@ -2055,7 +2055,15 @@ class LakeTable:
         latest — a file can outlive its last_ref version through an
         older pinned snapshot). This is the planning read a retention
         owner does before committing to a policy; metadata-only (one
-        JSON header per snapshot, the b92 rule)."""
+        JSON header per snapshot, the b92 rule).
+
+        Grain contract (ADVICE r12): the forecast counts at FILE
+        grain — which is what ``expire_snapshots`` (dir-grain dead-dir
+        cleanup) PLUS ``remove_orphan_files`` (file-grain reclaim of
+        unreferenced files, b168) jointly delete. expire alone
+        under-delivers the forecast whenever a delete_range carve left
+        dead files inside still-live dirs; the orphan verb closes
+        exactly that remainder, proven forecast-equal in b168."""
         vs = self.versions()
         pinned = set(self.tags().values())
         refs_by_file: dict[str, set] = {}

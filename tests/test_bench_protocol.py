@@ -81,7 +81,7 @@ def test_two_consistent_stalls_stand_documented_limitation():
 
 
 def test_no_retry_cell_keeps_first_reading():
-    # cache-backed cells (c39/b135): a rerun would time a cache hit
+    # cache-backed cells (c39): a rerun would time a cache hit
     run = _seq(30.0)
     assert measured_seconds(run, retryable=False) == 30.0
     assert len(run.calls) == 1
@@ -100,7 +100,9 @@ def test_no_retry_cell_skips_repeat_median_too():
 def test_protocol_constants_are_the_documented_ones():
     assert MEDIAN_CUTOFF == 1.0
     assert STALL_RETRY == 2.5
-    assert NO_RETRY == {"c39_signature_index_merge", "b135_retention_delete"}
+    # b135 moved to SPLIT_BUILD in round 13 (its delete is 0.00 s
+    # metadata work; the cell cost was the demo-warehouse build)
+    assert NO_RETRY == {"c39_signature_index_merge"}
 
 
 # --- run-count reporting + whole-run degraded guard (VERDICT r10 #3) ---

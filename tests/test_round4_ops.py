@@ -124,13 +124,13 @@ def test_grading_prefix_composition():
     # rotation is DERIVED from the committed CORRECTNESS records
     # (stalest latest-grade first); pin that the reorder actually
     # happened and that the window retires the stalest grades: the
-    # never-graded _R13_LEAD ops first, then the rotation, with this
+    # never-graded GRADING_LEAD ops first, then the rotation, with this
     # round's additions dead last.
     names = list(registry.QUERIES)
     latest = registry.latest_grades()
-    lead = [n for n in registry._R13_LEAD if n not in latest]
+    lead = [n for n in registry.GRADING_LEAD if n not in latest]
     assert names[: len(lead)] == lead
-    assert names == lead + registry.GRADING_ROTATION + registry._R13_NEW_TAIL
+    assert names == lead + registry.GRADING_ROTATION + registry.GRADING_NEW_TAIL
     # A 50-slot sweep covers the lead plus the stalest rotation
     # entries; nothing inside the window may be fresher than anything
     # outside it.
