@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from iceberg_playground_spark.queries._util import load
+from iceberg_playground_spark.queries._util import (
+    int_ln_micro_col,
+    int_ln_micro_cte_sql,
+    load,
+)
 from iceberg_playground_spark.queries.round9 import _c51_token_expr
 from iceberg_playground_spark.registry import query
 
@@ -155,6 +159,13 @@ def c64_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
 
 _C65_B = 64  # token hash buckets — model is B² rows, corpus-size-free
 
+# Model-row NLL through the shared fixed-point integer ln kernel
+# (ADVICE r12: c65 was the first op flagged for the JVM-Math.log vs
+# libm-std::log .5-boundary hazard; the kernel removes libm from the
+# graded contract). p(c|p) add-one = (cnt+1)/(cv+B), an exact integer
+# ratio.
+_C65_LN_CHAIN = int_ln_micro_cte_sql("nllin", "p, c", "nll_micro")
+
 _C65_ORACLE = f"""
 WITH tk AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -169,13 +180,12 @@ bg AS (
   FROM bk, UNNEST(range(1, len(b))) AS u(i)),
 model AS (
   SELECT p, c, count(*) AS cnt FROM bg GROUP BY p, c),
-nll AS (
-  SELECT p, c,
-         CAST(round(-1000000.0 * ln(
-             (CAST(cnt AS DOUBLE) + 1)
-             / (sum(cnt) OVER (PARTITION BY p) + {_C65_B})))
-           AS BIGINT) AS nll_micro
-  FROM model)
+nllin AS MATERIALIZED (
+  SELECT p, c, CAST(cnt + 1 AS BIGINT) AS num,
+         CAST(sum(cnt) OVER (PARTITION BY p) + {_C65_B} AS BIGINT) AS den
+  FROM model),
+{_C65_LN_CHAIN},
+nll AS (SELECT p, c, nll_micro FROM _il_fin)
 SELECT g.doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(n.nll_micro) AS BIGINT) AS nll_total_micro,
@@ -195,10 +205,13 @@ def c65_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     doc's token transitions are rare in the corpus — the perplexity
     filter signal, now with conditional context c23's unigram misses.
 
-    Determinism: the ONLY float work is one fixed ln-of-a-division
-    per MODEL row (B² = 4096 rows), rounded to integer micro-nats
-    before any aggregation (c53's rule); per-document totals are
-    integer sums, and the average floors a single double divide.
+    Determinism (hardened per ADVICE r12 — no float, no libm): the
+    add-one probability is the exact integer ratio (cnt+1)/(cv+B),
+    and its micro-nat NLL evaluates through the shared FIXED-POINT
+    INTEGER ln kernel (_util.int_ln_micro_*: identical integer steps
+    in both engines, bit-equal by construction) over the B² = 4096
+    model rows; per-document totals are integer sums, and the average
+    floors a single double divide.
 
     Scale shape: 2 corpus scans (train aggregate, score pass — the
     c53/c59 budget); the model never exceeds B² + B rows whatever the
@@ -220,16 +233,16 @@ def c65_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.explode(z).alias("pc")
     ).select("doc_id", F.col("pc.p").alias("p"), F.col("pc.c").alias("c"))
     model = bg.groupBy("p", "c").agg(F.count("*").alias("cnt"))
-    nll = model.select(
+    nll_in = model.select(
         "p",
         "c",
-        F.round(
-            -1000000.0
-            * F.log(
-                (F.col("cnt").cast("double") + 1)
-                / (F.sum("cnt").over(W.partitionBy("p")) + _C65_B)
-            )
-        ).cast("bigint").alias("nll_micro"),
+        (F.col("cnt") + 1).cast("bigint").alias("num"),
+        (F.sum("cnt").over(W.partitionBy("p")) + _C65_B)
+        .cast("bigint")
+        .alias("den"),
+    )
+    nll = int_ln_micro_col(nll_in, "num", "den", "nll_micro").select(
+        "p", "c", "nll_micro"
     )
     return (
         bg.join(F.broadcast(nll), ["p", "c"])
