@@ -36,7 +36,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
+from iceberg_playground_spark.queries._util import int_ln_micro_cte_sql
 from iceberg_playground_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -262,3 +264,94 @@ def b169_rewrite_position_deletes(spark: SparkSession, sf: str) -> DataFrame:
     before = rollup(t._b169_before, "before")
     after = rollup(t.current_version(), "after")
     return before.unionByName(after).orderBy(F.col("phase").desc())
+
+
+# ---------------------------------------------------------------------------
+# c90 — integer-ln kernel self-check (the cross-libm fix, graded)
+# ---------------------------------------------------------------------------
+
+_C90_N = 512  # synthetic magnitude grid rows (full 47-bit spread)
+_C90_GRID = (
+    "((x * 2654435761 % 140737488355328) * 524288 + x)"
+    " % 140737488355328 + 1"
+)
+_C90_GRID2 = (
+    "((x * 2246822519 % 140737488355328) * 524288 + 3 * x)"
+    " % 140737488355328 + 1"
+)
+
+_C90_ORACLE = f"""
+WITH syn AS (
+  SELECT x AS case_id,
+         CAST({_C90_GRID} AS BIGINT) AS num,
+         CAST({_C90_GRID2} AS BIGINT) AS den
+  FROM range({_C90_N}) r(x)),
+tot AS (SELECT count(*) AS n FROM documents),
+src AS (
+  SELECT {_C90_N} + row_number() OVER (ORDER BY source) AS case_id,
+         CAST(count(*) AS BIGINT) AS num,
+         CAST((SELECT n FROM tot) AS BIGINT) AS den
+  FROM documents GROUP BY source),
+nllin AS MATERIALIZED (
+  SELECT case_id, num, den FROM syn
+  UNION ALL SELECT case_id, num, den FROM src),
+{{chain}}
+SELECT case_id, num, den, nll_micro FROM _il_fin ORDER BY case_id
+"""
+
+
+@query(
+    "c90_integer_ln_selfcheck",
+    oracle=_C90_ORACLE.format(
+        chain=int_ln_micro_cte_sql("nllin", "case_id", "nll_micro")
+    ),
+)
+def c90_integer_ln_selfcheck(spark: SparkSession, sf: str) -> DataFrame:
+    """C90: the INTEGER-LN KERNEL SELF-CHECK — the p46 pattern (prove
+    the measuring instrument, then trust its readings) applied to the
+    cross-libm fix (ADVICE r12): every micro-nat NLL column the repo
+    grades (c65 add-one, c84 Kneser-Ney) now evaluates ln through ONE
+    fixed-point integer algorithm (_util.int_ln_micro_*), and this op
+    hash-grades that kernel ITSELF, end to end, at driver time: a
+    512-case synthetic (num, den) grid spanning the full 47-bit input
+    domain (both p < 1 and p > 1 branches, the num = den zero, and
+    the 2^47 extremes), plus one live case per document source (the
+    surprisal of its corpus share — data the two engines must agree
+    on BEFORE the kernel even runs). A single bit differing anywhere
+    in either engine's 27-step chain — one CASE branch, one truncating
+    division, one ln2 constant — flips a hash cell.
+
+    Scale shape: the kernel is a pure per-row integer map (27 chained
+    +/*/DIV/CASE steps, no join, no window over data rows); the live
+    arm is one |sources|-key count aggregate. At any corpus size the
+    grid stays 512 + |sources| rows."""
+    from iceberg_playground_spark.queries._util import (
+        int_ln_micro_col,
+        load,
+    )
+
+    syn = spark.range(_C90_N).select(
+        F.col("id").alias("case_id"),
+        F.expr(_C90_GRID.replace("x", "id")).cast("bigint").alias("num"),
+        F.expr(_C90_GRID2.replace("x", "id")).cast("bigint").alias("den"),
+    )
+    d = load(spark, sf, "documents")
+    n = d.count()
+    src = (
+        d.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("num"))
+        .select(
+            (
+                F.lit(_C90_N)
+                + F.row_number().over(W.orderBy("source"))
+            )
+            .cast("bigint")
+            .alias("case_id"),
+            "num",
+            F.lit(n).cast("bigint").alias("den"),
+        )
+    )
+    allc = syn.unionByName(src)
+    return int_ln_micro_col(allc, "num", "den", "nll_micro").orderBy(
+        "case_id"
+    )

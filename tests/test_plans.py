@@ -1649,3 +1649,12 @@ def test_b169_rewrite_pos_deletes_broadcasts_masks(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_c90_kernel_is_pure_integer_map(spark):
+    # c90: the kernel chain is a per-row integer map — no join
+    # anywhere; the only exchange bigger than the 512-row grid is the
+    # |sources|-key count aggregate
+    plan = _plan(spark, "c90_integer_ln_selfcheck")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
