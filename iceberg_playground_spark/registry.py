@@ -99,6 +99,7 @@ GRADING_NEW_TAIL: list[str] = [
     "b168_remove_orphan_files",
     "b169_rewrite_position_deletes",
     "c90_integer_ln_selfcheck",
+    "c91_knn_graph_search",
 ]
 
 

@@ -1658,3 +1658,17 @@ def test_c90_kernel_is_pure_integer_map(spark):
     plan = _plan(spark, "c90_integer_ln_selfcheck")
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_c91_graph_build_is_blocked_never_cartesian(spark):
+    # c91: graph build joins on the label key (Σ|block|², the
+    # c48/c66 discipline — co-locating vectors by block is the ONE
+    # legitimate vector shuffle, paid once at build); the only
+    # nested-loop is the bounded 10x10 hub ring broadcast; the SEARCH
+    # side broadcasts candidate ids, so no exchange carries the raw
+    # text/embedding columns
+    df = registry.QUERIES["c91_knn_graph_search"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert not {"text", "embedding"} & set(cols), cols
