@@ -395,8 +395,10 @@ def _c91_search_ctes() -> str:
     return ", ".join(ctes)
 
 
-_C91_ORACLE = f"""
-WITH g AS MATERIALIZED (
+# The graph-construction CTE block (quantized grid -> per-label pair
+# distances -> top-M adjacency -> hub ring -> merged edge list),
+# shared verbatim by c91's search and c92's recall audit.
+_C91_GRAPH_CTES = f"""g AS MATERIALIZED (
   SELECT vec_id, label, i,
          CAST(floor(CAST(embedding[i] AS DOUBLE) * {_C91_SCALE})
               AS BIGINT) AS qi
@@ -416,7 +418,10 @@ hubs AS (SELECT label, min(vec_id) AS hub FROM embeddings
 hedges AS (SELECT h1.hub AS src, h2.hub AS dst
            FROM hubs h1, hubs h2 WHERE h1.hub <> h2.hub),
 alledges AS MATERIALIZED (
-  SELECT src, dst FROM adj UNION SELECT src, dst FROM hedges),
+  SELECT src, dst FROM adj UNION SELECT src, dst FROM hedges)"""
+
+_C91_ORACLE = f"""
+WITH {_C91_GRAPH_CTES},
 qv AS (SELECT i, qi FROM g WHERE vec_id = 0),
 dq AS MATERIALIZED (
   SELECT g.vec_id, sum((g.qi - qv.qi) * (g.qi - qv.qi)) AS d
@@ -427,6 +432,57 @@ SELECT CAST(row_number() OVER (ORDER BY d, vec_id) AS INT) AS rank,
 FROM v{_C91_H} WHERE vec_id <> 0
 ORDER BY d, vec_id LIMIT {_C91_K}
 """
+
+
+def _c91_sqd(a, b):
+    """Exact integer squared L2 between two quantized arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _c91_graph(spark: SparkSession, sf: str):
+    """Shared Spark graph build (c91 search + c92 recall audit):
+    returns (q, alledges), both lazily checkpointed — q is the
+    quantized vector table (vec_id, label, qv), alledges the merged
+    per-label top-M + hub-ring edge list (src, dst)."""
+    from iceberg_playground_spark.queries._util import load
+
+    e = load(spark, sf, "embeddings")
+    q = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _C91_SCALE).cast("bigint"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)  # consumed by pairs (x2) + scoring
+    a = q.select(
+        "label", F.col("vec_id").alias("src"), F.col("qv").alias("sv")
+    )
+    b = q.select(
+        "label", F.col("vec_id").alias("dst"), F.col("qv").alias("dv")
+    )
+    pairs = a.join(b, "label").filter(F.col("src") != F.col("dst"))
+    ranked = pairs.select(
+        "src", "dst", _c91_sqd(F.col("sv"), F.col("dv")).alias("d")
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("src").orderBy("d", "dst")),
+    )
+    adj = ranked.filter(F.col("rn") <= _C91_M).select("src", "dst")
+    hubs = q.groupBy("label").agg(F.min("vec_id").alias("hub"))
+    h1 = hubs.select(F.col("hub").alias("src"))
+    h2 = hubs.select(F.col("hub").alias("dst"))
+    hedges = h1.crossJoin(F.broadcast(h2)).filter(
+        F.col("src") != F.col("dst")
+    )  # |labels|² = 100 rows, bounded by design
+    alledges = (
+        adj.unionByName(hedges).distinct().localCheckpoint(eager=False)
+    )
+    return q, alledges
 
 
 @query("c91_knn_graph_search", oracle=_C91_ORACLE)
@@ -465,41 +521,8 @@ def c91_knn_graph_search(spark: SparkSession, sf: str) -> DataFrame:
     read), never a shuffle of vectors. At 100 TB the graph is built
     once (the expensive, embarrassingly-blocked part) and each query
     pays hops*beam bounded lookups — HNSW's actual economics."""
-    from iceberg_playground_spark.queries._util import load
-
-    e = load(spark, sf, "embeddings")
-    q = e.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * _C91_SCALE).cast("bigint"),
-        ).alias("qv"),
-    ).localCheckpoint(eager=False)  # consumed by pairs (x2) + per-hop scoring
-    sqd = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    a = q.select("label", F.col("vec_id").alias("src"), F.col("qv").alias("sv"))
-    b = q.select("label", F.col("vec_id").alias("dst"), F.col("qv").alias("dv"))
-    pairs = a.join(b, "label").filter(F.col("src") != F.col("dst"))
-    ranked = pairs.select(
-        "src", "dst", sqd(F.col("sv"), F.col("dv")).alias("d")
-    ).withColumn(
-        "rn",
-        F.row_number().over(W.partitionBy("src").orderBy("d", "dst")),
-    )
-    adj = ranked.filter(F.col("rn") <= _C91_M).select("src", "dst")
-    hubs = q.groupBy("label").agg(F.min("vec_id").alias("hub"))
-    h1 = hubs.select(F.col("hub").alias("src"))
-    h2 = hubs.select(F.col("hub").alias("dst"))
-    hedges = h1.crossJoin(F.broadcast(h2)).filter(
-        F.col("src") != F.col("dst")
-    )  # |labels|² = 100 rows, bounded by design
-    alledges = (
-        adj.unionByName(hedges).distinct().localCheckpoint(eager=False)
-    )
+    q, alledges = _c91_graph(spark, sf)
+    sqd = _c91_sqd
     qvec = q.filter(F.col("vec_id") == 0).select("qv").first()["qv"]
     qlit = F.array(*[F.lit(int(v)).cast("bigint") for v in qvec])
     scored_all = q.select(
@@ -534,4 +557,170 @@ def c91_knn_graph_search(spark: SparkSession, sf: str) -> DataFrame:
             "vec_id",
             F.col("d").cast("bigint").alias("sq_dist"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# c92 — graph-ANN recall audit (c72's pattern for the graph arm)
+# ---------------------------------------------------------------------------
+
+_C92_PROBES = 5  # vec_ids 0..4, c04's probe convention
+
+
+def _c92_search_ctes() -> str:
+    """The multi-probe beam search as chained MATERIALIZED CTEs:
+    v{h} carries (probe_id, vec_id, d); the beam is top-B PER PROBE."""
+    ctes = [
+        f"v0 AS (SELECT probe_id, vec_id, d FROM dqall "
+        f"WHERE vec_id = {_C91_ENTRY})"
+    ]
+    for h in range(1, _C91_H + 1):
+        ctes.append(
+            f"f{h} AS (SELECT probe_id, vec_id FROM v{h - 1} "
+            f"QUALIFY row_number() OVER (PARTITION BY probe_id "
+            f"ORDER BY d, vec_id) <= {_C91_B})"
+        )
+        ctes.append(
+            f"c{h} AS (SELECT DISTINCT f.probe_id, e.dst AS vec_id "
+            f"FROM f{h} f JOIN alledges e ON e.src = f.vec_id)"
+        )
+        ctes.append(
+            f"v{h} AS MATERIALIZED (SELECT probe_id, vec_id, d "
+            f"FROM v{h - 1} "
+            f"UNION SELECT c.probe_id, c.vec_id, dq.d "
+            f"FROM c{h} c JOIN dqall dq "
+            f"ON dq.probe_id = c.probe_id AND dq.vec_id = c.vec_id)"
+        )
+    return ", ".join(ctes)
+
+
+_C92_ORACLE = f"""
+WITH {_C91_GRAPH_CTES},
+pg AS (SELECT vec_id AS probe_id, i, qi FROM g
+       WHERE vec_id < {_C92_PROBES}),
+dqall AS MATERIALIZED (
+  SELECT pg.probe_id, g.vec_id,
+         sum((g.qi - pg.qi) * (g.qi - pg.qi)) AS d
+  FROM g JOIN pg ON g.i = pg.i GROUP BY pg.probe_id, g.vec_id),
+exact AS (
+  SELECT probe_id, vec_id FROM dqall WHERE vec_id <> probe_id
+  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, vec_id)
+          <= {_C91_K}),
+{_c92_search_ctes()},
+gtop AS (
+  SELECT probe_id, vec_id FROM v{_C91_H} WHERE vec_id <> probe_id
+  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, vec_id)
+          <= {_C91_K}),
+nv AS (SELECT probe_id, count(*) AS n_visited FROM v{_C91_H}
+       GROUP BY probe_id),
+fd AS (SELECT g2.probe_id, count(*) AS n_found
+       FROM gtop g2 JOIN exact e USING (probe_id, vec_id)
+       GROUP BY g2.probe_id)
+SELECT CAST(nv.probe_id AS BIGINT) AS probe_id,
+       CAST(nv.n_visited AS BIGINT) AS n_visited,
+       CAST(coalesce(fd.n_found, 0) AS BIGINT) AS n_found,
+       CAST(coalesce(fd.n_found, 0) * 1000000 // {_C91_K} AS BIGINT)
+         AS recall_micro
+FROM nv LEFT JOIN fd USING (probe_id) ORDER BY probe_id
+"""
+
+
+@query("c92_graph_ann_recall", oracle=_C92_ORACLE)
+def c92_graph_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """C92: GRAPH-ANN RECALL AUDIT — the measurement that decides
+    whether c91's graph index ships, completing the arc under the
+    house rule that every deployed ANN variant carries its own recall
+    evaluation (c45 for sign-LSH, c72 for learned IVF, c81 for the
+    PCA prefilter — and now the graph arm): run the SAME beam search
+    (shared `_c91_graph` build, identical M/B/H constants) for
+    {_C92_PROBES} probe vectors AT ONCE — the search state carries
+    (probe_id, vec_id, d) and the beam is a top-{_C91_B} window PER
+    PROBE, so one pass of hop joins advances every probe — and grade,
+    per probe: nodes visited (the cost), exact top-{_C91_K} hits
+    found (the quality), recall in exact integer micro. The exact
+    arm reuses the same all-probe distance table the search scores
+    from — the eval arm's sanctioned brute pass (c72's shape), which
+    is precisely what makes recall computable at all.
+
+    Scale shape: the probe-distance table is ONE corpus pass against
+    a broadcast {_C92_PROBES}-row probe set (c04's brute contract,
+    sanctioned to ~10^4 probes); the graph build is c91's blocked
+    Σ|block|² (shared, built once); each hop then touches
+    probes x beam x {_C91_M} edge rows and scores new candidates via
+    a broadcast (probe, id) semi-join — the multi-probe search costs
+    probes x the single-probe search, never probes x corpus beyond
+    the one sanctioned exact arm."""
+    q, alledges = _c91_graph(spark, sf)
+    probes = q.filter(F.col("vec_id") < _C92_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pv")
+    )
+    dqall = (
+        q.crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "vec_id",
+            _c91_sqd(F.col("qv"), F.col("pv")).alias("d"),
+        )
+        .localCheckpoint(eager=False)  # scored once, read by every arm
+    )
+    exact = (
+        dqall.filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy("d", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _C91_K)
+        .select("probe_id", "vec_id")
+    )
+    visited = dqall.filter(F.col("vec_id") == _C91_ENTRY)
+    for _ in range(_C91_H):
+        beam = (
+            visited.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("probe_id").orderBy("d", "vec_id")
+                ),
+            )
+            .filter(F.col("rn") <= _C91_B)
+            .select("probe_id", "vec_id")
+        )
+        cand = (
+            beam.join(alledges, beam["vec_id"] == alledges["src"])
+            .select("probe_id", F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        scored = dqall.join(F.broadcast(cand), ["probe_id", "vec_id"])
+        visited = visited.unionByName(scored).distinct()
+    gtop = (
+        visited.filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy("d", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _C91_K)
+        .select("probe_id", "vec_id")
+    )
+    nv = visited.groupBy("probe_id").agg(
+        F.count("*").cast("bigint").alias("n_visited")
+    )
+    fd = (
+        gtop.join(exact, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n_found"))
+    )
+    return (
+        nv.join(fd, "probe_id", "left")
+        .select(
+            F.col("probe_id").cast("bigint").alias("probe_id"),
+            "n_visited",
+            F.coalesce("n_found", F.lit(0)).cast("bigint").alias("n_found"),
+            F.expr(
+                f"coalesce(n_found, 0) * 1000000 DIV {_C91_K}"
+            ).cast("bigint").alias("recall_micro"),
+        )
+        .orderBy("probe_id")
     )

@@ -100,6 +100,7 @@ GRADING_NEW_TAIL: list[str] = [
     "b169_rewrite_position_deletes",
     "c90_integer_ln_selfcheck",
     "c91_knn_graph_search",
+    "c92_graph_ann_recall",
 ]
 
 

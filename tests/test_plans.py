@@ -1672,3 +1672,14 @@ def test_c91_graph_build_is_blocked_never_cartesian(spark):
     assert "CartesianProduct" not in plan
     for cols in _exchange_outputs(df):
         assert not {"text", "embedding"} & set(cols), cols
+
+
+def test_c92_recall_probe_table_is_one_broadcast_pass(spark):
+    # c92: the all-probe distance table is one corpus pass against a
+    # broadcast 5-row probe set (c04's brute contract); no cartesian;
+    # raw embeddings never ride an exchange
+    df = registry.QUERIES["c92_graph_ann_recall"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert not {"text", "embedding"} & set(cols), cols
