@@ -724,3 +724,157 @@ def c92_graph_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# c93 — vector-index maintenance via MERGE (c39's shape for vectors)
+# ---------------------------------------------------------------------------
+
+_C93_K = 16  # coarse cells (c38/c40's md5-seed convention)
+_C93_DIM = 64
+_C93_SCALE = 1000
+
+
+def _c93_oracle() -> str:
+    from iceberg_playground_spark.queries._util import bucket_sql
+
+    bkt = bucket_sql("vec_id")
+    qz = (
+        f"list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+        f" * {_C93_SCALE}) AS BIGINT))"
+    )
+    fold = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i])), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH final_vecs AS (
+      SELECT vec_id,
+             CASE WHEN {bkt} < 80 AND vec_id % 25 = 0
+                  THEN list_transform(embedding, v -> -v)
+                  ELSE embedding END AS embedding
+      FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+             {qz} AS cv
+      FROM embeddings QUALIFY j < {_C93_K}),
+    qz AS (SELECT vec_id, {qz} AS qv FROM final_vecs),
+    d2 AS (SELECT q.vec_id, s.j, {fold} AS d2
+           FROM qz q CROSS JOIN seeds s),
+    asg AS (SELECT vec_id, (min({{'d2': d2, 'j': j}})).j AS cell
+            FROM d2 GROUP BY vec_id)
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(max(vec_id) AS BIGINT) AS max_vec_id,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+    FROM asg GROUP BY cell ORDER BY cell
+    """
+
+
+@query("c93_vector_index_merge", oracle=_c93_oracle())
+def c93_vector_index_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """C93: VECTOR-INDEX MAINTENANCE via MERGE — c39's operational
+    loop applied to the ANN stack (VERDICT r12 item 8's third open
+    arc): the (vec_id, cell) IVF assignment table is itself a LAKE
+    TABLE kept current by MERGE, never rebuilt. Centroids are FROZEN
+    at index creation (the md5-seed convention of c38/c40, quantized
+    to the integer grid — exactly what production IVF indexes do:
+    retrain rarely, reassign continuously; c71 is the drift audit
+    that says when to retrain). v1 seeds assignments for the base
+    corpus; an ingestion batch arrives carrying NEW vectors AND
+    RE-EMBEDDED vectors (every 25th base vector re-encoded — sign-
+    flipped, the deterministic stand-in for "the upstream embedding
+    model changed this doc"), and one MERGE (equality on vec_id)
+    lands it: stale assignments equality-delete and replace, new
+    vectors insert, untouched rows never rewrite. Graded on the
+    per-cell rollup of the MAINTAINED index (count, min/max/sum of
+    ids) against the oracle's FROM-SCRATCH recompute over the final
+    corpus — hash-matching proves incremental maintenance ≡ full
+    rebuild, the property that lets a 100 TB index never re-read its
+    corpus.
+
+    Scale shape: assignment is a broadcast {_C93_K}-row centroid
+    table against each batch (exact BIGINT argmin, ties by j — one
+    pass over the BATCH only); the MERGE shuffles |batch| index rows
+    (8 B each) against manifest metadata; the corpus is signed once
+    per arrival and the index is the only thing that ever rewrites."""
+    from iceberg_playground_spark.queries._util import hash_bucket, load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.tables import LakeCatalog
+
+    def quantize(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _C93_SCALE).cast(
+                    "bigint"
+                ),
+            ).alias("qv"),
+        )
+
+    def build(tmp: str):
+        cat = LakeCatalog(spark, tmp)
+        idx = cat.create_table(
+            "demo",
+            "vec_index",
+            "vec_id BIGINT, cell INT",
+            drop_if_exists=True,
+        )
+        e = load(spark, sf, "embeddings")
+        # frozen centroids: md5-order seeds of the ORIGINAL corpus,
+        # quantized — a bounded K x dim collect (c38's convention)
+        seeds = (
+            quantize(e)
+            .withColumn(
+                "j",
+                F.row_number().over(
+                    W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+                )
+                - 1,
+            )
+            .filter(F.col("j") < _C93_K)
+            .select("j", "qv")
+        )
+        cent = spark.createDataFrame(
+            [(int(r["j"]), list(r["qv"])) for r in seeds.collect()],
+            "j INT, cv ARRAY<BIGINT>",
+        )
+
+        def assign(vecs: DataFrame) -> DataFrame:
+            d2 = vecs.crossJoin(F.broadcast(cent)).select(
+                "vec_id",
+                "j",
+                _c91_sqd(F.col("qv"), F.col("cv")).alias("d2"),
+            )
+            return d2.groupBy("vec_id").agg(
+                F.min(F.struct("d2", "j"))["j"].cast("int").alias("cell")
+            )
+
+        bucket = hash_bucket(F.col("vec_id"))
+        base = e.filter(bucket < 80)
+        idx.append(assign(quantize(base)))  # v1: seeded index
+        edited = base.filter(F.col("vec_id") % 25 == 0).withColumn(
+            "embedding", F.transform("embedding", lambda x: -x)
+        )
+        batch = e.filter(bucket >= 80).unionByName(edited)
+        # one MERGE: re-embedded vectors' stale assignments masked +
+        # replaced, new vectors inserted — the index never rebuilds
+        idx.merge(assign(quantize(batch)), equality_cols=["vec_id"])
+        return idx
+
+    idx = _built(spark, sf, "c93", build)
+    return (
+        idx.read()
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+            F.max("vec_id").cast("bigint").alias("max_vec_id"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+        )
+        .orderBy("cell")
+    )

@@ -101,6 +101,7 @@ GRADING_NEW_TAIL: list[str] = [
     "c90_integer_ln_selfcheck",
     "c91_knn_graph_search",
     "c92_graph_ann_recall",
+    "c93_vector_index_merge",
 ]
 
 

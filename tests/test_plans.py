@@ -1683,3 +1683,14 @@ def test_c92_recall_probe_table_is_one_broadcast_pass(spark):
     assert "CartesianProduct" not in plan
     for cols in _exchange_outputs(df):
         assert not {"text", "embedding"} & set(cols), cols
+
+
+def test_c93_assignment_broadcasts_centroids(spark):
+    # c93: cell assignment is a broadcast 16-row centroid table per
+    # batch; the graded rollup reads the maintained index — no
+    # sort-merge over vectors, no cartesian beyond the sanctioned
+    # bounded centroid broadcast
+    df = registry.QUERIES["c93_vector_index_merge"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
