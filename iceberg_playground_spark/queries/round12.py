@@ -1766,12 +1766,15 @@ def _c78_idf_micro(nd: int, df: int) -> int:
     return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
 
-def _c78_oracle() -> str:
+def _c78_ctes() -> str:
+    """The full hybrid-retrieval CTE block through ``fused`` —
+    shared by c78's own oracle and c94's cross-encoder re-rank
+    (round13.py), so the re-rank provably scores EXACTLY the fused
+    list c78 ships."""
     from iceberg_playground_spark.queries.llm import _dot_sql, _norm_sql
 
     k1, b, kk = _C78_K1, _C78_B, _C78_RRF_K
-    return f"""
-WITH cand AS MATERIALIZED (
+    return f"""cand AS MATERIALIZED (
   SELECT d.doc_id, d.text, e.embedding
   FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
   WHERE d.doc_id <> 0),
@@ -1827,7 +1830,12 @@ fused AS MATERIALIZED (
          + COALESCE(1000000 // ({kk} + l.rn_l), 0) AS rrf_micro,
          CAST(d.rn_d AS BIGINT) AS rn_dense,
          CAST(l.rn_l AS BIGINT) AS rn_lex
-  FROM dlist d FULL OUTER JOIN llist l ON d.doc_id = l.doc_id)
+  FROM dlist d FULL OUTER JOIN llist l ON d.doc_id = l.doc_id)"""
+
+
+def _c78_oracle() -> str:
+    return f"""
+WITH {_c78_ctes()}
 SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
        rn_dense, rn_lex
 FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_C78_TOPK}
@@ -1858,6 +1866,16 @@ def c78_hybrid_rrf_search(spark: SparkSession, sf: str) -> DataFrame:
     + the idf/term/stat aggregates (3 bounded collects); at 100 TB
     each backend is its own index scan and RRF touches only the
     retrieved lists, which is the entire point of fusion."""
+    return _c78_fused(spark, sf).orderBy(
+        F.desc("rrf_micro"), "doc_id"
+    ).limit(_C78_TOPK)
+
+
+def _c78_fused(spark: SparkSession, sf: str) -> DataFrame:
+    """The full hybrid pipeline through the FUSED frame (doc_id,
+    rrf_micro, rn_dense, rn_lex) — c78 takes its top-{k}; c94
+    (round13.py) re-ranks the same list, provably scoring exactly
+    what c78 ships."""
     from iceberg_playground_spark.queries._util import load
     from iceberg_playground_spark.queries.llm import _dot, _norm
 
@@ -1954,4 +1972,4 @@ def c78_hybrid_rrf_search(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rn_d").cast("bigint").alias("rn_dense"),
         F.col("rn_l").cast("bigint").alias("rn_lex"),
     )
-    return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(_C78_TOPK)
+    return fused

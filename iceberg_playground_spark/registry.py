@@ -102,6 +102,7 @@ GRADING_NEW_TAIL: list[str] = [
     "c91_knn_graph_search",
     "c92_graph_ann_recall",
     "c93_vector_index_merge",
+    "c94_cross_encoder_rerank",
 ]
 
 

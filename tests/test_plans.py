@@ -1694,3 +1694,14 @@ def test_c93_assignment_broadcasts_centroids(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_c94_rerank_touches_shortlist_only(spark):
+    # c94: the pairwise scorer reads exactly the 10 shortlist texts
+    # (broadcast id semi-join) — no cartesian, no sort-merge over
+    # corpus rows, text never rides an exchange
+    df = registry.QUERIES["c94_cross_encoder_rerank"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert "text" not in set(cols), cols
