@@ -207,6 +207,16 @@ HEADLINE = [
     # but unbenched — written waivers in BASELINE.md.
     "c83_lsh_scurve_audit",
     "c84_kneser_ney_bigram",
+    # round-13 entrant: the graph-ANN flagship — blocked Σ|block|²
+    # kNN-graph build + H-hop beam search, the round's heaviest new
+    # plan. b168/b169 are graded but unbenched (maintenance verbs:
+    # metadata walks + KB delete-file I/O inside cached builds — the
+    # b159-b167 rationale); c90 likewise (a 532-row integer map);
+    # c92 re-runs c91's build + c04's benched brute shape; c93's
+    # MERGE maintenance is c39's benched shape with c38's broadcast
+    # assignment; c94 is two TakeOrdered lists + a 10-doc pair scorer
+    # (c78's waiver rationale) — written waivers in BASELINE.md.
+    "c91_knn_graph_search",
 ]
 
 # Cells whose first call is dominated by demo-WAREHOUSE construction

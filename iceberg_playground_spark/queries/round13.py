@@ -59,7 +59,8 @@ SELECT 'c_refused_in_retention', 1, NULL, NULL
 UNION ALL
 SELECT 'd_orphans_removed', 1, NULL, NULL
 UNION ALL
-SELECT 'e_surviving', 1, (SELECT n FROM od), (SELECT s FROM od)
+SELECT 'e_surviving', 1, (SELECT n FROM od),
+       CAST((SELECT s FROM od) AS BIGINT)
 ORDER BY phase
 """
 
@@ -178,7 +179,7 @@ SELECT 'before' AS phase, CAST(3 AS BIGINT) AS n_pos_files,
        CAST((SELECT s FROM v) AS BIGINT) AS sum_k
 UNION ALL
 SELECT 'after', 1, (SELECT n FROM m), (SELECT n FROM v),
-       (SELECT s FROM v)
+       CAST((SELECT s FROM v) AS BIGINT)
 ORDER BY phase DESC
 """
 
