@@ -92,8 +92,14 @@ def test_c65_matches_independent_python_model(spark):
         for pc in pcs:
             model[pc] += 1
             prev_tot[pc[0]] += 1
+    # the independent model evaluates ln through the SAME fixed-point
+    # integer kernel the op deploys (round 13: libm left the graded
+    # contract) — int_ln_micro_py is itself grid-tested against
+    # math.log in tests/test_int_ln_kernel.py
+    from iceberg_playground_spark.queries._util import int_ln_micro_py
+
     nll = {
-        pc: round(-1e6 * math.log((c + 1) / (prev_tot[pc[0]] + _C65_B)))
+        pc: int_ln_micro_py(c + 1, prev_tot[pc[0]] + _C65_B)
         for pc, c in model.items()
     }
     out = {

@@ -632,13 +632,18 @@ def test_c84_matches_python_reference(spark):
         n1v[v] += 1
         nw[w] += 1
     ntot = len(model)
+    # independent model through the SAME fixed-point integer kernel
+    # the op deploys (round 13: libm left the graded contract; the
+    # kernel itself is grid-tested against math.log in
+    # tests/test_int_ln_kernel.py): p = num/den exactly, num =
+    # (4c-3)·ntot + 3·n1v·nw, den = 4·ntot·cv
+    from iceberg_playground_spark.queries._util import int_ln_micro_py
+
     nll = {}
     for (v, w), c in model.items():
-        p = (max(float(c) - 0.75, 0.0)
-             + ((0.75 * float(n1v[v])) * float(nw[w])) / float(ntot)
-             ) / float(cv[v])
-        x = -1000000.0 * math.log(p)
-        nll[(v, w)] = int(math.floor(x + 0.5))
+        num = (4 * c - 3) * ntot + 3 * n1v[v] * nw[w]
+        den = 4 * ntot * cv[v]
+        nll[(v, w)] = int_ln_micro_py(num, den)
     agg = defaultdict(lambda: [0, 0, 0])
     for (source, v, w), c in sc.items():
         a = agg[source]

@@ -77,10 +77,19 @@ _rdelete = st.tuples(st.integers(0, 3), st.integers(0, 3)).map(
 # schema, appends under the wide one) still reads back exactly.
 _widen = st.just(("widen", None))
 
+# round-13 maintenance verbs: both are REORGANIZATIONS — the visible
+# row set must be bit-identical across them (rewrite_manifests merges
+# same-seq manifest entries; rewrite_position_delete_files compacts
+# positional delete files at max seq, pruning dangling rows) — so the
+# model treats both as no-ops and the soak proves exactly that
+# against every other operation's interleaving.
+_rwm = st.just(("rwm", None))
+_rpd = st.just(("rpd", None))
+
 _ops = st.lists(
     st.one_of(
         _append, _append, _delete, _pdelete, _rdelete, _compact,
-        _merge, _rollback, _wap, _widen
+        _merge, _rollback, _wap, _widen, _rwm, _rpd
     ),
     min_size=1,
     max_size=6,
@@ -111,6 +120,8 @@ def _model_apply(
         return list(history[arg])  # verbatim, original seqs included
     if op == "widen":
         return state  # metadata-only; values reread exactly
+    if op in ("rwm", "rpd"):
+        return state  # reorganizations: the visible rows never change
     raise AssertionError(op)
 
 
@@ -158,6 +169,10 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
             if dict(t._ddl_fields(t.ddl))["count"] != "int":
                 continue  # already widened earlier in the sequence
             v = t.widen_column("count", "bigint")
+        elif op == "rwm":
+            v = t.rewrite_manifests()  # no-op returns head: history
+        elif op == "rpd":  # entry overwritten with the same state
+            v = t.rewrite_position_delete_files()
         else:
             v = t.compact()
         state = _model_apply(state, v, op, arg, history)
@@ -424,3 +439,84 @@ def test_partitioned_null_partition_sequences_match_model(
         assert sum(
             p["n_rows"] or 0 for p in t.partitions().collect()
         ) == len(state)
+
+
+# ---------------------------------------------------------------------------
+# retention lifecycle under churn: expire_snapshots (dir grain) +
+# remove_orphan_files (file grain) must never change the surviving
+# reads — the HEAD matches the model, every SURVIVING version still
+# replays, a second orphan sweep finds nothing, and no removed path
+# is ever referenced again (the ADVICE-r12 data-loss class, fuzzed)
+# ---------------------------------------------------------------------------
+
+_ret_ops = st.lists(
+    st.one_of(
+        st.lists(
+            st.tuples(st.sampled_from(_NAMES), st.integers(0, 3)),
+            min_size=1,
+            max_size=2,
+        ).map(lambda rows: ("append", rows)),
+        st.tuples(st.integers(0, 3), st.integers(0, 3)).map(
+            lambda b: ("rdelete", (min(b), max(b)))
+        ),
+        st.sampled_from(_NAMES).map(lambda n: ("pdelete", n)),
+        st.just(("compact", None)),
+        st.just(("rwm", None)),
+        st.just(("rpd", None)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=_MAX_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ret_ops, keep=st.integers(1, 3))
+def test_retention_lifecycle_preserves_surviving_reads(
+    spark, tmp_path_factory, ops, keep
+):
+    wh = str(tmp_path_factory.mktemp("ret_wh"))
+    cat = LakeCatalog(spark, wh)
+    t = cat.create_table("p", "t", DDL, drop_if_exists=True)
+
+    state: list = []
+    history: dict[int, list] = {0: []}
+    for op, arg in ops:
+        if op == "append":
+            v = t.append(spark.createDataFrame(arg, t.ddl))
+        elif op == "rdelete":
+            v, _s = t.delete_range("count", arg[0], arg[1])
+        elif op == "pdelete":
+            v = t.delete_where_positional(f"name = '{arg}'")
+        elif op == "rwm":
+            v = t.rewrite_manifests()
+        elif op == "rpd":
+            v = t.rewrite_position_delete_files()
+        else:
+            v = t.compact()
+        state = _model_apply(state, v, op, arg, history)
+        history[v] = state
+
+    def snap_rows(df):
+        return sorted((r["name"], r["count"]) for r in df.collect())
+
+    expected_head = sorted((n, c) for n, c, _ in state)
+    t.expire_snapshots(keep_last=keep)
+    res = t.remove_orphan_files(older_than_s=0)
+    # surviving reads are untouched by BOTH maintenance passes
+    assert snap_rows(t.read()) == expected_head
+    for v in t.versions():
+        if v in history:
+            assert snap_rows(t.read(version=v)) == sorted(
+                (n, c) for n, c, _ in history[v]
+            ), f"surviving version {v} diverged after retention"
+    # idempotence: a second sweep has nothing left to reclaim
+    again = t.remove_orphan_files(older_than_s=0)
+    assert again["orphans_removed"] == 0, again["removed_paths"]
+    assert snap_rows(t.read()) == expected_head
+    # and nothing the sweep removed is referenced by a live snapshot
+    refs = t._referenced_files()
+    assert not (set(res["removed_paths"]) & refs)
