@@ -351,9 +351,11 @@ ANCHOR_SECONDS = {
     "c40_ivf_adc_rerank": 1.91,
     "p20_corpus_build_v2": 2.14,
     # b135 re-anchored round 13 after the SPLIT_BUILD move (see the
-    # SPLIT_BUILD comment): clean pair 0.142/0.132, pair minimum. The
-    # old 1.43 anchored the unsplit cell (build included).
-    "b135_retention_delete": 0.13,
+    # SPLIT_BUILD comment): first clean pair 0.142/0.132; the close
+    # pair (slower host phase) read 0.211/0.269 — anchored at the
+    # cross-pair maximum-of-minimums so a sub-0.3 s noise cell is not
+    # a standing 2x false trigger (the b19/c51 noise-cell family).
+    "b135_retention_delete": 0.21,
     "c43_substring_dedup": 2.30,
     "p24_substring_strip": 2.12,
     "c51_tokenizer_apply": 0.54,
@@ -368,7 +370,12 @@ ANCHOR_SECONDS = {
     "c59_source_kl_divergence": 1.51,
     "c63_bpe_merge_learn": 2.34,
     "p32_leakage_safe_split": 0.42,
-    "c65_bigram_perplexity": 2.37,
+    # c65/c84 re-anchored at round-13 close: their NLL now evaluates
+    # through the integer-ln kernel (~90 extra integer projection
+    # steps over MODEL rows — a fixed ~1.3-1.7 s Catalyst-analysis
+    # cost, data-size-independent; the libm-era anchors were
+    # 2.37/1.88). Close pair D/E minimums.
+    "c65_bigram_perplexity": 4.07,
     "c67_triplet_mining": 0.69,
     "p34_release_report_v3": 1.12,
     "c68_perceptron_train": 2.80,
@@ -399,7 +406,10 @@ ANCHOR_SECONDS = {
     # zero cells over anchor + 137.9 s with only known-noise b19 over;
     # pair minimums)
     "c83_lsh_scurve_audit": 2.91,
-    "c84_kneser_ney_bigram": 1.88,
+    "c84_kneser_ney_bigram": 2.73,
+    # round-13 close pair (D 163.6 s / E 162.4 s, guard quiet, probes
+    # 0.41/0.41 and 0.54/0.39): the graph-ANN flagship, pair minimum
+    "c91_knn_graph_search": 5.94,
 }
 GUARD_FACTOR = 2.0
 GUARD_MIN_CELLS = 4

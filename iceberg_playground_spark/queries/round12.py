@@ -78,6 +78,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from iceberg_playground_spark.queries._util import int_ln_micro_cte_sql
 from iceberg_playground_spark.registry import query
 
 _C74_SUB = 8  # subspaces (64 dims -> 8 x 8, c36's geometry)
@@ -1758,12 +1759,19 @@ _C78_TERMS = 3
 
 def _c78_idf_micro(nd: int, df: int) -> int:
     """BM25 idf in integer micro-nats, Lucene's non-negative form:
-    round(1e6·ln(1 + (N−df+0.5)/(df+0.5))) — one ln per TERM
-    (model-sized; Python glibc mirrors DuckDB's)."""
-    import math
+    1 + (N−df+0.5)/(df+0.5) = (2N+2)/(2df+1) exactly, so the idf
+    evaluates through the shared fixed-point integer ln kernel
+    (round 13: libm left the graded contract — this was the last
+    oracle-side ln in the retrieval family; the oracle CTE runs the
+    same kernel chain)."""
+    from iceberg_playground_spark.queries._util import int_ln_micro_py
 
-    x = 1e6 * math.log(1 + (nd - df + 0.5) / (df + 0.5))
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+    return int_ln_micro_py(2 * df + 1, 2 * nd + 2)
+
+
+# the 3 idf values evaluate through the integer-ln kernel in BOTH
+# engines (see _c78_idf_micro)
+_IDF_CHAIN = int_ln_micro_cte_sql("idfin", "t", "idf", prefix="_idf")
 
 
 def _c78_ctes() -> str:
@@ -1801,10 +1809,12 @@ terms AS MATERIALIZED (
     WHERE t <> '' GROUP BY t) ts, stats
   WHERE df * 4 <= nd
   ORDER BY c DESC, t LIMIT {_C78_TERMS}),
-idf AS MATERIALIZED (
-  SELECT t, CAST(round(1000000.0 * ln(
-             1 + (nd - df + 0.5) / (df + 0.5))) AS BIGINT) AS idf
+idfin AS MATERIALIZED (
+  SELECT t, CAST(2 * df + 1 AS BIGINT) AS num,
+         CAST(2 * nd + 2 AS BIGINT) AS den
   FROM terms, stats),
+{_IDF_CHAIN},
+idf AS (SELECT t, idf FROM _idf_fin),
 lex AS MATERIALIZED (
   SELECT c.doc_id,
          sum((idf.idf * (tf * ({k1} + 1000)))

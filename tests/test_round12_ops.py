@@ -898,9 +898,12 @@ def _py_c78(sf_dir: str):
         (t for t in cnt if dfs[t] * 4 <= nd),
         key=lambda t: (-cnt[t], t),
     )[:_C78_TERMS]
+    # idf through the SAME integer-ln kernel the op deploys (round 13:
+    # 1 + (N-df+0.5)/(df+0.5) = (2N+2)/(2df+1) exactly)
+    from iceberg_playground_spark.queries._util import int_ln_micro_py
+
     idf = {
-        t: rnd(1e6 * math.log(1 + (nd - dfs[t] + 0.5) / (dfs[t] + 0.5)))
-        for t in terms
+        t: int_ln_micro_py(2 * dfs[t] + 1, 2 * nd + 2) for t in terms
     }
     bm25 = {}
     for i in cand:
