@@ -736,6 +736,55 @@ _C93_DIM = 64
 _C93_SCALE = 1000
 
 
+def _c93_quantize(df: DataFrame) -> DataFrame:
+    """Integer-grid view of a vector frame (c54's fixed-point
+    contract), shared by c93's batch MERGE and p49's streaming twin."""
+    return df.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _C93_SCALE).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+
+
+def _c93_centroids(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Frozen centroids: md5-order seeds of the ORIGINAL corpus,
+    quantized — a bounded K x dim collect (c38's convention), returned
+    as a K-row literal frame both c93 and p49 broadcast."""
+    seeds = (
+        _c93_quantize(e)
+        .withColumn(
+            "j",
+            F.row_number().over(
+                W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            )
+            - 1,
+        )
+        .filter(F.col("j") < _C93_K)
+        .select("j", "qv")
+    )
+    return spark.createDataFrame(
+        [(int(r["j"]), list(r["qv"])) for r in seeds.collect()],
+        "j INT, cv ARRAY<BIGINT>",
+    )
+
+
+def _c93_assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid cell per vector: broadcast K-row table, exact
+    BIGINT argmin, ties by j."""
+    d2 = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "j",
+        _c91_sqd(F.col("qv"), F.col("cv")).alias("d2"),
+    )
+    return d2.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "j"))["j"].cast("int").alias("cell")
+    )
+
+
 def _c93_oracle() -> str:
     from iceberg_playground_spark.queries._util import bucket_sql
 
@@ -806,16 +855,7 @@ def c93_vector_index_merge(spark: SparkSession, sf: str) -> DataFrame:
     from iceberg_playground_spark.queries.lakehouse import _built
     from iceberg_playground_spark.tables import LakeCatalog
 
-    def quantize(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col("vec_id").cast("bigint").alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x: F.floor(x.cast("double") * _C93_SCALE).cast(
-                    "bigint"
-                ),
-            ).alias("qv"),
-        )
+    quantize = _c93_quantize
 
     def build(tmp: str):
         cat = LakeCatalog(spark, tmp)
@@ -826,34 +866,10 @@ def c93_vector_index_merge(spark: SparkSession, sf: str) -> DataFrame:
             drop_if_exists=True,
         )
         e = load(spark, sf, "embeddings")
-        # frozen centroids: md5-order seeds of the ORIGINAL corpus,
-        # quantized — a bounded K x dim collect (c38's convention)
-        seeds = (
-            quantize(e)
-            .withColumn(
-                "j",
-                F.row_number().over(
-                    W.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-                )
-                - 1,
-            )
-            .filter(F.col("j") < _C93_K)
-            .select("j", "qv")
-        )
-        cent = spark.createDataFrame(
-            [(int(r["j"]), list(r["qv"])) for r in seeds.collect()],
-            "j INT, cv ARRAY<BIGINT>",
-        )
+        cent = _c93_centroids(spark, e)
 
         def assign(vecs: DataFrame) -> DataFrame:
-            d2 = vecs.crossJoin(F.broadcast(cent)).select(
-                "vec_id",
-                "j",
-                _c91_sqd(F.col("qv"), F.col("cv")).alias("d2"),
-            )
-            return d2.groupBy("vec_id").agg(
-                F.min(F.struct("d2", "j"))["j"].cast("int").alias("cell")
-            )
+            return _c93_assign(vecs, cent)
 
         bucket = hash_bucket(F.col("vec_id"))
         base = e.filter(bucket < 80)
@@ -1039,3 +1055,209 @@ def c94_cross_encoder_rerank(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rrf_micro").cast("bigint").alias("rrf_micro"),
         F.col("rank_rrf").cast("bigint").alias("rank_rrf"),
     ).orderBy("rank_ce")
+
+
+# ---------------------------------------------------------------------------
+# p49 — streaming vector-index maintenance (c93's twin at ingest time)
+# ---------------------------------------------------------------------------
+
+_P49_EPOCHS = 4
+
+
+def _p49_oracle() -> str:
+    qz = (
+        f"list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+        f" * {_C93_SCALE}) AS BIGINT))"
+    )
+    qzn = (
+        f"list_transform(embedding, v -> CAST(floor(CAST(-v AS DOUBLE)"
+        f" * {_C93_SCALE}) AS BIGINT))"
+    )
+    fold = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i])), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+             {qz} AS cv
+      FROM embeddings QUALIFY j < {_C93_K}),
+    qzo AS (SELECT vec_id, {qz} AS qv FROM embeddings),
+    qzn AS (SELECT vec_id, {qzn} AS qv FROM embeddings
+            WHERE vec_id % 25 = 0),
+    co AS MATERIALIZED (
+      SELECT vec_id, (min({{'d2': {fold}, 'j': s.j}})).j AS cell
+      FROM qzo q CROSS JOIN seeds s GROUP BY vec_id),
+    cn AS MATERIALIZED (
+      SELECT vec_id, (min({{'d2': {fold}, 'j': s.j}})).j AS cell
+      FROM qzn q CROSS JOIN seeds s GROUP BY vec_id),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    q4 AS (SELECT vec_id,
+                  (vec_id * {_P49_EPOCHS}) // (SELECT n FROM nn) AS q
+           FROM embeddings),
+    es AS (SELECT unnest(range(0, {_P49_EPOCHS})) AS e),
+    news AS (SELECT es.e, count(q4.vec_id) AS n_new
+             FROM es LEFT JOIN q4 ON q4.q = es.e GROUP BY es.e),
+    reas AS (SELECT es.e, count(q4.vec_id) AS n_reassigned
+             FROM es LEFT JOIN q4
+               ON q4.vec_id % 25 = 0 AND q4.q < es.e
+             GROUP BY es.e),
+    sizes AS (SELECT es.e, count(q4.vec_id) AS index_size
+              FROM es LEFT JOIN q4 ON q4.q <= es.e GROUP BY es.e),
+    moved AS (SELECT q4.q + 1 AS e, count(*) AS n_moved
+              FROM q4
+              JOIN co ON co.vec_id = q4.vec_id
+              JOIN cn ON cn.vec_id = q4.vec_id
+              WHERE q4.vec_id % 25 = 0 AND co.cell <> cn.cell
+                AND q4.q + 1 < {_P49_EPOCHS}
+              GROUP BY q4.q + 1)
+    SELECT CAST(n.e AS BIGINT) AS epoch,
+           CAST(n.n_new + r.n_reassigned AS BIGINT) AS n_arrivals,
+           CAST(n.n_new AS BIGINT) AS n_new,
+           CAST(r.n_reassigned AS BIGINT) AS n_reassigned,
+           CAST(coalesce(m.n_moved, 0) AS BIGINT) AS n_moved,
+           CAST(s.index_size AS BIGINT) AS index_size
+    FROM news n JOIN reas r USING (e) JOIN sizes s USING (e)
+    LEFT JOIN moved m USING (e)
+    ORDER BY epoch
+    """
+
+
+@query("p49_streaming_index_maintenance", oracle=_p49_oracle())
+def p49_streaming_index_maintenance(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """P49: STREAMING VECTOR-INDEX MAINTENANCE — c93's MERGE loop
+    moved to ingest time (p45 is the dedup twin; this is the ANN
+    one, closing index-maintenance x streaming): embedding batches
+    arrive as {E} doc-quartile micro-batches in mtime-pinned order
+    (p36's ordering contract), each batch assigns against the FROZEN
+    broadcast centroids (shared _c93_centroids/_c93_assign — the
+    offline-trained-index-deployed-to-the-stream shape) and UPSERTS
+    the accumulated (vec_id, cell) state; later batches carry
+    RE-EMBEDDED vectors from earlier quartiles (every 25th,
+    sign-flipped — the upstream-model-changed case), so whether an
+    arrival is NEW vs a REASSIGNMENT, and whether a reassignment
+    MOVED cells, depends on the accumulated state — the sequential
+    semantics the per-epoch report grades: arrivals, new,
+    reassigned, moved, cumulative index size. The oracle computes
+    the same report in CLOSED FORM (frozen centroids make cell(v)
+    and cell(-v) pure functions, so "moved at epoch q(v)+1, never
+    after" is declarative) — the streaming state machine must land
+    on it exactly.
+
+    Scale shape: per-epoch work is one broadcast {_C93_K}-row
+    centroid assignment over the BATCH + one |index| upsert
+    (anti-join on the batch's ids and append); state is 8 bytes per
+    indexed vector — c93's economics paid incrementally; at 100 TB
+    each epoch pays |batch| assignment work, never |corpus|."""
+    import os
+    import shutil
+
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.queries.streaming import _scratch
+
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    cent = _c93_centroids(spark, e)
+
+    def build(tmp: str) -> str:
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src, exist_ok=True)
+        now = int(os.stat(tmp).st_mtime)
+        q = F.expr(f"(vec_id * {_P49_EPOCHS}) DIV {n}")
+        for i in range(_P49_EPOCHS):
+            fresh = e.filter(q == i)
+            edits = (
+                e.filter((F.col("vec_id") % 25 == 0) & (q < i))
+                .withColumn(
+                    "embedding", F.transform("embedding", lambda x: -x)
+                )
+            )
+            part_dir = os.path.join(tmp, f"stage_{i}")
+            (
+                fresh.unionByName(edits)
+                .withColumn("epoch", F.lit(i).cast("bigint"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            part = next(
+                f
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and f.startswith("part-")
+            )
+            dst = os.path.join(src, f"arrival_{i}.parquet")
+            shutil.copyfile(os.path.join(part_dir, part), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        return src
+
+    src = _built(spark, sf, "p49", build)
+    stream = (
+        spark.readStream.schema(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, epoch BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = _scratch("ips_stream_vidx_")
+    report = os.path.join(work, "report")
+    holder = {"state": None}
+    try:
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            ep = int(batch_df.agg(F.min("epoch")).first()[0])
+            asg = _c93_assign(
+                _c93_quantize(batch_df), cent
+            ).localCheckpoint(eager=False)  # join + upsert + counts
+            if holder["state"] is None:
+                prev = spark.createDataFrame([], "vec_id BIGINT, cell INT")
+            else:
+                prev = spark.read.parquet(holder["state"])
+            joined = asg.join(
+                prev.withColumnRenamed("cell", "old_cell"),
+                "vec_id",
+                "left",
+            ).localCheckpoint(eager=False)  # three counts, one probe
+            n_arr = joined.count()
+            n_re = joined.filter(F.col("old_cell").isNotNull()).count()
+            n_moved = joined.filter(
+                F.col("old_cell").isNotNull()
+                & (F.col("old_cell") != F.col("cell"))
+            ).count()
+            new_state = prev.join(
+                asg.select("vec_id"), "vec_id", "left_anti"
+            ).unionByName(asg.select("vec_id", "cell"))
+            newp = os.path.join(work, f"state_{ep}")
+            new_state.write.parquet(newp)
+            holder["state"] = newp
+            size = spark.read.parquet(newp).count()
+            spark.createDataFrame(
+                [(ep, n_arr, n_arr - n_re, n_re, n_moved, size)],
+                "epoch BIGINT, n_arrivals BIGINT, n_new BIGINT,"
+                " n_reassigned BIGINT, n_moved BIGINT, index_size BIGINT",
+            ).write.mode("append").parquet(report)
+
+        q = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", _scratch("ips_stream_vick_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # SIZE GUARD: |epochs| rows, collected because the scratch
+        # dirs are deleted in finally (p18's literal-result rule)
+        rows = sorted(
+            tuple(int(x) for x in r)
+            for r in spark.read.parquet(report).collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "epoch BIGINT, n_arrivals BIGINT, n_new BIGINT,"
+        " n_reassigned BIGINT, n_moved BIGINT, index_size BIGINT",
+    ).orderBy("epoch")

@@ -103,6 +103,7 @@ GRADING_NEW_TAIL: list[str] = [
     "c92_graph_ann_recall",
     "c93_vector_index_merge",
     "c94_cross_encoder_rerank",
+    "p49_streaming_index_maintenance",
 ]
 
 
