@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from iceberg_playground_spark.queries._util import (
     bucket_sql as _bucket_sql,
     hash_bucket as _hash_bucket,
+    int_ln_micro_col,
+    int_ln_micro_cte_sql,
     load,
 )
 from iceberg_playground_spark.registry import query
@@ -1522,22 +1524,32 @@ def c22_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# c23's model-row ln evaluates through the shared fixed-point integer
+# kernel (round 13; ln(cnt/tot) = -ln(tot/cnt), an exact integer
+# ratio) — no libm in the graded contract.
+_C23_LN_CHAIN = int_ln_micro_cte_sql(
+    "modelin", "lang, token", "microlog", prefix="_c23"
+)
+
+
 @query(
     "c23_lm_quality_score",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
       FROM documents),
     freq AS (
       SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),
     tot AS (SELECT lang, sum(cnt) AS tot FROM freq GROUP BY lang),
+    modelin AS MATERIALIZED (
+      SELECT f.lang, f.token, CAST(tt.tot AS BIGINT) AS num,
+             CAST(f.cnt AS BIGINT) AS den
+      FROM freq f JOIN tot tt ON f.lang = tt.lang),
+    {_C23_LN_CHAIN},
     scored AS (
-      SELECT t.doc_id, t.lang,
-             CAST(round(ln(CAST(f.cnt AS DOUBLE) / tt.tot) * 1000000)
-                  AS BIGINT) AS microlog
+      SELECT t.doc_id, t.lang, m.microlog
       FROM tok t
-      JOIN freq f ON t.lang = f.lang AND t.token = f.token
-      JOIN tot tt ON t.lang = tt.lang)
+      JOIN _c23_fin m ON t.lang = m.lang AND t.token = m.token)
     SELECT doc_id, lang,
            CAST(count(*) AS BIGINT) AS n_tok,
            round(CAST(sum(microlog) AS DOUBLE)
@@ -1567,16 +1579,16 @@ def c23_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     tot = freq.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    model = freq.join(tot, "lang").select(
+    model_in = freq.join(tot, "lang").select(
         "lang",
         "token",
-        (
-            F.round(
-                F.log(F.col("cnt").cast("double") / F.col("tot")) * 1e6
-            )
-        )
-        .cast("bigint")
-        .alias("microlog"),
+        F.col("tot").cast("bigint").alias("num"),
+        F.col("cnt").cast("bigint").alias("den"),
+    )
+    # ln(cnt/tot) through the integer kernel (round 13 — the former
+    # round(ln(double)) relied on JVM/libm ulp agreement)
+    model = int_ln_micro_col(model_in, "num", "den", "microlog").select(
+        "lang", "token", "microlog"
     )
     scored = tok.join(F.broadcast(model), ["lang", "token"])
     return scored.groupBy("doc_id", "lang").agg(
@@ -1659,9 +1671,16 @@ def c24_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# c25's idf = ln(N/df) is an exact integer ratio: the integer kernel
+# evaluates it identically in both engines (round 13).
+_C25_LN_CHAIN = int_ln_micro_cte_sql(
+    "idfin", "token", "microidf", prefix="_c25"
+)
+
+
 @query(
     "c25_tfidf_top_terms",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token
       FROM documents),
@@ -1670,11 +1689,15 @@ def c24_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
            GROUP BY doc_id, token),
     df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
            GROUP BY token),
+    idfin AS MATERIALIZED (
+      SELECT df.token, CAST(df.df AS BIGINT) AS num,
+             CAST(n.n_docs AS BIGINT) AS den
+      FROM df CROSS JOIN n),
+    {_C25_LN_CHAIN},
     scored AS (
       SELECT tf.doc_id, tf.token, tf.tf,
-             tf.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / df.df)
-                                * 1000000) AS BIGINT) AS score_micro
-      FROM tf JOIN df USING (token) CROSS JOIN n)
+             tf.tf * m.microidf AS score_micro
+      FROM tf JOIN _c25_fin m USING (token))
     SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score_micro,
            CAST(rn AS INT) AS rn
     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -1686,11 +1709,14 @@ def c24_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 def c25_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """C5e: TF-IDF top-3 terms per document — the classic keyword /
     topical-signature extractor. IDF is trained once over the corpus
-    (vocab-sized, broadcast); scoring is tf × round(ln(N/df)·1e6) in
-    INTEGER space (same ulp-absorbing trick as c23 — ln() differs by
-    1 ulp between JVM and libm on ~9% of inputs), so the ranking and
-    the scores are bit-stable across engines and shuffle orders. The
-    per-doc top-3 window is group-limit-pushable."""
+    (vocab-sized, broadcast); scoring is tf × idf-micro in INTEGER
+    space with idf = ln(N/df) evaluated through the shared
+    FIXED-POINT INTEGER kernel (round 13 — the former
+    round(ln(double)·1e6) relied on JVM log() and libm ln() agreeing
+    to the last ulp, which they miss on ~9% of inputs), so the
+    ranking and the scores are bit-stable across engines and shuffle
+    orders by construction. The per-doc top-3 window is
+    group-limit-pushable."""
     d = load(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
     # tf is (doc, distinct-token) sized and checkpointed: df derives
@@ -1706,13 +1732,16 @@ def c25_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     # .count() here would run a full corpus pass at query-CONSTRUCTION
     # time (a cluster job before the returned plan ever executes) and a
     # second at execution — the round-2 audit's flagged anti-pattern.
-    n = tf.select(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    n = tf.select(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
-    idf = df_.crossJoin(F.broadcast(n)).select(
+    idf_in = df_.crossJoin(F.broadcast(n)).select(
         "token",
-        F.round(F.log(F.col("n_docs") / F.col("df")) * 1e6)
-        .cast("bigint")
-        .alias("microidf"),
+        F.col("df").cast("bigint").alias("num"),
+        F.col("n_docs").alias("den"),
+    )
+    # idf = ln(N/df) through the integer kernel (round 13)
+    idf = int_ln_micro_col(idf_in, "num", "den", "microidf").select(
+        "token", "microidf"
     )
     scored = tf.join(F.broadcast(idf), "token").select(
         "doc_id",

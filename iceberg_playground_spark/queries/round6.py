@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from iceberg_playground_spark.queries._util import (
     bucket_sql,
     hash_bucket,
+    int_ln_micro_col,
+    int_ln_micro_cte_sql,
     load,
 )
 from iceberg_playground_spark.queries.lakehouse import _built
@@ -1729,7 +1731,13 @@ def b131_cached_scan(spark: SparkSession, sf: str) -> DataFrame:
 # c37 — bigram-LM quality scoring
 # ---------------------------------------------------------------------------
 
-_C37_ORACLE = """
+# c37's model-row ln((c+1)/(pcnt+v)) is an exact integer ratio — the
+# integer kernel evaluates it identically in both engines (round 13).
+_C37_LN_CHAIN = int_ln_micro_cte_sql(
+    "modelin", "lang, pair", "microlog", prefix="_c37"
+)
+
+_C37_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
     ),
@@ -1748,15 +1756,17 @@ _C37_ORACLE = """
       SELECT lang, count(DISTINCT t) AS v
       FROM (SELECT lang, unnest(ts) AS t FROM tok) u GROUP BY 1
     ),
-    model AS (
+    modelin AS MATERIALIZED (
       SELECT pc.lang, pc.pair,
-             CAST(round(ln((pc.c + 1.0) / (prevc.pcnt + vocab.v))
-                        * 1000000) AS BIGINT) AS microlog
+             CAST(prevc.pcnt + vocab.v AS BIGINT) AS num,
+             CAST(pc.c + 1 AS BIGINT) AS den
       FROM pc
       JOIN prevc ON pc.lang = prevc.lang
                 AND split_part(pc.pair, ' ', 1) = prevc.prev
       JOIN vocab ON pc.lang = vocab.lang
-    )
+    ),
+    {_C37_LN_CHAIN},
+    model AS (SELECT lang, pair, microlog FROM _c37_fin)
     SELECT p.doc_id, p.lang,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            round(CAST(sum(m.microlog) AS DOUBLE)
@@ -1808,23 +1818,20 @@ def c37_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count_distinct("t").alias("v"))
     )
-    model = (
+    model_in = (
         pc.withColumn("prev", F.split("pair", " ").getItem(0))
         .join(prevc, ["lang", "prev"])
         .join(vocab, "lang")
         .select(
             "lang",
             "pair",
-            F.round(
-                F.log(
-                    (F.col("c") + F.lit(1.0))
-                    / (F.col("pcnt") + F.col("v"))
-                )
-                * 1e6
-            )
-            .cast("bigint")
-            .alias("microlog"),
+            (F.col("pcnt") + F.col("v")).cast("bigint").alias("num"),
+            (F.col("c") + 1).cast("bigint").alias("den"),
         )
+    )
+    # ln((c+1)/(pcnt+v)) through the integer kernel (round 13)
+    model = int_ln_micro_col(model_in, "num", "den", "microlog").select(
+        "lang", "pair", "microlog"
     )
     return (
         pairs.join(F.broadcast(model), ["lang", "pair"])
