@@ -279,20 +279,35 @@ def b136_binaryfile_scan(spark: SparkSession, sf: str) -> DataFrame:
 # p21 — perplexity bucketing (CCNet head/middle/tail)
 # ---------------------------------------------------------------------------
 
-_P21_ORACLE = """
+# p21 shares c23's scoring lineage, so its oracle shares c23's
+# kernel chain verbatim (round 13: libm left the graded contract)
+def _p21_oracle() -> str:
+    from iceberg_playground_spark.queries._util import (
+        int_ln_micro_cte_sql,
+    )
+
+    chain = int_ln_micro_cte_sql(
+        "modelin", "lang, token", "microlog", prefix="_p21"
+    )
+    return _P21_ORACLE_T.format(chain=chain)
+
+
+_P21_ORACLE_T = """
 WITH tok AS (
   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
   FROM documents),
 freq AS (
   SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),
 tot AS (SELECT lang, sum(cnt) AS tot FROM freq GROUP BY lang),
+modelin AS MATERIALIZED (
+  SELECT f.lang, f.token, CAST(tt.tot AS BIGINT) AS num,
+         CAST(f.cnt AS BIGINT) AS den
+  FROM freq f JOIN tot tt ON f.lang = tt.lang),
+{chain},
 scored AS (
-  SELECT t.doc_id, t.lang,
-         CAST(round(ln(CAST(f.cnt AS DOUBLE) / tt.tot) * 1000000)
-              AS BIGINT) AS microlog
+  SELECT t.doc_id, t.lang, m.microlog
   FROM tok t
-  JOIN freq f ON t.lang = f.lang AND t.token = f.token
-  JOIN tot tt ON t.lang = tt.lang),
+  JOIN _p21_fin m ON t.lang = m.lang AND t.token = m.token),
 doc AS (
   SELECT doc_id, lang,
          round(CAST(sum(microlog) AS DOUBLE)
@@ -307,7 +322,7 @@ FROM doc
 """
 
 
-@query("p21_perplexity_buckets", oracle=_P21_ORACLE)
+@query("p21_perplexity_buckets", oracle=_p21_oracle())
 def p21_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """P21: perplexity bucketing — CCNet's head/middle/tail corpus
     partitioning (Wenzek et al. 2020, public work): score every
