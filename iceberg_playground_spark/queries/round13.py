@@ -444,22 +444,12 @@ def _c91_sqd(a, b):
     )
 
 
-def _c91_graph(spark: SparkSession, sf: str):
-    """Shared Spark graph build (c91 search + c92 recall audit):
-    returns (q, alledges), both lazily checkpointed — q is the
-    quantized vector table (vec_id, label, qv), alledges the merged
-    per-label top-M + hub-ring edge list (src, dst)."""
-    from iceberg_playground_spark.queries._util import load
-
-    e = load(spark, sf, "embeddings")
-    q = e.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * _C91_SCALE).cast("bigint"),
-        ).alias("qv"),
-    ).localCheckpoint(eager=False)  # consumed by pairs (x2) + scoring
+def _c91_edges(q: DataFrame, m: int) -> DataFrame:
+    """Blocked edge list over a quantized node frame: per-label top-m
+    adjacency (exact BIGINT distances, ties by vec_id) + the
+    fully-connected per-label hub ring — shared by c91/c92's base
+    layer and c95's sparse upper layer (which passes its own node
+    subset and a smaller m)."""
     a = q.select(
         "label", F.col("vec_id").alias("src"), F.col("qv").alias("sv")
     )
@@ -473,17 +463,33 @@ def _c91_graph(spark: SparkSession, sf: str):
         "rn",
         F.row_number().over(W.partitionBy("src").orderBy("d", "dst")),
     )
-    adj = ranked.filter(F.col("rn") <= _C91_M).select("src", "dst")
+    adj = ranked.filter(F.col("rn") <= m).select("src", "dst")
     hubs = q.groupBy("label").agg(F.min("vec_id").alias("hub"))
     h1 = hubs.select(F.col("hub").alias("src"))
     h2 = hubs.select(F.col("hub").alias("dst"))
     hedges = h1.crossJoin(F.broadcast(h2)).filter(
         F.col("src") != F.col("dst")
     )  # |labels|² = 100 rows, bounded by design
-    alledges = (
-        adj.unionByName(hedges).distinct().localCheckpoint(eager=False)
-    )
-    return q, alledges
+    return adj.unionByName(hedges).distinct().localCheckpoint(eager=False)
+
+
+def _c91_graph(spark: SparkSession, sf: str):
+    """Shared Spark graph build (c91 search + c92 recall audit + c95's
+    base layer): returns (q, alledges), both lazily checkpointed — q
+    is the quantized vector table (vec_id, label, qv), alledges the
+    merged per-label top-M + hub-ring edge list (src, dst)."""
+    from iceberg_playground_spark.queries._util import load
+
+    e = load(spark, sf, "embeddings")
+    q = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _C91_SCALE).cast("bigint"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)  # consumed by pairs (x2) + scoring
+    return q, _c91_edges(q, _C91_M)
 
 
 @query("c91_knn_graph_search", oracle=_C91_ORACLE)
@@ -1261,3 +1267,171 @@ def p49_streaming_index_maintenance(
         "epoch BIGINT, n_arrivals BIGINT, n_new BIGINT,"
         " n_reassigned BIGINT, n_moved BIGINT, index_size BIGINT",
     ).orderBy("epoch")
+
+
+# ---------------------------------------------------------------------------
+# c95 — hierarchical graph search (two-layer HNSW shape over c91)
+# ---------------------------------------------------------------------------
+
+_C95_LEVEL = 8  # every 8th node is promoted to the upper layer
+_C95_MU = 4  # upper-layer out-degree
+_C95_BU = 2  # upper-layer beam
+_C95_HU = 2  # upper-layer hops
+_C95_ENTRY_U = 8  # fixed upper-layer entry (first promoted non-query)
+
+
+def _c95_chain(
+    pfx: str, dq: str, edges: str, v0: str, beam: int, hops: int
+) -> str:
+    """A parameterized beam-search CTE chain: {pfx}v0 seeded by the
+    ``v0`` subquery, expanding through ``edges`` and scoring against
+    ``dq``, {hops} hops at width {beam}."""
+    ctes = [f"{pfx}v0 AS ({v0})"]
+    for h in range(1, hops + 1):
+        ctes.append(
+            f"{pfx}f{h} AS (SELECT vec_id FROM {pfx}v{h - 1} "
+            f"ORDER BY d, vec_id LIMIT {beam})"
+        )
+        ctes.append(
+            f"{pfx}c{h} AS (SELECT DISTINCT e.dst AS vec_id "
+            f"FROM {pfx}f{h} f JOIN {edges} e ON e.src = f.vec_id)"
+        )
+        ctes.append(
+            f"{pfx}v{h} AS MATERIALIZED (SELECT vec_id, d "
+            f"FROM {pfx}v{h - 1} "
+            f"UNION SELECT c.vec_id, dq.d "
+            f"FROM {pfx}c{h} c JOIN {dq} dq USING (vec_id))"
+        )
+    return ", ".join(ctes)
+
+
+_C95_ORACLE = f"""
+WITH {_C91_GRAPH_CTES},
+gu AS (SELECT * FROM g WHERE vec_id % {_C95_LEVEL} = 0),
+pdu AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         sum((a.qi - b.qi) * (a.qi - b.qi)) AS d
+  FROM gu a JOIN gu b ON a.label = b.label AND a.i = b.i
+                     AND a.vec_id <> b.vec_id
+  GROUP BY src, dst),
+adju AS MATERIALIZED (
+  SELECT src, dst FROM pdu
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY d, dst)
+          <= {_C95_MU}),
+hubsu AS (SELECT label, min(vec_id) AS hub FROM embeddings
+          WHERE vec_id % {_C95_LEVEL} = 0 GROUP BY label),
+hedgesu AS (SELECT h1.hub AS src, h2.hub AS dst
+            FROM hubsu h1, hubsu h2 WHERE h1.hub <> h2.hub),
+edgesu AS MATERIALIZED (
+  SELECT src, dst FROM adju UNION SELECT src, dst FROM hedgesu),
+qv AS (SELECT i, qi FROM g WHERE vec_id = 0),
+dq AS MATERIALIZED (
+  SELECT g.vec_id, sum((g.qi - qv.qi) * (g.qi - qv.qi)) AS d
+  FROM g JOIN qv ON g.i = qv.i GROUP BY g.vec_id),
+{_c95_chain(
+    "u", "dq", "edgesu",
+    f"SELECT vec_id, d FROM dq WHERE vec_id = {_C95_ENTRY_U}",
+    _C95_BU, _C95_HU,
+)},
+el AS (SELECT vec_id FROM uv{_C95_HU} ORDER BY d, vec_id LIMIT 1),
+{_c95_chain(
+    "l", "dq", "alledges",
+    "SELECT vec_id, d FROM dq "
+    "WHERE vec_id IN (SELECT vec_id FROM el)",
+    _C91_B, _C91_H,
+)}
+SELECT CAST(row_number() OVER (ORDER BY d, vec_id) AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, CAST(d AS BIGINT) AS sq_dist,
+       CAST((SELECT vec_id FROM el) AS BIGINT) AS entry_id
+FROM lv{_C91_H} WHERE vec_id <> 0
+ORDER BY d, vec_id LIMIT {_C91_K}
+"""
+
+
+@query("c95_hierarchical_graph_search", oracle=_C95_ORACLE)
+def c95_hierarchical_graph_search(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """C95: HIERARCHICAL graph search — c91 grown into HNSW's actual
+    two-layer shape (Malkov & Yashunin 2018): a SPARSE UPPER LAYER
+    (every {_C95_LEVEL}th node, the deterministic stand-in for the
+    paper's geometric level draw) is searched first with a narrow
+    beam to pick a QUERY-ADAPTIVE entry point, which then seeds c91's
+    base-layer search — the fixed-entry weakness c91 accepts (a far
+    entry wastes its hop budget crossing the space) is exactly what
+    the hierarchy fixes, and the graded ``entry_id`` column pins the
+    layer handoff itself. Upper layer reuses the same blocked
+    construction at out-degree {_C95_MU} over the promoted subset
+    (shared _c91_edges / the shared graph CTE block); every tie
+    anywhere breaks on vec_id, so promotion, both searches, and the
+    handoff hash-grade in one op.
+
+    Scale shape: the upper layer is 1/{_C95_LEVEL} of the corpus, so
+    its Σ|block|² build is 1/{_C95_LEVEL}² of the base layer's; the
+    upper search touches {_C95_BU}x{_C95_MU} edges per hop and the
+    base search is c91's bounded shape — per query, hops x beam
+    lookups on each layer. This is HNSW's actual scaling argument:
+    layers shrink geometrically, so the whole hierarchy costs ~2x
+    the base layer to build and O(log N)-ish hops to enter."""
+    q, alledges = _c91_graph(spark, sf)
+    qu = q.filter(F.col("vec_id") % _C95_LEVEL == 0)
+    edges_u = _c91_edges(qu, _C95_MU)
+    qvec = q.filter(F.col("vec_id") == 0).select("qv").first()["qv"]
+    qlit = F.array(*[F.lit(int(v)).cast("bigint") for v in qvec])
+    scored_all = q.select(
+        "vec_id", _c91_sqd(F.col("qv"), qlit).alias("d")
+    ).localCheckpoint(eager=False)  # both layers + the seed read it
+    scored_u = scored_all.join(
+        F.broadcast(qu.select("vec_id")), "vec_id"
+    )
+
+    def beam_search(visited, edges, beam, hops):
+        # c91's loop: no in-loop checkpoint (bounded frames over
+        # checkpointed bases — measured 2x cheaper than per-hop
+        # materialization)
+        for _ in range(hops):
+            frontier = (
+                visited.orderBy("d", "vec_id")
+                .limit(beam)
+                .select("vec_id")
+            )
+            cand = (
+                frontier.join(edges, frontier["vec_id"] == edges["src"])
+                .select(F.col("dst").alias("vec_id"))
+                .distinct()
+            )
+            scored = scored_all.join(F.broadcast(cand), "vec_id")
+            visited = visited.unionByName(scored).distinct()
+        return visited
+
+    vu = beam_search(
+        scored_u.filter(F.col("vec_id") == _C95_ENTRY_U),
+        edges_u,
+        _C95_BU,
+        _C95_HU,
+    )
+    el = vu.orderBy("d", "vec_id").limit(1).select("vec_id")
+    el = el.localCheckpoint(eager=False)  # seeds the base layer + output
+    visited = beam_search(
+        scored_all.join(F.broadcast(el), "vec_id"),
+        alledges,
+        _C91_B,
+        _C91_H,
+    )
+    return (
+        visited.filter(F.col("vec_id") != 0)
+        .orderBy("d", "vec_id")
+        .limit(_C91_K)
+        .crossJoin(
+            F.broadcast(el.select(F.col("vec_id").alias("entry_id")))
+        )
+        .select(
+            F.row_number()
+            .over(W.orderBy("d", "vec_id"))
+            .cast("int")
+            .alias("rank"),
+            "vec_id",
+            F.col("d").cast("bigint").alias("sq_dist"),
+            F.col("entry_id").cast("bigint").alias("entry_id"),
+        )
+    )

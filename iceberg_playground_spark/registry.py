@@ -104,6 +104,7 @@ GRADING_NEW_TAIL: list[str] = [
     "c93_vector_index_merge",
     "c94_cross_encoder_rerank",
     "p49_streaming_index_maintenance",
+    "c95_hierarchical_graph_search",
 ]
 
 

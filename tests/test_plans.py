@@ -1705,3 +1705,17 @@ def test_c94_rerank_touches_shortlist_only(spark):
     assert "CartesianProduct" not in plan
     for cols in _exchange_outputs(df):
         assert "text" not in set(cols), cols
+
+
+def test_c95_hierarchy_is_blocked_never_cartesian(spark):
+    # c95: both layers build with the blocked label-key join (the
+    # c91 discipline); the only nested loops are the bounded hub
+    # rings + the 1-row entry handoff broadcast; raw embeddings
+    # never ride an exchange
+    df = registry.QUERIES["c95_hierarchical_graph_search"](
+        spark, SF_CHECK
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert not {"text", "embedding"} & set(cols), cols
