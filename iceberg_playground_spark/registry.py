@@ -62,40 +62,6 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   GRADING_LEAD = the old GRADING_NEW_TAIL contents, verbatim
 #   GRADING_NEW_TAIL = []
 GRADING_LEAD: list[str] = [
-    "c74_pq_train",
-    "c75_unigram_lm_train",
-    "b161_entries_metadata",
-    "p40_mixture_weight_learn",
-    "b162_all_manifests",
-    "c76_unigram_apply_fertility",
-    "c77_trained_ivfadc",
-    "p41_learned_schedule",
-    "p42_streaming_mixture_learn",
-    "b163_metadata_log",
-    "c78_hybrid_rrf_search",
-    "b164_all_data_files",
-    "c79_pca_power_iteration",
-    "c81_pca_prefilter_recall",
-    "c80_phash_near_dup",
-    "p43_dedup_aware_epochs",
-    "b165_rewrite_manifests",
-    "p44_streaming_gram_merge",
-    "c82_pca_energy_spectrum",
-    "c83_lsh_scurve_audit",
-    "p45_streaming_phash_novelty",
-    "c84_kneser_ney_bigram",
-    "c85_term_burstiness",
-    "b166_retention_forecast",
-    "p46_canary_leakage_drill",
-    "c86_length_iqr_outliers",
-    "c87_mmr_diversified_rerank",
-    "b167_position_deletes",
-    "c88_component_stability",
-    "p47_signal_agreement_audit",
-    "p48_gate_attribution",
-    "c89_rerank_diversity_audit",
-]
-GRADING_NEW_TAIL: list[str] = [
     "b168_remove_orphan_files",
     "b169_rewrite_position_deletes",
     "c90_integer_ln_selfcheck",
@@ -106,6 +72,7 @@ GRADING_NEW_TAIL: list[str] = [
     "p49_streaming_index_maintenance",
     "c95_hierarchical_graph_search",
 ]
+GRADING_NEW_TAIL: list[str] = []
 
 
 def new_tail_round() -> int:
