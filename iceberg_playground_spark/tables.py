@@ -871,11 +871,34 @@ class LakeTable:
         ``path`` alone marks only the data root live after a rewrite,
         so expiring the pre-rewrite snapshots would rmtree staged dirs
         the CURRENT snapshot still reads (ADVICE r12, reproduced live
-        data loss)."""
+        data loss).
+
+        EVERY ancestor up to the data/deletes root is returned, not
+        just the immediate dirname: a hive-partitioned carve's paths
+        point at NESTED partition dirs (…/<uuid>/day=X/f.parquet),
+        while expire_snapshots' removal loop judges TOP-LEVEL staged
+        dirs — dirname alone would leave …/<uuid> out of the live set
+        and an expired pre-carve snapshot would rmtree partitions the
+        current snapshot still reads (ADVICE r13 HIGH, reproduced)."""
         ps = f.get("paths")
-        if ps:
-            return {os.path.dirname(p) for p in ps}
-        return {f["path"]}
+        if not ps:
+            return {f["path"]}
+        bases = {
+            os.path.join(self.root, _DATA_DIR),
+            os.path.join(self.root, _DELETE_DIR),
+            self.root,
+            os.sep,
+        }
+        dirs: set[str] = set()
+        for p in ps:
+            d = os.path.dirname(p)
+            while d and d not in bases:
+                dirs.add(d)
+                nd = os.path.dirname(d)
+                if nd == d:
+                    break
+                d = nd
+        return dirs
 
     def _live_fns(self, f: dict) -> set[str] | None:
         """Relative filenames an entry still serves: its explicit
@@ -2266,28 +2289,42 @@ class LakeTable:
                 removed += 1
         return {"expired_versions": expired, "removed_dirs": removed}
 
+    def _entry_files(self, f: dict) -> list[str]:
+        """Absolute path of every physical file a data entry serves:
+        its ``paths`` subset when a carve/rewrite recorded one, else
+        one path per stats filename, else (statless entry — no bounds,
+        no carve) every non-marker file currently under its dir,
+        RECURSIVELY — hive-partitioned staged dirs nest, and a
+        non-recursive listdir here made rewrite_position_delete_files
+        prune a partitioned entry's delete rows as 'dangling'
+        (ADVICE r13). The ONE expansion rule shared by
+        _referenced_files and the rewrite verb, so their liveness
+        judgments can never diverge again."""
+        if f.get("paths"):
+            return list(f["paths"])
+        if f.get("bounds"):
+            return [os.path.join(f["path"], fn) for fn in f["bounds"]]
+        out: list[str] = []
+        if os.path.isdir(f["path"]):
+            for root, _dirs, fns in os.walk(f["path"]):
+                out.extend(
+                    os.path.join(root, fn)
+                    for fn in fns
+                    if not fn.startswith(("_", "."))
+                )
+        return out
+
     def _referenced_files(self) -> set[str]:
         """Absolute path of every physical file ANY live snapshot still
-        reads. Per data entry: its ``paths`` subset when a carve/rewrite
-        recorded one, else one path per stats filename, else (statless
-        entry — no bounds, no carve) every file currently in its dir,
-        conservatively. Delete entries reference their whole dir (the
-        read path globs it). Metadata-sized: one JSON header per
-        snapshot, one listdir per statless entry."""
+        reads (data entries expand via the shared ``_entry_files``
+        rule). Delete entries reference their whole dir (the read path
+        globs it). Metadata-sized: one JSON header per snapshot, one
+        dir walk per statless entry."""
         refs: set[str] = set()
         for v in self.versions():
             snap = self.snapshot(v)
             for f in snap["data_files"]:
-                if f.get("paths"):
-                    refs.update(f["paths"])
-                elif f.get("bounds"):
-                    refs.update(
-                        os.path.join(f["path"], fn) for fn in f["bounds"]
-                    )
-                elif os.path.isdir(f["path"]):
-                    # hive-partitioned staged dirs nest: walk them
-                    for root, _dirs, fns in os.walk(f["path"]):
-                        refs.update(os.path.join(root, fn) for fn in fns)
+                refs.update(self._entry_files(f))
             for d in snap["delete_files"]:
                 p = json.loads(d["entry"])["path"]
                 if os.path.isdir(p):
@@ -2375,12 +2412,16 @@ class LakeTable:
         anti-join result is unchanged — asserted row-identical
         before/after in the lifecycle test.
 
-        A no-op (fewer than 2 positional entries and nothing dangling)
+        A no-op (fewer than 2 positional entries AND nothing dangling)
         returns the current version WITHOUT minting a snapshot (the
-        b144/b157 refusal convention). Metadata plus delete-file I/O
-        only: data files are never read or moved; delete files are
-        key-pair-sized (KB per thousand masked rows), so the rewrite
-        costs one scan of the delete set at any table size."""
+        b144/b157 refusal convention) — a LONE positional entry is
+        still rewritten when it carries dangling rows, which costs one
+        extra KB-scale count per single-entry call (ADVICE r13: the
+        count-only refusal left a lone all-dangling file uncompacted
+        forever). Metadata plus delete-file I/O only: data files are
+        never read or moved; delete files are key-pair-sized (KB per
+        thousand masked rows), so the rewrite costs one scan of the
+        delete set at any table size."""
         head = self.current_version()
         snap = self.snapshot(head)
         pos_entries = [
@@ -2388,22 +2429,11 @@ class LakeTable:
             for d in snap["delete_files"]
             if json.loads(d["entry"]).get("pos")
         ]
-        if len(pos_entries) < 2:
+        if not pos_entries:
             return head  # nothing to consolidate: no version minted
         live_paths: list[str] = []
         for f in snap["data_files"]:
-            if f.get("paths"):
-                live_paths.extend(f["paths"])
-            elif f.get("bounds"):
-                live_paths.extend(
-                    os.path.join(f["path"], fn) for fn in f["bounds"]
-                )
-            elif os.path.isdir(f["path"]):
-                live_paths.extend(
-                    os.path.join(f["path"], fn)
-                    for fn in os.listdir(f["path"])
-                    if not fn.startswith(("_", "."))
-                )
+            live_paths.extend(self._entry_files(f))
         merged = self.spark.read.parquet(
             *[m["path"] for _, m in pos_entries]
         ).distinct()
@@ -2416,11 +2446,16 @@ class LakeTable:
         live_df = self.spark.createDataFrame(
             [(p,) for p in sorted(set(live_paths))], "lp STRING"
         )
-        merged = merged.join(
+        pruned = merged.join(
             F.broadcast(live_df),
             F.regexp_replace(F.col("__f"), "^file:/*", "/") == F.col("lp"),
             "leftsemi",
         )
+        if len(pos_entries) < 2 and pruned.count() == merged.count():
+            # lone entry, nothing dangling: refuse without minting
+            # (two KB-scale counts — the delete set, not the data)
+            return head
+        merged = pruned
         d = os.path.join(self.root, _DELETE_DIR, uuid.uuid4().hex)
         merged.coalesce(1).write.mode("overwrite").parquet(d)
         keep_dels = [

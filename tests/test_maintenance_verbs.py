@@ -62,6 +62,28 @@ def test_expire_after_rewrite_keeps_merged_paths_live(catalog, spark):
     assert after == before and len(after) == 20
 
 
+def test_expire_keeps_partitioned_carve_live(catalog, spark):
+    # ADVICE r13 high: a hive-partitioned carve's ``paths`` point at
+    # NESTED partition dirs; pre-fix _entry_dirs marked only those
+    # nested dirs live, the expired pre-carve snapshot put the
+    # TOP-LEVEL staged dir in dead, and rmtree deleted partitions the
+    # current snapshot still reads (PATH_NOT_FOUND on the next read).
+    t = catalog.create_table(
+        "m", "part_expire", DDL, drop_if_exists=True, partition_by=["par"]
+    )
+    t.append(_rows(spark, range(0, 20)).coalesce(1))
+    v, plan = t.delete_range("par", 0, 0)  # drops the par=0 partition
+    assert plan["metadata_only"]
+    entry = t.snapshot(v)["data_files"][0]
+    assert entry["paths"] and all("par=1" in p for p in entry["paths"])
+    before = sorted(tuple(r) for r in t.read().collect())
+    assert before == [(k, 1) for k in range(1, 20, 2)]
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_versions"] == [1]
+    assert res["removed_dirs"] == 0  # the staged dir is still live
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+
+
 def test_remove_orphans_reclaims_carved_file(catalog, spark):
     t = catalog.create_table("m", "orph", DDL, drop_if_exists=True)
     _two_file_append(t, spark, range(0, 20))
@@ -151,5 +173,30 @@ def test_rewrite_position_deletes_refuses_noop(catalog, spark):
     t.append(_rows(spark, range(0, 10)).coalesce(1))
     t.delete_where_positional("k = 0")
     head = t.current_version()
-    assert t.rewrite_position_delete_files() == head  # <2 entries: no-op
+    # lone entry, nothing dangling: no-op (no version minted)
+    assert t.rewrite_position_delete_files() == head
     assert t.current_version() == head
+
+
+def test_rewrite_lone_dangling_entry(catalog, spark):
+    # ADVICE r13: a SINGLE positional delete file full of dangling
+    # rows must still be rewritten (the count-only refusal left it
+    # uncompacted forever).
+    t = catalog.create_table("m", "rpd_lone", DDL, drop_if_exists=True)
+    _two_file_append(t, spark, range(0, 20))
+    t.delete_where_positional("k IN (0, 1)")  # one row per file
+    t.delete_range("par", 0, 0)  # evens file dropped: k=0 row dangles
+    before = sorted(tuple(r) for r in t.read().collect())
+    assert before == [(k, 1) for k in range(3, 20, 2)]
+    head = t.current_version()
+    v = t.rewrite_position_delete_files()
+    assert v == head + 1  # lone entry WITH dangling rows: rewritten
+    merged_paths = [
+        __import__("json").loads(d["entry"])["path"]
+        for d in t.snapshot(v)["delete_files"]
+    ]
+    assert len(merged_paths) == 1
+    assert spark.read.parquet(merged_paths[0]).count() == 1  # k=1 only
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # second call: lone entry, nothing dangling now — refuse
+    assert t.rewrite_position_delete_files() == v
