@@ -131,7 +131,15 @@ def dsum(col: str | Column, alias: str, scale: int = 4) -> Column:
 #
 # Algorithm, for integer num >= 1, den >= 1, both <= 2^47 (documented
 # input bound: every intermediate then fits in ONE signed int64, so
-# DuckDB never needs HUGEINT and Spark never leaves BIGINT):
+# DuckDB never needs HUGEINT and Spark never leaves BIGINT). The bound
+# is GUARDED, not just documented (ADVICE r13 medium): Spark with ANSI
+# off wraps int64 overflow silently while DuckDB raises Out of Range,
+# so an un-guarded out-of-domain input silently corrupts one side or
+# hard-errors the other — an invisible cross-engine divergence. Every
+# renderer therefore evaluates the SAME domain check first; a
+# violating (or NULL) input clamps the chain's operands to 1 so no
+# engine can overflow mid-chain, and emits NULL as the output in BOTH
+# engines (the Python reference raises, being driver-side).
 #   hi, lo = max/min(num, den); sign = +1 if den >= num (nll of a
 #     probability) else -1
 #   e-search (6 unrolled halving steps): the largest e with
@@ -148,6 +156,7 @@ def dsum(col: str | Column, alias: str, scale: int = 4) -> Column:
 _LN_FRAC = 30  # m's fixed-point scale (m*m just fits int64)
 _LN_BITS = 21  # fraction digits of log2 extracted (~0.33 micro-nat)
 _LN2_MICRO_Q21 = 693147  # floor(ln(2) * 1e6), applied at scale 2^21
+_LN_MAX_IN = 2**47  # guarded input bound (hi * 2^15 must fit int64)
 
 
 def int_ln_micro_steps(
@@ -161,9 +170,31 @@ def int_ln_micro_steps(
     sign * round(1e6 * ln(den/num)) under the fixed-point contract."""
     p = prefix
     steps: list[tuple[str, str]] = [
-        (f"{p}_hi", f"CAST(greatest({num}, {den}) AS BIGINT)"),
-        (f"{p}_lo", f"CAST(least({num}, {den}) AS BIGINT)"),
-        (f"{p}_sg", f"CASE WHEN {den} >= {num} THEN 1 ELSE -1 END"),
+        # domain guard first: a violating input clamps hi/lo to 1 (so
+        # no later step can overflow int64 in either engine) and NULLs
+        # the sign, which the final multiply propagates to the output
+        (
+            f"{p}_ok",
+            f"CASE WHEN {num} IS NULL OR {den} IS NULL"
+            f" OR least({num}, {den}) < 1"
+            f" OR greatest({num}, {den}) > {_LN_MAX_IN}"
+            f" THEN 0 ELSE 1 END",
+        ),
+        (
+            f"{p}_hi",
+            f"CAST(CASE WHEN {p}_ok = 1 THEN greatest({num}, {den})"
+            f" ELSE 1 END AS BIGINT)",
+        ),
+        (
+            f"{p}_lo",
+            f"CAST(CASE WHEN {p}_ok = 1 THEN least({num}, {den})"
+            f" ELSE 1 END AS BIGINT)",
+        ),
+        (
+            f"{p}_sg",
+            f"CASE WHEN {p}_ok = 0 THEN NULL"
+            f" WHEN {den} >= {num} THEN 1 ELSE -1 END",
+        ),
     ]
     d, e = f"{p}_lo", "0"
     for s in (32, 16, 8, 4, 2, 1):
@@ -228,9 +259,15 @@ def int_ln_micro_cte_sql(
     # stage 0: normalize + e-search + exact 2^30 fixed-point mantissa,
     # all via lateral aliases (bounded substitution)
     items = [
-        "CAST(greatest(num, den) AS BIGINT) AS hi",
-        "CAST(least(num, den) AS BIGINT) AS lo",
-        "CASE WHEN den >= num THEN 1 ELSE -1 END AS sg",
+        # same domain guard as the Spark fold: clamp-then-NULL
+        f"CASE WHEN num IS NULL OR den IS NULL OR least(num, den) < 1"
+        f" OR greatest(num, den) > {_LN_MAX_IN} THEN 0 ELSE 1 END AS ok",
+        "CAST(CASE WHEN ok = 1 THEN greatest(num, den)"
+        " ELSE 1 END AS BIGINT) AS hi",
+        "CAST(CASE WHEN ok = 1 THEN least(num, den)"
+        " ELSE 1 END AS BIGINT) AS lo",
+        "CASE WHEN ok = 0 THEN NULL"
+        " WHEN den >= num THEN 1 ELSE -1 END AS sg",
     ]
     d, e = "lo", "0"
     for s in (32, 16, 8, 4, 2, 1):
@@ -287,7 +324,14 @@ def int_ln_micro_col(df, num: str, den: str, out: str, prefix: str = "_il"):
 def int_ln_micro_py(num: int, den: int) -> int:
     """Pure-Python reference of the same algorithm (tests + driver-side
     literal computation). Bit-identical to the SQL chain by
-    construction: every op is the same non-negative integer op."""
+    construction: every op is the same non-negative integer op. The
+    domain guard RAISES here (driver-side code should fail loudly)
+    where the SQL renderers emit NULL."""
+    if not (1 <= num <= _LN_MAX_IN and 1 <= den <= _LN_MAX_IN):
+        raise ValueError(
+            f"int_ln_micro domain is 1 <= num, den <= 2^47; "
+            f"got num={num}, den={den}"
+        )
     hi, lo = max(num, den), min(num, den)
     sg = 1 if den >= num else -1
     d, e = lo, 0

@@ -324,8 +324,12 @@ def c90_integer_ln_selfcheck(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: the kernel is a pure per-row integer map (27 chained
     +/*/DIV/CASE steps, no join, no window over data rows); the live
-    arm is one |sources|-key count aggregate. At any corpus size the
-    grid stays 512 + |sources| rows."""
+    arm is one |sources|-key count aggregate — the corpus total is the
+    SUM of those counts via an empty window over the |sources|-row
+    grouped frame, so the corpus is scanned exactly once and nothing
+    is collected at construction (ADVICE r13: the previous d.count()
+    here was the '.count() at construction' anti-pattern — one extra
+    corpus pass per graded run)."""
     from iceberg_playground_spark.queries._util import (
         int_ln_micro_col,
         load,
@@ -337,7 +341,6 @@ def c90_integer_ln_selfcheck(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(_C90_GRID2.replace("x", "id")).cast("bigint").alias("den"),
     )
     d = load(spark, sf, "documents")
-    n = d.count()
     src = (
         d.groupBy("source")
         .agg(F.count("*").cast("bigint").alias("num"))
@@ -349,7 +352,7 @@ def c90_integer_ln_selfcheck(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint")
             .alias("case_id"),
             "num",
-            F.lit(n).cast("bigint").alias("den"),
+            F.sum("num").over(W.partitionBy()).cast("bigint").alias("den"),
         )
     )
     allc = syn.unionByName(src)

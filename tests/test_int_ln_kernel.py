@@ -81,6 +81,52 @@ def test_duckdb_chain_is_bit_identical_to_python():
     assert not bad, bad[:5]
 
 
+OUT_OF_DOMAIN = [(0, 5), (5, 0), (-3, 7), (2**47 + 1, 1), (1, 2**50)]
+
+
+def test_python_reference_raises_out_of_domain():
+    # ADVICE r13 medium: the 2^47 bound must be guarded, not just
+    # documented — Spark wraps int64 overflow silently, DuckDB raises.
+    for num, den in OUT_OF_DOMAIN:
+        with pytest.raises(ValueError):
+            int_ln_micro_py(num, den)
+
+
+def test_duckdb_chain_nulls_out_of_domain():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, num BIGINT, den BIGINT)")
+    rows = OUT_OF_DOMAIN + [(None, 4), (4, None), (3, 7)]
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, n, d) for i, (n, d) in enumerate(rows)],
+    )
+    sql = (
+        "WITH "
+        + int_ln_micro_cte_sql("t", "id", "out")
+        + " SELECT id, out FROM _il_fin ORDER BY id"
+    )
+    got = dict(con.execute(sql).fetchall())
+    for i in range(len(rows) - 1):
+        assert got[i] is None, (rows[i], got[i])
+    assert got[len(rows) - 1] == int_ln_micro_py(3, 7)  # in-domain row
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_fold_nulls_out_of_domain(spark):
+    rows = OUT_OF_DOMAIN + [(None, 4), (4, None), (3, 7)]
+    df = spark.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(rows)],
+        "id BIGINT, num BIGINT, den BIGINT",
+    )
+    got = {
+        r["id"]: r["out"]
+        for r in int_ln_micro_col(df, "num", "den", "out").collect()
+    }
+    for i in range(len(rows) - 1):
+        assert got[i] is None, (rows[i], got[i])
+    assert got[len(rows) - 1] == int_ln_micro_py(3, 7)
+
+
 @pytest.mark.usefixtures("spark")
 def test_spark_fold_is_bit_identical_to_python(spark):
     rows = _grid(1500)
