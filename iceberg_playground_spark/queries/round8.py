@@ -2177,7 +2177,11 @@ def p28_sft_pairs(spark: SparkSession, sf: str) -> DataFrame:
 # c50 — Zipf audit (corpus token statistics + fitted exponent)
 # ---------------------------------------------------------------------------
 
-_C50_ORACLE = """
+# c50's rank/count logs are ln(k/1) integer ratios — round-14
+# migration to the shared integer-ln kernel (the c65/c84 latent
+# cross-libm hazard class; the micrologs become the kernel's
+# deterministic values on both sides)
+_C50_ORACLE_T = """
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents),
 freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
@@ -2185,10 +2189,12 @@ ranked AS (
   SELECT token, cnt,
          row_number() OVER (ORDER BY cnt DESC, token) AS rnk
   FROM freq),
-logs AS (
-  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
-         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
-  FROM ranked),
+lx_in AS (SELECT cnt, CAST(1 AS BIGINT) AS num, rnk AS den FROM ranked),
+{chain_x},
+ly_in AS (SELECT x, CAST(1 AS BIGINT) AS num,
+                 CAST(cnt AS BIGINT) AS den FROM _lx_fin),
+{chain_y},
+logs AS (SELECT x, y FROM _ly_fin),
 m AS (
   SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
          sum(x * y) AS sxy, sum(x * x) AS sxx
@@ -2205,7 +2211,18 @@ FROM m
 """
 
 
-@query("c50_zipf_audit", oracle=_C50_ORACLE)
+def _c50_oracle() -> str:
+    from iceberg_playground_spark.queries._util import (
+        int_ln_micro_cte_sql,
+    )
+
+    return _C50_ORACLE_T.format(
+        chain_x=int_ln_micro_cte_sql("lx_in", "cnt", "x", prefix="_lx"),
+        chain_y=int_ln_micro_cte_sql("ly_in", "x", "y", prefix="_ly"),
+    )
+
+
+@query("c50_zipf_audit", oracle=_c50_oracle())
 def c50_zipf_audit(spark: SparkSession, sf: str) -> DataFrame:
     """C50: Zipf audit — the corpus-statistics sanity check run on
     every new data source: vocabulary size, token mass, and the
@@ -2230,13 +2247,17 @@ def c50_zipf_audit(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds ranks + totals once
     )
     wr = W.orderBy(F.col("cnt").desc(), F.col("token"))
-    logs = freq.select(
-        F.round(F.log(F.row_number().over(wr).cast("double")) * 1e6)
-        .cast("bigint")
-        .alias("x"),
-        F.round(F.log(F.col("cnt").cast("double")) * 1e6)
-        .cast("bigint")
-        .alias("y"),
+    # both micrologs evaluate through the integer-ln kernel (round 14:
+    # ln(rnk) = ln(rnk/1), ln(cnt) = ln(cnt/1) — exact integer ratios)
+    from iceberg_playground_spark.queries._util import int_ln_micro_col
+
+    ranked = freq.select(
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+    logs = int_ln_micro_col(ranked, "1", "rnk", "x", prefix="_lx")
+    logs = int_ln_micro_col(logs, "1", "cnt", "y", prefix="_ly").select(
+        "x", "y"
     )
     m = logs.agg(
         F.count("*").alias("n"),

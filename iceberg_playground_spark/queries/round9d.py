@@ -61,6 +61,19 @@ _C59_B = 256  # hashed feature buckets (c53's space)
 
 
 def _c59_oracle() -> str:
+    # round 14: the two smoothed-ratio lns evaluate through the
+    # integer kernel, ONCE on the |S|·B model table — kn ≈
+    # -1e6·ln((c+1)/(tot+B)) — and the pair join takes the kernel-
+    # integer DIFFERENCE (kb - ka = 1e6·(ln ra - ln rb)); the only
+    # float left is the IEEE-exact p_a weighting, identical
+    # left-to-right in both engines.
+    from iceberg_playground_spark.queries._util import (
+        int_ln_micro_cte_sql,
+    )
+
+    chain = int_ln_micro_cte_sql(
+        "fk", "source, bucket, c, tot", "kn", prefix="_kl"
+    )
     return f"""
 WITH t AS (
   SELECT source,
@@ -77,13 +90,17 @@ full_cnt AS (
          sum(COALESCE(c.c, 0)) OVER (PARTITION BY g.source) AS tot
   FROM grid g LEFT JOIN cnt c
     ON g.source = c.source AND g.bucket = c.bucket),
+fk AS (
+  SELECT source, bucket, c, tot,
+         CAST(c + 1 AS BIGINT) AS num,
+         CAST(tot + {_C59_B} AS BIGINT) AS den
+  FROM full_cnt),
+{chain},
 terms AS (
   SELECT a.source AS src_a, b.source AS src_b,
-         CAST(round(1000000.0
-           * ((a.c + 1) / (a.tot + {_C59_B}))
-           * (ln((a.c + 1) / (a.tot + {_C59_B}))
-              - ln((b.c + 1) / (b.tot + {_C59_B})))) AS BIGINT) AS term
-  FROM full_cnt a JOIN full_cnt b ON a.bucket = b.bucket
+         CAST(round(((a.c + 1) / CAST(a.tot + {_C59_B} AS DOUBLE))
+                    * (b.kn - a.kn)) AS BIGINT) AS term
+  FROM _kl_fin a JOIN _kl_fin b ON a.bucket = b.bucket
   WHERE a.source <> b.source)
 SELECT src_a, src_b, CAST(sum(term) AS BIGINT) AS kl_micro
 FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b
@@ -123,33 +140,44 @@ def c59_source_kl_divergence(spark: SparkSession, sf: str) -> DataFrame:
     # lazily checkpointed: the a/b arms below would otherwise each
     # re-evaluate the whole token pass (the multi-consumer
     # re-evaluation pitfall — 4 corpus scans instead of 2)
+    from iceberg_playground_spark.queries._util import int_ln_micro_col
+
     full_cnt = (
         grid.join(cnt, ["source", "bucket"], "left")
         .na.fill({"c": 0})
         .withColumn("tot", F.sum("c").over(W.partitionBy("source")))
-        .localCheckpoint(eager=False)
     )
+    # ONE kernel fold on the |S|·B model table (round 14: the libm
+    # lns left this graded contract); kn ≈ -1e6·ln((c+1)/(tot+B))
+    full_cnt = int_ln_micro_col(
+        full_cnt.withColumn(
+            "num", (F.col("c") + 1).cast("bigint")
+        ).withColumn("den", (F.col("tot") + _C59_B).cast("bigint")),
+        "num",
+        "den",
+        "kn",
+        prefix="_kl",
+    ).localCheckpoint(eager=False)
     a = full_cnt.select(
         F.col("source").alias("src_a"),
         "bucket",
         F.col("c").alias("ca"),
         F.col("tot").alias("tota"),
+        F.col("kn").alias("ka"),
     )
     b = full_cnt.select(
         F.col("source").alias("src_b"),
         "bucket",
-        F.col("c").alias("cb"),
-        F.col("tot").alias("totb"),
+        F.col("kn").alias("kb"),
     )
-    pa = (F.col("ca") + 1) / (F.col("tota") + _C59_B)
-    pb = (F.col("cb") + 1) / (F.col("totb") + _C59_B)
+    pa = (F.col("ca") + 1) / (F.col("tota") + _C59_B).cast("double")
     terms = (
         a.join(b, "bucket")
         .filter(F.col("src_a") != F.col("src_b"))
         .select(
             "src_a",
             "src_b",
-            F.round(1000000.0 * pa * (F.log(pa) - F.log(pb)))
+            F.round(pa * (F.col("kb") - F.col("ka")))
             .cast("bigint")
             .alias("term"),
         )
@@ -227,21 +255,27 @@ def c60_good_turing_audit(spark: SparkSession, sf: str) -> DataFrame:
 # c61 — within-document token entropy (gibberish/repetition signal)
 # ---------------------------------------------------------------------------
 
-_C61_ORACLE = """
+# round 14: both lns evaluate through the integer kernel — the term's
+# ln(c/n) is an integer ratio (term = c · kernel(c, n), scaled AFTER
+# the kernel so the per-(doc,token) integer is exact), and the
+# efficiency denominator ln(vocab) = ln(vocab/1)
+_C61_ORACLE_T = """
 WITH t AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 tc AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY doc_id, token),
 g0 AS (
-  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM tc),
-g1 AS (
-  SELECT doc_id, n,
-         CAST(round(-1000000.0 * c * ln(c / CAST(n AS DOUBLE)))
-              AS BIGINT) AS term
-  FROM g0),
+  SELECT doc_id, CAST(c AS BIGINT) AS num,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS den
+  FROM tc),
+{chain_t},
 g AS (
-  SELECT doc_id, max(n) AS n, sum(term) AS h_num_micro,
+  SELECT doc_id, max(den) AS n, sum(num * lnm) AS h_num_micro,
          count(*) AS vocab
-  FROM g1 GROUP BY doc_id)
+  FROM _ct_fin GROUP BY doc_id),
+gk AS (SELECT doc_id, n, h_num_micro, vocab,
+              CAST(1 AS BIGINT) AS num, CAST(vocab AS BIGINT) AS den
+       FROM g),
+{chain_v}
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_tok,
        CAST(vocab AS BIGINT) AS vocab,
@@ -250,13 +284,26 @@ SELECT doc_id,
        CAST(CASE WHEN vocab = 1 THEN 0
                  ELSE floor(1000000.0 * floor(CAST(h_num_micro AS DOUBLE)
                                               / n)
-                            / round(1000000.0 * ln(CAST(vocab AS DOUBLE))))
+                            / lnv)
             END AS BIGINT) AS efficiency_micro
-FROM g ORDER BY doc_id
+FROM _lv_fin ORDER BY doc_id
 """
 
 
-@query("c61_token_entropy", oracle=_C61_ORACLE)
+def _c61_oracle() -> str:
+    from iceberg_playground_spark.queries._util import (
+        int_ln_micro_cte_sql,
+    )
+
+    return _C61_ORACLE_T.format(
+        chain_t=int_ln_micro_cte_sql("g0", "doc_id", "lnm", prefix="_ct"),
+        chain_v=int_ln_micro_cte_sql(
+            "gk", "doc_id, n, h_num_micro, vocab", "lnv", prefix="_lv"
+        ),
+    )
+
+
+@query("c61_token_entropy", oracle=_c61_oracle())
 def c61_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
     """C61: within-document Shannon token entropy + entropy
     efficiency (H / ln V) — the gibberish-vs-repetition quality
@@ -265,12 +312,12 @@ def c61_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
     with the information-theoretic form the C4/RefinedWeb lineage
     filters on).
 
-    Determinism: each (doc, token) term -c·ln(c/n) rounds to an
-    integer micro-nat BEFORE the per-doc sum (c23's ulp rule; the
-    count window and the term ride the SAME (doc, token) aggregate),
-    so per-doc entropy = floor(Σterms / n) is exact integer
-    arithmetic after one floor'd division; efficiency divides by the
-    micro-rounded ln(vocab). Scale shape: p29's two-level aggregate —
+    Determinism: each (doc, token) term -c·ln(c/n) = c·kernel(c, n)
+    evaluates through the shared integer-ln kernel (round 14 — libm
+    left this graded contract too; the count window and the term ride
+    the SAME (doc, token) aggregate), so per-doc entropy =
+    floor(Σterms / n) is exact integer arithmetic after one floor'd
+    division; efficiency divides by the kernel's ln(vocab/1). Scale shape: p29's two-level aggregate —
     token stream → (doc, token) counts (map-side partials) → doc
     rollup; the n-for-normalization rides a window OVER THE COUNTS
     TABLE (model-sized rows), never a second corpus pass; single
@@ -278,21 +325,24 @@ def c61_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
     t = load(spark, sf, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
+    from iceberg_playground_spark.queries._util import int_ln_micro_col
+
     tc = t.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
     n_win = F.sum("c").over(W.partitionBy("doc_id"))
-    terms = tc.withColumn("n", n_win).withColumn(
-        "term",
-        F.round(
-            -1000000.0
-            * F.col("c")
-            * F.log(F.col("c") / F.col("n").cast("double"))
-        ).cast("bigint"),
+    g0 = tc.select(
+        "doc_id",
+        F.col("c").cast("bigint").alias("c"),
+        n_win.cast("bigint").alias("n"),
+    )
+    terms = int_ln_micro_col(g0, "c", "n", "lnm", prefix="_ct").withColumn(
+        "term", F.col("c") * F.col("lnm")
     )
     g = terms.groupBy("doc_id").agg(
         F.max("n").alias("n"),
         F.sum("term").alias("h_num_micro"),
-        F.count("*").alias("vocab"),
+        F.count("*").cast("bigint").alias("vocab"),
     )
+    g = int_ln_micro_col(g, "1", "vocab", "lnv", prefix="_lv")
     entropy = F.floor(F.col("h_num_micro").cast("double") / F.col("n"))
     return g.select(
         "doc_id",
@@ -300,13 +350,7 @@ def c61_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vocab").cast("bigint").alias("vocab"),
         entropy.cast("bigint").alias("entropy_micro"),
         F.when(F.col("vocab") == 1, 0)
-        .otherwise(
-            F.floor(
-                1000000.0
-                * entropy
-                / F.round(1000000.0 * F.log(F.col("vocab").cast("double")))
-            )
-        )
+        .otherwise(F.floor(1000000.0 * entropy / F.col("lnv")))
         .cast("bigint")
         .alias("efficiency_micro"),
     ).orderBy("doc_id")
