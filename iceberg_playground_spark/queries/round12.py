@@ -333,12 +333,14 @@ _C75_NEG = -(10**15)  # unreachable DP cell
 
 
 def _c75_score_micro(c: int, t: int) -> int:
-    """Integer micro-nat piece score: round(1e6·ln(c/t)), half away
-    from zero (DuckDB's round; Python's round is banker's)."""
-    import math
+    """Integer micro-nat piece score ≈ round(1e6·ln(c/t)), half away
+    from zero — the integer-ln kernel's deterministic value (round
+    14: Python math.log left this graded contract too; the Spark side
+    embeds these as driver-computed literals, so the kernel costs
+    ZERO plan change here)."""
+    from iceberg_playground_spark.queries._util import int_ln_micro_py
 
-    x = 1e6 * math.log(c / t)
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+    return int_ln_micro_py(t, c)
 
 
 def _c75_fw_sql(m: str) -> str:
@@ -392,19 +394,22 @@ def _c75_bw_sql(m: str) -> str:
     )
 
 
-_C75_SCORE_SQL = (
-    "CAST(round(1000000.0 * ln(CAST({c} AS DOUBLE) / "
-    "CAST({t} AS DOUBLE))) AS BIGINT)"
-)
-
-
-def _c75_map_sql(v: str) -> str:
-    """One-row score map over vocab CTE ``v`` (piece, c columns)."""
-    sc = _C75_SCORE_SQL.format(c="c", t="t")
+def _c75_map_ctes(v: str, name: str) -> str:
+    """Kernel-scored one-row map over vocab CTE ``v`` (piece, c
+    columns): a CTE-list fragment ending in CTE ``{name}`` holding
+    the MAP. Round 14: the piece score 1e6·ln(c/t) is an integer
+    ratio, so it evaluates through the shared integer-ln kernel
+    (num = t, den = c) instead of cross-engine libm ln — matching
+    _c75_score_micro's int_ln_micro_py bit for bit."""
+    pre = f"_{name}"
+    chain = int_ln_micro_cte_sql(f"{v}k", "piece", "sc", prefix=pre)
     return (
-        f"SELECT MAP(list(piece ORDER BY piece), "
-        f"list({sc} ORDER BY piece)) AS m "
-        f"FROM {v}, (SELECT sum(c) AS t FROM {v}) tt"
+        f"{v}k AS (SELECT piece, CAST(tt.t AS BIGINT) AS num, "
+        f"CAST(c AS BIGINT) AS den "
+        f"FROM {v}, (SELECT sum(c) AS t FROM {v}) tt),\n"
+        f"{chain},\n"
+        f"{name} AS MATERIALIZED (SELECT MAP(list(piece ORDER BY piece), "
+        f"list(sc ORDER BY piece)) AS m FROM {pre}_fin)"
     )
 
 
@@ -446,7 +451,7 @@ v0 AS MATERIALIZED (
   SELECT piece, c FROM (
     SELECT piece, c FROM subs WHERE len(piece) > 1
     ORDER BY c DESC, piece LIMIT {_C75_SEED_MULTI})),
-m0 AS MATERIALIZED ({_c75_map_sql('v0')}),
+{_c75_map_ctes('v0', 'm0')},
 {_c75_estep_sql(1, 'm0')},
 v1 AS MATERIALIZED (
   SELECT s.piece, COALESCE(e1.c, 0) + 1 AS c
@@ -456,7 +461,7 @@ v1 AS MATERIALIZED (
   SELECT piece, c + 1 AS c FROM (
     SELECT piece, c FROM e1 WHERE len(piece) > 1
     ORDER BY c DESC, piece LIMIT {k1})),
-m1 AS MATERIALIZED ({_c75_map_sql('v1')}),
+{_c75_map_ctes('v1', 'm1')},
 {_c75_estep_sql(2, 'm1')},
 vf AS MATERIALIZED (
   SELECT s.piece, COALESCE(e2.c, 0) AS rawc
@@ -469,12 +474,17 @@ vf AS MATERIALIZED (
 
 
 def _c75_oracle() -> str:
-    final_sc = _C75_SCORE_SQL.format(c="rawc + 1", t="t")
+    chain = int_ln_micro_cte_sql(
+        "vfk", "piece, rawc", "score_micro", prefix="_mx"
+    )
     return f"""
-WITH {_c75_chain()}
-SELECT piece, CAST(rawc AS BIGINT) AS cnt, {final_sc} AS score_micro
-FROM vf, (SELECT sum(rawc + 1) AS t FROM vf) tt
-ORDER BY piece
+WITH {_c75_chain()},
+vfk AS (SELECT piece, rawc, CAST(tt.t AS BIGINT) AS num,
+               CAST(rawc + 1 AS BIGINT) AS den
+        FROM vf, (SELECT sum(rawc + 1) AS t FROM vf) tt),
+{chain}
+SELECT piece, CAST(rawc AS BIGINT) AS cnt, score_micro
+FROM _mx_fin ORDER BY piece
 """
 
 
@@ -1104,7 +1114,7 @@ def _c76_oracle() -> str:
     return f"""
 WITH {_c75_chain()},
 vs AS MATERIALIZED (SELECT piece, rawc + 1 AS c FROM vf),
-mf AS MATERIALIZED ({_c75_map_sql('vs')}),
+{_c75_map_ctes('vs', 'mf')},
 wd AS MATERIALIZED (
   SELECT lang, word FROM (
     SELECT lang, unnest(string_split(text, ' ')) AS word
