@@ -768,13 +768,13 @@ _P40_CAP = 1_000_000  # per-step factor cap (at most doubles)
 
 
 def _p40_nll0() -> int:
-    """The empty-model (uniform add-one) per-bigram NLL in micro-nats:
-    round(1e6·ln(B)). Computed ONCE here and inlined as the same
-    literal into BOTH engines — a constant, not a per-engine float."""
-    import math
+    """The empty-model (uniform add-one) per-bigram NLL in micro-nats
+    ≈ round(1e6·ln(B)) — the integer-ln kernel's value (round 14),
+    computed ONCE here and inlined as the same literal into BOTH
+    engines, consistent with the kernel-evaluated grid columns."""
+    from iceberg_playground_spark.queries._util import int_ln_micro_py
 
-    x = 1e6 * math.log(_P40_B)
-    return int(math.floor(x + 0.5))
+    return int_ln_micro_py(1, _P40_B)
 
 
 def _p40_bigrams(d: DataFrame) -> DataFrame:
@@ -803,17 +803,20 @@ def _p40_bigrams(d: DataFrame) -> DataFrame:
     )
 
 
-def _p40_nll_col(cnt: str, tot: str):
-    """Micro-nat add-one NLL from integer count columns — ONE ln per
-    grid row, the shared expression both p40's batch grid and p42's
-    per-epoch state grids evaluate (identical inputs => identical
-    integers)."""
-    return F.round(
-        -1000000.0
-        * F.log(
-            (F.col(cnt).cast("double") + 1) / (F.col(tot) + _P40_B)
-        )
-    ).cast("bigint")
+def _p40_nll_fold(df: DataFrame, cnt: str, tot: str, out: str) -> DataFrame:
+    """Micro-nat add-one NLL from integer count columns — the shared
+    kernel fold both p40's batch grid and p42's per-epoch state grids
+    evaluate (identical inputs => identical integers; round 14: the
+    former F.log relied on JVM/libm ulp agreement). -1e6·ln((n+1)/
+    (tot+B)) = kernel(num = n+1, den = tot+B), positive."""
+    from iceberg_playground_spark.queries._util import int_ln_micro_col
+
+    df = df.withColumn(
+        "_nl_num", (F.col(cnt) + 1).cast("bigint")
+    ).withColumn("_nl_den", (F.col(tot) + _P40_B).cast("bigint"))
+    return int_ln_micro_col(df, "_nl_num", "_nl_den", out, prefix="_nl").drop(
+        "_nl_num", "_nl_den"
+    )
 
 
 def _p40_chain() -> str:
@@ -821,10 +824,6 @@ def _p40_chain() -> str:
     (source, exc1..3, w) — shared by p40's grade and p41's schedule
     oracle (the compose-never-slice rule)."""
     b = _P40_B
-    nll = (
-        "CAST(round(-1000000.0 * ln((CAST({n} AS DOUBLE) + 1) / "
-        f"(sum({{n}}) OVER (PARTITION BY p) + {b}))) AS BIGINT)"
-    )
     f = (
         "(1000000 + least(COALESCE(exc{e}, 0) // "
         f"{_P40_ETA_DIV}, {_P40_CAP}))"
@@ -852,11 +851,21 @@ grid AS MATERIALIZED (
   FROM (SELECT unnest(range(0, {b})) AS p) gp
   CROSS JOIN (SELECT unnest(range(0, {b})) AS c) gc
   LEFT JOIN model m ON m.p = gp.p AND m.c = gc.c),
+gstk AS MATERIALIZED (
+  SELECT p, c, k, cnt, sum(cnt) OVER (PARTITION BY p, k) AS tot
+  FROM (SELECT p, c, 1 AS k, n1 AS cnt FROM grid
+        UNION ALL SELECT p, c, 2, n2 FROM grid
+        UNION ALL SELECT p, c, 3, nf FROM grid)),
+gk AS (SELECT p, c, k, CAST(cnt + 1 AS BIGINT) AS num,
+              CAST(tot + {b} AS BIGINT) AS den
+       FROM gstk),
+{int_ln_micro_cte_sql('gk', 'p, c, k', 'nllv', prefix='_pn')},
 nll AS MATERIALIZED (
-  SELECT p, c, {nll.format(n='n1')} AS nll1,
-         {nll.format(n='n2')} AS nll2,
-         {nll.format(n='nf')} AS nllf
-  FROM grid),
+  SELECT p, c,
+         max(CASE WHEN k = 1 THEN nllv END) AS nll1,
+         max(CASE WHEN k = 2 THEN nllv END) AS nll2,
+         max(CASE WHEN k = 3 THEN nllv END) AS nllf
+  FROM _pn_fin GROUP BY p, c),
 sc AS MATERIALIZED (
   SELECT g.source, g.ep,
          sum(CASE g.ep WHEN 1 THEN {_p40_nll0()}
@@ -909,11 +918,11 @@ def p40_mixture_weight_learn(spark: SparkSession, sf: str) -> DataFrame:
     under exact BIGINT arithmetic; the output is each source's excess
     trajectory, final weight, and normalized mixture share.
 
-    Determinism: the only float is c65's one ln per MODEL row (the
-    complete B² grid, so unseen bigrams get their add-one backoff
-    from the same 4096-row table — never a per-corpus-row ln); the
-    empty-model NLL is a single Python-computed literal inlined into
-    both engines; every division is exact integer DIV on non-negative
+    Determinism: ZERO floats (round 14) — the per-model-row NLL
+    evaluates through the integer-ln kernel over the stacked 3·B²
+    grid (one fold, never a per-corpus-row ln); the empty-model NLL
+    is the kernel's own Python-computed literal inlined into both
+    engines; every division is exact integer DIV on non-negative
     operands.
 
     Scale shape: TWO corpus passes over one checkpointed bigram
@@ -946,15 +955,17 @@ def p40_mixture_weight_learn(spark: SparkSession, sf: str) -> DataFrame:
         .fillna(0, ["n1", "n2", "nf"])
     )
 
-    for col in ("n1", "n2", "nf"):
-        grid = grid.withColumn(
-            f"t{col}", F.sum(col).over(W.partitionBy("p"))
-        )
-    grid = grid.select(
-        "p", "c",
-        _p40_nll_col("n1", "tn1").alias("nll1"),
-        _p40_nll_col("n2", "tn2").alias("nll2"),
-        _p40_nll_col("nf", "tnf").alias("nllf"),
+    # ONE kernel fold over the stacked (k, cnt) grid — 3·B² = 12288
+    # rows — instead of three folds (or three libm lns) on the wide
+    # grid; the pivot back is a 4096-key aggregate (round 14)
+    stacked = grid.selectExpr(
+        "p", "c", "stack(3, 1, n1, 2, n2, 3, nf) AS (k, cnt)"
+    ).withColumn("tot", F.sum("cnt").over(W.partitionBy("p", "k")))
+    stacked = _p40_nll_fold(stacked, "cnt", "tot", "nllv")
+    grid = stacked.groupBy("p", "c").agg(
+        F.max(F.when(F.col("k") == 1, F.col("nllv"))).alias("nll1"),
+        F.max(F.when(F.col("k") == 2, F.col("nllv"))).alias("nll2"),
+        F.max(F.when(F.col("k") == 3, F.col("nllv"))).alias("nllf"),
     )
     prox = (
         F.when(F.col("ep") == 1, F.lit(_p40_nll0()))
@@ -1516,12 +1527,12 @@ _P42_SCHEMA = "doc_id BIGINT, source STRING, text STRING"
 
 def _p42_grid(spark: SparkSession, counts: DataFrame) -> DataFrame:
     """The complete B² NLL grid from a (p, c, n) count state — the
-    same add-one expression as p40's batch grid (_p40_nll_col), so a
+    same kernel fold as p40's batch grid (_p40_nll_fold), so a
     state equal to an epoch prefix yields the batch pass's exact
     integers. An empty state yields the uniform model (every cell =
-    round(1e6·ln B) — the same value p40 inlines for epoch 1)."""
+    the kernel's 1e6·ln B — the same value p40 inlines for epoch 1)."""
     b = _P40_B
-    return (
+    g = (
         spark.range(b * b)
         .select(
             F.expr(f"id DIV {b}").cast("bigint").alias("p"),
@@ -1530,8 +1541,8 @@ def _p42_grid(spark: SparkSession, counts: DataFrame) -> DataFrame:
         .join(counts, ["p", "c"], "left")
         .fillna(0, ["n"])
         .withColumn("tn", F.sum("n").over(W.partitionBy("p")))
-        .select("p", "c", _p40_nll_col("n", "tn").alias("nll"))
     )
+    return _p40_nll_fold(g, "n", "tn", "nll").select("p", "c", "nll")
 
 
 @query("p42_streaming_mixture_learn", oracle=_p40_oracle())
