@@ -72,7 +72,9 @@ GRADING_LEAD: list[str] = [
     "p49_streaming_index_maintenance",
     "c95_hierarchical_graph_search",
 ]
-GRADING_NEW_TAIL: list[str] = []
+GRADING_NEW_TAIL: list[str] = [
+    "c96_graph_index_ingest",
+]
 
 
 def new_tail_round() -> int:
@@ -164,6 +166,7 @@ def load_all() -> None:
         round12,
         round12b,
         round13,
+        round14,
     )
 
     explicit = GRADING_LEAD + GRADING_NEW_TAIL

@@ -1719,3 +1719,17 @@ def test_c95_hierarchy_is_blocked_never_cartesian(spark):
     assert "CartesianProduct" not in plan
     for cols in _exchange_outputs(df):
         assert not {"text", "embedding"} & set(cols), cols
+
+
+def test_c96_ingest_is_blocked_never_cartesian(spark):
+    # c96: the ONLY pair work touching arrivals is the label-key
+    # Σ|A|·|B| join (computed once, ranked in both directions); the
+    # back-edge tagging broadcasts the arrival id list; no cartesian
+    # anywhere and raw embeddings never ride an exchange (the
+    # quantized label-key co-location is the one sanctioned vector
+    # shuffle, c91's discipline)
+    df = registry.QUERIES["c96_graph_index_ingest"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert not {"text", "embedding"} & set(cols), cols
