@@ -307,3 +307,152 @@ def c96_graph_index_ingest(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# c97 — filtered ANN search (metadata predicate + top-k, both arms)
+# ---------------------------------------------------------------------------
+
+_C97_LABELS = (2, 5, 7)  # the metadata predicate: label IN (...)
+_C97_K = 10
+
+
+def _c97_oracle() -> str:
+    from iceberg_playground_spark.queries.round13 import (
+        _C91_GRAPH_CTES,
+        _C91_H,
+        _c91_search_ctes,
+    )
+
+    labels = ", ".join(str(x) for x in _C97_LABELS)
+    return f"""
+WITH {_C91_GRAPH_CTES},
+qv AS (SELECT i, qi FROM g WHERE vec_id = 0),
+dq AS MATERIALIZED (
+  SELECT g.vec_id, sum((g.qi - qv.qi) * (g.qi - qv.qi)) AS d
+  FROM g JOIN qv ON g.i = qv.i GROUP BY g.vec_id),
+lbl AS (SELECT DISTINCT vec_id, label FROM g),
+exactf AS (
+  SELECT dq.vec_id FROM dq JOIN lbl USING (vec_id)
+  WHERE dq.vec_id <> 0 AND lbl.label IN ({labels})
+  QUALIFY row_number() OVER (ORDER BY d, vec_id) <= {_C97_K}),
+{_c91_search_ctes()},
+res AS (
+  SELECT v.vec_id, l.label, v.d FROM v{_C91_H} v JOIN lbl l USING (vec_id)
+  WHERE v.vec_id <> 0 AND l.label IN ({labels})
+  ORDER BY v.d, v.vec_id LIMIT {_C97_K})
+SELECT CAST(row_number() OVER (ORDER BY d, vec_id) AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(label AS INT) AS label,
+       CAST(d AS BIGINT) AS sq_dist,
+       CAST(CASE WHEN vec_id IN (SELECT vec_id FROM exactf)
+                 THEN 1 ELSE 0 END AS INT) AS in_exact
+FROM res ORDER BY rank
+"""
+
+
+@query("c97_filtered_ann_search", oracle=_c97_oracle())
+def c97_filtered_ann_search(spark: SparkSession, sf: str) -> DataFrame:
+    """C97: FILTERED ANN — predicate-constrained top-k, the
+    highest-frequency production vector-search pattern (VERDICT r13
+    item 7: "metadata filter + top-k"): return the {_C97_K} nearest
+    neighbors of the query (vec 0) WHOSE LABEL IS IN {_C97_LABELS},
+    searched through c91's graph, with the exact filtered answer
+    computed alongside so every emitted row carries its ground-truth
+    membership (in_exact — c92's audit idea folded into the result).
+
+    The two filtering disciplines, both exercised:
+    - EXACT arm: the predicate applies BEFORE any distance work — a
+      simple label membership, so Catalyst pushes it into the parquet
+      scan (PushedFilters: In(label, …), pinned in test_plans) and
+      non-matching vectors are never even materialized, let alone
+      scored. At 100 TB this is the difference between scoring the
+      corpus and scoring the selectivity-fraction of it.
+    - GRAPH arm: the TRAVERSAL stays unrestricted (filtering edges
+      would disconnect the graph — the standard HNSW filtered-search
+      rule); the predicate applies to the EMITTED candidate set only.
+      Per-hop work is still hops×beam bounded broadcast lookups.
+
+    Scale shape: identical to c91 plus one broadcast label lookup on
+    the beam-bounded result; the exact arm scans only the predicate's
+    partitions/row-groups (label is a natural partition key for a
+    lakehouse vector table — b67's pruning discipline applies
+    verbatim)."""
+    from iceberg_playground_spark.queries.round13 import (
+        _C91_B,
+        _C91_ENTRY,
+        _C91_H,
+        _C91_SCALE,
+        _c91_graph,
+        _c91_sqd,
+    )
+
+    from iceberg_playground_spark.queries._util import load
+
+    q, alledges = _c91_graph(spark, sf)
+    qvec = q.filter(F.col("vec_id") == 0).select("qv").first()["qv"]
+    qlit = F.array(*[F.lit(int(v)).cast("bigint") for v in qvec])
+    scored_all = q.select(
+        "vec_id", "label", _c91_sqd(F.col("qv"), qlit).alias("d")
+    ).localCheckpoint(eager=False)  # every hop + the graph-arm result
+    # exact filtered arm: its OWN scan with the predicate BEFORE any
+    # quantize/distance work, so Catalyst pushes In(label, …) into the
+    # parquet reader (pinned) — non-matching vectors are never
+    # materialized, the production filtered-brute shape
+    exact_src = load(spark, sf, "embeddings").filter(
+        F.col("label").isin(*_C97_LABELS)
+    )
+    exactf = (
+        exact_src.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            _c91_sqd(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(
+                        x.cast("double") * _C91_SCALE
+                    ).cast("bigint"),
+                ),
+                qlit,
+            ).alias("d"),
+        )
+        .filter(F.col("vec_id") != 0)
+        .orderBy("d", "vec_id")
+        .limit(_C97_K)
+        .select("vec_id", F.lit(1).alias("in_exact"))
+    )
+    visited = scored_all.select("vec_id", "d").filter(
+        F.col("vec_id") == _C91_ENTRY
+    )
+    # c91's loop verbatim: bases are checkpointed, loop frames are
+    # beam-bounded and recompute cheaper than they materialize
+    for _ in range(_C91_H):
+        beam = visited.orderBy("d", "vec_id").limit(_C91_B).select("vec_id")
+        cand = (
+            beam.join(alledges, beam["vec_id"] == alledges["src"])
+            .select(F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        scored = scored_all.select("vec_id", "d").join(
+            F.broadcast(cand), "vec_id"
+        )
+        visited = visited.unionByName(scored).distinct()
+    res = (
+        visited.join(
+            scored_all.select("vec_id", "label"), "vec_id"
+        )
+        .filter(
+            (F.col("vec_id") != 0) & F.col("label").isin(*_C97_LABELS)
+        )
+        .orderBy("d", "vec_id")
+        .limit(_C97_K)
+    )
+    return res.join(F.broadcast(exactf), "vec_id", "left").select(
+        F.row_number()
+        .over(W.orderBy("d", "vec_id"))
+        .cast("int")
+        .alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        F.col("d").cast("bigint").alias("sq_dist"),
+        F.coalesce("in_exact", F.lit(0)).cast("int").alias("in_exact"),
+    ).orderBy("rank")

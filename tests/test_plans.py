@@ -1733,3 +1733,20 @@ def test_c96_ingest_is_blocked_never_cartesian(spark):
     assert "CartesianProduct" not in plan
     for cols in _exchange_outputs(df):
         assert not {"text", "embedding"} & set(cols), cols
+
+
+def test_c97_filter_pushes_into_exact_scan(spark):
+    # c97: the exact arm's metadata predicate reaches the parquet
+    # reader (PushedFilters: In(label, …)) so non-matching vectors
+    # are never materialized, let alone scored — the filter prunes
+    # BEFORE distance work; the graph arm stays never-cartesian and
+    # raw embeddings never ride an exchange
+    df = registry.QUERIES["c97_filtered_ann_search"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert any(
+        "PushedFilters" in ln and "In(label, [2,5,7])" in ln
+        for ln in plan.splitlines()
+    ), "label predicate not pushed into the exact arm's scan"
+    for cols in _exchange_outputs(df):
+        assert not {"text", "embedding"} & set(cols), cols
