@@ -217,6 +217,13 @@ HEADLINE = [
     # assignment; c94 is two TakeOrdered lists + a 10-doc pair scorer
     # (c78's waiver rationale) — written waivers in BASELINE.md.
     "c91_knn_graph_search",
+    # round-14 entrant: the graph arm's maintenance verb — the one
+    # Σ|A|·|B| blocked arrival pair job ranked in both directions +
+    # two |edges| windows. c97 is graded but unbenched (its plan is
+    # c91's build + search, which the c91 anchor already reads, plus
+    # one pushdown-pinned scan); c95/c92 carry their round-13
+    # waivers — written waivers in BASELINE.md.
+    "c96_graph_index_ingest",
 ]
 
 # Cells whose first call is dominated by demo-WAREHOUSE construction
