@@ -170,10 +170,13 @@ def _py_c75(sf_dir: str):
     )
 
     def score(c, t):
-        x = 1e6 * math.log(c / t)
-        return (
-            int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
-        )
+        # round 14: piece scores are the integer-ln kernel's values
+        # (the kernel has its own independent fidelity/bit-identity
+        # tests in test_int_ln_kernel.py; THIS reference stays
+        # independent for the EM/Viterbi/prune loop)
+        from iceberg_playground_spark.queries._util import int_ln_micro_py
+
+        return int_ln_micro_py(t, c)
 
     texts = duckdb.sql(
         f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
@@ -364,12 +367,14 @@ def _py_p40(sf_dir: str):
             if ep <= max_ep:
                 cnt[(p, c)] = cnt.get((p, c), 0) + 1
                 tot[p] = tot.get(p, 0) + 1
+        # round 14: the grid NLL is the integer-ln kernel's value
+        # (kernel fidelity/bit-identity proven in test_int_ln_kernel;
+        # this reference stays independent for the MWU fold)
+        from iceberg_playground_spark.queries._util import int_ln_micro_py
+
         return {
-            (p, c): rnd(
-                -1e6
-                * math.log(
-                    (cnt.get((p, c), 0) + 1) / (tot.get(p, 0) + _P40_B)
-                )
+            (p, c): int_ln_micro_py(
+                cnt.get((p, c), 0) + 1, tot.get(p, 0) + _P40_B
             )
             for p in range(_P40_B)
             for c in range(_P40_B)
