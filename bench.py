@@ -374,7 +374,9 @@ ANCHOR_SECONDS = {
     "c62_containment_detect": 5.95,
     "c53_dsir_resample": 1.75,
     "b156_skyline": 0.61,
-    "c59_source_kl_divergence": 1.51,
+    # re-cut round 14 (plan change: smoothed-ratio lns now one
+    # integer-ln kernel fold on the |S|x256 model table)
+    "c59_source_kl_divergence": 2.70,
     "c63_bpe_merge_learn": 2.34,
     "p32_leakage_safe_split": 0.42,
     # c65/c84 re-anchored at round-13 close: their NLL now evaluates
@@ -382,7 +384,8 @@ ANCHOR_SECONDS = {
     # steps over MODEL rows — a fixed ~1.3-1.7 s Catalyst-analysis
     # cost, data-size-independent; the libm-era anchors were
     # 2.37/1.88). Close pair D/E minimums.
-    "c65_bigram_perplexity": 4.07,
+    # re-cut round 14 (plan change: kernel 2^47 domain guard)
+    "c65_bigram_perplexity": 3.60,
     "c67_triplet_mining": 0.69,
     "p34_release_report_v3": 1.12,
     "c68_perceptron_train": 2.80,
@@ -399,7 +402,9 @@ ANCHOR_SECONDS = {
     "c75_unigram_lm_train": 1.95,
     # late round-12 (second clean pair at r12 HEAD: guard-kept 139.9 s
     # + quiet 140.1 s; pair minimums)
-    "p40_mixture_weight_learn": 2.03,
+    # re-cut round 14 (plan change: the 3 grid NLLs now ONE
+    # stacked kernel fold + 4096-key pivot)
+    "p40_mixture_weight_learn": 4.10,
     "c76_unigram_apply_fertility": 7.46,
     "c77_trained_ivfadc": 10.78,
     # round-12b (third clean pair at r12 HEAD: 170.9 s with 3
@@ -413,10 +418,19 @@ ANCHOR_SECONDS = {
     # zero cells over anchor + 137.9 s with only known-noise b19 over;
     # pair minimums)
     "c83_lsh_scurve_audit": 2.91,
-    "c84_kneser_ney_bigram": 2.73,
+    # re-cut round 14 (plan change: kernel domain guard) — this
+    # re-read also CLOSES the r13 weak flag: the driver's 5.61 s
+    # (2.06x) reading did not reproduce (pair 3.485/3.220)
+    "c84_kneser_ney_bigram": 3.22,
     # round-13 close pair (D 163.6 s / E 162.4 s, guard quiet, probes
     # 0.41/0.41 and 0.54/0.39): the graph-ANN flagship, pair minimum
     "c91_knn_graph_search": 5.94,
+    # round-14 close pair (A 163.9 s probes 0.371/0.390, B first
+    # sweep 179.5 s probes 0.400/0.388 — B's guard fired on the
+    # four stale pre-re-cut anchors + noise cells and kept the
+    # first sweep; pair minimums): the graph-ingest maintenance
+    # verb (4.535/6.194)
+    "c96_graph_index_ingest": 4.54,
 }
 GUARD_FACTOR = 2.0
 GUARD_MIN_CELLS = 4

@@ -20,6 +20,13 @@
   edges unrestricted for connectivity and applies the predicate only
   to the emitted candidates (the standard HNSW filtered-search
   discipline: filtering the TRAVERSAL would disconnect the graph).
+- p50: STREAMING GRAPH-INDEX INGEST — c96 at ingest time, closing the
+  index-maintenance × streaming matrix for BOTH ANN arms (clustered:
+  c93/p49; graph: c96/p50). The oracle is CLOSED FORM: a grow-only
+  candidate set makes the incremental re-trim equal the prefix top-M
+  (monotone top-k under the total (d, dst) order), so each epoch's
+  whole edge state is one QUALIFY over the pair table — the streaming
+  state machine must land on it exactly (p49's proof shape).
 
 Reference parity: the reference delegates vector workloads to its
 bundled Spark service (docker-compose.yml:58-81); these ops define the
@@ -456,3 +463,306 @@ def c97_filtered_ann_search(spark: SparkSession, sf: str) -> DataFrame:
         F.col("d").cast("bigint").alias("sq_dist"),
         F.coalesce("in_exact", F.lit(0)).cast("int").alias("in_exact"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# p50 — streaming graph-index ingest (c96's twin at ingest time)
+# ---------------------------------------------------------------------------
+
+_P50_E = 3  # build epoch 0 + two arrival epochs (p49's quartile idiom)
+_P50_M = 6  # out-degree, c91/c96's contract
+
+
+def _p50_oracle() -> str:
+    """The per-epoch ingest report in CLOSED FORM. The key identity:
+    top-M of a candidate set that only GROWS equals the incremental
+    re-trim top-M(top-M(S1) ∪ S2) (monotone top-k under the total
+    (d, dst) order), so epoch e's whole adjacency is one QUALIFY over
+    the pair table restricted to nodes with epoch <= e under the
+    candidacy rule — no per-epoch state replay. Candidacy rule
+    (c96's batch contract made multi-epoch): u may link to v iff
+    both are build-epoch nodes (epoch 0) or they arrived in
+    DIFFERENT epochs (same-epoch arrivals never see each other, so
+    no insertion order exists inside a batch)."""
+    qual = (
+        f"QUALIFY row_number() OVER (PARTITION BY src "
+        f"ORDER BY d, dst) <= {_P50_M}"
+    )
+    adj = ", ".join(
+        f"""adj{e} AS MATERIALIZED (
+  SELECT label, src, es, dst, ed, d FROM cand
+  WHERE es <= {e} AND ed <= {e}
+  {qual})"""
+        for e in range(_P50_E)
+    )
+    st = "\nUNION ALL\n".join(
+        f"""SELECT {e} AS epoch,
+       (SELECT count(*) FROM ge WHERE epoch = {e}) AS n_arrivals,
+       (SELECT count(*) FROM adj{e} WHERE es = {e}) AS out_edges,
+       (SELECT count(*) FROM adj{e} WHERE ed = {e} AND es < {e})
+         AS back_edges,
+       (SELECT count(*) FROM adj{e}) AS cum_edges,
+       (SELECT coalesce(sum(src * 100003 + dst), 0) FROM adj{e})
+         AS edge_checksum"""
+        for e in range(_P50_E)
+    )
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+ge AS MATERIALIZED (
+  SELECT vec_id, label,
+         (vec_id * {_P50_E}) // (SELECT n FROM nn) AS epoch,
+         list_transform(embedding, v ->
+           CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+gg AS MATERIALIZED (
+  SELECT vec_id, label, epoch, u.i AS i, qv[i] AS qi
+  FROM ge, UNNEST(range(1, 65)) AS u(i)),
+pd AS MATERIALIZED (
+  SELECT a.label, a.vec_id AS src, a.epoch AS es,
+         b.vec_id AS dst, b.epoch AS ed,
+         sum((a.qi - b.qi) * (a.qi - b.qi)) AS d
+  FROM gg a JOIN gg b ON a.label = b.label AND a.i = b.i
+                     AND a.vec_id <> b.vec_id
+  GROUP BY a.label, src, es, dst, ed),
+cand AS MATERIALIZED (
+  SELECT * FROM pd WHERE (es = 0 AND ed = 0) OR (es <> ed)),
+{adj}
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(n_arrivals AS BIGINT) AS n_arrivals,
+       CAST(out_edges AS BIGINT) AS out_edges,
+       CAST(back_edges AS BIGINT) AS back_edges,
+       CAST(cum_edges AS BIGINT) AS cum_edges,
+       CAST(edge_checksum AS BIGINT) AS edge_checksum
+FROM ({st})
+ORDER BY epoch
+"""
+
+
+@query("p50_streaming_graph_ingest", oracle=_p50_oracle())
+def p50_streaming_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """P50: STREAMING GRAPH-INDEX INGEST — c96's maintenance verb at
+    ingest time, completing batch+streaming symmetry for BOTH ANN
+    arms (clustered: c93 batch / p49 streaming; graph: c96 batch /
+    p50 streaming — the index-maintenance x streaming matrix closes).
+    Embedding batches arrive as {_P50_E} vec-id-tertile micro-batches
+    in mtime-pinned order (p36's contract): epoch 0 BUILDS the
+    label-blocked top-{_P50_M} adjacency among its own nodes (c91's
+    construction); each later epoch attaches its arrivals to the
+    ACCUMULATED node set (out-edges = top-{_P50_M} against existing
+    nodes, never same-batch peers — c96's rule, which is what kills
+    insertion-order dependence), re-trims every existing node's list
+    against the arrival candidates (shrink-if-over-capacity), and
+    reports arrivals, out-edges, accepted back-edges, cumulative edge
+    count and the edge-list checksum.
+
+    The oracle computes every epoch's report in CLOSED FORM: a
+    grow-only candidate set makes the incremental re-trim equal the
+    prefix top-{_P50_M} (monotone top-k under the total (d, dst)
+    order), so the streaming state machine must land on one QUALIFY
+    per epoch exactly — p49's closed-form-vs-state-machine proof
+    shape, applied to edges.
+
+    Scale shape: per-epoch work is one label-blocked |batch|x|state|
+    pair job (computed once, ranked in both directions — c96's
+    economics paid incrementally, never corpus²) + two |edges|
+    windows; cross-batch state is the (vec_id, label, qv) node table
+    and the ~M rows/node edge list. At 100 TB each epoch pays
+    |batch|x|block|, never |corpus|²."""
+    import os
+    import shutil
+
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.queries.round13 import _c91_sqd
+    from iceberg_playground_spark.queries.streaming import _scratch
+
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    n = e.count()
+
+    def build(tmp: str) -> str:
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src, exist_ok=True)
+        now = int(os.stat(tmp).st_mtime)
+        ep = F.expr(f"(vec_id * {_P50_E}) DIV {n}")
+        for i in range(_P50_E):
+            part_dir = os.path.join(tmp, f"stage_{i}")
+            (
+                e.filter(ep == i)
+                .withColumn("epoch", F.lit(i).cast("bigint"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            part = next(
+                f
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and f.startswith("part-")
+            )
+            dst = os.path.join(src, f"arrival_{i}.parquet")
+            shutil.copyfile(os.path.join(part_dir, part), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        return src
+
+    src = _built(spark, sf, "p50", build)
+    stream = (
+        spark.readStream.schema(
+            "vec_id BIGINT, label INT, embedding ARRAY<FLOAT>,"
+            " epoch BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = _scratch("ips_stream_gidx_")
+    report = os.path.join(work, "report")
+    holder = {"nodes": None, "edges": None}
+    try:
+
+        def quant(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col("vec_id").cast("bigint").alias("vec_id"),
+                "label",
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * 1000).cast(
+                        "bigint"
+                    ),
+                ).alias("qv"),
+            )
+
+        def topm(edges: DataFrame) -> DataFrame:
+            return (
+                edges.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        W.partitionBy("src").orderBy("d", "dst")
+                    ),
+                )
+                .filter(F.col("rn") <= _P50_M)
+                .drop("rn")
+            )
+
+        def sink_batch(batch_df: DataFrame, _epoch_id: int) -> None:
+            ep = int(batch_df.agg(F.min("epoch")).first()[0])
+            batch = quant(batch_df).localCheckpoint(eager=False)
+            if holder["nodes"] is None:
+                # epoch 0: c91's build among the batch itself
+                a = batch.select(
+                    "label", F.col("vec_id").alias("src"),
+                    F.col("qv").alias("sv"),
+                )
+                b = batch.select(
+                    "label", F.col("vec_id").alias("dst"),
+                    F.col("qv").alias("dv"),
+                )
+                pairs = a.join(b, "label").filter(
+                    F.col("src") != F.col("dst")
+                )
+                adj = topm(
+                    pairs.select(
+                        "label", "src", "dst",
+                        _c91_sqd(F.col("sv"), F.col("dv")).alias("d"),
+                    )
+                )
+                out_edges = adj.count()
+                back_edges = 0
+            else:
+                nodes = spark.read.parquet(holder["nodes"])
+                prev = spark.read.parquet(holder["edges"])
+                # the ONE |batch|x|state| pair job, both directions
+                ab = (
+                    batch.select(
+                        "label", F.col("vec_id").alias("a_id"),
+                        F.col("qv").alias("av"),
+                    )
+                    .join(
+                        nodes.select(
+                            "label", F.col("vec_id").alias("b_id"),
+                            F.col("qv").alias("bv"),
+                        ),
+                        "label",
+                    )
+                    .select(
+                        "label", "a_id", "b_id",
+                        _c91_sqd(F.col("av"), F.col("bv")).alias("d"),
+                    )
+                    .localCheckpoint(eager=False)  # ranked twice
+                )
+                out_new = topm(
+                    ab.select(
+                        "label", F.col("a_id").alias("src"),
+                        F.col("b_id").alias("dst"), "d",
+                    )
+                )
+                retrim = topm(
+                    prev.unionByName(
+                        ab.select(
+                            "label", F.col("b_id").alias("src"),
+                            F.col("a_id").alias("dst"), "d",
+                        )
+                    )
+                )
+                arrive_ids = batch.select(
+                    F.col("vec_id").alias("dst")
+                )
+                back_edges = retrim.join(
+                    F.broadcast(arrive_ids), "dst"
+                ).count()
+                out_edges = out_new.count()
+                adj = retrim.unionByName(out_new)
+            newe = os.path.join(work, f"edges_{ep}")
+            adj.write.parquet(newe)
+            holder["edges"] = newe
+            newn = os.path.join(work, f"nodes_{ep}")
+            if holder["nodes"] is None:
+                batch.write.parquet(newn)
+            else:
+                spark.read.parquet(holder["nodes"]).unionByName(
+                    batch
+                ).write.parquet(newn)
+            holder["nodes"] = newn
+            state = spark.read.parquet(newe)
+            cum = state.count()
+            chk = (
+                state.agg(
+                    F.sum(F.col("src") * 100003 + F.col("dst"))
+                ).first()[0]
+                or 0
+            )
+            spark.createDataFrame(
+                [
+                    (
+                        ep,
+                        batch.count(),
+                        out_edges,
+                        back_edges,
+                        cum,
+                        int(chk),
+                    )
+                ],
+                "epoch BIGINT, n_arrivals BIGINT, out_edges BIGINT,"
+                " back_edges BIGINT, cum_edges BIGINT,"
+                " edge_checksum BIGINT",
+            ).write.mode("append").parquet(report)
+
+        q = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", _scratch("ips_stream_gick_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # SIZE GUARD: |epochs| rows, collected because the scratch
+        # dirs are deleted in finally (p49's literal-result rule)
+        rows = sorted(
+            tuple(int(x) for x in r)
+            for r in spark.read.parquet(report).collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "epoch BIGINT, n_arrivals BIGINT, out_edges BIGINT,"
+        " back_edges BIGINT, cum_edges BIGINT, edge_checksum BIGINT",
+    ).orderBy("epoch")

@@ -75,6 +75,7 @@ GRADING_LEAD: list[str] = [
 GRADING_NEW_TAIL: list[str] = [
     "c96_graph_index_ingest",
     "c97_filtered_ann_search",
+    "p50_streaming_graph_ingest",
 ]
 
 
