@@ -766,3 +766,211 @@ def p50_streaming_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
         "epoch BIGINT, n_arrivals BIGINT, out_edges BIGINT,"
         " back_edges BIGINT, cum_edges BIGINT, edge_checksum BIGINT",
     ).orderBy("epoch")
+
+
+# ---------------------------------------------------------------------------
+# c98 — graph-index node deletion + incremental edge repair
+# ---------------------------------------------------------------------------
+
+_C98_MOD = 7  # vec_id % 7 == 3 -> deleted (~14%, deterministic)
+_C98_DEL = 3
+
+_C98_ORACLE = f"""
+WITH g AS MATERIALIZED (
+  SELECT vec_id, label, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qi,
+         CASE WHEN vec_id % {_C98_MOD} = {_C98_DEL} THEN 1 ELSE 0 END
+           AS del
+  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+pd AS MATERIALIZED (
+  SELECT a.label, a.vec_id AS src, a.del AS sdel,
+         b.vec_id AS dst, b.del AS ddel,
+         sum((a.qi - b.qi) * (a.qi - b.qi)) AS d
+  FROM g a JOIN g b ON a.label = b.label AND a.i = b.i
+                   AND a.vec_id <> b.vec_id
+  GROUP BY a.label, src, sdel, dst, ddel),
+adj0 AS MATERIALIZED (
+  SELECT label, src, sdel, dst, ddel FROM pd
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY d, dst) <= 6),
+-- the repaired graph IS the full survivor rebuild: an unaffected
+-- node's top-M over survivors equals its old list (removing
+-- non-list candidates cannot change a top-M), so incremental repair
+-- and rebuild coincide — the identity the Spark arm must land on
+adj1 AS MATERIALIZED (
+  SELECT label, src, dst FROM pd
+  WHERE sdel = 0 AND ddel = 0
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY d, dst) <= 6),
+nodes AS (SELECT label, vec_id, max(del) AS del FROM g
+          GROUP BY label, vec_id),
+nstat AS (
+  SELECT label, count(*) AS n_before, sum(del) AS n_deleted,
+         min(CASE WHEN del = 0 THEN vec_id END) AS hub_after,
+         min(vec_id) AS hub_before
+  FROM nodes GROUP BY label),
+aff AS (
+  SELECT label, src FROM adj0
+  WHERE sdel = 0 GROUP BY label, src HAVING max(ddel) = 1),
+astat AS (SELECT label, count(*) AS n_affected FROM aff GROUP BY label),
+b4 AS (SELECT label, count(*) AS edges_before FROM adj0 GROUP BY label),
+aft AS (SELECT label, count(*) AS edges_after,
+               sum(src * 100003 + dst) AS edge_checksum
+        FROM adj1 GROUP BY label)
+SELECT CAST(s.label AS INT) AS label,
+       CAST(s.n_before AS BIGINT) AS n_before,
+       CAST(s.n_deleted AS BIGINT) AS n_deleted,
+       CAST(coalesce(a.n_affected, 0) AS BIGINT) AS n_affected,
+       CAST(b4.edges_before AS BIGINT) AS edges_before,
+       CAST(coalesce(aft.edges_after, 0) AS BIGINT) AS edges_after,
+       CAST(s.hub_before AS BIGINT) AS hub_before,
+       CAST(s.hub_after AS BIGINT) AS hub_after,
+       CAST(coalesce(aft.edge_checksum, 0) AS BIGINT) AS edge_checksum
+FROM nstat s
+LEFT JOIN astat a ON s.label = a.label
+LEFT JOIN b4 ON s.label = b4.label
+LEFT JOIN aft ON s.label = aft.label
+ORDER BY label
+"""
+
+
+@query("c98_graph_index_delete", oracle=_C98_ORACLE)
+def c98_graph_index_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """C98: graph-index node DELETION with incremental edge repair —
+    the verb that pairs with c96's ingest (a production vector index
+    deletes: GDPR erasure, TTL retention, upstream dedup; HNSW
+    deletion is the classically hard maintenance case because edges
+    THROUGH a deleted node break navigability). Deleted set: vec_id %
+    {_C98_MOD} = {_C98_DEL} (deterministic ~14%). The repair rule is
+    HNSW's practical one: a surviving node is AFFECTED iff its
+    adjacency lost an edge to a deleted node; only affected nodes
+    recompute their top-6 against their label block's survivors —
+    unaffected lists are left untouched.
+
+    The graded identity (c93's "incremental ≡ full rebuild" framing,
+    applied to edges): removing candidates that were NOT in a top-M
+    list cannot change that top-M, so untouched lists already equal
+    their survivor-rebuild value and the incremental repair lands
+    bit-for-bit on the full survivor rebuild — which is what the
+    oracle computes. One hash cell flips if the repair misses or
+    over-touches a single edge. Hubs re-elect per label (min
+    surviving vec_id) — the graded hub_before/hub_after handoff.
+
+    Scale shape: repair pair work is Σ|affected_l|·|survivors_l|
+    INSIDE label blocks — bounded by the deleted fraction, never a
+    full rebuild and never corpus² (pinned never-cartesian); the
+    affected set is one |edges| semi-join against the deleted ids.
+    At 100 TB a retention pass repairs only the lists the tombstones
+    actually touched — the whole point of incremental maintenance."""
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.round13 import _c91_sqd
+
+    e = load(spark, sf, "embeddings")
+    q = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+        ).alias("qv"),
+        (F.col("vec_id") % _C98_MOD == _C98_DEL)
+        .cast("int")
+        .alias("del"),
+    ).localCheckpoint(eager=False)  # pair arms + stats
+    a = q.select(
+        "label", F.col("vec_id").alias("src"),
+        F.col("qv").alias("sv"), F.col("del").alias("sdel"),
+    )
+    b = q.select(
+        "label", F.col("vec_id").alias("dst"),
+        F.col("qv").alias("dv"), F.col("del").alias("ddel"),
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "label", "src", "sdel", "dst", "ddel",
+            _c91_sqd(F.col("sv"), F.col("dv")).alias("d"),
+        )
+        .localCheckpoint(eager=False)  # before-adjacency + repair arm
+    )
+    adj0 = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("src").orderBy("d", "dst")),
+        )
+        .filter(F.col("rn") <= 6)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # affected set + stats + keep arm
+    )
+    # incremental repair: ONLY nodes whose list lost a deleted dst
+    # recompute, against survivors in their label block
+    aff = (
+        adj0.filter((F.col("sdel") == 0))
+        .groupBy("label", "src")
+        .agg(F.max("ddel").alias("lost"))
+        .filter(F.col("lost") == 1)
+        .select("src")
+    )
+    repaired = (
+        pairs.filter((F.col("sdel") == 0) & (F.col("ddel") == 0))
+        .join(F.broadcast(aff), "src")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("src").orderBy("d", "dst")),
+        )
+        .filter(F.col("rn") <= 6)
+        .select("label", "src", "dst")
+    )
+    untouched = adj0.filter(F.col("sdel") == 0).join(
+        F.broadcast(aff), "src", "left_anti"
+    ).select("label", "src", "dst")
+    final = untouched.unionByName(repaired)
+    nstat = q.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_before"),
+        F.sum("del").cast("bigint").alias("n_deleted"),
+        F.min("vec_id").cast("bigint").alias("hub_before"),
+        F.min(F.when(F.col("del") == 0, F.col("vec_id")))
+        .cast("bigint")
+        .alias("hub_after"),
+    )
+    astat = (
+        adj0.filter(F.col("sdel") == 0)
+        .groupBy("label", "src")
+        .agg(F.max("ddel").alias("lost"))
+        .filter(F.col("lost") == 1)
+        .groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n_affected"))
+    )
+    b4 = adj0.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("edges_before")
+    )
+    aft = final.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("edges_after"),
+        F.sum(F.col("src") * 100003 + F.col("dst"))
+        .cast("bigint")
+        .alias("edge_checksum"),
+    )
+    return (
+        nstat.join(astat, "label", "left")
+        .join(b4, "label", "left")
+        .join(aft, "label", "left")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_before",
+            "n_deleted",
+            F.coalesce("n_affected", F.lit(0))
+            .cast("bigint")
+            .alias("n_affected"),
+            F.coalesce("edges_before", F.lit(0))
+            .cast("bigint")
+            .alias("edges_before"),
+            F.coalesce("edges_after", F.lit(0))
+            .cast("bigint")
+            .alias("edges_after"),
+            "hub_before",
+            "hub_after",
+            F.coalesce("edge_checksum", F.lit(0))
+            .cast("bigint")
+            .alias("edge_checksum"),
+        )
+        .orderBy("label")
+    )

@@ -76,6 +76,7 @@ GRADING_NEW_TAIL: list[str] = [
     "c96_graph_index_ingest",
     "c97_filtered_ann_search",
     "p50_streaming_graph_ingest",
+    "c98_graph_index_delete",
 ]
 
 

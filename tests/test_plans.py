@@ -1750,3 +1750,15 @@ def test_c97_filter_pushes_into_exact_scan(spark):
     ), "label predicate not pushed into the exact arm's scan"
     for cols in _exchange_outputs(df):
         assert not {"text", "embedding"} & set(cols), cols
+
+
+def test_c98_delete_repair_is_blocked_never_cartesian(spark):
+    # c98: the before-adjacency and the repair both rank the ONE
+    # label-key pair job; the affected set and its repair prune ride
+    # broadcast id joins; no cartesian anywhere and raw embeddings
+    # never ride an exchange
+    df = registry.QUERIES["c98_graph_index_delete"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert not {"text", "embedding"} & set(cols), cols
