@@ -27,6 +27,11 @@
   (monotone top-k under the total (d, dst) order), so each epoch's
   whole edge state is one QUALIFY over the pair table — the streaming
   state machine must land on it exactly (p49's proof shape).
+- c98 / p51: GRAPH-INDEX DELETION — batch (c98) and tombstone-stream
+  (p51) forms of the repair verb; both grade the same identity
+  (removing candidates not in a top-M list cannot change that top-M,
+  so incremental repair ≡ the survivor rebuild the oracle computes —
+  at every stream prefix for p51).
 
 Reference parity: the reference delegates vector workloads to its
 bundled Spark service (docker-compose.yml:58-81); these ops define the
@@ -974,3 +979,289 @@ def c98_graph_index_delete(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# p51 — streaming graph-index deletion (c98's twin at ingest time)
+# ---------------------------------------------------------------------------
+
+_P51_MOD = 7  # vec_id % 7 == 3 -> eventually tombstoned (c98's set)
+_P51_DEL = 3
+_P51_E = 3  # epoch 0 = build, epochs 1..2 = tombstone halves
+
+
+def _p51_oracle() -> str:
+    """Per-epoch tombstone report in CLOSED FORM: deletion shrinks the
+    candidate set monotonically, and removing candidates that were
+    NOT in a top-M list cannot change that top-M — so the state after
+    epoch e equals the top-M over the nodes STILL ALIVE at e (the
+    same identity c98 grades once, held at every prefix). The
+    streaming repair loop must land on each prefix exactly."""
+    adj = ", ".join(
+        f"""adj{e} AS MATERIALIZED (
+  SELECT label, src, sde, dst, dde FROM pd
+  WHERE (sde IS NULL OR sde > {e}) AND (dde IS NULL OR dde > {e})
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY d, dst) <= 6)"""
+        for e in range(_P51_E)
+    )
+    st = "\nUNION ALL\n".join(
+        f"""SELECT {e} AS epoch,
+       (SELECT count(*) FROM ge WHERE de = {e}) AS n_deleted,
+       (SELECT count(DISTINCT src) FROM adj{max(e - 1, 0)}
+        WHERE {e} > 0 AND dde = {e}
+          AND (sde IS NULL OR sde > {e})) AS n_affected,
+       (SELECT count(*) FROM adj{e}) AS edges_after,
+       (SELECT coalesce(sum(src * 100003 + dst), 0) FROM adj{e})
+         AS edge_checksum"""
+        for e in range(_P51_E)
+    )
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+ge AS MATERIALIZED (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % {_P51_MOD} = {_P51_DEL}
+              THEN 1 + (vec_id * {_P51_E - 1}) // (SELECT n FROM nn)
+              END AS de,
+         list_transform(embedding, v ->
+           CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+gg AS MATERIALIZED (
+  SELECT vec_id, label, de, u.i AS i, qv[i] AS qi
+  FROM ge, UNNEST(range(1, 65)) AS u(i)),
+pd AS MATERIALIZED (
+  SELECT a.label, a.vec_id AS src, a.de AS sde,
+         b.vec_id AS dst, b.de AS dde,
+         sum((a.qi - b.qi) * (a.qi - b.qi)) AS d
+  FROM gg a JOIN gg b ON a.label = b.label AND a.i = b.i
+                     AND a.vec_id <> b.vec_id
+  GROUP BY a.label, src, sde, dst, dde),
+{adj}
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(n_deleted AS BIGINT) AS n_deleted,
+       CAST(n_affected AS BIGINT) AS n_affected,
+       CAST(edges_after AS BIGINT) AS edges_after,
+       CAST(edge_checksum AS BIGINT) AS edge_checksum
+FROM ({st})
+ORDER BY epoch
+"""
+
+
+@query("p51_streaming_graph_delete", oracle=_p51_oracle())
+def p51_streaming_graph_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """P51: STREAMING GRAPH-INDEX DELETION — c98's repair verb driven
+    by a TOMBSTONE CDC STREAM, completing the maintenance matrix the
+    graph arm now shares with the clustered arm (ingest: c96 batch /
+    p50 stream; delete: c98 batch / p51 stream). Three mtime-pinned
+    micro-batches: epoch 0 is the BUILD (op=add, every node — c91's
+    label-blocked top-6 construction); epochs 1-2 deliver tombstones
+    (op=del, the vec_id % {_P51_MOD} = {_P51_DEL} population split in
+    vec-id halves). Each tombstone batch drops the deleted nodes'
+    own lists, finds the SURVIVORS whose lists lost a member (the
+    affected set — c98's rule, applied incrementally), recomputes
+    only those lists against the current survivors, and reports
+    n_deleted / n_affected / edges_after / edge checksum.
+
+    The oracle is CLOSED FORM at every prefix: deletion shrinks the
+    candidate set monotonically and removing non-list candidates
+    cannot change a top-M, so the state after epoch e IS the top-6
+    over the nodes still alive at e — one QUALIFY per epoch. The
+    streaming repair loop must land on each prefix bit-for-bit
+    (p50's proof shape, inverted).
+
+    Scale shape: per-epoch repair pair work is
+    Σ|affected_l|·|survivors_l| inside label blocks — bounded by the
+    batch's tombstone fan-in, never a rebuild; cross-batch state is
+    the node table + ~6 rows/node edge list. At 100 TB a retention
+    tombstone stream repairs exactly the lists each batch touches."""
+    import os
+    import shutil
+
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.queries.round13 import _c91_sqd
+    from iceberg_playground_spark.queries.streaming import _scratch
+
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    n = e.count()
+
+    def build(tmp: str) -> str:
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src, exist_ok=True)
+        now = int(os.stat(tmp).st_mtime)
+        de = F.expr(
+            f"CASE WHEN vec_id % {_P51_MOD} = {_P51_DEL} THEN "
+            f"1 + (vec_id * {_P51_E - 1}) DIV {n} END"
+        )
+        batches = [
+            e.withColumn("op", F.lit("add")).withColumn(
+                "epoch", F.lit(0).cast("bigint")
+            )
+        ]
+        for i in range(1, _P51_E):
+            batches.append(
+                e.withColumn("de", de)
+                .filter(F.col("de") == i)
+                .drop("de")
+                .withColumn("op", F.lit("del"))
+                .withColumn("epoch", F.lit(i).cast("bigint"))
+            )
+        for i, bdf in enumerate(batches):
+            part_dir = os.path.join(tmp, f"stage_{i}")
+            bdf.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            part = next(
+                f
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and f.startswith("part-")
+            )
+            dst = os.path.join(src, f"arrival_{i}.parquet")
+            shutil.copyfile(os.path.join(part_dir, part), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+        return src
+
+    src = _built(spark, sf, "p51", build)
+    stream = (
+        spark.readStream.schema(
+            "vec_id BIGINT, label INT, embedding ARRAY<FLOAT>,"
+            " op STRING, epoch BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = _scratch("ips_stream_gdel_")
+    report = os.path.join(work, "report")
+    holder = {"nodes": None, "edges": None}
+    try:
+
+        def quant(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col("vec_id").cast("bigint").alias("vec_id"),
+                "label",
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * 1000).cast(
+                        "bigint"
+                    ),
+                ).alias("qv"),
+            )
+
+        def topm(edges: DataFrame) -> DataFrame:
+            return (
+                edges.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        W.partitionBy("src").orderBy("d", "dst")
+                    ),
+                )
+                .filter(F.col("rn") <= 6)
+                .drop("rn")
+            )
+
+        def pair_job(a_nodes: DataFrame, b_nodes: DataFrame) -> DataFrame:
+            a = a_nodes.select(
+                "label", F.col("vec_id").alias("src"),
+                F.col("qv").alias("sv"),
+            )
+            b = b_nodes.select(
+                "label", F.col("vec_id").alias("dst"),
+                F.col("qv").alias("dv"),
+            )
+            return (
+                a.join(b, "label")
+                .filter(F.col("src") != F.col("dst"))
+                .select(
+                    "label", "src", "dst",
+                    _c91_sqd(F.col("sv"), F.col("dv")).alias("d"),
+                )
+            )
+
+        def sink_batch(batch_df: DataFrame, _eid: int) -> None:
+            ep = int(batch_df.agg(F.min("epoch")).first()[0])
+            if ep == 0:
+                nodes = quant(batch_df).localCheckpoint(eager=False)
+                adj = topm(pair_job(nodes, nodes))
+                n_del, n_aff = 0, 0
+            else:
+                tomb = batch_df.select(
+                    F.col("vec_id").cast("bigint").alias("vec_id")
+                ).localCheckpoint(eager=False)
+                n_del = tomb.count()
+                prev_nodes = spark.read.parquet(holder["nodes"])
+                prev = spark.read.parquet(holder["edges"])
+                nodes = prev_nodes.join(
+                    F.broadcast(tomb), "vec_id", "left_anti"
+                ).localCheckpoint(eager=False)  # repair + next epoch
+                # survivors whose lists lost a member to this batch
+                surviving_edges = prev.join(
+                    F.broadcast(tomb.withColumnRenamed("vec_id", "src")),
+                    "src",
+                    "left_anti",
+                ).localCheckpoint(eager=False)  # affected + untouched
+                aff = (
+                    surviving_edges.join(
+                        F.broadcast(
+                            tomb.withColumnRenamed("vec_id", "dst")
+                        ),
+                        "dst",
+                    )
+                    .select("src")
+                    .distinct()
+                    .localCheckpoint(eager=False)  # count + two prunes
+                )
+                n_aff = aff.count()
+                repaired = topm(
+                    pair_job(
+                        nodes.join(
+                            F.broadcast(
+                                aff.withColumnRenamed("src", "vec_id")
+                            ),
+                            "vec_id",
+                        ),
+                        nodes,
+                    )
+                )
+                untouched = surviving_edges.join(
+                    F.broadcast(aff), "src", "left_anti"
+                ).select("label", "src", "dst", "d")
+                adj = untouched.unionByName(repaired)
+            newe = os.path.join(work, f"edges_{ep}")
+            adj.write.parquet(newe)
+            holder["edges"] = newe
+            newn = os.path.join(work, f"nodes_{ep}")
+            nodes.write.parquet(newn)
+            holder["nodes"] = newn
+            state = spark.read.parquet(newe)
+            cum = state.count()
+            chk = (
+                state.agg(
+                    F.sum(F.col("src") * 100003 + F.col("dst"))
+                ).first()[0]
+                or 0
+            )
+            spark.createDataFrame(
+                [(ep, n_del, n_aff, cum, int(chk))],
+                "epoch BIGINT, n_deleted BIGINT, n_affected BIGINT,"
+                " edges_after BIGINT, edge_checksum BIGINT",
+            ).write.mode("append").parquet(report)
+
+        q = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", _scratch("ips_stream_gdck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # SIZE GUARD: |epochs| rows, collected because the scratch
+        # dirs are deleted in finally (p49's literal-result rule)
+        rows = sorted(
+            tuple(int(x) for x in r)
+            for r in spark.read.parquet(report).collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "epoch BIGINT, n_deleted BIGINT, n_affected BIGINT,"
+        " edges_after BIGINT, edge_checksum BIGINT",
+    ).orderBy("epoch")

@@ -77,6 +77,7 @@ GRADING_NEW_TAIL: list[str] = [
     "c97_filtered_ann_search",
     "p50_streaming_graph_ingest",
     "c98_graph_index_delete",
+    "p51_streaming_graph_delete",
 ]
 
 
