@@ -62,23 +62,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   GRADING_LEAD = the old GRADING_NEW_TAIL contents, verbatim
 #   GRADING_NEW_TAIL = []
 GRADING_LEAD: list[str] = [
-    "b168_remove_orphan_files",
-    "b169_rewrite_position_deletes",
-    "c90_integer_ln_selfcheck",
-    "c91_knn_graph_search",
-    "c92_graph_ann_recall",
-    "c93_vector_index_merge",
-    "c94_cross_encoder_rerank",
-    "p49_streaming_index_maintenance",
-    "c95_hierarchical_graph_search",
-]
-GRADING_NEW_TAIL: list[str] = [
     "c96_graph_index_ingest",
     "c97_filtered_ann_search",
     "p50_streaming_graph_ingest",
     "c98_graph_index_delete",
     "p51_streaming_graph_delete",
 ]
+GRADING_NEW_TAIL: list[str] = []
 
 
 def new_tail_round() -> int:
