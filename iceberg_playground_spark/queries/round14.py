@@ -649,6 +649,10 @@ def p50_streaming_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
             )
 
         def sink_batch(batch_df: DataFrame, _epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                # an empty staged file (possible at tiny SFs) carries
+                # no epoch; min("epoch") would be NULL -> TypeError
+                return
             ep = int(batch_df.agg(F.min("epoch")).first()[0])
             batch = quant(batch_df).localCheckpoint(eager=False)
             if holder["nodes"] is None:
@@ -1177,6 +1181,9 @@ def p51_streaming_graph_delete(spark: SparkSession, sf: str) -> DataFrame:
             )
 
         def sink_batch(batch_df: DataFrame, _eid: int) -> None:
+            if batch_df.isEmpty():
+                # empty tombstone half at tiny SFs: no epoch to read
+                return
             ep = int(batch_df.agg(F.min("epoch")).first()[0])
             if ep == 0:
                 nodes = quant(batch_df).localCheckpoint(eager=False)

@@ -450,8 +450,14 @@ def test_c59_matrix_complete_and_nonnegative_up_to_rounding(spark):
     srcs = {r["src_a"] for r in rows} | {r["src_b"] for r in rows}
     assert len(rows) == len(srcs) * (len(srcs) - 1)  # full off-diagonal
     for r in rows:
-        # KL >= 0; each of the B micro-rounded terms can shave at
-        # most half a micro-nat, so the sum floors at -B/2
+        # KL >= 0 in exact arithmetic. Kernel error model: each kernel
+        # output is off by at most the 693147-vs-ln(2)*1e6 constant
+        # truncation (0.1806/2^21 per fixed-point unit, <= 8.5 micro at
+        # the 2^47 domain edge) + fraction truncation (< 0.34) + final
+        # rounding (0.5) < 9.4 micro; a term's (kb - ka) difference
+        # carries at most 2x that, weighted by pa with sum(pa) = 1,
+        # plus 0.5 micro of half-away term rounding per bucket. So
+        # kl_micro >= -(B/2 + 19) >= -147; -B keeps headroom.
         assert r["kl_micro"] >= -_C59_B
 
 
@@ -460,6 +466,7 @@ def test_c59_matches_python_reference_one_pair(spark):
     import math
     from collections import Counter
 
+    from iceberg_playground_spark.queries._util import int_ln_micro_py
     from iceberg_playground_spark.queries.round9d import _C59_B
 
     docs = spark.read.parquet(f"{SF_CHECK}/documents.parquet").collect()
@@ -475,20 +482,25 @@ def test_c59_matches_python_reference_one_pair(spark):
                 cnt[d["source"]][b] += 1
     a, b = srcs
     ta, tb = sum(cnt[a].values()), sum(cnt[b].values())
+    # bit-exact replay of the query's arithmetic: kernel ints for the
+    # two smoothed lns, IEEE-double pa weighting of the integer
+    # difference, half-away-from-zero term rounding (Spark F.round /
+    # DuckDB round; python round() is banker's so it can't be used)
     want = 0
     for bkt in range(_C59_B):
-        pa = (cnt[a][bkt] + 1) / (ta + _C59_B)
-        pb = (cnt[b][bkt] + 1) / (tb + _C59_B)
-        want += round(1e6 * pa * (math.log(pa) - math.log(pb)))
+        ka = int_ln_micro_py(cnt[a][bkt] + 1, ta + _C59_B)
+        kb = int_ln_micro_py(cnt[b][bkt] + 1, tb + _C59_B)
+        x = ((cnt[a][bkt] + 1) / (ta + _C59_B)) * (kb - ka)
+        want += (
+            math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+        )
     got = {
         (r["src_a"], r["src_b"]): r["kl_micro"]
         for r in registry.QUERIES["c59_source_kl_divergence"](
             spark, SF_CHECK
         ).collect()
     }[(a, b)]
-    # python round() is banker's at exact .5 while both engines round
-    # half away from zero — allow 1 micro-nat per bucket of slack
-    assert abs(got - want) <= _C59_B
+    assert got == want
 
 
 # --- c60 Good-Turing audit --------------------------------------------------
@@ -530,6 +542,8 @@ def test_c61_matches_python_reference(spark):
     import math
     from collections import Counter
 
+    from iceberg_playground_spark.queries._util import int_ln_micro_py
+
     docs = (
         spark.read.parquet(f"{SF_CHECK}/documents.parquet")
         .filter(F.col("doc_id") < 20)
@@ -545,14 +559,20 @@ def test_c61_matches_python_reference(spark):
         toks = d["text"].split(" ")
         c = Counter(toks)
         n = len(toks)
-        h_num = sum(
-            round(-1e6 * v * math.log(v / n)) for v in c.values()
-        )
+        # bit-exact replay: each term is c * kernel(c, n) in exact
+        # integer arithmetic, entropy = floor(double(h_num) / n)
+        h_num = sum(v * int_ln_micro_py(v, n) for v in c.values())
         r = got[d["doc_id"]]
         assert r["n_tok"] == n and r["vocab"] == len(c)
-        # python round() is banker's at exact .5; allow 1 micro slack
-        # per distinct token on the summed numerator
-        assert abs(r["entropy_micro"] - math.floor(h_num / n)) <= len(c)
+        entropy = math.floor(h_num / n)
+        assert r["entropy_micro"] == entropy
+        if len(c) == 1:
+            assert r["efficiency_micro"] == 0
+        else:
+            lnv = int_ln_micro_py(1, len(c))
+            assert r["efficiency_micro"] == math.floor(
+                1000000.0 * entropy / lnv
+            )
 
 
 def test_c61_entropy_bounded_by_log_vocab(spark):
