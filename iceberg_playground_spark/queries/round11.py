@@ -607,6 +607,9 @@ def c71_ivf_index_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     qdf = _c54_quantized(spark, sf)
+    # one scalar; parameterizes the is_new split (round9b's bounded-
+    # collect rule: a broadcast 1-row frame would replicate a nested-
+    # loop join into every downstream branch instead)
     cut = qdf.count() // 2
     seeds = sorted(
         (int(r["vec_id"]), [int(v) for v in r["q"]])
@@ -855,6 +858,9 @@ def p38_streaming_drift_audit(spark: SparkSession, sf: str) -> DataFrame:
     from iceberg_playground_spark.queries.streaming import _scratch
 
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    # one scalar, frozen before the stream starts: n sizes the epoch
+    # split in build(), cut parameterizes every micro-batch's is_new
+    # flag (a stream can't derive a global corpus count in-plan)
     n = e.count()
     cut = n // 2
     seeds = sorted(

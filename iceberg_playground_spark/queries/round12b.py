@@ -894,6 +894,9 @@ def c88_component_stability(spark: SparkSession, sf: str) -> DataFrame:
     from iceberg_playground_spark.queries.round9b import _c54_quantized
 
     qdf = _c54_quantized(spark, sf)
+    # one scalar; parameterizes the half-arm filter (round9b's
+    # bounded-collect rule — the Gram folds below are driver-side
+    # model math anyway)
     n = qdf.count()
     full = _c79_stats_cached(spark, sf)
     half = (
@@ -2249,6 +2252,9 @@ def c85_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     from iceberg_playground_spark.queries._util import load
 
     d = load(spark, sf, "documents")
+    # one scalar; parameterizes the cross-multiplied VMR expression
+    # (round9b's bounded-collect rule: a broadcast 1-row count frame
+    # would nested-loop-join into the |V|-key rollup instead)
     n = d.count()
     dc = (
         d.select(
@@ -2531,6 +2537,10 @@ def p45_streaming_phash_novelty(spark: SparkSession, sf: str) -> DataFrame:
     from iceberg_playground_spark.queries.streaming import _scratch
 
     docs = load(spark, sf, "documents").select("doc_id", "source", "text")
+    # one scalar, frozen before the stream starts: n sizes the epoch
+    # split in build() AND every micro-batch's novelty-rate divisor
+    # in the sink (a stream can't derive a global corpus count
+    # in-plan)
     n = docs.count()
 
     def build(tmp: str) -> str:

@@ -1170,13 +1170,16 @@ def p49_streaming_index_maintenance(
     from iceberg_playground_spark.queries.streaming import _scratch
 
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    n = e.count()
     cent = _c93_centroids(spark, e)
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "incoming")
         os.makedirs(src, exist_ok=True)
         now = int(os.stat(tmp).st_mtime)
+        # the corpus count runs only when the staged fixture is
+        # actually (re)built, never at query construction (c90's
+        # no-action-outside-the-plan rule)
+        n = e.count()
         q = F.expr(f"(vec_id * {_P49_EPOCHS}) DIV {n}")
         for i in range(_P49_EPOCHS):
             fresh = e.filter(q == i)

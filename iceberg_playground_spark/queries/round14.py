@@ -584,12 +584,14 @@ def p50_streaming_graph_ingest(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    n = e.count()
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "incoming")
         os.makedirs(src, exist_ok=True)
         now = int(os.stat(tmp).st_mtime)
+        # corpus count only on cold fixture build, never at query
+        # construction (c90's no-action-outside-the-plan rule)
+        n = e.count()
         ep = F.expr(f"(vec_id * {_P50_E}) DIV {n}")
         for i in range(_P50_E):
             part_dir = os.path.join(tmp, f"stage_{i}")
@@ -1088,12 +1090,13 @@ def p51_streaming_graph_delete(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    n = e.count()
 
     def build(tmp: str) -> str:
         src = os.path.join(tmp, "incoming")
         os.makedirs(src, exist_ok=True)
         now = int(os.stat(tmp).st_mtime)
+        # corpus count only on cold fixture build (c90's rule)
+        n = e.count()
         de = F.expr(
             f"CASE WHEN vec_id % {_P51_MOD} = {_P51_DEL} THEN "
             f"1 + (vec_id * {_P51_E - 1}) DIV {n} END"
