@@ -1,0 +1,338 @@
+"""Round 15 — recall of the MAINTAINED graph (VERDICT r14 item 4).
+
+c92 audits the recall of c91's build-once graph; c96/c98 (and their
+streaming twins p50/p51) maintain the graph but were graded only on
+edge-state equality. Nothing measured what a real HNSW deployment asks
+first: after ingest and delete cycles, does the MAINTAINED index still
+search as well as a fresh rebuild would? c99 closes that audit gap by
+running c92's multi-probe beam evaluation over the edge state left by
+a full c96-ingest -> c98-delete lifecycle.
+
+The oracle leans on the two identities the round-14 ops proved (and
+`tests/test_graph_maintenance.py` brute-verifies):
+
+- c96's retrim identity: top-M(top-M(S1) UNION S2) = top-M(S1 UNION
+  S2) for a grow-only candidate set under the total (d, dst) order,
+  so the post-ingest graph equals the full rebuild under the
+  candidacy rule (base nodes see everyone, arrivals see base only).
+- c98's repair identity: removing candidates that were NOT in a top-M
+  list cannot change that top-M, so repair-only-affected lands
+  bit-for-bit on the survivor rebuild.
+
+Composed: the maintained final graph IS the survivor rebuild under
+candidacy — one QUALIFY in the oracle — while the Spark arm walks the
+actual ingest-retrim-delete-repair state machine and then searches.
+A single flipped recall cell means maintenance diverged from rebuild
+somewhere search can feel it, which is exactly the regression a
+vector-store operator cares about.
+
+Reference parity: the reference delegates vector workloads to its
+bundled Spark service (docker-compose.yml:58-81); this is the
+maintenance-quality audit a switching user would schedule after
+every retention pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from iceberg_playground_spark.registry import query
+
+# lifecycle constants: c96's arrival split, c98's delete set, c91's
+# graph/search contract — shared verbatim so the composed op grades
+# the same machines
+_C99_NEW_FROM = 90  # md5-bucket >= 90 -> ingested arrival (c96)
+_C99_MOD = 7  # vec_id % 7 == 3 -> deleted after ingest (c98)
+_C99_DEL = 3
+_C99_PROBES_LT = 6  # probes: surviving vec_id < 6 — exactly 5 ids
+# (0,1,2,4,5: the only deletable id below 6 is 3)
+
+
+def _c99_oracle() -> str:
+    from iceberg_playground_spark.queries.round13 import (
+        _C91_H,
+        _C91_K,
+        _C91_M,
+        _c92_search_ctes,
+    )
+
+    return f"""
+WITH g AS MATERIALIZED (
+  SELECT vec_id, label, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+           AS qi,
+         CASE WHEN CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                        1, 8) AS BIGINT) % 100 >= {_C99_NEW_FROM}
+              THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN vec_id % {_C99_MOD} = {_C99_DEL} THEN 1 ELSE 0 END
+           AS del
+  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+-- the maintained graph in closed form: survivor rebuild under the
+-- candidacy rule (c96's retrim identity composed with c98's repair
+-- identity — see module docstring)
+pd AS MATERIALIZED (
+  SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+         sum((a.qi - b.qi) * (a.qi - b.qi)) AS d
+  FROM g a JOIN g b ON a.label = b.label AND a.i = b.i
+                   AND a.vec_id <> b.vec_id
+  WHERE a.del = 0 AND b.del = 0
+    AND NOT (a.is_new = 1 AND b.is_new = 1)
+  GROUP BY a.label, src, dst),
+adj AS MATERIALIZED (
+  SELECT src, dst FROM pd
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY d, dst)
+          <= {_C91_M}),
+surv AS (SELECT DISTINCT vec_id, label FROM g WHERE del = 0),
+hubs AS (SELECT label, min(vec_id) AS hub FROM surv GROUP BY label),
+hedges AS (SELECT h1.hub AS src, h2.hub AS dst
+           FROM hubs h1, hubs h2 WHERE h1.hub <> h2.hub),
+alledges AS MATERIALIZED (
+  SELECT src, dst FROM adj UNION SELECT src, dst FROM hedges),
+pr AS (SELECT vec_id AS probe_id FROM surv
+       WHERE vec_id < {_C99_PROBES_LT}),
+pg AS (SELECT pr.probe_id, g.i, g.qi
+       FROM g JOIN pr ON g.vec_id = pr.probe_id),
+dqall AS MATERIALIZED (
+  SELECT pg.probe_id, g.vec_id,
+         sum((g.qi - pg.qi) * (g.qi - pg.qi)) AS d
+  FROM g JOIN pg ON g.i = pg.i
+  WHERE g.del = 0
+  GROUP BY pg.probe_id, g.vec_id),
+exact AS (
+  SELECT probe_id, vec_id FROM dqall WHERE vec_id <> probe_id
+  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, vec_id)
+          <= {_C91_K}),
+{_c92_search_ctes()},
+gtop AS (
+  SELECT probe_id, vec_id FROM v{_C91_H} WHERE vec_id <> probe_id
+  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, vec_id)
+          <= {_C91_K}),
+nv AS (SELECT probe_id, count(*) AS n_visited FROM v{_C91_H}
+       GROUP BY probe_id),
+fd AS (SELECT g2.probe_id, count(*) AS n_found
+       FROM gtop g2 JOIN exact e USING (probe_id, vec_id)
+       GROUP BY g2.probe_id)
+SELECT CAST(nv.probe_id AS BIGINT) AS probe_id,
+       CAST(nv.n_visited AS BIGINT) AS n_visited,
+       CAST(coalesce(fd.n_found, 0) AS BIGINT) AS n_found,
+       CAST(coalesce(fd.n_found, 0) * 1000000 // {_C91_K} AS BIGINT)
+         AS recall_micro
+FROM nv LEFT JOIN fd USING (probe_id) ORDER BY probe_id
+"""
+
+
+@query("c99_maintained_graph_recall", oracle=_c99_oracle())
+def c99_maintained_graph_recall(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """C99: RECALL OF THE MAINTAINED GRAPH — the audit that justifies
+    incremental maintenance over periodic rebuild (VERDICT r14 item
+    4): drive the graph index through a full lifecycle — c91 build
+    over the base decile split, c96 ingest of the arrival batch
+    (retrim + out-edges), c98 deletion of the vec_id % {_C99_MOD} ==
+    {_C99_DEL} set with repair-only-affected — then run c92's
+    multi-probe beam evaluation OVER THE MAINTAINED EDGE STATE and
+    grade per probe: nodes visited, exact top-k hits found, recall in
+    exact integer micro. The oracle computes the survivor rebuild in
+    closed form (the two proven maintenance identities composed — see
+    module docstring) and searches THAT, so the hash equality proves
+    maintain-then-search lands exactly on rebuild-then-search.
+
+    The repair arm recomputes an affected node's list within the SAME
+    candidacy set the ingest used (base sees everyone, arrivals see
+    base only): that invariance is what keeps the final state a pure
+    function of the surviving node set — i.e. what makes the
+    closed-form oracle (and the whole maintained-equals-rebuilt
+    claim) true at all.
+
+    Scale shape: ONE label-blocked candidacy pair job (Sigma
+    |block|^2, never corpus^2 — pinned never-cartesian) feeds all
+    four maintenance arms: the pre-batch adjacency, the arrival
+    out/back candidates, and the repair recompute (which additionally
+    prunes to the broadcast affected-src set, bounded by the deleted
+    fraction); the eval is c92's shape — one corpus pass against a
+    broadcast 5-row probe set (the sanctioned exact arm), then
+    probes x beam x M edge rows per hop via broadcast semi-joins. At
+    100 TB the pair job is the index build already paid; the audit
+    adds one brute probe pass + hops x beam bounded lookups — cheap
+    enough to schedule after every retention pass, which is the
+    point."""
+    from iceberg_playground_spark.queries._util import hash_bucket, load
+    from iceberg_playground_spark.queries.round13 import (
+        _C91_B,
+        _C91_ENTRY,
+        _C91_H,
+        _C91_K,
+        _C91_M,
+        _c91_sqd,
+    )
+
+    e = load(spark, sf, "embeddings")
+    q = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+        ).alias("qv"),
+        (hash_bucket(F.col("vec_id")) >= _C99_NEW_FROM)
+        .cast("int")
+        .alias("is_new"),
+        (F.col("vec_id") % _C99_MOD == _C99_DEL).cast("int").alias("del"),
+    ).localCheckpoint(eager=False)  # pair arms + hubs + probes + dqall
+    a = q.select(
+        "label", F.col("vec_id").alias("src"), F.col("qv").alias("sv"),
+        F.col("is_new").alias("snew"), F.col("del").alias("sdel"),
+    )
+    b = q.select(
+        "label", F.col("vec_id").alias("dst"), F.col("qv").alias("dv"),
+        F.col("is_new").alias("dnew"), F.col("del").alias("ddel"),
+    )
+    # the ONE candidacy pair job (arrival-arrival pairs never exist),
+    # feeding the build, both ingest directions, and the repair
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("src") != F.col("dst"))
+        .filter(~((F.col("snew") == 1) & (F.col("dnew") == 1)))
+        .select(
+            "label", "src", "snew", "sdel", "dst", "dnew", "ddel",
+            _c91_sqd(F.col("sv"), F.col("dv")).alias("d"),
+        )
+        .localCheckpoint(eager=False)  # 4 consumer arms
+    )
+
+    def topm(df: DataFrame, key: str = "src") -> DataFrame:
+        return (
+            df.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy(key).orderBy("d", "dst")
+                ),
+            )
+            .filter(F.col("rn") <= _C91_M)
+            .drop("rn")
+        )
+
+    # --- c91 build: pre-batch adjacency among base nodes
+    adjb = topm(pairs.filter((F.col("snew") == 0) & (F.col("dnew") == 0)))
+    # --- c96 ingest: arrival out-edges + base retrim over the
+    # arrival back-candidates (shrink-if-over-capacity)
+    out_new = topm(pairs.filter(F.col("snew") == 1))
+    retrim = topm(
+        adjb.unionByName(
+            pairs.filter((F.col("snew") == 0) & (F.col("dnew") == 1))
+        )
+    )
+    post = retrim.unionByName(out_new).localCheckpoint(
+        eager=False
+    )  # affected-set + untouched arms
+    # --- c98 delete + repair: only lists that lost a deleted dst
+    # recompute, against survivors in their candidacy set
+    aff = (
+        post.filter(F.col("sdel") == 0)
+        .groupBy("src")
+        .agg(F.max("ddel").alias("lost"))
+        .filter(F.col("lost") == 1)
+        .select("src")
+    )
+    untouched = post.filter(F.col("sdel") == 0).join(
+        F.broadcast(aff), "src", "left_anti"
+    )
+    repaired = topm(
+        pairs.filter((F.col("sdel") == 0) & (F.col("ddel") == 0)).join(
+            F.broadcast(aff), "src"
+        )
+    )
+    final_adj = untouched.select("src", "dst").unionByName(
+        repaired.select("src", "dst")
+    )
+    # --- navigability: hub ring re-elected over survivors
+    surv = q.filter(F.col("del") == 0)
+    hubs = surv.groupBy("label").agg(F.min("vec_id").alias("hub"))
+    ring = (
+        hubs.select(F.col("hub").alias("src"))
+        .crossJoin(F.broadcast(hubs.select(F.col("hub").alias("dst"))))
+        .filter(F.col("src") != F.col("dst"))
+    )  # |labels|^2 = 100 rows, bounded by design
+    alledges = (
+        final_adj.unionByName(ring)
+        .distinct()
+        .localCheckpoint(eager=False)  # read by every hop
+    )
+    # --- c92 eval over the maintained graph
+    probes = surv.filter(F.col("vec_id") < _C99_PROBES_LT).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pv")
+    )
+    dqall = (
+        surv.crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id", "vec_id",
+            _c91_sqd(F.col("qv"), F.col("pv")).alias("d"),
+        )
+        .localCheckpoint(eager=False)  # every hop + exact arm + seed
+    )
+    exact = (
+        dqall.filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy("d", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _C91_K)
+        .select("probe_id", "vec_id")
+    )
+    visited = dqall.filter(F.col("vec_id") == _C91_ENTRY)
+    for _ in range(_C91_H):
+        beam = (
+            visited.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("probe_id").orderBy("d", "vec_id")
+                ),
+            )
+            .filter(F.col("rn") <= _C91_B)
+            .select("probe_id", "vec_id")
+        )
+        cand = (
+            beam.join(alledges, beam["vec_id"] == alledges["src"])
+            .select("probe_id", F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        scored = dqall.join(F.broadcast(cand), ["probe_id", "vec_id"])
+        visited = visited.unionByName(scored).distinct()
+    gtop = (
+        visited.filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy("d", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _C91_K)
+        .select("probe_id", "vec_id")
+    )
+    nv = visited.groupBy("probe_id").agg(
+        F.count("*").cast("bigint").alias("n_visited")
+    )
+    fd = (
+        gtop.join(exact, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n_found"))
+    )
+    return (
+        nv.join(fd, "probe_id", "left")
+        .select(
+            F.col("probe_id").cast("bigint").alias("probe_id"),
+            "n_visited",
+            F.coalesce("n_found", F.lit(0))
+            .cast("bigint")
+            .alias("n_found"),
+            F.expr(f"coalesce(n_found, 0) * 1000000 DIV {_C91_K}")
+            .cast("bigint")
+            .alias("recall_micro"),
+        )
+        .orderBy("probe_id")
+    )

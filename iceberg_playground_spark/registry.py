@@ -68,7 +68,9 @@ GRADING_LEAD: list[str] = [
     "c98_graph_index_delete",
     "p51_streaming_graph_delete",
 ]
-GRADING_NEW_TAIL: list[str] = []
+GRADING_NEW_TAIL: list[str] = [
+    "c99_maintained_graph_recall",
+]
 
 
 def new_tail_round() -> int:
@@ -161,6 +163,7 @@ def load_all() -> None:
         round12b,
         round13,
         round14,
+        round15,
     )
 
     explicit = GRADING_LEAD + GRADING_NEW_TAIL

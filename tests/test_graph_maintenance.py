@@ -152,6 +152,63 @@ def test_delete_incremental_repair_equals_survivor_rebuild():
             assert state == _rebuild(nodes, alive), (seed, len(alive))
 
 
+def test_lifecycle_ingest_then_delete_equals_survivor_rebuild():
+    # c99's composed identity: a c96 ingest (base/arrival candidacy —
+    # base sees everyone, arrivals see base only) followed by a c98
+    # delete with repair-only-affected RECOMPUTING WITHIN THE SAME
+    # CANDIDACY SET must land on the survivor rebuild under candidacy
+    # — the closed form c99's oracle searches.
+    def _cands(nodes, u, peers, is_new):
+        lu, pu = nodes[u]
+        return [
+            (_dist(pu, nodes[v][1]), v)
+            for v in peers
+            if v != u
+            and nodes[v][0] == lu
+            and not (is_new[u] and is_new[v])
+        ]
+
+    for seed in range(25):
+        rng = random.Random(3000 + seed)
+        nodes = _mk_nodes(rng, rng.randrange(12, 40), rng.randrange(1, 4))
+        is_new = {i: rng.random() < 0.2 for i in nodes}
+        base = {i for i in nodes if not is_new[i]}
+
+        # ingest: build among base, arrivals attach to base, base
+        # re-trims against arrival back-candidates
+        state = {u: _topm(_cands(nodes, u, base, is_new)) for u in base}
+        arrivals = set(nodes) - base
+        for a in arrivals:
+            state[a] = _topm(_cands(nodes, a, base, is_new))
+        for b in base:
+            lb, pb = nodes[b]
+            extra = [
+                (_dist(pb, nodes[a][1]), a)
+                for a in arrivals
+                if nodes[a][0] == lb
+            ]
+            state[b] = _topm(state[b] + extra)
+
+        # delete + repair-only-affected, within candidacy
+        tomb = {i for i in nodes if rng.random() < 0.25}
+        alive = set(nodes) - tomb
+        for t in tomb:
+            state.pop(t, None)
+        affected = {
+            u
+            for u, lst in state.items()
+            if any(dst in tomb for _, dst in lst)
+        }
+        for u in affected:
+            state[u] = _topm(_cands(nodes, u, alive, is_new))
+
+        # survivor rebuild under candidacy (the oracle's closed form)
+        want = {
+            u: _topm(_cands(nodes, u, alive, is_new)) for u in alive
+        }
+        assert state == want, (seed, len(alive))
+
+
 def test_untouched_lists_really_are_untouched():
     # the load-bearing half of the delete identity, isolated: if a
     # list lost NO member, the survivor rebuild must reproduce it

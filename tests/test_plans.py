@@ -1762,3 +1762,19 @@ def test_c98_delete_repair_is_blocked_never_cartesian(spark):
     assert "CartesianProduct" not in plan
     for cols in _exchange_outputs(df):
         assert not {"text", "embedding"} & set(cols), cols
+
+
+def test_c99_maintained_recall_is_blocked_never_cartesian(spark):
+    # c99: the whole lifecycle (build + ingest retrim + delete
+    # repair) ranks the ONE label-key candidacy pair job; the
+    # affected-set prune, the 5-row probe distance table and the
+    # per-hop candidate scoring all ride broadcast joins; the only
+    # nested loops are the bounded hub ring and those broadcasts; no
+    # cartesian anywhere and raw embeddings never ride an exchange
+    df = registry.QUERIES["c99_maintained_graph_recall"](
+        spark, SF_CHECK
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for cols in _exchange_outputs(df):
+        assert not {"text", "embedding"} & set(cols), cols
