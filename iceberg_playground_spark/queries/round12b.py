@@ -2580,6 +2580,10 @@ def p45_streaming_phash_novelty(spark: SparkSession, sf: str) -> DataFrame:
     try:
 
         def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                # an empty staged epoch file (possible at tiny SFs)
+                # has no min(doc_id); int(None) would kill the stream
+                return
             sigs = (
                 _c80_sig_frame(batch_df)
                 .select("doc_id", "sig")

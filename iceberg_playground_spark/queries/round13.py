@@ -1221,6 +1221,10 @@ def p49_streaming_index_maintenance(
     try:
 
         def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                # an empty staged file (possible at tiny SFs) carries
+                # no epoch; min("epoch") would be NULL -> TypeError
+                return
             ep = int(batch_df.agg(F.min("epoch")).first()[0])
             asg = _c93_assign(
                 _c93_quantize(batch_df), cent
