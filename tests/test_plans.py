@@ -1776,5 +1776,9 @@ def test_c99_maintained_recall_is_blocked_never_cartesian(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    # the report plan reads ONLY the lazily-checkpointed bases (q,
+    # pairs, post, alledges, dqall) — the corpus parquet is scanned
+    # while materializing those, never re-scanned per hop/arm
+    assert "Scan parquet" not in plan
     for cols in _exchange_outputs(df):
         assert not {"text", "embedding"} & set(cols), cols
