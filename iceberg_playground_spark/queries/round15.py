@@ -1,4 +1,5 @@
-"""Round 15 — recall of the MAINTAINED graph (VERDICT r14 item 4).
+"""Round 15 — recall of the MAINTAINED graph (VERDICT r14 item 4) and
+the Avro manifest round-trip (VERDICT r14 missing item 4).
 
 c92 audits the recall of c91's build-once graph; c96/c98 (and their
 streaming twins p50/p51) maintain the graph but were graded only on
@@ -335,4 +336,138 @@ def c99_maintained_graph_recall(
             .alias("recall_micro"),
         )
         .orderBy("probe_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b170 — Avro manifest-entry round-trip (the reference's one format)
+# ---------------------------------------------------------------------------
+
+_B170_SCHEMA = """{
+  "type": "record", "name": "manifest_entry", "fields": [
+    {"name": "status", "type": "int"},
+    {"name": "snapshot_id", "type": "long"},
+    {"name": "data_file", "type": {
+      "type": "record", "name": "data_file", "fields": [
+        {"name": "file_path", "type": "string"},
+        {"name": "record_count", "type": ["null", "long"]}]}}]}"""
+
+
+def _b170_oracle() -> str:
+    # the demo lineage is b161's verbatim (two %3-split appends, then
+    # a compaction), so the expected per-(version, status) rollup is
+    # b161's oracle arithmetic — the p38/c71 shared-oracle convention
+    from iceberg_playground_spark.queries.round12 import _B161_ORACLE
+
+    return _B161_ORACLE
+
+
+@query("b170_avro_manifest_roundtrip", oracle=_b170_oracle())
+def b170_avro_manifest_roundtrip(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """B170: AVRO MANIFEST-ENTRY ROUND-TRIP — the reference's ONE
+    serialization format, finally exercised (VERDICT r14 missing item
+    4): the reference hands its DataFile metadata between the writer
+    fleet and the committer as Avro (src/bin/decouple.rs:82-96,
+    write_data_files_to_avro), and Iceberg's manifest layer itself IS
+    Avro — but no spark-avro module or avro package exists in this
+    sandbox, so the format went unread through round 14. avro.py now
+    implements Avro Object Container Files from the PUBLIC Apache
+    Avro 1.11 spec; this cell drives b161's demo lineage (two
+    %3-split appends, then a compaction), serializes each asked
+    version's manifest entries through REAL Avro bytes under an
+    Iceberg-shaped nested schema (manifest_entry{status, snapshot_id,
+    data_file{file_path, record_count: union[null,long]}}), decodes
+    the bytes back, and grades the per-(version, status) rollup OF
+    THE DECODED ROWS against b161's closed-form oracle — a single
+    corrupted varint, union branch, or dropped record flips the hash.
+
+    Scale shape: manifest entries are MODEL-sized (one row per file
+    entry — the b92/b161 "two snapshot JSON headers, zero data I/O"
+    rule), so the encode/decode is bounded driver work by
+    construction, exactly like the reference's committer path: the
+    100 TB economics live in the data files the manifests POINT AT,
+    never in the manifests themselves. The rollup of the decoded
+    frame is a |entries|-row aggregate."""
+    from iceberg_playground_spark.avro import (
+        read_container,
+        write_container,
+    )
+    from iceberg_playground_spark.queries._util import load
+    from iceberg_playground_spark.queries.lakehouse import _built
+    from iceberg_playground_spark.tables import LakeCatalog, LakeTable
+
+    def build(tmp: str) -> LakeTable:
+        cat = LakeCatalog(spark, tmp)
+        t = cat.create_table(
+            "demo",
+            "orders_avro_rt",
+            "o_orderkey BIGINT, o_custkey BIGINT",
+            drop_if_exists=True,
+        )
+        o = load(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("bigint"),
+            F.col("o_custkey").cast("bigint"),
+        )
+        t.append(
+            o.filter(F.col("o_orderkey") % 3 == 0).repartition(
+                2, "o_orderkey"
+            )
+        )
+        t.append(
+            o.filter(F.col("o_orderkey") % 3 != 0).repartition(
+                2, "o_orderkey"
+            )
+        )
+        t.compact(target_files=1)
+        return t
+
+    t = _built(spark, sf, "b170", build)
+
+    def roundtrip_rollup(v: int) -> DataFrame:
+        # SIZE GUARD: one row per manifest entry (≤ 5 in this
+        # lineage) — the b161 metadata-relation bound, not a corpus
+        # collect
+        entries = t.entries(v).collect()
+        recs = [
+            {
+                "status": int(r["status"]),
+                "snapshot_id": int(r["snapshot_version"]),
+                "data_file": {
+                    "file_path": r["file_name"],
+                    "record_count": (
+                        None if r["n_rows"] is None else int(r["n_rows"])
+                    ),
+                },
+            }
+            for r in entries
+        ]
+        blob = write_container(_B170_SCHEMA, recs)
+        _, decoded = read_container(blob)
+        back = spark.createDataFrame(
+            [
+                (
+                    d["status"],
+                    d["snapshot_id"],
+                    d["data_file"]["file_path"],
+                    d["data_file"]["record_count"],
+                )
+                for d in decoded
+            ],
+            "status INT, snapshot_version BIGINT, file_name STRING,"
+            " n_rows BIGINT",
+        )
+        return back.groupBy("status").agg(
+            F.count("*").cast("bigint").alias("n_entries"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        ).select(
+            F.lit(v).cast("int").alias("at_version"),
+            "status",
+            "n_entries",
+            "n_rows",
+        )
+
+    return roundtrip_rollup(2).unionByName(roundtrip_rollup(3)).orderBy(
+        "at_version", "status"
     )

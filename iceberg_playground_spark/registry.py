@@ -70,6 +70,7 @@ GRADING_LEAD: list[str] = [
 ]
 GRADING_NEW_TAIL: list[str] = [
     "c99_maintained_graph_recall",
+    "b170_avro_manifest_roundtrip",
 ]
 
 

@@ -1381,6 +1381,16 @@ def test_b161_entries_is_metadata_only(spark):
     assert "Join" not in plan
 
 
+def test_b170_avro_roundtrip_is_metadata_only(spark):
+    # b170: the graded frame rolls up the DECODED manifest entries —
+    # local metadata rows only, like b161 (the Avro encode/decode is
+    # bounded driver work; the corpus parquet is read once by the
+    # cached demo build, never by the graded plan)
+    plan = _plan(spark, "b170_avro_manifest_roundtrip")
+    assert "Scan parquet" not in plan
+    assert "Join" not in plan
+
+
 def test_p40_model_broadcasts_two_corpus_passes(spark):
     # p40: all three cumulative proxy models and the reference are
     # conditional sums in ONE model aggregate; the scoring join must
