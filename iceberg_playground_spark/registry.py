@@ -62,16 +62,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   GRADING_LEAD = the old GRADING_NEW_TAIL contents, verbatim
 #   GRADING_NEW_TAIL = []
 GRADING_LEAD: list[str] = [
-    "c96_graph_index_ingest",
-    "c97_filtered_ann_search",
-    "p50_streaming_graph_ingest",
-    "c98_graph_index_delete",
-    "p51_streaming_graph_delete",
-]
-GRADING_NEW_TAIL: list[str] = [
     "c99_maintained_graph_recall",
     "b170_avro_manifest_roundtrip",
 ]
+GRADING_NEW_TAIL: list[str] = []
 
 
 def new_tail_round() -> int:
