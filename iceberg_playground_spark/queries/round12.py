@@ -1180,18 +1180,34 @@ def c76_unigram_apply_fertility(spark: SparkSession, sf: str) -> DataFrame:
         *[F.lit(z) for p in sorted(scores) for z in (p, scores[p])]
     )
     d = load(spark, sf, "documents")
-    wd = d.select(
-        "lang", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
+    # The Viterbi DP depends only on the word, so segment each DISTINCT
+    # (lang, word) once and weight the rollup by its occurrence count
+    # (guide: aggregate before the expensive per-row work) — exact
+    # integer sums, so the per-language totals are unchanged while the
+    # DP runs |distinct words| times instead of |occurrences| times
+    # (sf0.1: 155 vs 270,704 evaluations; the apply stays a pure map).
+    wd = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("occ"))
+    )
     sg = wd.withColumn("fw", _c75_fw_col(m)).select(
         "lang",
-        F.length("word").alias("n_chars"),
-        F.size(F.split(_c75_seg_col(m), " ")).alias("n_pieces"),
+        "occ",
+        F.length("word").cast("bigint").alias("n_chars"),
+        F.size(F.split(_c75_seg_col(m), " ")).cast("bigint").alias(
+            "n_pieces"
+        ),
     )
     wl = sg.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_words"),
-        F.sum("n_chars").cast("bigint").alias("n_chars"),
-        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        F.sum("occ").cast("bigint").alias("n_words"),
+        F.sum(F.col("occ") * F.col("n_chars")).cast("bigint").alias(
+            "n_chars"
+        ),
+        F.sum(F.col("occ") * F.col("n_pieces")).cast("bigint").alias(
+            "n_pieces"
+        ),
     )
     dc = d.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs")

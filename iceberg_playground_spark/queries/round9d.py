@@ -578,11 +578,19 @@ def c62_containment_detect(spark: SparkSession, sf: str) -> DataFrame:
     t = load(spark, sf, "documents").select(
         "doc_id", _shingles(F.split("text", " ")).alias("shs")
     )
-    e = t.select(
-        "doc_id", F.explode("shs").alias("sh")
-    ).select(
-        "doc_id",
-        F.conv(F.md5("sh").substr(1, 8), 16, 10).cast("bigint").alias("dg"),
+    # digest rows feed THREE consumers (the df table, the kept join
+    # side, and — via the per-doc count — the size table); without a
+    # checkpoint each consumer re-runs the shingle explode + md5 over
+    # the corpus (round 16: 3 scans -> 1, digest rows are BIGINTs)
+    e = (
+        t.select("doc_id", F.explode("shs").alias("sh"))
+        .select(
+            "doc_id",
+            F.conv(F.md5("sh").substr(1, 8), 16, 10)
+            .cast("bigint")
+            .alias("dg"),
+        )
+        .localCheckpoint(eager=False)
     )
     df_tbl = e.groupBy("dg").agg(F.count("*").alias("d"))
     kept = (
@@ -602,7 +610,11 @@ def c62_containment_detect(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("x_id", "y_id")
         .agg(F.count("*").alias("inter"))
     )
-    sz = t.select("doc_id", F.size("shs").alias("n_sh"))
+    # size(shs) == the doc's row count in e (shingles are per-doc
+    # distinct), so derive sizes from the checkpointed digests instead
+    # of a third shingle pass; docs with zero shingles can't appear in
+    # pairs (they have no kept rows), so their absence here is moot
+    sz = e.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sx = sz.select(F.col("doc_id").alias("x_id"), F.col("n_sh").alias("x_sh"))
     sy = sz.select(F.col("doc_id").alias("y_id"), F.col("n_sh").alias("y_sh"))
     both = (

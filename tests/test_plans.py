@@ -1792,3 +1792,40 @@ def test_c99_maintained_recall_is_blocked_never_cartesian(spark):
     assert "Scan parquet" not in plan
     for cols in _exchange_outputs(df):
         assert not {"text", "embedding"} & set(cols), cols
+
+
+def test_c62_containment_scans_digests_once(spark):
+    # round 16: the digest rows (doc_id, dg) feed three consumers (df
+    # table, kept join side, per-doc size table); the lazy checkpoint
+    # means the report plan reads ONLY the materialized digest RDD —
+    # one shingle+md5 corpus pass instead of three
+    df = registry.QUERIES["c62_containment_detect"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_c76_unigram_apply_segments_distinct_words(spark):
+    # round 16: the Viterbi DP depends only on the word, so it must
+    # run above the (lang, word) occurrence aggregate — |distinct
+    # words| DP evaluations, never |occurrences| (sf0.1: 155 vs 270k)
+    df = registry.QUERIES["c76_unigram_apply_fertility"](spark, SF_CHECK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "occ" in plan, "occurrence-count aggregate missing"
+    fw_at = plan.index("aggregate(sequence(length(word")
+    # the DP projection consumes the aggregated (lang, word, occ) rows:
+    # a partial_count over the exploded words appears BELOW it
+    below = plan[fw_at:]
+    assert "partial_count" in below, (
+        "the word-occurrence aggregate is not below the DP projection"
+    )
+
+
+def test_int_ln_fold_is_compact(spark):
+    # round 16: the kernel's 21 squaring steps run as ONE higher-order
+    # aggregate, not 63 chained projections — the _il_s<k> scaffold
+    # columns must never reappear (they cost ~1.3-1.7 s of
+    # data-size-free Catalyst analysis per fold call site)
+    plan = _plan(spark, "c65_bigram_perplexity")
+    assert "_il_s1" not in plan
+    assert "aggregate(" in plan
