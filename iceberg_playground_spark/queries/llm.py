@@ -38,6 +38,7 @@ from iceberg_playground_spark.queries._util import (
     int_ln_micro_cte_sql,
     load,
 )
+from iceberg_playground_spark.queries._util import lit_int_array
 from iceberg_playground_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -389,7 +390,7 @@ def knn_join(
             bits = [
                 F.when(
                     _dot(
-                        emb, F.array(*[F.lit(s) for s in _RP_SIGNS[j]])
+                        emb, lit_int_array(_RP_SIGNS[j])
                     )
                     >= 0,
                     1,

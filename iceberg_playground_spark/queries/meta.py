@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from iceberg_playground_spark.queries._util import load
 from iceberg_playground_spark.queries.lakehouse import _built
+from iceberg_playground_spark.queries._util import lit_int_array
 from iceberg_playground_spark.registry import query
 from iceberg_playground_spark.tables import LakeCatalog, LakeTable
 
@@ -312,7 +313,7 @@ def c27_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     emb = F.col("embedding")
     ys = [
         F.round(
-            _dot(emb, F.array(*[F.lit(s) for s in _RP_SIGNS[j]])), 6
+            _dot(emb, lit_int_array(_RP_SIGNS[j])), 6
         ).alias(f"y{j}")
         for j in range(_RP_OUT)
     ]

@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from iceberg_playground_spark.queries._util import load
+from iceberg_playground_spark.queries._util import (
+    lit_bigint_array,
+    load,
+)
 from iceberg_playground_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -148,7 +151,7 @@ def c68_perceptron_train(spark: SparkSession, sf: str) -> DataFrame:
     w = [0] * _C68_D
     rows: list[tuple] = []
     for epoch in range(1, _C68_EPOCHS + 1):
-        warr = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
+        warr = lit_bigint_array(w)
         contrib = F.element_at(warr, (F.col("bucket") + 1).cast("int"))
         scored = feats.groupBy("doc_id", "y").agg(
             F.sum(contrib * F.col("cnt")).alias("score")

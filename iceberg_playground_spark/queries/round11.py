@@ -238,19 +238,22 @@ def _c70_noise_micro(t: int):
 def _c70_min_d2(cents: list[tuple[int, list[int]]]):
     """Exact BIGINT min squared distance to the chosen seed set, as
     ONE JVM expression over a literal centroid matrix (the c54 rule:
-    one transform lambda, never k separate aggregates)."""
-    cmat = F.array(
-        *[F.array(*[F.lit(int(v)) for v in vec]) for _, vec in cents]
+    one transform lambda, never k separate aggregates). One parsed
+    SQL string per superstep (round 16): the nested-lambda DSL form
+    cost a py4j round-trip per literal — same tree, one parse."""
+    cmat = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(int(v)) for v in vec) + ")"
+            for _, vec in cents
+        )
+        + ")"
     )
-    dists = F.transform(
-        cmat,
-        lambda c: F.aggregate(
-            F.zip_with("q", c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ),
+    return F.expr(
+        f"array_min(transform({cmat}, c -> aggregate(zip_with(q, c, "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+        f"(acc, x) -> acc + x)))"
     )
-    return F.array_min(dists)
 
 
 def _c70_train(

@@ -89,31 +89,39 @@ _C74_SHORT = 50
 _C74_TOPK = 10
 
 
-def _c74_sub_col(s: int):
+def _c74_sub_sql(s: int) -> str:
     """Subspace ``s`` slice of the quantized vector column ``q``."""
-    return F.slice("q", s * _C74_SDIM + 1, _C74_SDIM)
+    return f"slice(q, {s * _C74_SDIM + 1}, {_C74_SDIM})"
+
+
+def _c74_sub_col(s: int):
+    return F.expr(_c74_sub_sql(s))
 
 
 def _c74_code_col(cb: list[list[list[int]]], s: int):
     """Exact BIGINT argmin code for subspace ``s`` against a literal
     16×8 centroid matrix — ONE JVM expression, zero joins (the c54
     literal-matrix rule). array_position's first minimum IS the
-    lowest-j tie-break the oracle's min-struct encodes."""
-    cmat = F.array(
-        *[
-            F.array(*[F.lit(int(v)) for v in cb[s][j]])
+    lowest-j tie-break the oracle's min-struct encodes. Rendered as
+    ONE parsed SQL string (round 16): the nested-lambda DSL form cost
+    a py4j round-trip per literal/lambda at every train superstep —
+    the parsed tree is identical."""
+    cmat = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(int(v)) for v in cb[s][j]) + ")"
             for j in range(_C74_K)
-        ]
+        )
+        + ")"
     )
-    dists = F.transform(
-        cmat,
-        lambda c: F.aggregate(
-            F.zip_with(_c74_sub_col(s), c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ),
+    dists = (
+        f"transform({cmat}, c -> aggregate(zip_with({_c74_sub_sql(s)}, c, "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+        f"(acc, x) -> acc + x))"
     )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return F.expr(
+        f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+    )
 
 
 def _c74_seed(qdf: DataFrame) -> list[list[list[int]]]:
@@ -298,9 +306,11 @@ def c74_pq_train(spark: SparkSession, sf: str) -> DataFrame:
         ]
         for s in range(_C74_SUB)
     ]
+    from iceberg_playground_spark.queries._util import lit_int_array
+
     est = None
     for s in range(_C74_SUB):
-        alit = F.array(*[F.lit(int(x)) for x in adc[s]])
+        alit = lit_int_array(adc[s])
         term = F.element_at(alit, _c74_code_col(cb, s) + 1)
         est = term if est is None else est + term
     short = (
@@ -308,7 +318,7 @@ def c74_pq_train(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("est_d2", "vec_id")
         .limit(_C74_SHORT)
     )
-    qlit = F.array(*[F.lit(v) for v in qv])
+    qlit = lit_int_array(qv)
     exact = F.aggregate(
         F.zip_with("q", qlit, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
@@ -557,13 +567,9 @@ def _c75_estep(words: DataFrame, scores: dict[str, int]) -> dict[str, int]:
     """One E-step: Viterbi-segment every word against the LITERAL
     score map, aggregate piece usage (map-side partials; the result
     is vocab-sized, so the collect is model-sized by construction)."""
-    m = F.create_map(
-        *[
-            F.lit(z)
-            for p in sorted(scores)
-            for z in (p, scores[p])
-        ]
-    )
+    from iceberg_playground_spark.queries._util import lit_str_int_map
+
+    m = lit_str_int_map((p, scores[p]) for p in sorted(scores))
     rows = (
         words.withColumn("fw", _c75_fw_col(m))
         .withColumn("seg", _c75_seg_col(m))
@@ -1176,9 +1182,9 @@ def c76_unigram_apply_fertility(spark: SparkSession, sf: str) -> DataFrame:
     from iceberg_playground_spark.queries._util import load
 
     _, scores = _c75_trained(spark, sf)
-    m = F.create_map(
-        *[F.lit(z) for p in sorted(scores) for z in (p, scores[p])]
-    )
+    from iceberg_playground_spark.queries._util import lit_str_int_map
+
+    m = lit_str_int_map((p, scores[p]) for p in sorted(scores))
     d = load(spark, sf, "documents")
     # The Viterbi DP depends only on the word, so segment each DISTINCT
     # (lang, word) once and weight the rollup by its occurrence count
@@ -1346,12 +1352,15 @@ def c77_trained_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
     from iceberg_playground_spark.queries.round9b import _c54_assign
     from iceberg_playground_spark.queries.round11 import _c70_train
 
+    from iceberg_playground_spark.queries._util import (
+        lit_int_array,
+        lit_int_matrix,
+    )
+
     qdf, seeds = _c70_train(spark, sf)
     asg = _c54_assign(qdf, seeds)
-    ids = F.array(*[F.lit(int(cid)) for cid, _ in seeds])
-    cmat = F.array(
-        *[F.array(*[F.lit(int(v)) for v in vec]) for _, vec in seeds]
-    )
+    ids = lit_int_array([cid for cid, _ in seeds])
+    cmat = lit_int_matrix([vec for _, vec in seeds])
     pos = F.array_position(ids, F.col("cluster_id")).cast("int")
     res = asg.select(
         "vec_id",
@@ -1396,7 +1405,7 @@ def c77_trained_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
         code = _c74_code_col(pcb, s)
         term = None
         for cid in probed:
-            alit = F.array(*[F.lit(int(x)) for x in adc[cid][s]])
+            alit = lit_int_array(adc[cid][s])
             pick = F.element_at(alit, code + 1)
             term = (
                 F.when(F.col("cluster_id") == int(cid), pick)
@@ -1409,7 +1418,7 @@ def c77_trained_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("est_d2", "vec_id")
         .limit(_C77_SHORT)
     )
-    qlit = F.array(*[F.lit(v) for v in q0])
+    qlit = lit_int_array(q0)
     exact = F.aggregate(
         F.zip_with("q", qlit, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),

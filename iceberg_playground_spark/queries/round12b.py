@@ -119,7 +119,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from iceberg_playground_spark.queries._util import int_ln_micro_cte_sql
+from iceberg_playground_spark.queries._util import (
+    int_ln_micro_cte_sql,
+    lit_int_array,
+)
 from iceberg_playground_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -1103,7 +1106,7 @@ def c81_pca_prefilter_recall(spark: SparkSession, sf: str) -> DataFrame:
 
     stats = _c79_stats_cached(spark, sf)
     res = _c79_iterate(stats.collect())  # model-sized (d²+d+1 rows)
-    vlit = F.array(*[F.lit(int(x)) for x in res["v"]])
+    vlit = lit_int_array(res["v"])
     qdf = _c54_quantized(spark, sf).localCheckpoint(
         eager=False
     )  # projection arm + truth arm
@@ -1120,7 +1123,7 @@ def c81_pca_prefilter_recall(spark: SparkSession, sf: str) -> DataFrame:
     q0row = proj.filter(F.col("vec_id") == 0).select("q", "p").collect()[
         0
     ]  # bounded: the query vector
-    q0lit = F.array(*[F.lit(int(x)) for x in q0row["q"]])
+    q0lit = lit_int_array(q0row["q"])
     d2 = F.aggregate(
         F.zip_with("q", q0lit, lambda x, y: (x - y) * (x - y)),
         zero,
@@ -1742,7 +1745,7 @@ def c87_mmr_diversified_rerank(spark: SparkSession, sf: str) -> DataFrame:
         eager=False
     )  # query row + candidate arm
     q0 = qdf.filter(F.col("vec_id") == 0).collect()[0]["q"]
-    q0lit = F.array(*[F.lit(int(x)) for x in q0])
+    q0lit = lit_int_array(q0)
     d2 = F.aggregate(
         F.zip_with("q", q0lit, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -1842,7 +1845,7 @@ def c89_rerank_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     qdf = _c54_quantized(spark, sf).localCheckpoint(eager=False)
     q0 = qdf.filter(F.col("vec_id") == 0).collect()[0]["q"]
-    q0lit = F.array(*[F.lit(int(x)) for x in q0])
+    q0lit = lit_int_array(q0)
     d2 = F.aggregate(
         F.zip_with("q", q0lit, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),

@@ -38,7 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from iceberg_playground_spark.queries._util import int_ln_micro_cte_sql
+from iceberg_playground_spark.queries._util import (
+    int_ln_micro_cte_sql,
+    lit_bigint_array,
+)
 from iceberg_playground_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -534,7 +537,7 @@ def c91_knn_graph_search(spark: SparkSession, sf: str) -> DataFrame:
     q, alledges = _c91_graph(spark, sf)
     sqd = _c91_sqd
     qvec = q.filter(F.col("vec_id") == 0).select("qv").first()["qv"]
-    qlit = F.array(*[F.lit(int(v)).cast("bigint") for v in qvec])
+    qlit = lit_bigint_array(qvec)
     scored_all = q.select(
         "vec_id", sqd(F.col("qv"), qlit).alias("d")
     ).localCheckpoint(eager=False)  # reused by every hop + the seed
@@ -1387,7 +1390,7 @@ def c95_hierarchical_graph_search(
     qu = q.filter(F.col("vec_id") % _C95_LEVEL == 0)
     edges_u = _c91_edges(qu, _C95_MU)
     qvec = q.filter(F.col("vec_id") == 0).select("qv").first()["qv"]
-    qlit = F.array(*[F.lit(int(v)).cast("bigint") for v in qvec])
+    qlit = lit_bigint_array(qvec)
     scored_all = q.select(
         "vec_id", _c91_sqd(F.col("qv"), qlit).alias("d")
     ).localCheckpoint(eager=False)  # both layers + the seed read it

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from iceberg_playground_spark.queries._util import lit_bigint_array
 from iceberg_playground_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -403,7 +404,7 @@ def c97_filtered_ann_search(spark: SparkSession, sf: str) -> DataFrame:
 
     q, alledges = _c91_graph(spark, sf)
     qvec = q.filter(F.col("vec_id") == 0).select("qv").first()["qv"]
-    qlit = F.array(*[F.lit(int(v)).cast("bigint") for v in qvec])
+    qlit = lit_bigint_array(qvec)
     scored_all = q.select(
         "vec_id", "label", _c91_sqd(F.col("qv"), qlit).alias("d")
     ).localCheckpoint(eager=False)  # every hop + the graph-arm result

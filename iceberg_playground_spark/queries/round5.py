@@ -33,6 +33,7 @@ from iceberg_playground_spark.queries.llm import (
     _tokens,
 )
 from iceberg_playground_spark.queries.meta import _RP_SIGNS
+from iceberg_playground_spark.queries._util import lit_int_array
 from iceberg_playground_spark.registry import query
 from iceberg_playground_spark.tables import LakeCatalog, LakeTable
 
@@ -312,7 +313,7 @@ def c29_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = F.col("embedding")
     bits = [
         F.when(
-            _dot(emb, F.array(*[F.lit(s) for s in _RP_SIGNS[j]])) >= 0, 1
+            _dot(emb, lit_int_array(_RP_SIGNS[j])) >= 0, 1
         ).otherwise(0)
         for j in range(_LSH_BANDS5 * _LSH_BITS)
     ]

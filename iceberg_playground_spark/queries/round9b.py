@@ -138,18 +138,25 @@ def _c54_assign(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame
     analyze/compile time (measured 16.8 s vs 5.2 s cold, 4.0 vs 3.3 s
     warm for the full 3-pass loop at sf0.1) for identical results.
     """
-    cmat = F.array(*[
-        F.array(*[F.lit(int(v)) for v in vec]) for _, vec in cents
-    ])
-    dists = F.transform(
-        cmat,
-        lambda c: F.aggregate(
-            F.zip_with("q", c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ),
+    from iceberg_playground_spark.queries._util import lit_int_array
+
+    # one-parse literals (round 16): the k x 64 matrix + distance fold
+    # used to cost a py4j round-trip per element/lambda at every Lloyd
+    # pass — the parsed tree is identical
+    cmat = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(int(v)) for v in vec) + ")"
+            for _, vec in cents
+        )
+        + ")"
     )
-    ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    dists = F.expr(
+        f"transform({cmat}, c -> aggregate(zip_with(q, c, "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+        f"(acc, x) -> acc + x))"
+    )
+    ids = lit_int_array([cid for cid, _ in cents])
     d = qdf.select("vec_id", "q", dists.alias("dists"), ids.alias("cids"))
     pos = F.array_position(F.col("dists"), F.array_min("dists")).cast("int")
     return d.select(

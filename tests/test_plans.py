@@ -1411,14 +1411,23 @@ def test_b162_all_manifests_is_metadata_only(spark):
 
 
 def test_c76_apply_never_shuffles_words(spark):
-    # c76: the apply is a pure map (explode is a narrow generator, the
-    # score map is literal) — no join between corpus-sized frames, and
-    # no exchange may carry a word, DP table, or segmentation column
+    # c76 (round-16 shape): the Viterbi DP runs once per DISTINCT
+    # (lang, word) — the only exchange carrying a word is the
+    # distinct-word aggregation (map-side partials make it vocab-
+    # sized, never corpus-sized). The DP table and segmentation
+    # columns still never cross an exchange, and no pair join between
+    # corpus-sized frames appears
     df = registry.QUERIES["c76_unigram_apply_fertility"](spark, SF_CHECK)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+    word_exchanges = 0
     for cols in _exchange_outputs(df):
-        assert not {"word", "fw", "seg"} & set(cols), cols
+        assert not {"fw", "seg"} & set(cols), cols
+        if "word" in cols:
+            word_exchanges += 1
+    # exactly the distinct-(lang, word) aggregation's exchange (the
+    # weighted rollup re-uses its partitioning)
+    assert word_exchanges <= 1, word_exchanges
 
 
 def test_c77_search_is_bounded_broadcast_topk(spark):
