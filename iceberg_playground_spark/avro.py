@@ -92,8 +92,12 @@ def _read_long(buf: io.BytesIO) -> int:
         if not b & 0x80:
             break
         shift += 7
-        if shift > 70:
+        if shift > 63:
+            # a canonical 64-bit zigzag varint is at most 10 bytes
+            # (final shift 63); anything longer is malformed
             raise ValueError("varint too long")
+    if acc >= 1 << 64:
+        raise ValueError("varint overflows 64 bits")
     # un-zigzag
     return (acc >> 1) ^ -(acc & 1)
 
@@ -135,9 +139,17 @@ def _write_datum(out: io.BytesIO, schema: Any, value: Any) -> None:
             _write_long(out, value)
             return
         if schema == "float":
+            if not isinstance(value, (int, float)) or isinstance(
+                value, bool
+            ):
+                raise ValueError(f"float schema got {value!r}")
             out.write(struct.pack("<f", float(value)))
             return
         if schema == "double":
+            if not isinstance(value, (int, float)) or isinstance(
+                value, bool
+            ):
+                raise ValueError(f"double schema got {value!r}")
             out.write(struct.pack("<d", float(value)))
             return
         if schema == "bytes":
@@ -219,6 +231,17 @@ def _union_branch(schemas: list, value: Any) -> int:
             "type"
         ) == "array":
             return i
+    # fallback pass: an int may take a float/double branch when no
+    # int/long branch matched, so union and bare-field behavior agree
+    # (bare float/double fields accept non-bool ints)
+    for i, s in enumerate(schemas):
+        st = _schema_type(s)
+        if (
+            isinstance(value, int)
+            and not isinstance(value, bool)
+            and st in ("float", "double")
+        ):
+            return i
     raise ValueError(f"no union branch for {value!r} in {schemas!r}")
 
 
@@ -233,11 +256,20 @@ def _read_datum(buf: io.BytesIO, schema: Any) -> Any:
                 raise ValueError("truncated boolean")
             return raw[0] != 0
         if schema in ("int", "long"):
-            return _read_long(buf)
+            v = _read_long(buf)
+            if schema == "int" and not _INT_MIN <= v <= _INT_MAX:
+                raise ValueError(f"int out of range: {v}")
+            return v
         if schema == "float":
-            return struct.unpack("<f", buf.read(4))[0]
+            raw = buf.read(4)
+            if len(raw) != 4:
+                raise ValueError("truncated float")
+            return struct.unpack("<f", raw)[0]
         if schema == "double":
-            return struct.unpack("<d", buf.read(8))[0]
+            raw = buf.read(8)
+            if len(raw) != 8:
+                raise ValueError("truncated double")
+            return struct.unpack("<d", raw)[0]
         if schema == "bytes":
             n = _read_long(buf)
             raw = buf.read(n)

@@ -216,3 +216,74 @@ def test_int_range_enforced():
     )
     with pytest.raises(ValueError, match="out of range"):
         write_container(schema, [{"x": 2**31}])
+
+
+def test_overlong_varint_rejected():
+    # round-16 ADVICE: a zigzag varint longer than the canonical
+    # 10-byte 64-bit maximum must fail loudly, not decode to a Python
+    # int outside int64 range
+    import pytest
+
+    # 11 continuation bytes (shift would reach 70)
+    overlong = b"\x80" * 10 + b"\x01"
+    with pytest.raises(ValueError, match="varint too long"):
+        _read_long(io.BytesIO(overlong))
+    # 10 bytes but with high bits set beyond bit 63: decodes past 2^64
+    over64 = b"\xff" * 9 + b"\x7f"
+    with pytest.raises(ValueError, match="overflows 64 bits"):
+        _read_long(io.BytesIO(over64))
+    # the canonical 10-byte encoding of -2^63 still decodes
+    assert _read_long(io.BytesIO(_enc(-(2**63)))) == -(2**63)
+
+
+def test_truncated_float_double_raise_valueerror():
+    # round-16 ADVICE: truncation inside a float/double payload must
+    # raise the same ValueError the bytes/string truncation paths do,
+    # not a bare struct.error
+    import pytest
+
+    schema_f = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "x", "type": "double"}],
+        }
+    )
+    good = write_container(schema_f, [{"x": 1.5}])
+    # chop mid-payload: drop the trailing sync marker AND the last
+    # bytes of the double, then re-append a sync-sized tail so the
+    # failure is the datum read, not the container frame
+    with pytest.raises(ValueError):
+        read_container(good[:-20] + good[-16:])
+
+
+def test_write_float_double_type_strictness():
+    # round-16 ADVICE: bare float/double fields coerce non-bool ints
+    # (documented), reject bools and strings, and agree with union
+    # branch selection
+    import pytest
+
+    def sch(t):
+        return json.dumps(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [{"name": "x", "type": t}],
+            }
+        )
+
+    # non-bool int accepted for bare double, and round-trips as float
+    _, rows = read_container(write_container(sch("double"), [{"x": 3}]))
+    assert rows == [{"x": 3.0}]
+    # the same int through a ["null","double"] union now agrees
+    _, rows = read_container(
+        write_container(sch(["null", "double"]), [{"x": 3}])
+    )
+    assert rows == [{"x": 3.0}]
+    # bools and strings stay loud on both paths
+    with pytest.raises(ValueError, match="double schema got"):
+        write_container(sch("double"), [{"x": True}])
+    with pytest.raises(ValueError, match="float schema got"):
+        write_container(sch("float"), [{"x": "1.5"}])
+    with pytest.raises(ValueError, match="no union branch"):
+        write_container(sch(["null", "double"]), [{"x": True}])
