@@ -50,6 +50,14 @@ from pyspark.sql import functions as F
 
 _SNAP_DIR = "snapshots"
 _DATA_DIR = "data"
+
+# Commits at or below this many files read their parquet footers on
+# the driver (metadata-sized work, see _collect_bounds_many); larger
+# commits fan the footer reads out as one Spark job. Overridable for
+# deployments where even small commits should stay off the driver.
+_BOUNDS_DRIVER_MAX = int(
+    os.environ.get("SPARK_GRAFT_BOUNDS_DRIVER_MAX", "64")
+)
 _DELETE_DIR = "deletes"
 
 
@@ -680,10 +688,20 @@ class LakeTable:
                         )
         if not tasks:
             return out, out_rows
-        sc = self.spark.sparkContext
-        slices = max(1, min(len(tasks), sc.defaultParallelism))
         task = _make_bounds_task()
-        results = sc.parallelize(tasks, slices).map(task).collect()
+        if len(tasks) <= _BOUNDS_DRIVER_MAX:
+            # Small commits read their footers on the driver: each
+            # footer is a KB-sized metadata read (~100 µs), while a
+            # Spark job costs ~0.5 s of scheduling/worker round-trip
+            # — pure fixed overhead at this file count. The
+            # distributed path below stays the scale story (the
+            # reference's 20,000-files/run envelope never takes this
+            # branch).
+            results = [task(t) for t in tasks]
+        else:
+            sc = self.spark.sparkContext
+            slices = max(1, min(len(tasks), sc.defaultParallelism))
+            results = sc.parallelize(tasks, slices).map(task).collect()
         # Iceberg writers never commit empty data files: a zero-row
         # part (an empty upstream task — Spark's writer still emits a
         # file for partition 0) carries no column stats, and a

@@ -202,16 +202,22 @@ def test_scan_planning_prunes_by_bounds(catalog, spark):
 
 
 def test_commit_reads_no_footers_on_driver(catalog, spark, monkeypatch):
-    # VERDICT r3 item 2: bounds collection must be distributed. Footer
-    # opens happen in executor Python workers (separate processes), so
+    # VERDICT r3 item 2 + round-16 refinement: bounds collection is
+    # scale-adaptive. ABOVE _BOUNDS_DRIVER_MAX files the footer opens
+    # must happen in executor Python workers (separate processes), so
     # poisoning pyarrow.parquet.ParquetFile in THIS (driver) process
-    # must not be observed by a commit — while bounds still land.
+    # must not be observed — while bounds still land. (At or below the
+    # cutoff the driver reads the footers itself: metadata-sized work,
+    # covered by every other test in this file.)
     import pyarrow.parquet as pq
+
+    from iceberg_playground_spark import tables as _tables
 
     def _boom(*a, **k):
         raise AssertionError("driver-side parquet footer read at commit")
 
     monkeypatch.setattr(pq, "ParquetFile", _boom)
+    monkeypatch.setattr(_tables, "_BOUNDS_DRIVER_MAX", 0)
     t = catalog.create_table("test_ns", "nodriverio", DDL, drop_if_exists=True)
     t.append(spark.createDataFrame([("A", "s", 1), ("B", "l", 9)], DDL))
     files = t.snapshot(t.current_version())["data_files"]
