@@ -577,6 +577,46 @@ def main() -> None:
         [("warm up the tokenizer",)], "text string"
     ).select(F.expr(_c51_token_expr())).collect()
 
+    # Round-16 warm-up extension (same steady-state rationale, applied
+    # to the two remaining cold engines; documented in
+    # OPTIMIZATION_r16.md): (a) the parquet WRITE path + lake commit
+    # machinery (output committer, snapshot JSON, bounds collection)
+    # and (b) the structured-streaming engine (first stream in a
+    # fresh session pays a multi-second, data-size-independent
+    # init). Both are one-time session costs a long-running cluster
+    # never re-pays; without this they land in whichever headline
+    # cell happens to touch that engine first, timing session init
+    # instead of the cell's plan.
+    import shutil as _sh
+    import tempfile as _tf
+
+    _wtmp = _tf.mkdtemp(prefix="ips_bench_warm_")
+    try:
+        from iceberg_playground_spark.tables import LakeCatalog
+
+        _wt = LakeCatalog(spark, _wtmp).create_table(
+            "warm", "w", "k BIGINT", drop_if_exists=True
+        )
+        _wt.append(spark.createDataFrame([(1,)], "k BIGINT"))
+        _wt.read().write.format("noop").mode("overwrite").save()
+        _wsrc = os.path.join(_wtmp, "stream_src")
+        spark.createDataFrame([(1,)], "k BIGINT").coalesce(
+            1
+        ).write.parquet(_wsrc)
+        (
+            spark.readStream.schema("k BIGINT")
+            .parquet(_wsrc)
+            .writeStream.foreachBatch(lambda df, eid: None)
+            .option(
+                "checkpointLocation", os.path.join(_wtmp, "ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        _sh.rmtree(_wtmp, ignore_errors=True)
+
     def _run(name: str) -> float:
         # construction is inside the timer for non-split cells:
         # streaming queries execute eagerly (availableNow drain)

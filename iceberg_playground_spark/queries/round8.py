@@ -2056,20 +2056,20 @@ def _c49_rep(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy(F.col("a").alias("v"))
             .agg(F.min("nrep").alias("nmin"))
         )
-        rep = (
-            rep.join(nb, "v", "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))
-                ).alias("rep"),
-            )
-            .localCheckpoint(eager=False)
+        stepped = rep.join(nb, "v", "left").select(
+            "v",
+            F.least(
+                F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))
+            ).alias("rep"),
         )
-        # pointer jump: rep(v) <- rep(rep(v))
-        rep = (
-            rep.join(
-                rep.select(
+        # pointer jump: rep(v) <- rep(rep(v)). One checkpoint per
+        # ROUND, not per pass (round 16): the jump's self-join reads
+        # `stepped` twice, but its two sides are the identical plan
+        # subtree, so the exchange is computed once and reused —
+        # halving the superstep job count for the same fixpoint.
+        jumped = (
+            stepped.join(
+                stepped.select(
                     F.col("v").alias("rep"), F.col("rep").alias("rep2")
                 ),
                 "rep",
@@ -2077,6 +2077,20 @@ def _c49_rep(spark: SparkSession, sf: str) -> DataFrame:
             .select("v", F.col("rep2").alias("rep"))
             .localCheckpoint(eager=False)
         )
+        # convergence exit (round 16): a round that changes no rep is
+        # the fixpoint — every later round is the identity, so
+        # stopping early returns bit-identical results while skipping
+        # the remaining supersteps (chains at the shipped SFs close in
+        # 2-3 rounds; the 8-round ceiling still guarantees 2^8).
+        changed = (
+            jumped.join(
+                rep.select("v", F.col("rep").alias("prev")), "v"
+            )
+            .filter(F.col("rep") != F.col("prev"))
+        )
+        rep = jumped
+        if changed.isEmpty():
+            break
     return rep
 
 
