@@ -370,13 +370,19 @@ ANCHOR_SECONDS = {
     "c52_bloom_decontaminate": 1.23,
     "b149_tpch_q21": 2.04,
     "p18_streaming_novelty_filter": 2.00,
-    "c54_kmeans_lloyd": 3.06,
-    "c62_containment_detect": 5.95,
+    # re-cut round 16 (construction change: one-parse literal assign
+    # matrix — OPTIMIZATION_r16.md batch 2; close pair 4.112/2.424)
+    "c54_kmeans_lloyd": 2.42,
+    # re-cut round 16 (plan change: shingle digests checkpointed once
+    # instead of 3x lineage re-eval; close pair 3.110/3.149)
+    "c62_containment_detect": 3.11,
     "c53_dsir_resample": 1.75,
     "b156_skyline": 0.61,
     # re-cut round 14 (plan change: smoothed-ratio lns now one
-    # integer-ln kernel fold on the |S|x256 model table)
-    "c59_source_kl_divergence": 2.70,
+    # integer-ln kernel fold on the |S|x256 model table), then round
+    # 16 (the kernel's 63 chained squaring projections collapsed into
+    # one aggregate fold — batch 1; close pair 2.273/1.891)
+    "c59_source_kl_divergence": 1.89,
     "c63_bpe_merge_learn": 2.34,
     "p32_leakage_safe_split": 0.42,
     # c65/c84 re-anchored at round-13 close: their NLL now evaluates
@@ -384,44 +390,60 @@ ANCHOR_SECONDS = {
     # steps over MODEL rows — a fixed ~1.3-1.7 s Catalyst-analysis
     # cost, data-size-independent; the libm-era anchors were
     # 2.37/1.88). Close pair D/E minimums.
-    # re-cut round 14 (plan change: kernel 2^47 domain guard)
-    "c65_bigram_perplexity": 3.60,
+    # re-cut round 14 (plan change: kernel 2^47 domain guard), then
+    # round 16 (kernel fold collapse — batch 1; close pair 3.077/2.665)
+    "c65_bigram_perplexity": 2.67,
     "c67_triplet_mining": 0.69,
     "p34_release_report_v3": 1.12,
     "c68_perceptron_train": 2.80,
     "c69_pmi_collocations": 0.76,
-    # round-11 (clean pairs at r11 HEAD; pair minimums)
-    "c70_kmeanspp_seed": 4.87,
+    # round-11 (clean pairs at r11 HEAD; pair minimums); c70/c72
+    # re-cut round 16 (one-parse literal construction — batch 2;
+    # close pair 3.321/5.327 and 4.384/4.483). c71 NOT re-cut: its
+    # pair readings (3.714/4.669) sit above the round-11 anchor, so
+    # the stricter old bar stands.
+    "c70_kmeanspp_seed": 3.32,
     "c71_ivf_index_drift": 3.38,
-    "c72_learned_ivf_recall": 5.26,
+    "c72_learned_ivf_recall": 4.38,
     # round-12 (clean pair at r12 HEAD: run A's guard-kept rerun
     # 111.9 s + quiet run B 125.6 s; pair minimums)
     "c73_classifier_calibration": 0.58,
     "p39_release_datacard": 1.50,
-    "c74_pq_train": 6.09,
+    # c74 re-cut round 16 (one-parse literal codebooks — batch 2;
+    # close pair 3.760/4.334)
+    "c74_pq_train": 3.76,
     "c75_unigram_lm_train": 1.95,
     # late round-12 (second clean pair at r12 HEAD: guard-kept 139.9 s
     # + quiet 140.1 s; pair minimums)
     # re-cut round 14 (plan change: the 3 grid NLLs now ONE
-    # stacked kernel fold + 4096-key pivot)
-    "p40_mixture_weight_learn": 4.10,
-    "c76_unigram_apply_fertility": 7.46,
-    "c77_trained_ivfadc": 10.78,
+    # stacked kernel fold + 4096-key pivot), then round 16 (kernel
+    # fold collapse + one-parse score maps; close pair 3.057/3.226)
+    "p40_mixture_weight_learn": 3.06,
+    # re-cut round 16 (plan change: Viterbi DP per DISTINCT
+    # (lang, word) instead of per occurrence — batch 1; close pair
+    # 2.616/2.367)
+    "c76_unigram_apply_fertility": 2.37,
+    # re-cut round 16 (one-parse literal codebooks/assign matrices —
+    # batch 2; close pair 7.221/6.508)
+    "c77_trained_ivfadc": 6.51,
     # round-12b (third clean pair at r12 HEAD: 170.9 s with 3
     # quiet-probe noise cells over anchor + quiet 151.8 s with only
     # known-noise b19 over; pair minimums)
     "c79_pca_power_iteration": 0.93,
     "c81_pca_prefilter_recall": 1.11,
     "c80_phash_near_dup": 1.60,
-    "p43_dedup_aware_epochs": 4.58,
+    # re-cut round 16 (plan change: one checkpoint per CC round +
+    # convergence early-exit in _c49_rep; close pair 4.769/2.728)
+    "p43_dedup_aware_epochs": 2.73,
     # session-3 round-12 (fourth clean pair at r12 HEAD: 145.8 s with
     # zero cells over anchor + 137.9 s with only known-noise b19 over;
     # pair minimums)
     "c83_lsh_scurve_audit": 2.91,
     # re-cut round 14 (plan change: kernel domain guard) — this
     # re-read also CLOSES the r13 weak flag: the driver's 5.61 s
-    # (2.06x) reading did not reproduce (pair 3.485/3.220)
-    "c84_kneser_ney_bigram": 3.22,
+    # (2.06x) reading did not reproduce (pair 3.485/3.220).
+    # Re-cut round 16 (kernel fold collapse; close pair 1.969/1.573)
+    "c84_kneser_ney_bigram": 1.57,
     # round-13 close pair (D 163.6 s / E 162.4 s, guard quiet, probes
     # 0.41/0.41 and 0.54/0.39): the graph-ANN flagship, pair minimum
     "c91_knn_graph_search": 5.94,
