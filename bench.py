@@ -343,7 +343,10 @@ ANCHOR_SECONDS = {
     "p09_chunk_windows": 0.26,
     "p10_corpus_shuffle": 0.28,
     "c31_minhash_estimate": 2.66,
-    "c29_hyperplane_lsh": 1.83,
+    # re-cut round 16 batch 4 (construction change: the 16 sign bits
+    # + band structs render as one parsed expression; close pair
+    # 0.708/0.713)
+    "c29_hyperplane_lsh": 0.71,
     "c32_bpe_pair_stats": 1.44,
     "c33_canonical_selection": 2.30,
     "b60_bucketed_join": 0.24,
@@ -353,7 +356,9 @@ ANCHOR_SECONDS = {
     "b97_tpch_q5": 1.88,
     "b107_tpch_q8": 1.35,
     "c35_temperature_mix": 0.71,
-    "p17_incremental_lsh_dedup": 1.91,
+    # re-cut round 16 batch 4 (construction change: _band_sigs'
+    # 16 permutations + 4 band structs one-parse; pair 1.111/1.686)
+    "p17_incremental_lsh_dedup": 1.11,
     "c39_signature_index_merge": 3.64,
     "c40_ivf_adc_rerank": 1.91,
     "p20_corpus_build_v2": 2.14,
@@ -369,7 +374,8 @@ ANCHOR_SECONDS = {
     "b145_dict_layout_audit": 2.23,
     "c52_bloom_decontaminate": 1.23,
     "b149_tpch_q21": 2.04,
-    "p18_streaming_novelty_filter": 2.00,
+    # re-cut round 16 batch 4 (_band_sigs one-parse; pair 1.435/1.545)
+    "p18_streaming_novelty_filter": 1.44,
     # re-cut round 16 (construction change: one-parse literal assign
     # matrix — OPTIMIZATION_r16.md batch 2; close pair 4.112/2.424)
     "c54_kmeans_lloyd": 2.42,
@@ -399,11 +405,11 @@ ANCHOR_SECONDS = {
     "c69_pmi_collocations": 0.76,
     # round-11 (clean pairs at r11 HEAD; pair minimums); c70/c72
     # re-cut round 16 (one-parse literal construction — batch 2;
-    # close pair 3.321/5.327 and 4.384/4.483). c71 NOT re-cut: its
-    # pair readings (3.714/4.669) sit above the round-11 anchor, so
-    # the stricter old bar stands.
+    # close pair 3.321/5.327 and 4.384/4.483). c71 re-cut in batch 4
+    # (its 130 stat-agg columns + two 64-dim report arrays render as
+    # parsed SQL; pair 1.612/1.885).
     "c70_kmeanspp_seed": 3.32,
-    "c71_ivf_index_drift": 3.38,
+    "c71_ivf_index_drift": 1.61,
     "c72_learned_ivf_recall": 4.38,
     # round-12 (clean pair at r12 HEAD: run A's guard-kept rerun
     # 111.9 s + quiet run B 125.6 s; pair minimums)

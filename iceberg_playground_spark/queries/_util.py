@@ -117,6 +117,15 @@ def lit_bigint_array(vals) -> Column:
     return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
 
 
+def lit_double_array(vals) -> Column:
+    """array(0.25D, ...) — the F.lit(float(v)) per-element shape as
+    one parse (the D suffix keeps every element a DOUBLE literal,
+    never DECIMAL; repr() round-trips the exact IEEE value)."""
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+    )
+
+
 def lit_int_matrix(rows) -> Column:
     """array(array(...), ...) — a 2-D integer literal in one parse."""
     return F.expr(

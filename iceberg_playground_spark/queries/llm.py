@@ -94,19 +94,20 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _seeded_minhash(arr: Column, seed: int) -> Column:
-    """Min over ``arr`` of xxhash64(seed, element) — one MinHash
-    permutation. The seed must bind as a CLOSURE constant: a
-    two-parameter transform lambda (the old ``lambda x, i=i`` idiom)
-    receives (element, ARRAY-INDEX) from Spark, so the default was
-    shadowed by the index column and every 'permutation' degenerated
-    to the same index-seeded hash (caught by c31's oracle mismatch —
-    invisible in the rows-only c02/c24)."""
-
-    def h(x: Column) -> Column:
-        return F.xxhash64(F.lit(seed), x)
-
-    return F.array_min(F.transform(arr, h))
+def _seeded_minhash_expr(arr: str, seed: int) -> str:
+    """SQL text of one MinHash permutation: min over column ``arr``
+    of xxhash64(seed, element) — rendered as text so 16 permutations
+    parse in one py4j round-trip instead of ~150 per-element calls
+    (round-16 rule; same expression tree). Historical pitfall, kept
+    documented because every per-element Column builder hits it: the
+    seed must bind as a CLOSURE constant — a two-parameter transform
+    lambda (the old ``lambda x, i=i`` idiom) receives (element,
+    ARRAY-INDEX) from Spark, so the default was shadowed by the index
+    column and every 'permutation' degenerated to the same
+    index-seeded hash (caught by c31's oracle mismatch — invisible in
+    the rows-only c02/c24). In SQL text the seed is inlined, so the
+    class of bug cannot occur."""
+    return f"array_min(transform({arr}, x -> xxhash64({int(seed)}, x)))"
 
 
 def _norm(a: Column) -> Column:
@@ -200,31 +201,28 @@ def c02_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
     sh = d.select("doc_id", "lang", _shingles(_tokens()).alias("sh")).filter(
         F.size("sh") > 0
     )
-    minhashes = [
-        _seeded_minhash(F.col("sh"), i).alias(f"mh{i}")
-        for i in range(_MINHASH_PERMS)
-    ]
-    sig = sh.select("doc_id", "lang", *minhashes)
+    sig = sh.selectExpr(
+        "doc_id",
+        "lang",
+        *[
+            f"{_seeded_minhash_expr('sh', i)} AS mh{i}"
+            for i in range(_MINHASH_PERMS)
+        ],
+    )
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'sig', xxhash64({args}))".format(
+            b=b,
+            args=", ".join(
+                [str(b)]
+                + [f"mh{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS)]
+            ),
+        )
+        for b in range(_LSH_BANDS)
+    )
     bands = sig.select(
         "doc_id",
         "lang",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
-                                F.col(f"mh{b * _LSH_ROWS + r}")
-                                for r in range(_LSH_ROWS)
-                            ],
-                        ).alias("sig"),
-                    )
-                    for b in range(_LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"),
     ).select("doc_id", "lang", "bk.band", "bk.sig")
     # Bucket canon as a two-level MIN aggregation — NOT a window and
     # NOT groupBy + join-back. The join-back re-evaluates the
@@ -1622,27 +1620,25 @@ def c24_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     sh = d.select("doc_id", _shingles(_tokens()).alias("sh")).filter(
         F.size("sh") > 0
     )
-    minhashes = [
-        _seeded_minhash(F.col("sh"), i).alias(f"mh{i}")
-        for i in range(_MINHASH_PERMS)
-    ]
-    sig = sh.select("doc_id", *minhashes)
+    sig = sh.selectExpr(
+        "doc_id",
+        *[
+            f"{_seeded_minhash_expr('sh', i)} AS mh{i}"
+            for i in range(_MINHASH_PERMS)
+        ],
+    )
+    band_hashes = ", ".join(
+        "xxhash64({args})".format(
+            args=", ".join(
+                [str(b)]
+                + [f"mh{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS)]
+            )
+        )
+        for b in range(_LSH_BANDS)
+    )
     bands = sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.col(f"mh{b * _LSH_ROWS + r}")
-                            for r in range(_LSH_ROWS)
-                        ],
-                    )
-                    for b in range(_LSH_BANDS)
-                ]
-            )
-        ).alias("sig"),
+        F.explode(F.expr(f"array({band_hashes})")).alias("sig"),
     )
     bucket_min = F.min("doc_id").over(W.partitionBy("sig"))
     rep = (

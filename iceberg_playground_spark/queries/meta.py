@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from iceberg_playground_spark.queries._util import load
 from iceberg_playground_spark.queries.lakehouse import _built
-from iceberg_playground_spark.queries._util import lit_int_array
 from iceberg_playground_spark.registry import query
 from iceberg_playground_spark.tables import LakeCatalog, LakeTable
 
@@ -307,23 +306,29 @@ def c27_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     JVM arithmetic, zero shuffle, single scan. ``jl_ratio`` reports the
     Johnson-Lindenstrauss norm-preservation ratio (‖y‖/√k/‖v‖ ≈ 1),
     the check that tells you the projection is safe to search over."""
-    from iceberg_playground_spark.queries.llm import _dot, _norm
-
     e = load(spark, sf, "embeddings")
-    emb = F.col("embedding")
-    ys = [
-        F.round(
-            _dot(emb, lit_int_array(_RP_SIGNS[j])), 6
-        ).alias(f"y{j}")
-        for j in range(_RP_OUT)
-    ]
-    y = e.select(
-        "vec_id", *ys, F.round(_norm(emb), 6).alias("norm64")
+    # the 16 projection dots + norm render as parsed SQL (round-16
+    # rule: identical _dot/_norm fold trees, one parse per column
+    # instead of ~15 py4j calls each)
+    dbl_emb = "transform(embedding, x -> cast(x as double))"
+
+    def _y_expr(j: int) -> str:
+        signs = ",".join(str(int(s)) for s in _RP_SIGNS[j])
+        return (
+            f"round(aggregate(zip_with({dbl_emb}, "
+            f"transform(array({signs}), x -> cast(x as double)), "
+            f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x), 6) AS y{j}"
+        )
+
+    y = e.selectExpr(
+        "vec_id",
+        *[_y_expr(j) for j in range(_RP_OUT)],
+        f"round(sqrt(aggregate(transform({dbl_emb}, x -> x * x), "
+        "0.0D, (acc, x) -> acc + x)), 6) AS norm64",
     )
-    sq = None
-    for j in range(_RP_OUT):
-        term = F.col(f"y{j}") * F.col(f"y{j}")
-        sq = term if sq is None else sq + term
+    sq = F.expr(
+        " + ".join(f"y{j} * y{j}" for j in range(_RP_OUT))
+    )
     return y.select(
         "vec_id",
         "y0",

@@ -482,19 +482,22 @@ def _c71_stat_aggs() -> list:
     """The audit's per-cell aggregate columns over an assigned frame
     carrying (q, is_new): base/new counts + conditional per-dim sums.
     ONE definition shared by batch c71 and streaming p38 — the two
-    must stay bit-identical for their shared oracle."""
-    base = F.when(~F.col("is_new"), F.lit(1)).otherwise(F.lit(0))
+    must stay bit-identical for their shared oracle. The 130 columns
+    render as parsed SQL (identical trees) — built column-by-column
+    they cost ~1000 py4j round-trips per call (round-16 rule)."""
+    base = "case when (not is_new) then 1 else 0 end"
     aggs = [
-        F.sum(base).cast("bigint").alias("n_base"),
-        F.sum(1 - base).cast("bigint").alias("n_new"),
+        F.expr(f"cast(sum({base}) as bigint) as n_base"),
+        F.expr(f"cast(sum(1 - ({base})) as bigint) as n_new"),
     ]
     for i in range(_C71_DIM):
         aggs.append(
-            F.sum(F.when(~F.col("is_new"), F.col("q")[i]).otherwise(0))
-            .cast("bigint")
-            .alias(f"sb{i}")
+            F.expr(
+                f"cast(sum(case when (not is_new) then q[{i}]"
+                f" else 0 end) as bigint) as sb{i}"
+            )
         )
-        aggs.append(F.sum(F.col("q")[i]).cast("bigint").alias(f"sa{i}"))
+        aggs.append(F.expr(f"cast(sum(q[{i}]) as bigint) as sa{i}"))
     return aggs
 
 
@@ -502,18 +505,21 @@ def _c71_report(cells: DataFrame) -> DataFrame:
     """Drift + retrain flag over a frame of per-cell stat columns
     (cell_id, n_base, n_new, sb*/sa*) — floor'd base-only vs
     full-population centroids, exact BIGINT fold."""
-    old_c = F.array(*[
-        F.floor(F.col(f"sb{i}").cast("double") / F.col("n_base"))
-        .cast("bigint")
-        for i in range(_C71_DIM)
-    ])
-    new_c = F.array(*[
-        F.floor(
-            F.col(f"sa{i}").cast("double")
-            / (F.col("n_base") + F.col("n_new"))
-        ).cast("bigint")
-        for i in range(_C71_DIM)
-    ])
+    # one-parse renders of the same per-dim floor'd-mean trees
+    # (round-16 rule: ~650 py4j constructions -> 2 parses)
+    old_c = F.expr(
+        "array(" + ", ".join(
+            f"cast(floor(cast(sb{i} as double) / n_base) as bigint)"
+            for i in range(_C71_DIM)
+        ) + ")"
+    )
+    new_c = F.expr(
+        "array(" + ", ".join(
+            f"cast(floor(cast(sa{i} as double) / (n_base + n_new))"
+            " as bigint)"
+            for i in range(_C71_DIM)
+        ) + ")"
+    )
     drift = F.aggregate(
         F.zip_with(old_c, new_c, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
@@ -950,10 +956,10 @@ def p38_streaming_drift_audit(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
 
         merged = spark.read.parquet(state).groupBy("cell_id").agg(
-            F.sum("n_base").cast("bigint").alias("n_base"),
-            F.sum("n_new").cast("bigint").alias("n_new"),
+            F.expr("cast(sum(n_base) as bigint) as n_base"),
+            F.expr("cast(sum(n_new) as bigint) as n_new"),
             *[
-                F.sum(c).cast("bigint").alias(c)
+                F.expr(f"cast(sum({c}) as bigint) as {c}")
                 for i in range(_C71_DIM)
                 for c in (f"sb{i}", f"sa{i}")
             ],

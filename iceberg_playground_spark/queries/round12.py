@@ -98,14 +98,15 @@ def _c74_sub_col(s: int):
     return F.expr(_c74_sub_sql(s))
 
 
-def _c74_code_col(cb: list[list[list[int]]], s: int):
-    """Exact BIGINT argmin code for subspace ``s`` against a literal
-    16×8 centroid matrix — ONE JVM expression, zero joins (the c54
-    literal-matrix rule). array_position's first minimum IS the
-    lowest-j tie-break the oracle's min-struct encodes. Rendered as
-    ONE parsed SQL string (round 16): the nested-lambda DSL form cost
+def _c74_code_sql(cb: list[list[list[int]]], s: int) -> str:
+    """SQL text of the exact BIGINT argmin code for subspace ``s``
+    against a literal 16×8 centroid matrix — ONE JVM expression, zero
+    joins (the c54 literal-matrix rule). array_position's first
+    minimum IS the lowest-j tie-break the oracle's min-struct encodes.
+    Rendered as SQL text (round 16): the nested-lambda DSL form cost
     a py4j round-trip per literal/lambda at every train superstep —
-    the parsed tree is identical."""
+    the parsed tree is identical. Text form so callers can embed it
+    in a larger one-parse expression."""
     cmat = (
         "array("
         + ",".join(
@@ -119,9 +120,11 @@ def _c74_code_col(cb: list[list[list[int]]], s: int):
         f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
         f"(acc, x) -> acc + x))"
     )
-    return F.expr(
-        f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
-    )
+    return f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+
+
+def _c74_code_col(cb: list[list[list[int]]], s: int):
+    return F.expr(_c74_code_sql(cb, s))
 
 
 def _c74_seed(qdf: DataFrame) -> list[list[list[int]]]:
@@ -155,15 +158,14 @@ def _c74_train_on(
     construction); empty cells keep their centroid. Shared by c74
     (raw vectors) and c77 (coarse residuals)."""
     for _ in range(_C74_ITERS):
-        pairs = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("s"),
-                    _c74_code_col(cb, s).alias("j"),
-                    _c74_sub_col(s).alias("sub"),
-                )
+        # per-superstep assignment array as ONE parsed expression
+        # (round-16 rule; identical struct trees)
+        pairs = F.expr(
+            "array(" + ",".join(
+                f"named_struct('s', {s}, 'j', {_c74_code_sql(cb, s)},"
+                f" 'sub', {_c74_sub_sql(s)})"
                 for s in range(_C74_SUB)
-            ]
+            ) + ")"
         )
         agg = (
             qdf.select(F.explode(pairs).alias("e"))
@@ -172,7 +174,7 @@ def _c74_train_on(
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
-                    F.sum(F.col("sub")[d]).alias(f"d{d}")
+                    F.expr(f"sum(sub[{d}]) as d{d}")
                     for d in range(_C74_SDIM)
                 ],
             )
@@ -308,11 +310,17 @@ def c74_pq_train(spark: SparkSession, sf: str) -> DataFrame:
     ]
     from iceberg_playground_spark.queries._util import lit_int_array
 
-    est = None
-    for s in range(_C74_SUB):
-        alit = lit_int_array(adc[s])
-        term = F.element_at(alit, _c74_code_col(cb, s) + 1)
-        est = term if est is None else est + term
+    # the 8 ADC table lookups sum as ONE parsed expression
+    # (round-16 rule; identical element_at trees, left-assoc +)
+    est = F.expr(
+        " + ".join(
+            "element_at(array({vals}), ({code}) + 1)".format(
+                vals=",".join(str(int(v)) for v in adc[s]),
+                code=_c74_code_sql(cb, s),
+            )
+            for s in range(_C74_SUB)
+        )
+    )
     short = (
         qdf.select("vec_id", est.cast("bigint").alias("est_d2"))
         .orderBy("est_d2", "vec_id")
@@ -1400,19 +1408,23 @@ def c77_trained_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
     cand = res.filter(
         F.col("cluster_id").isin([int(c) for c in probed])
     )
-    est = None
-    for s in range(_C74_SUB):
-        code = _c74_code_col(pcb, s)
-        term = None
-        for cid in probed:
-            alit = lit_int_array(adc[cid][s])
-            pick = F.element_at(alit, code + 1)
-            term = (
-                F.when(F.col("cluster_id") == int(cid), pick)
-                if term is None
-                else term.when(F.col("cluster_id") == int(cid), pick)
+    # the 8 per-subspace CASE-over-probed-cells lookups sum as ONE
+    # parsed expression (round-16 rule; identical trees — CASE with
+    # no ELSE, left-assoc +)
+    def _case(s: int) -> str:
+        code = _c74_code_sql(pcb, s)
+        whens = " ".join(
+            "when (cluster_id = {cid}) then element_at(array({vals}),"
+            " ({code}) + 1)".format(
+                cid=int(cid),
+                vals=",".join(str(int(v)) for v in adc[cid][s]),
+                code=code,
             )
-        est = term if est is None else est + term
+            for cid in probed
+        )
+        return f"case {whens} end"
+
+    est = F.expr(" + ".join(f"({_case(s)})" for s in range(_C74_SUB)))
     short = (
         cand.select("vec_id", est.cast("bigint").alias("est_d2"))
         .orderBy("est_d2", "vec_id")
@@ -1945,7 +1957,9 @@ def _c78_fused(spark: SparkSession, sf: str) -> DataFrame:
     qe = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][
         "embedding"
     ]
-    qlit = F.array(*[F.lit(float(v)) for v in qe])
+    from iceberg_playground_spark.queries._util import lit_double_array
+
+    qlit = lit_double_array(qe)
     cos = F.round(
         _dot(F.col("embedding"), qlit) / (_norm(F.col("embedding")) * _norm(qlit)),
         6,

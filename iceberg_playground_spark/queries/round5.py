@@ -28,12 +28,10 @@ from iceberg_playground_spark.queries._util import (
 from iceberg_playground_spark.queries.lakehouse import _built
 from iceberg_playground_spark.queries.llm import (
     _SH_SQL,
-    _dot,
     _shingles,
     _tokens,
 )
 from iceberg_playground_spark.queries.meta import _RP_SIGNS
-from iceberg_playground_spark.queries._util import lit_int_array
 from iceberg_playground_spark.registry import query
 from iceberg_playground_spark.tables import LakeCatalog, LakeTable
 
@@ -254,6 +252,21 @@ _LSH_BANDS5 = 4
 _LSH_BITS = 4  # bits per band; 16 sign bits total, c27's projection matrix
 
 
+def _c29_bit_sql(j: int) -> str:
+    """Spark-SQL text of sign bit j: the identical
+    ``when(_dot(embedding, signs_j) >= 0, 1).otherwise(0)`` tree
+    (sequential left-fold dot over double-cast elements; 0.0D keeps
+    the fold's zero a DOUBLE literal exactly as F.lit(0.0) did)."""
+    signs = ",".join(str(int(s)) for s in _RP_SIGNS[j])
+    return (
+        "case when (aggregate(zip_with("
+        "transform(embedding, x -> cast(x as double)), "
+        f"transform(array({signs}), x -> cast(x as double)), "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)) >= 0 "
+        "then 1 else 0 end"
+    )
+
+
 def _c29_dot_sql(j: int) -> str:
     lit = "[" + ",".join(str(s) for s in _RP_SIGNS[j]) + "]"
     return (
@@ -310,24 +323,22 @@ def c29_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
     identical literals, so even a dot product at ±ulp of zero lands on
     the same side."""
     e = load(spark, sf, "embeddings")
-    emb = F.col("embedding")
-    bits = [
-        F.when(
-            _dot(emb, lit_int_array(_RP_SIGNS[j])) >= 0, 1
-        ).otherwise(0)
-        for j in range(_LSH_BANDS5 * _LSH_BITS)
-    ]
-    band_structs = []
-    for b in range(_LSH_BANDS5):
-        val = None
-        for r in range(_LSH_BITS):
-            term = bits[b * _LSH_BITS + r] * (1 << (_LSH_BITS - 1 - r))
-            val = term if val is None else val + term
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), val.alias("bval"))
+    # the 16 sign bits + 4 band structs render as ONE parsed SQL
+    # expression (round-16 rule) — the identical _dot/when trees
+    # built column-by-column cost ~250 py4j round-trips per call
+    bands_expr = "array(" + ", ".join(
+        "named_struct('band', {b}, 'bval', {val})".format(
+            b=b,
+            val=" + ".join(
+                f"({_c29_bit_sql(b * _LSH_BITS + r)})"
+                f" * {1 << (_LSH_BITS - 1 - r)}"
+                for r in range(_LSH_BITS)
+            ),
         )
+        for b in range(_LSH_BANDS5)
+    ) + ")"
     bands = e.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bk")
+        "vec_id", F.explode(F.expr(bands_expr)).alias("bk")
     ).select("vec_id", "bk.band", "bk.bval")
     buckets = bands.groupBy("band", "bval").agg(F.count("*").alias("k"))
     return (
@@ -492,20 +503,16 @@ def c31_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    def mh(i: int):
-        # The permutation constants bind as CLOSURE constants — a
-        # multi-parameter transform lambda would receive (element,
-        # array-index) and shadow them (see llm._seeded_minhash).
-        a, b = _MH_A[i], _MH_B[i]
-
-        def perm(x):
-            return (F.lit(a) * x + F.lit(b)) % F.lit(_MH_M)
-
-        return F.array_min(F.transform(F.col("ds"), perm))
-
-    sig = shd.select(
-        "doc_id", F.array(*[mh(i) for i in range(_MH_K)]).alias("sig")
+    # The 32-permutation signature array renders as ONE parsed SQL
+    # expression — the identical tree built column-by-column cost
+    # ~1.3 s of py4j round-trips per call (measured round 16; the
+    # OPTIMIZATION_r16.md batch-2 rule). Constants are module ints.
+    perms = ", ".join(
+        f"array_min(transform(ds, x -> ({int(_MH_A[i])} * x"
+        f" + {int(_MH_B[i])}) % {int(_MH_M)}))"
+        for i in range(_MH_K)
     )
+    sig = shd.select("doc_id", F.expr(f"array({perms})").alias("sig"))
     post = shd.select(
         "doc_id", "lang", "n_chars",
         F.size("sh").alias("n_sh"), F.explode("sh").alias("s"),

@@ -29,6 +29,7 @@ from iceberg_playground_spark.queries._util import (
     hash_bucket,
     int_ln_micro_col,
     int_ln_micro_cte_sql,
+    lit_double_array,
     load,
 )
 from iceberg_playground_spark.queries.lakehouse import _built
@@ -1519,7 +1520,7 @@ def c36_product_quantization(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", "est_d2")
         .collect()
     )
-    qlit = F.array(*[F.lit(float(v)) for v in q])
+    qlit = lit_double_array(q)
     exact = (
         emb.select(
             "vec_id",

@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 from iceberg_playground_spark.queries._util import (
     bucket_sql,
     hash_bucket,
+    lit_double_array,
     load,
 )
 from iceberg_playground_spark.queries.lakehouse import _built
@@ -98,35 +99,33 @@ _P17_A = [((1103515245 * (i + 1)) % (1 << 30)) | 1 for i in range(_P17_PERMS)]
 _P17_B = [(12345 + 987654321 * i) % (1 << 31) for i in range(_P17_PERMS)]
 
 
-def _mh_affine(i: int) -> Column:
-    """Permutation i over the per-shingle base digests in ``ds``. The
-    constants bind as CLOSURE constants (the two-param transform-lambda
-    pitfall, llm.py:94)."""
-    a, b = _P17_A[i], _P17_B[i]
+def _mh_affine_expr(i: int) -> str:
+    """SQL text of permutation i over the per-shingle base digests in
+    ``ds`` — the same ``array_min(transform(...))`` tree the old
+    column-by-column builder made, rendered as one parsed expression
+    (constants are module ints, int()-coerced; the old builder's
+    closure-constant rule — llm.py:94 — is moot in SQL text, where
+    the constants are inlined)."""
+    a, b = int(_P17_A[i]), int(_P17_B[i])
+    return f"array_min(transform(ds, d -> ({a} * d + {b}) % {int(_P17_M)}))"
 
-    def perm(d: Column) -> Column:
-        return (F.lit(a) * d + F.lit(b)) % F.lit(_P17_M)
 
-    return F.array_min(F.transform(F.col("ds"), perm))
-
-
-def _band_sig_cols() -> list[Column]:
-    """(band, sig) structs: sig = md5 of the band's 4 minhash ints,
-    '|'-joined — one md5 per band per doc (the only string hashing
-    left after the affine family)."""
-    out = []
+def _band_sig_structs_expr() -> str:
+    """SQL text of the 4 (band, sig) structs: sig = md5 of the band's
+    4 minhash ints, '|'-joined — one md5 per band per doc (the only
+    string hashing left after the affine family). Same trees as the
+    old F.struct/F.concat builder, one parse."""
+    structs = []
     for b in range(_P17_BANDS):
-        parts: list[Column] = []
+        parts: list[str] = []
         for r in range(_P17_ROWS):
             if parts:
-                parts.append(F.lit("|"))
-            parts.append(F.col(f"mh{b * _P17_ROWS + r}").cast("string"))
-        out.append(
-            F.struct(
-                F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("sig")
-            )
+                parts.append("'|'")
+            parts.append(f"cast(mh{b * _P17_ROWS + r} as string)")
+        structs.append(
+            f"named_struct('band', {b}, 'sig', md5(concat({', '.join(parts)})))"
         )
-    return out
+    return f"array({', '.join(structs)})"
 
 
 def _digest_col() -> Column:
@@ -147,15 +146,25 @@ _DIGEST_SQL = (
 
 def _band_sigs(df: DataFrame, *keep: str) -> DataFrame:
     """(keep..., band, sig) rows for every ≥3-token doc in ``df`` —
-    the shared signature pipeline of p17/c39/p18: one md5 per
-    shingle, 16 affine permutations, one md5 per band."""
-    mh_cols = [_mh_affine(i).alias(f"mh{i}") for i in range(_P17_PERMS)]
+    the shared signature pipeline of p17/c39/p18 (also p19/p20/p27/
+    c49/c83): one md5 per shingle, 16 affine permutations, one md5
+    per band. The 16 permutation columns and the 4 band structs
+    render as parsed SQL (identical trees) instead of ~200
+    per-element py4j constructions — this builder runs 1-2x inside
+    every caller's timed cell, so construction chatter was charged to
+    eight bench cells at once (OPTIMIZATION_r16.md batch 2's rule)."""
+    mh_exprs = [
+        f"{_mh_affine_expr(i)} AS mh{i}" for i in range(_P17_PERMS)
+    ]
     return (
         df.select(*keep, _shingles(_tokens()).alias("sh"))
         .filter(F.size("sh") > 0)
         .select(*keep, _digest_col().alias("ds"))
-        .select(*keep, *mh_cols)
-        .select(*keep, F.explode(F.array(*_band_sig_cols())).alias("bk"))
+        .selectExpr(*keep, *mh_exprs)
+        .select(
+            *keep,
+            F.explode(F.expr(_band_sig_structs_expr())).alias("bk"),
+        )
         .select(*keep, "bk.band", "bk.sig")
     )
 
@@ -388,7 +397,7 @@ def _ordered_fold(val: str, key: str = "s") -> Column:
 def _q_cosine(q) -> Column:
     """Exact cosine vs the literal query vector, rounded at the output
     boundary (c03's determinism contract)."""
-    qlit = F.array(*[F.lit(float(v)) for v in q])
+    qlit = lit_double_array(q)
     return F.round(
         _dot(F.col("embedding"), qlit)
         / (_norm(F.col("embedding")) * _norm(qlit)),

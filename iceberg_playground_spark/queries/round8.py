@@ -1327,31 +1327,24 @@ def c45_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     exactly like this, never over the full corpus); both top-k
     windows group-limit below their exchange."""
     from iceberg_playground_spark.queries.llm import _dot, _norm
-    from iceberg_playground_spark.queries.meta import _RP_SIGNS
+    from iceberg_playground_spark.queries.round5 import _c29_bit_sql
 
     e = load(spark, sf, "embeddings")
-    nb = _C45_BANDS * _C45_BITS
-    emb = F.col("embedding")
-    bits = [
-        F.when(
-            _dot(emb, F.array(*[F.lit(s) for s in _RP_SIGNS[j]])) >= 0, 1
-        ).otherwise(0)
-        for j in range(nb)
-    ]
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    (
-                        bits[b * _C45_BITS + r] * (1 << (_C45_BITS - 1 - r))
-                        for r in range(_C45_BITS)
-                    ),
-                    F.lit(0),
-                ).alias("bval"),
+    # the 16 sign bits + 4 band structs as ONE parsed expression
+    # (c29's round-16 rule; same _RP_SIGNS geometry — the leading
+    # "0 +" mirrors the old sum(..., F.lit(0)) seed term)
+    bands = F.expr(
+        "array(" + ", ".join(
+            "named_struct('band', {b}, 'bval', 0 + {val})".format(
+                b=b,
+                val=" + ".join(
+                    f"({_c29_bit_sql(b * _C45_BITS + r)})"
+                    f" * {1 << (_C45_BITS - 1 - r)}"
+                    for r in range(_C45_BITS)
+                ),
             )
             for b in range(_C45_BANDS)
-        ]
+        ) + ")"
     )
     sig = e.select("vec_id", F.explode(bands).alias("bb")).select(
         "vec_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")

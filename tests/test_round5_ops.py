@@ -114,7 +114,7 @@ def test_c02_permutations_are_distinct(spark):
     # produce >1 distinct component for typical docs (the degenerate
     # index-seeded form made all 16 identical per doc).
     from iceberg_playground_spark.queries.llm import (
-        _seeded_minhash,
+        _seeded_minhash_expr,
         _shingles,
         _tokens,
     )
@@ -122,11 +122,8 @@ def test_c02_permutations_are_distinct(spark):
 
     d = load(spark, SF_CHECK, "documents").limit(50)
     sh = d.select(_shingles(_tokens()).alias("sh")).filter(F.size("sh") > 3)
-    sig = sh.select(
-        F.array(*[_seeded_minhash(F.col("sh"), i) for i in range(16)]).alias(
-            "sig"
-        )
-    )
+    perms = ", ".join(_seeded_minhash_expr("sh", i) for i in range(16))
+    sig = sh.select(F.expr(f"array({perms})").alias("sig"))
     distinct_counts = [
         len(set(r["sig"])) for r in sig.collect()
     ]
