@@ -181,7 +181,11 @@ def c63_bpe_merge_learn(spark: SparkSession, sf: str) -> DataFrame:
     table: one weighted pair aggregate with map-side partials, one
     1-ROW argmax collect (TakeOrderedAndProject — driver state is
     O(1) per step, O(N) total, never corpus- or vocab-sized), and a
-    pure-map fold re-segmentation re-broadcast as literals. The word
+    pure-map fold re-segmentation re-broadcast as literals. The
+    grading stats of step i and the argmax that picks step i+1 are
+    independent jobs over the same checkpointed table, so they run
+    CONCURRENTLY from a 2-thread pool (round 16; guide §2.6) —
+    values, merges, and hashes unchanged. The word
     table localCheckpoints each step so lineage stays one fold deep
     (the c54 lesson: nested per-step expression trees triple Catalyst
     analysis time) and the corpus is never re-scanned. Per-step
@@ -197,19 +201,21 @@ def c63_bpe_merge_learn(spark: SparkSession, sf: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    rows: list[tuple] = []
-    for step in range(1, _C63_MERGES + 1):
-        top = (
-            _c63_pairs(words)
-            .orderBy(F.col("tot").desc(), "pair")
-            .limit(1)
-            .collect()
-        )[0]
-        a, b = top["pair"].split(" ")
-        words = words.withColumn("seq", _c63_fold(a, b)).localCheckpoint(
-            eager=False
-        )
-        stats = words.agg(
+
+    # Per superstep, two INDEPENDENT bounded jobs read the same
+    # checkpointed word table: the grading stats of step i and the
+    # pair argmax that picks step i+1's merge. Submitting both from a
+    # 2-thread pool (guide §2.6 "overlap independent jobs" — actions
+    # are only sequential because driver code calls them sequentially)
+    # halves the superstep's job latency; the collected values, and
+    # therefore every merge decision and grading row, are unchanged.
+    def _argmax(w: DataFrame):
+        return (
+            _c63_pairs(w).orderBy(F.col("tot").desc(), "pair").limit(1)
+        ).collect()
+
+    def _stats(w: DataFrame):
+        return w.agg(
             F.sum(
                 F.col("cnt") * F.size(F.split("seq", " "))
             ).alias("tokens_after"),
@@ -220,18 +226,34 @@ def c63_bpe_merge_learn(spark: SparkSession, sf: str) -> DataFrame:
                     10,
                 ).cast("bigint")
             ).alias("vocab_digest"),
-        ).collect()[0]
-        rows.append(
-            (
-                step,
-                a,
-                b,
-                a + b,
-                int(top["tot"]),
-                int(stats["tokens_after"]),
-                int(stats["vocab_digest"]),
+        ).collect()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    rows: list[tuple] = []
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        top_f = pool.submit(_argmax, words)
+        for step in range(1, _C63_MERGES + 1):
+            top = top_f.result()[0]
+            a, b = top["pair"].split(" ")
+            words = words.withColumn(
+                "seq", _c63_fold(a, b)
+            ).localCheckpoint(eager=False)
+            stats_f = pool.submit(_stats, words)
+            if step < _C63_MERGES:
+                top_f = pool.submit(_argmax, words)
+            stats = stats_f.result()[0]
+            rows.append(
+                (
+                    step,
+                    a,
+                    b,
+                    a + b,
+                    int(top["tot"]),
+                    int(stats["tokens_after"]),
+                    int(stats["vocab_digest"]),
+                )
             )
-        )
     return spark.createDataFrame(
         rows,
         "step INT, left_sym STRING, right_sym STRING, merged STRING, "

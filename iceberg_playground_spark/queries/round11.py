@@ -380,9 +380,11 @@ def c72_learned_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     the eval arm is the sanctioned c67 shape — probes are BOUNDED
     (10 rows, broadcast, their nprobe cells resolved driver-side
     against the k·d literal seed matrix), the candidate pass is
-    |probes|·N map work off ONE corpus scan, top-k rides ranking
-    windows with pushed group limits, and the final intersection
-    joins two ≤100-row top-k sets."""
+    |probes|·N map work off ONE corpus scan, and both rankings (the
+    brute global rank and the cell-restricted rank) ride ONE window
+    partitioning in a single pass — the intersection is a per-row
+    rank predicate, never a join (round 16: the old two-top-k-sets
+    join form re-evaluated the distance-fold lineage 3x)."""
     from iceberg_playground_spark.queries.round9b import _c54_assign
 
     qdf, seeds = _c70_train(spark, sf)
@@ -429,34 +431,47 @@ def c72_learned_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("d"),
         )
     )
+    # ONE pass computes both rankings (round 16): rn_all (global
+    # brute rank) attaches BEFORE the cell filter, rn_ivf after —
+    # both windows share the probe_id partitioning and (d, vec_id)
+    # ordering, so the second window adds NO exchange and no sort,
+    # and "in brute top-k" becomes a per-row predicate instead of a
+    # join of two materialized top-k sets. The old form evaluated the
+    # |probes|·N distance-fold lineage 3x (brute arm, ivf arm, cand_n
+    # arm — no exchange reuse across the differently-shaped
+    # consumers); this form evaluates it once. hits is identical by
+    # definition: a candidate is in the intersection iff its rank
+    # among candidates AND its global rank are both <= k (brute rows
+    # outside the candidate set can never intersect).
     wp = W.partitionBy("probe_id").orderBy("d", "vec_id")
-    brute = (
-        pairs.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= _C72_TOPK)
-        .select("probe_id", "vec_id")
-    )
-    cand = pairs.filter(F.col("in_cells"))
-    ivf = (
-        cand.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= _C72_TOPK)
-        .select("probe_id", "vec_id")
-    )
-    hits = (
-        ivf.join(F.broadcast(brute), ["probe_id", "vec_id"])
-        .groupBy("probe_id")
-        .agg(F.count("*").cast("bigint").alias("hits"))
+    cand = (
+        pairs.withColumn("rn_all", F.row_number().over(wp))
+        .filter(F.col("in_cells"))
+        .withColumn("rn_ivf", F.row_number().over(wp))
     )
     return (
         cand.groupBy("probe_id")
-        .agg(F.count("*").cast("bigint").alias("cand_n"))
-        .join(hits, "probe_id", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("cand_n"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("rn_ivf") <= _C72_TOPK)
+                        & (F.col("rn_all") <= _C72_TOPK),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("hits"),
+        )
         .select(
             "probe_id",
             "cand_n",
-            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+            "hits",
             F.expr(
-                f"CAST((coalesce(hits, 0) * 1000000) DIV {_C72_TOPK} "
-                f"AS BIGINT)"
+                f"CAST((hits * 1000000) DIV {_C72_TOPK} AS BIGINT)"
             ).alias("recall_micro"),
         )
         .orderBy("probe_id")

@@ -1379,8 +1379,12 @@ def c77_trained_ivfadc(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # seed collect + 2 train scans + codes
     pcb = _c74_train_on(res, _c74_seed(res))
 
-    q0 = [int(v) for v in qdf.filter(F.col("vec_id") == 0).collect()[0]["q"]]
+    # the query vector is vec_id 0 — which is ALWAYS seed 0 of the
+    # k-means++ chain (_c70_train's deterministic-seed rule), already
+    # on the driver: re-collecting it was one whole redundant job
+    # (round 16)
     cent_by_id = {cid: vec for cid, vec in seeds}
+    q0 = [int(v) for v in cent_by_id[0]]
     by_dist = sorted(
         (
             (sum((q0[i] - vec[i]) ** 2 for i in range(len(q0))), cid)

@@ -1090,7 +1090,8 @@ def p20_corpus_build_v2(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: the signature lineage (shingle → digest → 16 affine
     permutations → 4 band sigs) computes ONCE (lazy localCheckpoint
     feeds dedup winners, the eval index, and the leak probe — three
-    consumers, one pass); dedup is c02's two-level MIN aggregation
+    consumers, one pass); the kept set likewise checkpoints once for
+    its three consumers; dedup is c02's two-level MIN aggregation
     (map-side partials absorb hot buckets, the shuffle carries
     |corpus| signature rows, never pairs); the eval signature index
     broadcasts for the leak probe exactly as p19; the report is one
@@ -1128,9 +1129,17 @@ def p20_corpus_build_v2(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("w").alias("doc_id"))
     )
     signed = sigs.select("doc_id").distinct()
-    kept = kept_sig.unionByName(
-        docs.select("doc_id").join(signed, "doc_id", "left_anti")
-    ).withColumn("is_kept", F.lit(1))
+    kept = (
+        kept_sig.unionByName(
+            docs.select("doc_id").join(signed, "doc_id", "left_anti")
+        )
+        .withColumn("is_kept", F.lit(1))
+        # three consumers (eval index, leak probe, report join) — the
+        # winner election (the pipeline's heaviest aggregate) computes
+        # once instead of 3x (round 16; the c62 checkpoint-once rule).
+        # |corpus| x 2 narrow columns, never broadcast.
+        .localCheckpoint(eager=False)
+    )
     # the kept set is ~|corpus|-sized — it must NEVER broadcast; only
     # the eval signature index (benchmark-suite-sized) broadcasts
     eval_ids = docs.filter(F.col("split") == "eval").select("doc_id")

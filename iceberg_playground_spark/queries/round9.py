@@ -639,7 +639,18 @@ def c52_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
             != 0
         ),
     )
-    tf = train.crossJoin(F.broadcast(bitmap)).withColumn("flagged", probe)
+    # project to the three columns downstream needs (dropping the
+    # broadcast bitmap column), then checkpoint once: the report agg
+    # and the confirm arm both consume tf, and without the barrier
+    # the whole phase-1 probe pass (corpus scan + md5 + k-position
+    # forall) evaluated twice (round 16; the c62 checkpoint-once
+    # rule). The confirm semi-join still sees only flagged rows.
+    tf = (
+        train.crossJoin(F.broadcast(bitmap))
+        .withColumn("flagged", probe)
+        .select("lang", "fp", "flagged")
+        .localCheckpoint(eager=False)
+    )
     truth = (
         tf.filter("flagged")
         .join(eval_fps, "fp", "leftsemi")
