@@ -556,6 +556,26 @@ def measured_seconds(run, **kwargs) -> float:
     return measured_seconds_ex(run, **kwargs)[0]
 
 
+def summary_line(total: float, times: dict[str, float], sf) -> str:
+    """The one-line stdout contract: ONLY the driver-parseable core
+    (metric, value, unit, queries, sf). VERDICT r16 item 2: the r15
+    line, grown by per-cell run counts and the guard block, outgrew
+    the driver's output-tail capture and was truncated from the front
+    — the parse failed and the round-over-round table was lost.
+    cell_runs and guard detail belong in bench_runs/*.json (where
+    they have always been persisted), never on this line; its length
+    is bounded by a unit test."""
+    return json.dumps(
+        {
+            "metric": "headline_query_wall_time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+        }
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -748,16 +768,7 @@ def main() -> None:
             guard["kept"] = "first"
             guard["rerun_total"] = round(total2, 3)
 
-    payload = {
-        "metric": "headline_query_wall_time",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": times,
-        "sf": sf,
-        "cell_runs": cell_runs,
-        "guard": guard,
-    }
-    print(json.dumps(payload))
+    print(summary_line(total, times, sf))
     # Durable full record (VERDICT r11 item 4): the driver keeps only
     # a 2000-char tail of stdout, which truncates the per-cell map on
     # wide runs — persist the whole payload (plus a wall-clock stamp)
@@ -766,7 +777,9 @@ def main() -> None:
     try:
         import datetime
 
-        rec = dict(payload)
+        rec = dict(json.loads(summary_line(total, times, sf)))
+        rec["cell_runs"] = cell_runs
+        rec["guard"] = guard
         rec["recorded_at"] = datetime.datetime.now(
             datetime.timezone.utc
         ).isoformat(timespec="seconds")

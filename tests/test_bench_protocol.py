@@ -177,3 +177,30 @@ def test_anchor_table_matches_headline_set():
     assert GUARD_FACTOR == 2.0
     assert GUARD_MIN_CELLS == 4
     assert PROBE_QUIET == 0.6
+
+
+def test_summary_line_is_bounded_and_core_only():
+    # VERDICT r16 item 2: the one-line stdout contract must stay small
+    # enough that the driver's output-tail capture can never truncate
+    # it (r15's line, grown by cell_runs + guard, was cut from the
+    # front and failed to parse). Build a worst-case line — every
+    # headline cell plus its demo-build twin, probes, session init,
+    # maximal float widths — and bound it well under the capture
+    # window; the payload carries ONLY the five driver-parsed keys.
+    import json
+
+    from bench import SPLIT_BUILD, summary_line
+
+    times = {"_session_init": 8888.888, "_host_probe_start": 10.463}
+    for name in HEADLINE:
+        if name in SPLIT_BUILD:
+            times[f"{name}_demo_build"] = 8888.888
+        times[name] = 8888.888
+    times["_host_probe_end"] = 10.486
+    line = summary_line(123456.789, times, 0.1)
+    assert "\n" not in line
+    assert len(line) < 8192
+    payload = json.loads(line)
+    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert payload["value"] == 123456.789
+    assert payload["queries"]["_session_init"] == 8888.888
