@@ -487,14 +487,26 @@ def _c91_graph(spark: SparkSession, sf: str):
     from iceberg_playground_spark.queries._util import load
 
     e = load(spark, sf, "embeddings")
-    q = e.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * _C91_SCALE).cast("bigint"),
-        ).alias("qv"),
-    ).localCheckpoint(eager=False)  # consumed by pairs (x2) + scoring
+    q = (
+        e.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "label",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _C91_SCALE).cast(
+                    "bigint"
+                ),
+            ).alias("qv"),
+        )
+        # hash-repartition before the pair work (c31's rule, round 17):
+        # the label join broadcasts its other side, so the Σ|block|²
+        # distance folds inherit the SCAN's partitioning — one parquet
+        # file = one input split = the whole pair job on one core
+        # (measured 5.7 s -> 0.9 s at sf0.1 on 32 cores). Width derives
+        # from the env'd core count, never a local[32] constant.
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint(eager=False)  # consumed by pairs (x2) + scoring
+    )
     return q, _c91_edges(q, _C91_M)
 
 
@@ -527,49 +539,56 @@ def c91_knn_graph_search(spark: SparkSession, sf: str) -> DataFrame:
     all-pairs across the corpus; pinned never-cartesian except the
     10x10 hub ring, a bounded broadcast; co-locating vectors by block
     is build-time's one legitimate vector shuffle, paid once) + one
-    |edges| ranking window; the search touches |beam|x{_C91_M} edge rows and scores
-    ≤ {_C91_B}*{_C91_M} candidates per hop through a BROADCAST id
-    semi-join against the vector table — per hop, one pruned scan
-    (on a vec_id-bucketed lake layout, b60's discipline, a few-file
-    read), never a shuffle of vectors. At 100 TB the graph is built
-    once (the expensive, embarrassingly-blocked part) and each query
-    pays hops*beam bounded lookups — HNSW's actual economics."""
+    |edges| ranking window; the SEARCH is driver-coordinated (round
+    17): per hop, one {_C91_B}-id filter of the checkpointed edge
+    list and one ≤ {_C91_B}*({_C91_M}+|labels|)-id filtered scoring
+    scan of the vector table — both bounded collects of the c63
+    argmax class (O(beam*degree) rows per hop, never corpus-sized; on
+    a vec_id-bucketed lake layout, b60's discipline, each is a pruned
+    few-file read), and vectors never shuffle at query time. The
+    round-16 shape instead unioned lazy frames per hop, which doubled
+    the visited lineage per hop: the final plan re-evaluated ~2^hops
+    copies of every hop's joins (889 plan lines, 56 exchanges, 50
+    RDD re-scans at H=3) — pure plan-size cost that the bounded
+    driver state removes (measured 6.9 -> 2.8 s at sf0.1, identical
+    rows). At 100 TB the graph is built once (the expensive,
+    embarrassingly-blocked part) and each query pays hops*beam
+    bounded lookups — HNSW's actual economics."""
     q, alledges = _c91_graph(spark, sf)
-    sqd = _c91_sqd
     qvec = q.filter(F.col("vec_id") == 0).select("qv").first()["qv"]
     qlit = lit_bigint_array(qvec)
-    scored_all = q.select(
-        "vec_id", sqd(F.col("qv"), qlit).alias("d")
-    ).localCheckpoint(eager=False)  # reused by every hop + the seed
-    visited = scored_all.filter(F.col("vec_id") == _C91_ENTRY)
-    # NO checkpoint inside the loop: each hop's frames are beam-bounded
-    # rows sitting directly on the two checkpointed bases, so the
-    # re-execution a reuse costs is a handful of tiny joins — measured
-    # 2x CHEAPER than forcing a materialization job per hop (21 s ->
-    # 8-11 s at sf0.1, identical rows)
+
+    def score(ids: list) -> list:
+        # one pruned scan of the checkpointed vector table per hop:
+        # ≤ beam*(M+|labels|) ids, exact BIGINT distances to the query
+        return (
+            q.filter(F.col("vec_id").isin(ids))
+            .select("vec_id", _c91_sqd(F.col("qv"), qlit).alias("d"))
+            .collect()
+        )
+
+    visited: dict = {}  # vec_id -> exact sq dist; ≤ 1 + H*B*(M+|labels|) entries
+    for r in score([_C91_ENTRY]):
+        visited[r["vec_id"]] = r["d"]
     for _ in range(_C91_H):
-        beam = visited.orderBy("d", "vec_id").limit(_C91_B).select("vec_id")
-        cand = (
-            beam.join(alledges, beam["vec_id"] == alledges["src"])
-            .select(F.col("dst").alias("vec_id"))
+        # the beam is the top-B visited, ties on vec_id — the same
+        # (d, vec_id) order the round-16 orderBy().limit(B) used
+        beam = sorted(visited, key=lambda v: (visited[v], v))[:_C91_B]
+        cand = {
+            r["dst"]
+            for r in alledges.filter(F.col("src").isin(beam))
+            .select("dst")
             .distinct()
-        )
-        # broadcast the ≤ beam*M candidate ids into the vector table:
-        # one pruned scan per hop, vectors never shuffle
-        scored = scored_all.join(F.broadcast(cand), "vec_id")
-        visited = visited.unionByName(scored).distinct()
-    return (
-        visited.filter(F.col("vec_id") != 0)
-        .orderBy("d", "vec_id")
-        .limit(_C91_K)
-        .select(
-            F.row_number()
-            .over(W.orderBy("d", "vec_id"))
-            .cast("int")
-            .alias("rank"),
-            "vec_id",
-            F.col("d").cast("bigint").alias("sq_dist"),
-        )
+            .collect()
+        }
+        new = sorted(cand - visited.keys())
+        if new:
+            for r in score(new):
+                visited[r["vec_id"]] = r["d"]
+    top = sorted((d, v) for v, d in visited.items() if v != 0)[:_C91_K]
+    return spark.createDataFrame(
+        [(i + 1, v, d) for i, (d, v) in enumerate(top)],
+        "rank INT, vec_id BIGINT, sq_dist BIGINT",
     )
 
 

@@ -180,19 +180,29 @@ def c96_graph_index_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from iceberg_playground_spark.queries.round13 import _c91_sqd
 
     e = load(spark, sf, "embeddings")
-    q = e.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * _C96_SCALE).cast(
-                "bigint"
-            ),
-        ).alias("qv"),
-        (hash_bucket(F.col("vec_id")) >= _C96_NEW_FROM)
-        .cast("int")
-        .alias("is_new"),
-    ).localCheckpoint(eager=False)  # consumed by 3 pair arms + stats
+    q = (
+        e.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "label",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _C96_SCALE).cast(
+                    "bigint"
+                ),
+            ).alias("qv"),
+            (hash_bucket(F.col("vec_id")) >= _C96_NEW_FROM)
+            .cast("int")
+            .alias("is_new"),
+        )
+        # hash-repartition before the pair arms (c31's rule, round
+        # 17): the label joins broadcast their other side, so the
+        # Σ|block|² / Σ|A|·|B| distance folds inherit the SCAN's
+        # partitioning — one parquet file = one input split = every
+        # pair job on one core (cell measured 6.6 -> 2.7 s at sf0.1
+        # on 32 cores). Width derives from the env'd core count.
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint(eager=False)  # consumed by 3 pair arms + stats
+    )
     base = q.filter(F.col("is_new") == 0)
     arr = q.filter(F.col("is_new") == 1)
     # pre-batch adjacency: per-label top-M among base (c91's build)
@@ -243,6 +253,11 @@ def c96_graph_index_ingest(spark: SparkSession, sf: str) -> DataFrame:
         ab.select("label", F.col("b_id").alias("src"),
                   F.col("a_id").alias("dst"), "d")
     )
+    # no checkpoint on the re-trimmed adjacency (round 17): its two
+    # former consumers (edge stats + displaced-edge count) now read it
+    # through ONE flagged aggregate below, so the window runs once
+    # inside a single-consumer lineage — one fewer plan->RDD
+    # conversion, one fewer pass
     adj_new = (
         cand.withColumn(
             "rn",
@@ -250,7 +265,6 @@ def c96_graph_index_ingest(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("rn") <= _C96_M)
         .drop("rn")
-        .localCheckpoint(eager=False)  # estat + kept arms
     )
     nstat = q.groupBy("label").agg(
         F.sum(1 - F.col("is_new")).cast("bigint").alias("n_base"),
@@ -263,39 +277,49 @@ def c96_graph_index_ingest(spark: SparkSession, sf: str) -> DataFrame:
     arrivals = q.filter(F.col("is_new") == 1).select(
         F.col("vec_id").alias("dst")
     )
-    final_edges = adj_new.join(
-        F.broadcast(arrivals.withColumn("is_back", F.lit(1))),
-        "dst",
-        "left",
-    ).select(
-        "label", "src", "dst",
-        F.coalesce("is_back", F.lit(0)).alias("is_back"),
-        F.lit(0).alias("is_out"),
-    ).unionByName(
-        out_new.select(
+    # ONE pass over the re-trimmed adjacency computes back-edge flags
+    # (broadcast arrival-id join), kept flags (broadcast pre-batch
+    # edge join — KB-scale, |base|*M rows), and the checksum's
+    # adjacency share; out_new's share aggregates separately and adds
+    # by label. Same numbers as the former estat/kept two-pass shape
+    # (checksum is a sum, so it splits across the union's two legs).
+    flagged = (
+        adj_new.join(
+            F.broadcast(arrivals.withColumn("is_back", F.lit(1))),
+            "dst",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                adjb.select("src", "dst").withColumn("is_kept", F.lit(1))
+            ),
+            ["src", "dst"],
+            "left",
+        )
+        .select(
             "label", "src", "dst",
-            F.lit(0).alias("is_back"), F.lit(1).alias("is_out"),
+            F.coalesce("is_back", F.lit(0)).alias("is_back"),
+            F.coalesce("is_kept", F.lit(0)).alias("is_kept"),
         )
     )
-    estat = final_edges.groupBy("label").agg(
-        F.sum("is_out").cast("bigint").alias("out_edges"),
+    astat = flagged.groupBy("label").agg(
         F.sum("is_back").cast("bigint").alias("back_edges"),
         F.sum(F.col("src") * 100003 + F.col("dst"))
         .cast("bigint")
-        .alias("edge_checksum"),
+        .alias("cks_adj"),
+        F.sum("is_kept").cast("bigint").alias("kept"),
     )
-    kept = (
-        adj_new.join(
-            adjb.select("src", "dst"), ["src", "dst"]
-        )
-        .groupBy("label")
-        .agg(F.count("*").alias("kept"))
+    ostat = out_new.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("out_edges"),
+        F.sum(F.col("src") * 100003 + F.col("dst"))
+        .cast("bigint")
+        .alias("cks_out"),
     )
     bstat = adjb.groupBy("label").agg(F.count("*").alias("n_before"))
     return (
-        nstat.join(estat, "label", "left")
+        nstat.join(astat, "label", "left")
+        .join(ostat, "label", "left")
         .join(bstat, "label", "left")
-        .join(kept, "label", "left")
         .select(
             F.col("label").cast("int").alias("label"),
             "n_base",
@@ -314,7 +338,10 @@ def c96_graph_index_ingest(spark: SparkSession, sf: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("dropped_edges"),
-            F.coalesce("edge_checksum", F.lit(0))
+            (
+                F.coalesce("cks_adj", F.lit(0))
+                + F.coalesce("cks_out", F.lit(0))
+            )
             .cast("bigint")
             .alias("edge_checksum"),
         )

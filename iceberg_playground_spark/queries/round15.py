@@ -171,18 +171,26 @@ def c99_maintained_graph_recall(
     )
 
     e = load(spark, sf, "embeddings")
-    q = e.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
-        ).alias("qv"),
-        (hash_bucket(F.col("vec_id")) >= _C99_NEW_FROM)
-        .cast("int")
-        .alias("is_new"),
-        (F.col("vec_id") % _C99_MOD == _C99_DEL).cast("int").alias("del"),
-    ).localCheckpoint(eager=False)  # pair arms + hubs + probes + dqall
+    q = (
+        e.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "label",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+            ).alias("qv"),
+            (hash_bucket(F.col("vec_id")) >= _C99_NEW_FROM)
+            .cast("int")
+            .alias("is_new"),
+            (F.col("vec_id") % _C99_MOD == _C99_DEL).cast("int").alias("del"),
+        )
+        # hash-repartition before the candidacy pair job (c31's rule,
+        # round 17): the label join broadcasts one side, so the fold
+        # work inherits the scan's one-split partitioning otherwise —
+        # width derives from the env'd core count
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint(eager=False)  # pair arms + hubs + probes + dqall
+    )
     a = q.select(
         "label", F.col("vec_id").alias("src"), F.col("qv").alias("sv"),
         F.col("is_new").alias("snew"), F.col("del").alias("sdel"),

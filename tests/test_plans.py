@@ -1683,14 +1683,25 @@ def test_c91_graph_build_is_blocked_never_cartesian(spark):
     # c91: graph build joins on the label key (Σ|block|², the
     # c48/c66 discipline — co-locating vectors by block is the ONE
     # legitimate vector shuffle, paid once at build); the only
-    # nested-loop is the bounded 10x10 hub ring broadcast; the SEARCH
-    # side broadcasts candidate ids, so no exchange carries the raw
-    # text/embedding columns
-    df = registry.QUERIES["c91_knn_graph_search"](spark, SF_CHECK)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # nested-loop is the bounded 10x10 hub ring broadcast; the search
+    # (round 17) is driver-coordinated bounded lookups, so the result
+    # frame is a local K-row table. Pin the BUILD plan directly (the
+    # result plan no longer contains it) plus the result's shape: no
+    # cartesian, no raw text/embedding on any exchange, and the pair
+    # fold inherits the repartition's width (never the one-split
+    # scan's).
+    from iceberg_playground_spark.queries.round13 import _c91_graph
+
+    q, alledges = _c91_graph(spark, SF_CHECK)
+    plan = alledges._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    for cols in _exchange_outputs(df):
+    for cols in _exchange_outputs(alledges):
         assert not {"text", "embedding"} & set(cols), cols
+    assert q.rdd.getNumPartitions() > 1  # the pair fold parallelizes
+    df = registry.QUERIES["c91_knn_graph_search"](spark, SF_CHECK)
+    assert df.count() == 10
+    rplan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rplan
 
 
 def test_c92_recall_probe_table_is_one_broadcast_pass(spark):
