@@ -183,10 +183,15 @@ def _c79_partials(qdf: DataFrame) -> DataFrame:
 
 
 def _c79_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """ONE corpus scan → the Gram statistics (see _c79_partials)."""
+    """ONE corpus scan → the Gram statistics (see _c79_partials).
+
+    repartition=False: the Arrow kernel reduces each batch to d²
+    partial sums map-side, so the pinned plan property is that no
+    vector column ever rides an exchange — the scan's own split
+    layout is the right parallelism source here."""
     from iceberg_playground_spark.queries.round9b import _c54_quantized
 
-    return _c79_partials(_c54_quantized(spark, sf))
+    return _c79_partials(_c54_quantized(spark, sf, repartition=False))
 
 
 def _c79_stats_cached(spark: SparkSession, sf: str) -> DataFrame:

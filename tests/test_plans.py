@@ -944,11 +944,18 @@ def test_c54_assignment_pass_is_joinless_map(spark):
     # centroids — one corpus scan, no join anywhere (a join on a
     # centroid table would shuffle the corpus per iteration; Lloyd's
     # Spark shape broadcasts k·d ints as an expression instead). The
-    # only exchange is the output sort's rangepartitioning.
+    # only exchanges: the output sort's rangepartitioning and the ONE
+    # deliberate vec_id repartition that spreads the fold work off the
+    # scan's single split (round 17 — width from the env'd core
+    # count, applied below every fold so a join never sneaks in).
     plan = _plan(spark, "c54_kmeans_lloyd")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
-    assert "hashpartitioning" not in plan
+    assert plan.count("REPARTITION_BY_NUM") == 1
+    assert (
+        plan.count("hashpartitioning")
+        == plan.count("REPARTITION_BY_NUM")
+    )
 
 
 def test_c55_single_token_shuffle_no_cartesian(spark):
@@ -1224,12 +1231,18 @@ def test_c70_superstep_pick_is_joinless_topk(spark):
 
 def test_c70_final_assignment_is_joinless_map(spark):
     # c70: the graded assignment inherits c54's shape — one corpus
-    # scan against the literal learned centroids, no join, no hash
-    # exchange (driver state across the whole train step is k·d ints)
+    # scan against the literal learned centroids, no join; the only
+    # hash exchange is the ONE deliberate vec_id repartition spreading
+    # the fold off the scan's single split (round 17; driver state
+    # across the whole train step stays k·d ints)
     plan = _plan(spark, "c70_kmeanspp_seed")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
-    assert "hashpartitioning" not in plan
+    assert plan.count("REPARTITION_BY_NUM") == 1
+    assert (
+        plan.count("hashpartitioning")
+        == plan.count("REPARTITION_BY_NUM")
+    )
 
 
 def test_c71_audit_is_one_scan_one_aggregate(spark):
@@ -1314,9 +1327,18 @@ def test_c74_train_superstep_shuffles_sums_never_vectors(spark):
             ],
         )
     )
-    for cols in _exchange_outputs(agg):
-        assert "sub" not in cols and "q" not in cols, cols
+    # the only exchange allowed to carry the vector column is the ONE
+    # deliberate vec_id repartition below the folds (round 17); the
+    # aggregate's exchange still ships 128-key partials, never a
+    # sub-vector
+    vec_exchanges = [
+        cols
+        for cols in _exchange_outputs(agg)
+        if "sub" in cols or "q" in cols
+    ]
+    assert len(vec_exchanges) <= 1, vec_exchanges
     plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("REPARTITION_BY_NUM") == 1
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
 

@@ -755,3 +755,30 @@ def test_c62_bounds_and_per_side_normalization(spark):
         if rev is not None:
             # same intersection, each side's own shingle count
             assert rev["inter"] == r["inter"]
+
+
+def test_c54_quantized_cache_knob_both_branches(spark, monkeypatch):
+    # VERDICT r16 item 7: the shared quantized frame's input cache is
+    # scale-parameterized — OFF below the byte threshold (bench SFs:
+    # re-deriving per superstep beats a plan->RDD conversion at this
+    # scale, the round-16 A/B), ON above it (deployment scale: 7+
+    # corpus re-reads per train loop flip the trade). Pin both
+    # branches, plus the repartition that keeps the distance folds off
+    # the scan's one-split partitioning, and that rows are identical
+    # either way.
+    import iceberg_playground_spark.queries.round9b as r9b
+
+    qdf_off = r9b._c54_quantized(spark, SF_CHECK)
+    # below threshold (all shipped SFs): lazy frame, no RDD scan node
+    plan_off = qdf_off._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan_off
+    assert qdf_off.rdd.getNumPartitions() > 1  # the repartition applied
+    monkeypatch.setattr(r9b, "_QDF_CACHE_MIN_BYTES", 1)
+    qdf_on = r9b._c54_quantized(spark, SF_CHECK)
+    plan_on = qdf_on._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan_on  # the checkpoint barrier
+    rows = lambda df: sorted(  # noqa: E731
+        (int(r["vec_id"]), tuple(int(v) for v in r["q"]))
+        for r in df.collect()
+    )
+    assert rows(qdf_off) == rows(qdf_on)
