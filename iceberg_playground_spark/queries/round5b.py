@@ -332,7 +332,15 @@ def c32_bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
     the per-lang top-5 ahead of the final exchange — the full pair
     vocabulary never concentrates anywhere. One real BPE trainer
     iterates this plan; each iteration is this same bounded shape."""
-    d = load(spark, sf, "documents")
+    # hash-repartition before the bigram construct (the c31/c08 rule,
+    # round 17): the zip-of-slices + explode is this cell's CPU and
+    # otherwise inherits the scan's one-split partitioning (cell
+    # measured 1.1 -> 0.6 s at sf0.1 on 32 cores)
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     toks = _tokens()
     n = F.size(toks)
     z = F.arrays_zip(
@@ -399,7 +407,15 @@ def c33_canonical_selection(spark: SparkSession, sf: str) -> DataFrame:
     partitioning), and the row_number filter is group-limit-pushable.
     Quality here is n_chars; any scalar score (c23's LM score, c07's
     gates) slots into the same ORDER BY."""
-    d = load(spark, sf, "documents")
+    # hash-repartition before the fingerprint map (the c31/c08 rule,
+    # round 17): the per-doc shingle + md5-min transform is this
+    # cell's CPU and otherwise inherits the scan's one-split
+    # partitioning (cell measured 1.6 -> 1.0 s at sf0.1 on 32 cores)
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", "n_chars", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     sh = _shingles(_tokens())
     fp = (
         d.select(
