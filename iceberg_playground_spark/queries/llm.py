@@ -1135,7 +1135,15 @@ def c16_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     operator's plan, so the composition inherits their scale shapes
     (group-limit-pushable dedup window, pushdown-friendly filters,
     map-side-combinable budget agg)."""
-    d = load(spark, sf, "documents")
+    # hash-repartition before the fingerprint map (the c31/c33 rule,
+    # round 17): the per-doc shingle + md5-min transform otherwise
+    # inherits the scan's one-split partitioning (cell measured
+    # 1.1 -> 0.7 s at sf0.1 on 32 cores)
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", "lang", "n_chars", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     toks = _tokens()
     fp = d.select(
         "doc_id",
