@@ -236,9 +236,16 @@ def c63_bpe_merge_learn(spark: SparkSession, sf: str) -> DataFrame:
         for step in range(1, _C63_MERGES + 1):
             top = top_f.result()[0]
             a, b = top["pair"].split(" ")
+            # eager per-step checkpoint (ADVICE r16 / round 17 A/B):
+            # with eager=False both pool jobs raced to materialize the
+            # fold pass — values stay deterministic (block-manager
+            # locking) but the fold could run twice, reading 2.7-7.0 s
+            # across runs; materializing once here before submitting
+            # either job reads 2.1-2.4 s. Only the two bounded READS
+            # stay overlapped, which is all §2.6 needs.
             words = words.withColumn(
                 "seq", _c63_fold(a, b)
-            ).localCheckpoint(eager=False)
+            ).localCheckpoint(eager=True)
             stats_f = pool.submit(_stats, words)
             if step < _C63_MERGES:
                 top_f = pool.submit(_argmax, words)
