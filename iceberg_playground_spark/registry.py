@@ -61,10 +61,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # fires the moment a driver grade lands on a lead entry):
 #   GRADING_LEAD = the old GRADING_NEW_TAIL contents, verbatim
 #   GRADING_NEW_TAIL = []
-GRADING_LEAD: list[str] = [
-    "c99_maintained_graph_recall",
-    "b170_avro_manifest_roundtrip",
-]
+GRADING_LEAD: list[str] = []
 GRADING_NEW_TAIL: list[str] = []
 
 

@@ -386,11 +386,14 @@ def test_bpe_pair_stats_group_limit_and_single_scan(spark):
 
 def test_canonical_selection_one_exchange_two_windows(spark):
     # c33: cluster_size and the rank share the fingerprint
-    # partitioning — a second shuffle between the windows would double
-    # the corpus exchange at 100 TB
+    # partitioning — a second shuffle BETWEEN the windows would double
+    # the corpus exchange at 100 TB. The only other exchange is the
+    # ONE deliberate doc_id repartition that spreads the fingerprint
+    # map off the scan's single split (round 17).
     plan = _plan(spark, "c33_canonical_selection")
     assert plan.count("Scan parquet") == 1
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("REPARTITION_BY_NUM") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_cluster_histogram_single_scan_digests_only(spark):
