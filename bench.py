@@ -332,7 +332,10 @@ ANCHOR_SECONDS = {
     "c02_minhash_lsh_dedup": 2.14,
     "c03_cosine_topk": 0.50,
     "c05_text_analysis": 0.57,
-    "c16_training_pipeline": 1.18,
+    # re-cut round 17 (plan change: fingerprint map repartitioned off
+    # the one-split scan; close pair 0.69/0.58, mid sweep 0.73 —
+    # max-of-minimums)
+    "c16_training_pipeline": 0.73,
     "c20_corpus_build": 1.44,
     "c08_simhash": 1.95,
     "c09_ngram_jaccard": 2.03,
@@ -347,8 +350,12 @@ ANCHOR_SECONDS = {
     # + band structs render as one parsed expression; close pair
     # 0.708/0.713)
     "c29_hyperplane_lsh": 0.71,
-    "c32_bpe_pair_stats": 1.44,
-    "c33_canonical_selection": 2.30,
+    # re-cut round 17 (bigram construct repartitioned; 1.04/0.69 pair,
+    # 1.18 mid — max-of-minimums)
+    "c32_bpe_pair_stats": 1.18,
+    # re-cut round 17 (fingerprint map repartitioned; 1.44/1.09 pair,
+    # 1.44 mid)
+    "c33_canonical_selection": 1.44,
     "b60_bucketed_join": 0.24,
     "b61_data_skipping": 0.18,
     "b68_tumbling_window": 2.20,
@@ -398,7 +405,9 @@ ANCHOR_SECONDS = {
     # 2.37/1.88). Close pair D/E minimums.
     # re-cut round 14 (plan change: kernel 2^47 domain guard), then
     # round 16 (kernel fold collapse — batch 1; close pair 3.077/2.665)
-    "c65_bigram_perplexity": 2.67,
+    # ... then round 17 (bigram passes repartitioned off the one-split
+    # scan; 1.69/1.53 pair, 1.80 mid — max-of-minimums)
+    "c65_bigram_perplexity": 1.80,
     "c67_triplet_mining": 0.69,
     "p34_release_report_v3": 1.12,
     "c68_perceptron_train": 2.80,
@@ -417,21 +426,27 @@ ANCHOR_SECONDS = {
     "p39_release_datacard": 1.50,
     # c74 re-cut round 16 (one-parse literal codebooks — batch 2;
     # close pair 3.760/4.334)
-    "c74_pq_train": 3.76,
+    # re-cut again round 17 (fold passes repartitioned via
+    # _c54_quantized; 3.55/2.60 pair, 2.48 mid — max-of-minimums)
+    "c74_pq_train": 2.60,
     "c75_unigram_lm_train": 1.95,
     # late round-12 (second clean pair at r12 HEAD: guard-kept 139.9 s
     # + quiet 140.1 s; pair minimums)
     # re-cut round 14 (plan change: the 3 grid NLLs now ONE
     # stacked kernel fold + 4096-key pivot), then round 16 (kernel
     # fold collapse + one-parse score maps; close pair 3.057/3.226)
-    "p40_mixture_weight_learn": 3.06,
+    # ... then round 17 (bigram lineage repartitioned below the
+    # checkpoint; 2.55/2.35 pair, 2.46 mid)
+    "p40_mixture_weight_learn": 2.46,
     # re-cut round 16 (plan change: Viterbi DP per DISTINCT
     # (lang, word) instead of per occurrence — batch 1; close pair
     # 2.616/2.367)
     "c76_unigram_apply_fertility": 2.37,
     # re-cut round 16 (one-parse literal codebooks/assign matrices —
     # batch 2; close pair 7.221/6.508)
-    "c77_trained_ivfadc": 6.51,
+    # re-cut again round 17 (fold passes repartitioned; 4.81/4.35
+    # pair, 5.06 mid — max-of-minimums)
+    "c77_trained_ivfadc": 5.06,
     # round-12b (third clean pair at r12 HEAD: 170.9 s with 3
     # quiet-probe noise cells over anchor + quiet 151.8 s with only
     # known-noise b19 over; pair minimums)
@@ -452,13 +467,18 @@ ANCHOR_SECONDS = {
     "c84_kneser_ney_bigram": 1.57,
     # round-13 close pair (D 163.6 s / E 162.4 s, guard quiet, probes
     # 0.41/0.41 and 0.54/0.39): the graph-ANN flagship, pair minimum
-    "c91_knn_graph_search": 5.94,
+    # re-cut round 17 (pair folds repartitioned + driver-bounded beam
+    # search; 4.04/2.02 pair — A leg in a moderate host phase — 2.34
+    # mid: max-of-minimums keeps the 2x bar off known phase readings)
+    "c91_knn_graph_search": 2.34,
     # round-14 close pair (A 163.9 s probes 0.371/0.390, B first
     # sweep 179.5 s probes 0.400/0.388 — B's guard fired on the
     # four stale pre-re-cut anchors + noise cells and kept the
     # first sweep; pair minimums): the graph-ingest maintenance
     # verb (4.535/6.194)
-    "c96_graph_index_ingest": 4.54,
+    # re-cut round 17 (pair folds repartitioned + one-pass edge
+    # stats; 3.04/1.91 pair, 2.11 mid — max-of-minimums)
+    "c96_graph_index_ingest": 2.11,
 }
 GUARD_FACTOR = 2.0
 GUARD_MIN_CELLS = 4
