@@ -266,7 +266,7 @@ def _c70_train(
     seed can never be drawn — ln 0 is the oracle's filter too)."""
     from iceberg_playground_spark.queries.round9b import _c54_quantized
 
-    qdf = _c54_quantized(spark, sf)
+    qdf = _c54_quantized(spark, sf, cache=True)  # 7 D-squared draws
     r0 = qdf.filter(F.col("vec_id") == 0).collect()[0]
     seeds: list[tuple[int, list[int]]] = [(0, [int(v) for v in r0["q"]])]
     for t in range(1, _C70_K):

@@ -205,7 +205,7 @@ def _c74_train(
     corpus (see _c74_train_on)."""
     from iceberg_playground_spark.queries.round9b import _c54_quantized
 
-    qdf = _c54_quantized(spark, sf)
+    qdf = _c54_quantized(spark, sf, cache=True)  # seed + 2 Lloyd supersteps
     return qdf, _c74_train_on(qdf, _c74_seed(qdf))
 
 

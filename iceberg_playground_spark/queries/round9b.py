@@ -118,15 +118,16 @@ FROM a3 ORDER BY vec_id
 
 # Input-cache threshold for the shared quantized frame (bytes of the
 # source parquet; env-overridable like tables._BOUNDS_DRIVER_MAX).
-# The train loops (c54/c70/c71/c72/c74/c77) re-derive this frame once
-# per superstep; at bench SFs the re-derivation is a ~30 ms pruned
-# scan and a lazy checkpoint LOSES (round 16 A/B: c72 3.77 -> 6.29 s
-# with the cache — the plan->RDD conversion plus the ExistingRDD's
-# defeat of column pruning dwarf the savings), while at deployment
-# scale 7+ corpus re-reads per train loop flip the trade (the
-# canonical k-means input cache). Default 256 MB: every shipped SF
-# stays below it (sf0.1 embeddings = 0.8 MB), a 100 TB corpus is far
-# above.
+# Multi-pass TRAIN consumers (c54/c70/c74, inherited by c72/c77) pass
+# cache=True unconditionally — with the round-17 repartition the
+# checkpoint wins at every scale (the round-16 rejection measured a
+# ONE-partition checkpointed RDD: every read serialized and pruning
+# was defeated; see the cache branch below for the matched A/B).
+# SINGLE-pass consumers keep the lazy scan until the source crosses
+# this byte threshold, past which even one consumer's re-derivation
+# risk (stage retry, speculative re-run) makes materialization the
+# safe default. Default 256 MB: every shipped SF stays below it
+# (sf0.1 embeddings = 0.8 MB), a deployment-scale corpus is far above.
 _QDF_CACHE_MIN_BYTES = int(
     os.environ.get(
         "SPARK_GRAFT_QDF_CACHE_MIN_BYTES", str(256 * 1024 * 1024)
@@ -146,7 +147,10 @@ def _qdf_source_bytes(sf: str) -> int:
 
 
 def _c54_quantized(
-    spark: SparkSession, sf: str, repartition: bool = True
+    spark: SparkSession,
+    sf: str,
+    repartition: bool = True,
+    cache: bool = False,
 ) -> DataFrame:
     q = load(spark, sf, "embeddings").select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -172,9 +176,19 @@ def _c54_quantized(
         q = q.repartition(
             spark.sparkContext.defaultParallelism, "vec_id"
         )
-    if _qdf_source_bytes(sf) >= _QDF_CACHE_MIN_BYTES:
-        # deployment scale: materialize once, supersteps re-read the
-        # checkpointed RDD instead of re-scanning the corpus
+    if cache or _qdf_source_bytes(sf) >= _QDF_CACHE_MIN_BYTES:
+        # materialize once; supersteps re-read the checkpointed RDD
+        # instead of re-scanning the corpus. Train-loop call sites
+        # (c54/c70/c74, inherited by c72/c77) pass cache=True
+        # unconditionally — MLlib's own k-means shape: round 16
+        # rejected this cache when the checkpointed RDD was ONE
+        # partition (every read serialized + pruning defeated); with
+        # the repartition above, the round-17 matched A/B flips it
+        # (c70 3.07->2.25, c72 3.30->2.30, c74 2.17->1.77, c77
+        # 4.21->3.18, c54 2.03->1.75 at sf0.1). Single-pass consumers
+        # keep the lazy scan below the byte threshold (c71 measured
+        # 1.33->1.55 WITH the cache — one pass can't amortize the
+        # plan->RDD conversion).
         q = q.localCheckpoint(eager=False)
     return q
 
@@ -253,7 +267,7 @@ def c54_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     a single flipped vector anywhere in 3 iterations changes the
     hash. Empty clusters simply drop out of the centroid table on
     both sides (Lloyd's standard behavior)."""
-    qdf = _c54_quantized(spark, sf)
+    qdf = _c54_quantized(spark, sf, cache=True)  # 3 Lloyd passes
     seeds = sorted(
         qdf.filter(F.col("vec_id") < _C54_K).collect(),
         key=lambda r: r["vec_id"],

@@ -947,18 +947,15 @@ def test_c54_assignment_pass_is_joinless_map(spark):
     # centroids — one corpus scan, no join anywhere (a join on a
     # centroid table would shuffle the corpus per iteration; Lloyd's
     # Spark shape broadcasts k·d ints as an expression instead). The
-    # only exchanges: the output sort's rangepartitioning and the ONE
-    # deliberate vec_id repartition that spreads the fold work off the
-    # scan's single split (round 17 — width from the env'd core
-    # count, applied below every fold so a join never sneaks in).
+    # graded pass reads the train loop's cached quantized frame (ONE
+    # ExistingRDD scan — the round-17 repartition + cache live below
+    # the checkpoint), so the only exchange left in the final plan is
+    # the output sort's rangepartitioning.
     plan = _plan(spark, "c54_kmeans_lloyd")
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Scan parquet" not in plan
     assert "Join" not in plan
-    assert plan.count("REPARTITION_BY_NUM") == 1
-    assert (
-        plan.count("hashpartitioning")
-        == plan.count("REPARTITION_BY_NUM")
-    )
+    assert "hashpartitioning" not in plan
 
 
 def test_c55_single_token_shuffle_no_cartesian(spark):
@@ -1233,19 +1230,16 @@ def test_c70_superstep_pick_is_joinless_topk(spark):
 
 
 def test_c70_final_assignment_is_joinless_map(spark):
-    # c70: the graded assignment inherits c54's shape — one corpus
-    # scan against the literal learned centroids, no join; the only
-    # hash exchange is the ONE deliberate vec_id repartition spreading
-    # the fold off the scan's single split (round 17; driver state
-    # across the whole train step stays k·d ints)
+    # c70: the graded assignment inherits c54's shape — one pass over
+    # the train loop's cached quantized frame (ONE ExistingRDD scan;
+    # the round-17 repartition + cache live below the checkpoint)
+    # against the literal learned centroids, no join, no hash exchange
+    # (driver state across the whole train step stays k·d ints)
     plan = _plan(spark, "c70_kmeanspp_seed")
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Scan parquet" not in plan
     assert "Join" not in plan
-    assert plan.count("REPARTITION_BY_NUM") == 1
-    assert (
-        plan.count("hashpartitioning")
-        == plan.count("REPARTITION_BY_NUM")
-    )
+    assert "hashpartitioning" not in plan
 
 
 def test_c71_audit_is_one_scan_one_aggregate(spark):
