@@ -385,7 +385,9 @@ ANCHOR_SECONDS = {
     "p18_streaming_novelty_filter": 1.44,
     # re-cut round 16 (construction change: one-parse literal assign
     # matrix — OPTIMIZATION_r16.md batch 2; close pair 4.112/2.424)
-    "c54_kmeans_lloyd": 2.42,
+    # re-cut again round 17 late (train-loop input cache on the
+    # repartitioned frame; final pair 2.49/1.88)
+    "c54_kmeans_lloyd": 1.88,
     # re-cut round 16 (plan change: shingle digests checkpointed once
     # instead of 3x lineage re-eval; close pair 3.110/3.149)
     "c62_containment_detect": 3.11,
@@ -417,9 +419,12 @@ ANCHOR_SECONDS = {
     # close pair 3.321/5.327 and 4.384/4.483). c71 re-cut in batch 4
     # (its 130 stat-agg columns + two 64-dim report arrays render as
     # parsed SQL; pair 1.612/1.885).
-    "c70_kmeanspp_seed": 3.32,
+    # c70 re-cut round 17 late (input cache; final pair 1.87/1.59)
+    "c70_kmeanspp_seed": 1.59,
     "c71_ivf_index_drift": 1.61,
-    "c72_learned_ivf_recall": 4.38,
+    # c72 re-cut round 17 late (inherits c70's cached train; final
+    # pair 2.26/2.19)
+    "c72_learned_ivf_recall": 2.19,
     # round-12 (clean pair at r12 HEAD: run A's guard-kept rerun
     # 111.9 s + quiet run B 125.6 s; pair minimums)
     "c73_classifier_calibration": 0.58,
@@ -428,7 +433,8 @@ ANCHOR_SECONDS = {
     # close pair 3.760/4.334)
     # re-cut again round 17 (fold passes repartitioned via
     # _c54_quantized; 3.55/2.60 pair, 2.48 mid — max-of-minimums)
-    "c74_pq_train": 2.60,
+    # ... and round 17 late (input cache; final pair 2.45/2.33)
+    "c74_pq_train": 2.33,
     "c75_unigram_lm_train": 1.95,
     # late round-12 (second clean pair at r12 HEAD: guard-kept 139.9 s
     # + quiet 140.1 s; pair minimums)
@@ -446,7 +452,8 @@ ANCHOR_SECONDS = {
     # batch 2; close pair 7.221/6.508)
     # re-cut again round 17 (fold passes repartitioned; 4.81/4.35
     # pair, 5.06 mid — max-of-minimums)
-    "c77_trained_ivfadc": 5.06,
+    # ... and round 17 late (input cache; final pair 3.27/2.94)
+    "c77_trained_ivfadc": 2.94,
     # round-12b (third clean pair at r12 HEAD: 170.9 s with 3
     # quiet-probe noise cells over anchor + quiet 151.8 s with only
     # known-noise b19 over; pair minimums)
